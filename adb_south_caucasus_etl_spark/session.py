@@ -1,0 +1,41 @@
+"""SparkSession factory.
+
+Local defaults tuned for the test harness (local[N], single JVM), but every
+setting is the one you'd want on a real cluster too: AQE for runtime
+re-planning (skew joins, partition coalescing), Arrow for any pandas
+interchange, UTC session timezone so timestamp semantics match the DuckDB
+oracle and are deployment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "adb_south_caucasus_etl_spark") -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    Shuffle partitions are sized to the local core count — on a real
+    cluster you'd size to 2-3x total executor cores and let AQE coalesce.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cpus}]"
+    shuffle = cpus if cpus.isdigit() else str(os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

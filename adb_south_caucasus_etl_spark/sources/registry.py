@@ -1,0 +1,83 @@
+"""Table catalog over the driver-generated parquet star schema.
+
+The reference (oec.py) addresses data by *cube name* and lets a remote server
+resolve it; here the catalog resolves table names to parquet scans, which
+gives Catalyst predicate pushdown + column pruning for free (SURVEY §4).
+
+At 100 TB the only change is the path layout: each logical table becomes a
+directory of parquet files (optionally hive-partitioned by a date key), and
+``spark.read.parquet`` picks up partition pruning automatically. Nothing in
+this module assumes single-file tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: every table the driver ships (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimensions small enough to broadcast at any scale factor — these are
+#: bounded by the real world (countries, regions), not by fact volume,
+#: so broadcasting them is safe even at the 100 TB tier.
+BROADCAST_SAFE = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _table_path(sf_dir: str, name: str) -> str:
+    """Resolve a table to its parquet path. Accepts either a single
+    ``<name>.parquet`` file (the test harness layout) or a ``<name>/``
+    directory of parquet files (cluster layout)."""
+    file_path = os.path.join(sf_dir, f"{name}.parquet")
+    dir_path = os.path.join(sf_dir, name)
+    if os.path.isdir(dir_path):
+        return dir_path
+    return file_path
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(_table_path(sf_dir, name))
+
+
+class Catalog:
+    """Lazy table registry bound to one scale-factor directory.
+
+    ``catalog.table("lineitem")`` returns the DataFrame (cached handle, not
+    cached data); ``catalog.register_views()`` exposes every table as a temp
+    view so operators can be written in SQL where that is clearer.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._tables: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            self._tables[name] = load_table(self.spark, self.sf_dir, name)
+        return self._tables[name]
+
+    def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)

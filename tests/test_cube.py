@@ -1,0 +1,88 @@
+import pytest
+from pyspark.sql import functions as F
+
+from adb_south_caucasus_etl_spark.plans.cube import (
+    DEFAULT_CUBES,
+    CubeQuery,
+    _needed_tables,
+    compile_query,
+    members,
+)
+
+
+def test_join_pruning_minimal():
+    schema = DEFAULT_CUBES["lineitem"]
+    q = CubeQuery("lineitem", ("Return Flag",), ("Quantity",))
+    assert _needed_tables(schema, q) == set()
+
+
+def test_join_pruning_transitive_parents():
+    schema = DEFAULT_CUBES["lineitem"]
+    q = CubeQuery("lineitem", ("Region",), ("Revenue",))
+    # Region needs region → nation → customer → orders
+    assert _needed_tables(schema, q) == {"region", "nation", "customer", "orders"}
+
+
+def test_cut_does_not_mutate_input(spark, sf_dir):
+    cuts = {"Order Status": "F"}
+    q = CubeQuery("lineitem", ("Year",), ("Revenue",), cuts=cuts)
+    compile_query(spark, sf_dir, q)
+    assert cuts == {"Order Status": "F"}  # oec.py:48 discipline
+
+
+def test_flagship_shape(spark, sf_dir):
+    q = CubeQuery(
+        "lineitem", ("Region", "Year"), ("Revenue",), cuts={"Order Status": "F"}
+    )
+    df = compile_query(spark, sf_dir, q)
+    assert df.columns == ["region", "year", "revenue"]
+    rows = df.collect()
+    assert len(rows) > 0
+    # cut respected: recompute one cell by hand
+    region, year = rows[0]["region"], rows[0]["year"]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    manual = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter((F.col("o_orderstatus") == "F") & (F.col("r_name") == region))
+        .filter(F.year("o_orderdate") == year)
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .collect()[0][0]
+    )
+    assert manual == pytest.approx(rows[0]["revenue"], rel=1e-9)
+
+
+def test_multi_member_cut_isin(spark, sf_dir):
+    q = CubeQuery(
+        "lineitem", ("Return Flag",), ("Line Count",), cuts={"Return Flag": "A,R"}
+    )
+    got = {r["return_flag"] for r in compile_query(spark, sf_dir, q).collect()}
+    assert got == {"A", "R"}
+
+
+def test_members_sorted(spark, sf_dir):
+    df = members(spark, sf_dir, "lineitem", "Nation")
+    assert df.columns == ["nation_id", "nation"]
+    ids = [r["nation_id"] for r in df.collect()]
+    assert ids == sorted(ids)
+    assert len(ids) == len(set(ids))
+
+
+def test_rollup_subtotals(spark, sf_dir):
+    q = CubeQuery("lineitem", ("Return Flag", "Line Status"), ("Quantity",), rollup=True)
+    rows = compile_query(spark, sf_dir, q).collect()
+    # rollup adds (flag, NULL) subtotals and a (NULL, NULL) grand total
+    nulls = [r for r in rows if r["return_flag"] is None and r["line_status"] is None]
+    assert len(nulls) == 1
+
+
+def test_unknown_level_raises():
+    schema = DEFAULT_CUBES["lineitem"]
+    with pytest.raises(KeyError, match="no level"):
+        schema.level("Nope")

@@ -1,0 +1,112 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same sf parquet, then compares row count, sorted column names, and
+canonicalized values (rows sorted by all columns). Queries without an oracle
+get a rows-only check (must run and return a stable schema).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from adb_south_caucasus_etl_spark.session import get_spark  # noqa: E402
+from adb_south_caucasus_etl_spark.sources.registry import TABLES  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for a stable, engine-neutral sort (floats already rounded
+    # by the queries themselves)
+    as_str = df.astype(str)
+    order = as_str.sort_values(list(as_str.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns spark={s_cols} duck={d_cols}")
+        return problems
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                av = pd.to_numeric(av, errors="coerce")
+                bv = pd.to_numeric(bv, errors="coerce")
+                neq = ~((av == bv) | (av.isna() & bv.isna()))
+            else:
+                neq = av.astype(str) != bv.astype(str)
+            if neq.any():
+                i = int(neq.idxmax())
+                problems.append(
+                    f"values differ in {c!r}: e.g. row {i} "
+                    f"spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r} "
+                    f"({int(neq.sum())} rows)"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle")
+    con = duck_con(sf_dir)
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark query raised")
+            traceback.print_exc()
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, cols={sorted(sdf.columns)})")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception:
+            print(f"FAIL {name}: duckdb oracle raised")
+            traceback.print_exc()
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"ok   {name}: {len(sdf)} rows match")
+    print(f"\n{len(queries) - len(failed)}/{len(queries)} ok")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
