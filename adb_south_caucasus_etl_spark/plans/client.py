@@ -1,0 +1,57 @@
+"""Reference-parity client facade.
+
+Mirrors the reference's two-method public API (class ``OEC``,
+reference oec.py:8-66) — ``get_members(cube, level)`` and
+``get_data(cube, drilldown, measure, cut)`` — but executes locally on Spark
+through the CubeQuery compiler instead of delegating to a remote OLAP server.
+A user of the reference can switch to this class and run the same calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .cube import DEFAULT_CUBES, CubeQuery, CubeSchema, compile_query, members
+
+
+class CubeClient:
+    """Drop-in local replacement for the reference ``OEC`` client.
+
+    Differences, all deliberate (SURVEY §2.L):
+    - results are Spark DataFrames (lazily planned), not pandas
+    - member enumeration is actually sorted (the reference's sort is a
+      silent no-op, oec.py:23)
+    - drilldowns/measures are lists end-to-end — no comma-joined wire
+      strings (oec.py:50-51 / util.py:21 inconsistency removed)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        cubes: dict[str, CubeSchema] | None = None,
+    ):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.cubes = cubes or DEFAULT_CUBES
+
+    def get_members(self, cube: str, level: str) -> DataFrame:
+        """Member table of ``(cube, level)`` — reference oec.py:12-25."""
+        return members(self.spark, self.sf_dir, cube, level, self.cubes)
+
+    def get_data(
+        self,
+        cube: str,
+        drilldown: list[str],
+        measure: list[str],
+        cut: dict | None = None,
+    ) -> DataFrame:
+        """Aggregation query — reference oec.py:27-66. ``cut`` is optional
+        (oec.py:45) and never mutated (oec.py:48)."""
+        query = CubeQuery(
+            cube=cube,
+            drilldowns=tuple(drilldown),
+            measures=tuple(measure),
+            cuts=dict(cut) if cut else None,
+        )
+        return compile_query(self.spark, self.sf_dir, query, self.cubes)

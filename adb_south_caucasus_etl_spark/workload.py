@@ -127,6 +127,96 @@ def cube_multi_cut_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round2(df.withColumn("year", F.col("year").cast("int")), "quantity")
 
 
+@register(
+    "cube_rollup_geo",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="A4 hierarchy subtotals: Geography rollup Region→Nation + grand total",
+)
+def cube_rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = CubeQuery(
+        cube="lineitem",
+        drilldowns=("Region", "Nation"),
+        measures=("Revenue",),
+        rollup=True,
+    )
+    return _round2(compile_query(spark, sf_dir, q), "revenue")
+
+
+@register(
+    "cube_filtered_measure",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                          THEN l_extendedprice * (1 - l_discount) END), 2)
+             AS returned_revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    doc="A5 cut-within-measure: conditional aggregate beside the plain one",
+)
+def cube_filtered_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        cat.lineitem.join(
+            cat.orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner"
+        )
+        .groupBy(F.year("o_orderdate").alias("year"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", disc_price)).alias(
+                "returned_revenue"
+            ),
+            F.sum(disc_price).alias("revenue"),
+        )
+    )
+    return _round2(df, "returned_revenue", "revenue")
+
+
+@register(
+    "cube_agg_registry",
+    """
+    SELECT c_mktsegment AS segment,
+           ROUND(AVG(l_discount), 4) AS avg_discount,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           COUNT(*) AS line_count,
+           COUNT(DISTINCT l_orderkey) AS order_count
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    doc="A3 aggregator registry: avg/min/max/count/count_distinct measures",
+)
+def cube_agg_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    df = (
+        cat.lineitem.join(
+            cat.orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner"
+        )
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count(F.lit(1)).alias("line_count"),
+            F.countDistinct("l_orderkey").alias("order_count"),
+        )
+    )
+    return df
+
+
 # --------------------------------------------------------------------------
 # relational core
 

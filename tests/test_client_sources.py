@@ -1,0 +1,65 @@
+import pytest
+
+from adb_south_caucasus_etl_spark.plans.client import CubeClient
+from adb_south_caucasus_etl_spark.sources.jsonrecords import (
+    records_to_df,
+    resolve_token,
+)
+
+
+def test_client_get_data_matches_reference_call_shape(spark, sf_dir):
+    # the reference's example call (oec.py:30-36), bound to the fixture cube
+    client = CubeClient(spark, sf_dir)
+    df = client.get_data(
+        cube="lineitem",
+        drilldown=["Year", "Region"],
+        measure=["Revenue"],
+        cut={"Year": "1995"},
+    )
+    rows = df.collect()
+    assert df.columns == ["year", "region", "revenue"]
+    assert all(r["year"] == 1995 for r in rows)
+
+
+def test_client_cut_not_mutated(spark, sf_dir):
+    cut = {"Order Status": "F"}
+    CubeClient(spark, sf_dir).get_data("lineitem", ["Year"], ["Quantity"], cut)
+    assert cut == {"Order Status": "F"}
+
+
+def test_client_get_members(spark, sf_dir):
+    df = CubeClient(spark, sf_dir).get_members("lineitem", "Region")
+    rows = df.collect()
+    assert df.columns == ["region_id", "region"]
+    assert len(rows) == 5
+    assert [r["region_id"] for r in rows] == sorted(r["region_id"] for r in rows)
+
+
+def test_records_to_df_normalizes_names(spark):
+    payload = {
+        "data": [
+            {"Country ID": 1, "Country": "Armenia", "Trade Value": 10.5},
+            {"Country ID": 2, "Country": "Georgia", "Trade Value": 20.0},
+        ]
+    }
+    df = records_to_df(spark, payload)
+    assert set(df.columns) == {"country_id", "country", "trade_value"}
+    assert df.count() == 2
+
+
+def test_records_to_df_bare_list_and_empty(spark):
+    df = records_to_df(spark, [{"A B": 1}])
+    assert df.columns == ["a_b"]
+    with pytest.raises(ValueError, match="explicit schema"):
+        records_to_df(spark, {"data": []})
+    empty = records_to_df(spark, {"data": []}, schema="x INT, y STRING")
+    assert empty.count() == 0
+
+
+def test_resolve_token_fallback_order(monkeypatch):
+    # reference oec.py:59-60: explicit arg wins over env var
+    monkeypatch.setenv("OEC_TOKEN", "from-env")
+    assert resolve_token("explicit") == "explicit"
+    assert resolve_token(None) == "from-env"
+    monkeypatch.delenv("OEC_TOKEN")
+    assert resolve_token(None) is None
