@@ -12,9 +12,13 @@ this module assumes single-file tables.
 
 from __future__ import annotations
 
+import glob
 import os
 
+import pyarrow.parquet as pq
+from pyarrow import types as patypes
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: every table the driver ships (TESTDATA.md)
 TABLES = (
@@ -49,10 +53,38 @@ def _table_path(sf_dir: str, name: str) -> str:
     return file_path
 
 
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). Footer-only inspection —
+    one metadata read on the driver, no data scanned."""
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return []
+        path = files[0]
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if patypes.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(_table_path(sf_dir, name))
+    path = _table_path(sf_dir, name)
+    ns_cols = _ns_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    # Read NANOS columns as raw int64 nanos, then convert to Spark's native
+    # microsecond timestamps (floor division — same truncation DuckDB applies
+    # when it loads ns into its µs TIMESTAMP, so oracles agree).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 class Catalog:

@@ -1,0 +1,66 @@
+import datetime as dt
+
+import pytest
+
+from adb_south_caucasus_etl_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01T10:00:00")),
+            (2, "A", _ts("2024-01-01T10:05:00")),
+            (3, "B", _ts("2024-01-01T10:01:00")),
+            (4, "C", _ts("2024-01-01T10:00:00")),  # no quotes at all
+        ],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T09:59:00"), 10.0),
+            ("A", _ts("2024-01-01T10:05:00"), 11.0),  # exact tie with trade 2
+            ("A", _ts("2024-01-01T10:30:00"), 12.0),
+            ("B", _ts("2024-01-01T10:02:00"), 20.0),  # only after trade 3
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(trades, quotes, on="sym", left_ts="ts").collect()
+    }
+    assert out == {1: 10.0, 2: 11.0, 3: None, 4: None}  # tie at 10:05 matches
+
+
+def test_asof_forward(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="sym", left_ts="ts", direction="forward"
+        ).collect()
+    }
+    # trade 1 at 10:00 → earliest quote at-or-after is 10:05 (px 11.0)
+    assert out == {1: 11.0, 2: 11.0, 3: 20.0, 4: None}
+
+
+def test_asof_column_collision_raises(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(trades, quotes.withColumnRenamed("px", "trade_id"),
+                  on="sym", left_ts="ts")
+
+
+def test_asof_bad_direction(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(trades, quotes, on="sym", left_ts="ts", direction="nearest")
