@@ -1,0 +1,111 @@
+"""Text-analysis column expressions (SURVEY §2.H L4) — all JVM built-ins.
+
+Every function here returns a Column built from ``pyspark.sql.functions``
+only (no Python UDFs), so they run inside whole-stage codegen and scale to
+100 TB document tables. Each has an ANSI-SQL equivalent used by the DuckDB
+oracles, documented inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword sets for the n-gram/stopword lang-id heuristic.
+#: Deliberately small + deterministic; real deployments swap in fastText etc.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de": ("der", "die", "und", "das", "ist", "von", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "est"),
+}
+
+#: BPE-ish token pattern: alpha runs, digit runs, or single punctuation.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens. SQL: ``string_split_regex(trim(text), '\\s+')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count. SQL: ``len(string_split_regex(trim(x),'\\s+'))``."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Count of BPE-ish regex tokens (alpha runs / digit runs / punct).
+    SQL: ``len(regexp_extract_all(x, pattern))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def distinct_token_ratio(col: str | Column) -> Column:
+    """|distinct tokens| / |tokens| — repetition signal for quality scoring.
+    SQL: ``len(list_distinct(ts)) / len(ts)``."""
+    t = tokens(col)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def non_alpha_ratio(col: str | Column) -> Column:
+    """Share of characters outside [a-z0-9 ] after lowercasing — punctuation/
+    noise signal. SQL: ``1 - len(regexp_replace(lower(x),'[^a-z0-9 ]','','g'))/len(x)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    kept = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""))
+    return 1 - kept / F.length(c)
+
+
+def quality_score(col: str | Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation (40%),
+    vocabulary diversity (40%), character cleanliness (20%). The exact
+    formula is mirrored in SQL by the oracle queries."""
+    return (
+        0.4 * F.least(F.lit(1.0), token_count(col) / F.lit(100.0))
+        + 0.4 * distinct_token_ratio(col)
+        + 0.2 * (1 - non_alpha_ratio(col))
+    )
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over the token multiset."""
+    t = tokens(col)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        out[lang] = F.size(
+            F.filter(t, lambda x: x.isin(*words))  # noqa: B023
+        )
+    return out
+
+
+def lang_id(col: str | Column) -> Column:
+    """Argmax language by stopword hits; deterministic tie-break by language
+    code order; 'und' (undetermined) when no stopword hits at all."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_STOPWORDS):  # later langs win only on strict >
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Canonical document fingerprint: md5 of the lowercased,
+    whitespace-collapsed text. SQL: ``md5(regexp_replace(lower(trim(x)),
+    '\\s+', ' ', 'g'))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    canonical = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(canonical)
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (the unit for Jaccard/MinHash dedup).
+    Built from sequence+transform — JVM-side, no UDF."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    )

@@ -1,0 +1,192 @@
+"""Vector similarity search (SURVEY §2.H L3) over ``array<float>`` columns.
+
+- ``cosine_topk_exact``: brute-force baseline. Queries are broadcast (k-NN
+  queries are small by construction); the dot product is a JVM
+  ``aggregate(zip_with(...))`` expression — no Python, no UDF — so the scan
+  side streams through codegen. Cost O(|corpus| × |queries| × dim) but
+  embarrassingly parallel and shuffle-free until the final per-query top-k
+  window (which shuffles only |corpus×queries| scored rows pre-filtered by
+  nothing — at real scale, use the LSH/IVF variant below).
+- ``ivf_topk``: the scale path. A deterministic random-projection coarse
+  quantizer assigns every corpus vector to one of 2^nbits buckets; queries
+  probe their own bucket (+ optional multi-probe neighbors), so only a
+  fraction of the corpus is scored. Recall < 1.0 by construction → no SQL
+  oracle (rows-only check) + a recall-vs-exact pytest gate.
+- ``label_centroids``: grouped vector mean via posexplode + hash agg (the
+  UDAF-shaped A6 operator, done with built-ins).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def as_double(a: Column) -> Column:
+    """Cast array<float> → array<double> so both engines compute the same
+    dot products (float32 accumulation differs)."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def cosine_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector over the corpus.
+    Returns (query_id, neighbor_id, cosine, rank); self-matches excluded;
+    cosine rounded to 4 for deterministic rank ties (tie-break neighbor_id).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH bucketing."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(nbits, dim).tolist()
+
+
+def _bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i = 1 iff vec · plane_i > 0. JVM expression."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = _dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def _table_buckets(
+    vec: Column, tables: list[list[list[float]]]
+) -> Column:
+    """array<struct<table:int, bucket:long>> — one sign-LSH bucket per table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"), _bucket(vec, planes).alias("bucket")
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 4,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via multi-table sign-LSH: ``num_tables``
+    independent hash tables of 2^nbits buckets each; a corpus vector is a
+    candidate if it collides with the query in ANY table (classic LSH
+    OR-construction — recall rises with table count, candidate volume is
+    the tunable cost).
+
+    The candidate join is an equi-join on (table, bucket) → shuffle is
+    proportional to collisions, not |corpus| × |queries|; the corpus is
+    replicated ``num_tables``× into the index, the standard LSH space/recall
+    trade."""
+    dim = len(queries.select(vec_col).first()[0])
+    tables = [
+        random_hyperplanes(dim, nbits, seed + 1000 * t)
+        for t in range(num_tables)
+    ]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).select(
+        "query_id",
+        "qv",
+        F.explode(_table_buckets(F.col("qv"), tables)).alias("__tb"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).select(
+        "neighbor_id",
+        "cv",
+        F.explode(_table_buckets(F.col("cv"), tables)).alias("__tb"),
+    )
+    candidates = (
+        c.join(F.broadcast(q), c["__tb"] == q["__tb"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            4,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid, exploded as (label, dim, centroid) — a grouped
+    vector mean with plain hash aggregation (partial map-side combine), no
+    collect_list blowup: posexplode first, then avg per (label, dim)."""
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(as_double(F.col(vec_col))).alias("dim", "val"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("centroid"))
+    )

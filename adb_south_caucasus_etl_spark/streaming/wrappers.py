@@ -1,0 +1,111 @@
+"""Structured Streaming wrappers (SURVEY §2.I T1-T5).
+
+Each batch operator in ``operators.windows`` has a streaming lift here: the
+same expression tree applied to a ``readStream`` source with a watermark.
+The driver's correctness oracle runs the batch form; these wrappers prove
+the expressions are streaming-legal (append-mode windows, state eviction via
+watermark) and are exercised by tests with a file source + memory sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import _ns_timestamp_cols, _table_path
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> DataFrame:
+    """File-based streaming source over the driver parquet (one-batch replay;
+    in production this is Kafka/Kinesis — the downstream plan is identical).
+    Handles the same TIMESTAMP(NANOS) quirk as the batch catalog."""
+    path = _table_path(sf_dir, table)
+    ns_cols = _ns_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # streaming sources need an explicit schema: reuse the batch reader's
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream_dir, glob_filter = path, "*.parquet"
+    else:
+        stream_dir, glob_filter = os.path.dirname(path), os.path.basename(path)
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob_filter)
+        .parquet(stream_dir)
+    )
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def tumbling_counts_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T1+T4: watermarked tumbling count by event_type (append-legal)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            F.unix_micros("window.end").alias("window_end_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T3+T4: native session_window aggregation with watermark state eviction."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T5: stateful streaming dedup bounded by the watermark."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def run_to_memory(
+    spark: SparkSession, stream_df: DataFrame, name: str, mode: str = "append"
+) -> DataFrame:
+    """Drive a (bounded) stream to completion into a memory sink and return
+    the materialized result — the test/smoke harness for the wrappers."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -597,3 +597,455 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 2).alias("avg_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: dedup (SURVEY §2.H L1/L2)
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) t WHERE rn = 1
+    """,
+    doc="L1 exact dedup: deterministic survivor (min doc_id) per identical text",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_exact
+
+    docs = Catalog(spark, sf_dir).documents
+    return dedup_exact(docs, ["text"], "doc_id").select("doc_id", "lang", "source")
+
+
+@register(
+    "doc_fingerprint_dups",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           COUNT(*) AS n, MIN(doc_id) AS keeper
+    FROM documents GROUP BY 1
+    """,
+    doc="L4 document fingerprinting: md5 of canonicalized text, per-fingerprint groups",
+)
+def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import fingerprint
+
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.groupBy(fingerprint("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+    )
+
+
+@register(
+    "neardup_jaccard_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 2, 1) + 1),
+               i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) t WHERE jaccard >= 0.5
+    """,
+    doc="L2 exact 3-word-shingle Jaccard near-dup pairs via inverted-index join "
+        "(never materializes n² pairs)",
+)
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "minhash_lsh_neardup",
+    None,  # xxhash64-seeded MinHash not reproducible in ANSI SQL → rows-only
+    doc="L2 MinHash(32) + 8-band LSH candidate pairs with estimated Jaccard >= 0.5",
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import lsh_candidate_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return lsh_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+@register(
+    "simhash_near_pairs",
+    None,  # md5-bit SimHash via pandas UDF → rows-only
+    doc="L2 SimHash64 (Arrow-batched pandas UDF) near-dup pairs, hamming <= 3, "
+        "blocked on top-16-bit prefix",
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: text analysis (SURVEY §2.H L4)
+
+@register(
+    "text_stats_by_lang",
+    r"""
+    WITH t AS (
+      SELECT lang, n_chars, text,
+             string_split_regex(trim(text), '\s+') AS ts,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
+      FROM documents
+    ), q AS (
+      SELECT lang, n_chars, bpe, len(ts) AS n_tok,
+             0.4 * least(1.0, len(ts) / 100.0)
+             + 0.4 * (len(list_distinct(ts)) / len(ts))
+             + 0.2 * (len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                      / len(text)) AS quality
+      FROM t
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           ROUND(AVG(quality), 4) AS avg_quality
+    FROM q GROUP BY 1
+    """,
+    doc="L4 text analysis: token counts (whitespace + BPE-ish regex), "
+        "quality score (length/diversity/cleanliness) aggregated by lang",
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bpe_token_count, quality_score, token_count
+
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            token_count("text").alias("n_tok"),
+            bpe_token_count("text").alias("bpe"),
+            quality_score("text").alias("quality"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("bpe").cast("bigint").alias("total_bpe_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    r"""
+    WITH s AS (
+      SELECT lang AS true_lang,
+             len(list_filter(ts, x -> x IN ('der','die','und','das','ist','von','ein','zu'))) AS de,
+             len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','it','that'))) AS en,
+             len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','es'))) AS es,
+             len(list_filter(ts, x -> x IN ('le','la','de','et','les','des','un','est'))) AS fr
+      FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS ts FROM documents) t
+    )
+    SELECT true_lang, predicted, COUNT(*) AS n FROM (
+      SELECT true_lang,
+             CASE WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de'
+                  WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+                  WHEN es >= fr AND es > 0 THEN 'es'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'und' END AS predicted
+      FROM s
+    ) t GROUP BY 1, 2
+    """,
+    doc="L4 language-ID heuristic (stopword-hit argmax, deterministic ties) "
+        "confusion matrix vs the labeled lang column",
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import lang_id
+
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"), lang_id("text").alias("predicted")
+        )
+        .groupBy("true_lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: similarity search (SURVEY §2.H L3)
+
+@register(
+    "cosine_topk_exact",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+    ), pairs AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS dot,
+             sqrt(list_sum(list_transform(qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+             sqrt(list_sum(list_transform(cv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+      FROM c, q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, ROUND(dot / (nq * nc), 4) AS cosine,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(dot / (nq * nc), 4) DESC, neighbor_id
+             ) AS rn
+      FROM pairs
+    ) t WHERE rn <= 10
+    """,
+    doc="L3 exact brute-force cosine top-10 for 5 query vectors "
+        "(broadcast queries, JVM zip_with dot product, window top-k)",
+)
+def cosine_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk_exact
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return cosine_topk_exact(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # approximate by construction (recall < 1) → rows-only; recall gated in pytest
+    doc="L3 ANN: multi-table sign-LSH bucketed cosine top-10 — equi-join on "
+        "(table, bucket) instead of full cross join; ~0.95 recall at 12x3",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, nbits=3, num_tables=12
+    )
+
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings
+    ) t GROUP BY 1, 2
+    """,
+    doc="A6/L3 grouped vector mean (per-label centroid) via posexplode + hash agg",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import label_centroids
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return label_centroids(emb).withColumn("dim", F.col("dim").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: multimodal columns (SURVEY §2.H L5/L6)
+
+@register(
+    "multimodal_byte_features",
+    r"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte,
+           CAST(ascii(substring(text, length(text), 1)) AS INTEGER) AS last_byte,
+           ROUND(CAST(octet_length(encode(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))) AS DOUBLE)
+                 / octet_length(encode(text)), 4) AS ascii_ratio
+    FROM documents
+    """,
+    doc="L5/L6 multimodal plumbing: binary payload column + mapInPandas "
+        "(Arrow batch) feature extraction; decode step stubbed (no codec libs)",
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_byte_features, with_binary_payload
+
+    docs = Catalog(spark, sf_dir).documents
+    return extract_byte_features(with_binary_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# streaming shapes, batch-first (SURVEY §2.I)
+
+@register(
+    "stream_tumbling_hour",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="T1 tumbling 1-hour window agg by event_type (batch form of the "
+        "streaming groupBy(window(...)))",
+)
+def stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import tumbling_agg
+
+    events = Catalog(spark, sf_dir).events
+    return tumbling_agg(
+        events,
+        "ts",
+        "1 hour",
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+
+
+@register(
+    "stream_sliding_hour_15m",
+    """
+    WITH b AS (
+      SELECT event_type, to_timestamp(floor(epoch(ts) / 900) * 900) AS bucket
+      FROM events
+    )
+    SELECT epoch_us(bucket - i * INTERVAL 15 MINUTE) AS window_start_us,
+           epoch_us(bucket - i * INTERVAL 15 MINUTE + INTERVAL 1 HOUR) AS window_end_us,
+           event_type, COUNT(*) AS n
+    FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) s
+    GROUP BY 1, 2, 3
+    """,
+    doc="T2 sliding window (1 hour / 15 min slide): each event in 4 windows",
+)
+def stream_sliding_hour_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import sliding_agg
+
+    events = Catalog(spark, sf_dir).events
+    return sliding_agg(
+        events, "ts", "1 hour", "15 minutes", group_cols=["event_type"]
+    )
+
+
+@register(
+    "stream_session_30m",
+    """
+    WITH o AS (
+      SELECT user_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      FROM events
+    ), m AS (
+      SELECT user_id, us,
+             CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id,
+           MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM m GROUP BY 1, 2
+    """,
+    doc="T3 gap-based sessionization (30 min) via lag/cumsum islands; "
+        "session bounds + event counts per user",
+)
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import session_agg
+
+    events = Catalog(spark, sf_dir).events
+    return session_agg(events, "ts", ["user_id"], gap="30 minutes")
+
+
+@register(
+    "stream_watermark_drop_late",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts)) FROM events) - 600000000
+    GROUP BY 1
+    """,
+    doc="T4 watermark semantics in batch: keep rows within 10 min of max ts "
+        "(broadcast scalar join, no collect)",
+)
+def stream_watermark_drop_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import drop_late
+
+    events = Catalog(spark, sf_dir).events
+    return (
+        drop_late(events, "ts", "10 minutes")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "streaming_tumbling_live",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="T1 executed as an ACTUAL Structured Streaming query (file source → "
+        "complete-mode memory sink, availableNow trigger); oracle identical "
+        "to the batch tumbling query",
+)
+def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_counts_stream(stream, "ts", "1 hour", watermark="10 minutes")
+    return run_to_memory(spark, agg, "tumbling_live", mode="complete")
+
+
+@register(
+    "streaming_session_live",
+    None,  # session_window end = last_ts + gap (streaming semantics) → rows-only
+    doc="T3 executed as an ACTUAL streaming session_window aggregation "
+        "(complete mode, availableNow)",
+)
+def streaming_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import (
+        read_events_stream,
+        run_to_memory,
+        session_counts_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = session_counts_stream(stream, "ts", gap="30 minutes")
+    return run_to_memory(spark, agg, "session_live", mode="complete")
+
+
+@register(
+    "streaming_dedup_users",
+    None,  # which duplicate row survives is arrival-order-dependent → rows-only
+    doc="T5 stateful streaming dedup (dropDuplicatesWithinWatermark on user_id)",
+)
+def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import dedup_stream, read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir)
+    deduped = dedup_stream(stream, ["user_id"], "ts", watermark="10 minutes")
+    out = run_to_memory(spark, deduped, "dedup_live", mode="append")
+    return out.select("user_id").distinct()

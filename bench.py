@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline workload at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query executes end-to-end into Spark's noop sink — full plan runs
+(scans, shuffles, aggs), nothing is transferred to the driver, so the
+number measures the engine, not pandas conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from adb_south_caucasus_etl_spark.session import get_spark  # noqa: E402
+from adb_south_caucasus_etl_spark.workload import WORKLOAD  # noqa: E402
+
+#: headline set — every operator family, weighted toward the scale-relevant
+#: shapes (star agg, window, as-of, dedup, similarity, streaming-batch)
+HEADLINE = [
+    "cube_flagship_revenue",
+    "q1_pricing_summary",
+    "cube_rollup_geo",
+    "join_left_agg",
+    "topk_customers_per_region",
+    "window_running_orders",
+    "asof_last_error",
+    "events_json_props",
+    "stream_tumbling_hour",
+    "stream_session_30m",
+    "dedup_exact_docs",
+    "neardup_jaccard_pairs",
+    "minhash_lsh_neardup",
+    "cosine_topk_exact",
+    "text_stats_by_lang",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+
+    # JVM/codegen warmup on the smallest scale so per-query numbers measure
+    # the plan, not first-job startup
+    WORKLOAD["cube_flagship_revenue"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = WORKLOAD[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+import pytest
+from pyspark.sql import functions as F
+
+from adb_south_caucasus_etl_spark.functions.text import (
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from adb_south_caucasus_etl_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash_pairs,
+)
+from adb_south_caucasus_etl_spark.operators.multimodal import (
+    decode_image,
+    extract_byte_features,
+    with_binary_payload,
+)
+from adb_south_caucasus_etl_spark.operators.similarity import (
+    cosine_topk_exact,
+    ivf_topk,
+)
+from adb_south_caucasus_etl_spark.sources.registry import Catalog
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different words entirely here now"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_exact_keeps_min_id(spark, docs):
+    kept = sorted(
+        r.doc_id for r in dedup_exact(docs, ["text"], "doc_id").collect()
+    )
+    assert kept == [1, 2, 3]  # doc 4 dropped, survivor is min id
+
+
+def test_jaccard_pairs_near_and_exact(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert 0.3 <= pairs[(1, 2)] < 1.0  # near dup (one word differs)
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # symmetric closure: near-dup of a dup is a near-dup
+    assert pairs[(2, 4)] == pairs[(1, 2)]
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.3
+        ).collect()
+    }
+    assert (1, 4) in got  # exact dup always collides
+    assert (1, 3) not in got
+
+
+def test_simhash_identical_zero_hamming(spark, docs):
+    # pigeonhole blocking is COMPLETE: every pair within the budget appears
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=15).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert 0 < pairs[(1, 2)] <= 15  # one word swapped → few bits flip
+
+
+def test_lang_id_on_real_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog went to the park",),
+            ("el perro y la casa de un amigo es grande",),
+            ("der hund und die katze ist von zu hause",),
+            ("xyzzy plugh qwerty",),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(lang_id("text")).collect()]
+    assert out == ["en", "es", "de", "und"]
+
+
+def test_quality_and_tokens_bounds(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    stats = docs.select(
+        token_count("text").alias("t"), quality_score("text").alias("q")
+    ).agg(
+        F.min("t"), F.min("q"), F.max("q")
+    ).collect()[0]
+    assert stats[0] >= 1
+    assert 0.0 <= stats[1] <= stats[2] <= 1.0
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("solo",), ("two words",)], "text string")
+    out = [r[0] for r in df.select(word_shingles("text", 3)).collect()]
+    assert out == [["solo"], ["two words"]]
+
+
+def test_cosine_exact_self_similarity_excluded(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    out = cosine_topk_exact(emb, emb.filter(F.col("vec_id") == 0), k=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r.neighbor_id != 0 for r in rows)
+    assert [r.rank for r in sorted(rows, key=lambda r: -r.cosine)] == [1, 2, 3, 4, 5]
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_exact(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=10, nbits=3, num_tables=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall} below gate"
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    rows = {
+        r.doc_id: r
+        for r in extract_byte_features(with_binary_payload(df)).collect()
+    }
+    assert rows[1].byte_len == 3
+    assert rows[1].first_byte == ord("a") and rows[1].last_byte == ord("c")
+    assert rows[1].ascii_ratio == 1.0
+    assert rows[2].byte_len == 0 and rows[2].first_byte == -1
+
+
+def test_decode_image_is_stub(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        decode_image(df)

@@ -1,0 +1,83 @@
+from pyspark.sql import functions as F
+
+from adb_south_caucasus_etl_spark.operators.windows import (
+    drop_late,
+    session_agg,
+    sessionize,
+    tumbling_agg,
+)
+from adb_south_caucasus_etl_spark.sources.registry import Catalog
+from adb_south_caucasus_etl_spark.streaming.wrappers import (
+    dedup_stream,
+    read_events_stream,
+    run_to_memory,
+    tumbling_counts_stream,
+)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    batch = tumbling_agg(
+        Catalog(spark, sf_dir).events, "ts", "1 hour", group_cols=["event_type"]
+    )
+    stream = run_to_memory(
+        spark,
+        tumbling_counts_stream(read_events_stream(spark, sf_dir), "ts", "1 hour"),
+        "t_batch_eq",
+        mode="complete",
+    )
+    b = {(r.window_start_us, r.event_type): r.n for r in batch.collect()}
+    s = {(r.window_start_us, r.event_type): r.n for r in stream.collect()}
+    assert b == s  # identical semantics, streaming vs batch
+
+
+def test_streaming_dedup_keeps_one_per_key(spark, sf_dir):
+    out = run_to_memory(
+        spark,
+        dedup_stream(read_events_stream(spark, sf_dir), ["user_id"]),
+        "t_dedup",
+        mode="append",
+    )
+    n_users = Catalog(spark, sf_dir).events.select("user_id").distinct().count()
+    assert out.count() == n_users
+    assert out.select("user_id").distinct().count() == n_users
+
+
+def test_sessionize_gap_boundaries(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=29)),  # same session (gap < 30)
+        (1, base + dt.timedelta(minutes=90)),  # new session (gap 61 min)
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.user_id, r.ts.minute + 60 * r.ts.hour): r.session_id
+        for r in sessionize(df, "ts", ["user_id"], "30 minutes").collect()
+    }
+    assert got == {(1, 0): 0, (1, 29): 0, (1, 90): 1, (2, 0): 0}
+    # exactly-at-gap boundary: 30:00 gap is NOT a new session (> not >=)
+    df2 = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(minutes=30))],
+        "user_id long, ts timestamp",
+    )
+    sids = {r.session_id for r in sessionize(df2, "ts", ["user_id"], "30 minutes").collect()}
+    assert sids == {0}
+
+
+def test_drop_late_no_collect(spark, sf_dir):
+    events = Catalog(spark, sf_dir).events
+    kept = drop_late(events, "ts", "10 minutes")
+    mx = events.agg(F.max("ts")).collect()[0][0]
+    assert kept.count() == events.filter(
+        F.unix_micros("ts") >= F.unix_micros(F.lit(mx)) - 600_000_000
+    ).count()
+
+
+def test_session_agg_counts_sum_to_total(spark, sf_dir):
+    events = Catalog(spark, sf_dir).events
+    total = events.count()
+    agg = session_agg(events, "ts", ["user_id"], "30 minutes")
+    assert agg.agg(F.sum("n_events")).collect()[0][0] == total
