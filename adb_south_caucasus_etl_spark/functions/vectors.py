@@ -1,0 +1,66 @@
+"""Vectorized (Arrow/pandas) UDF surface over embedding columns (SURVEY §2.K L6).
+
+The reference exposes no UDFs (pure pandas client); this module is the [NS]
+escape hatch for math that the built-in array functions can't express
+efficiently. Everything here is Arrow-batched:
+
+- ``l2_norm``: SCALAR pandas_udf — each batch arrives as a pandas Series of
+  numpy arrays; numpy does the per-vector reduction in C. ~10-100x faster
+  than a row-at-a-time Python UDF and keeps the exchange columnar.
+- ``centroid_norms``: grouped-map ``applyInPandas`` — one pandas frame per
+  group; demonstrates the custom-UDAF path (SURVEY §2.D A6) where the
+  per-group computation (stack vectors -> mean -> norm) is a dense numpy op.
+
+At 100 TB: scalar pandas_udfs pipeline with the scan (no shuffle);
+``applyInPandas`` shuffles on the grouping key — fine when groups are
+bounded (10 labels here), needs salting/two-phase (partial per-partition
+mean, then weighted merge) if a single group's vectors exceed executor
+memory. That two-phase variant is `label_centroids` in operators/similarity,
+which stays JVM-side entirely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def l2_norm(vecs: pd.Series) -> pd.Series:
+    """Euclidean norm per vector, float64 accumulation (matches the SQL
+    oracle: sqrt(sum(x*x)) with every x cast to DOUBLE first)."""
+    return vecs.map(
+        lambda v: float(np.sqrt(np.dot(a := np.asarray(v, dtype=np.float64), a)))
+    )
+
+
+def centroid_norms(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid (mean vector) norm and group size via
+    ``applyInPandas`` — the grouped-map pandas UDF surface."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        centroid = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                label_col: [pdf[label_col].iloc[0]],
+                "n_vecs": [len(pdf)],
+                "centroid_norm": [float(np.sqrt(np.dot(centroid, centroid)))],
+            }
+        )
+
+    return (
+        emb.select(label_col, vec_col)
+        .groupBy(label_col)
+        .applyInPandas(
+            per_group, schema=f"{label_col} int, n_vecs long, centroid_norm double"
+        )
+        .withColumn("centroid_norm", F.round("centroid_norm", 4))
+    )

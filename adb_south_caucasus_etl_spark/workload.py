@@ -1049,3 +1049,331 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream(stream, ["user_id"], "ts", watermark="10 minutes")
     out = run_to_memory(spark, deduped, "dedup_live", mode="append")
     return out.select("user_id").distinct()
+
+
+# --------------------------------------------------------------------------
+# coverage completion: grouping sets (A4), scalar families (2.G), full outer
+# join (J2), window frames (2.J), sketches (A3 at 100 TB), pandas UDF surface
+# (2.K L6), partitioned sink roundtrip (S4)
+
+@register(
+    "cube_grouping_sets",
+    """
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           CAST(COALESCE(year(o_orderdate), -1) AS INTEGER) AS year,
+           CAST(GROUPING(c_mktsegment) * 2 + GROUPING(year(o_orderdate)) AS INTEGER) AS gid,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, year(o_orderdate))
+    """,
+    doc="A4 full CUBE over (segment, year) with grouping_id disambiguation "
+        "of subtotal rows vs real NULL members",
+)
+def cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    base = cat.orders.join(
+        cat.customer, F.col("o_custkey") == F.col("c_custkey"), "inner"
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.year("o_orderdate").cast("int").alias("year"),
+        "o_totalprice",
+    )
+    return (
+        base.cube("segment", "year")
+        .agg(
+            (F.grouping("segment") * 2 + F.grouping("year"))
+            .cast("int")
+            .alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("segment", F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("year"), F.lit(-1)).alias("year"),
+            "gid",
+            "total",
+            "n",
+        )
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    """
+    SELECT p_partkey,
+           ROUND(abs(p_retailprice - 1000.0), 2) AS abs_diff,
+           ROUND(sqrt(p_retailprice), 4) AS sqrt_price,
+           ROUND(ln(p_retailprice), 4) AS ln_price,
+           ROUND(pow(CAST(p_size AS DOUBLE), 2.0), 1) AS size_sq,
+           CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+           CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+           CAST(p_size % 7 AS INTEGER) AS size_mod,
+           ROUND(greatest(p_retailprice, 1500.0), 2) AS greatest_1500
+    FROM part
+    """,
+    doc="§2.G math scalars: abs, sqrt, ln, pow, ceil, floor, mod, greatest",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("abs_diff"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
+        F.round(F.log("p_retailprice"), 4).alias("ln_price"),
+        F.round(F.pow(F.col("p_size").cast("double"), F.lit(2.0)), 1).alias(
+            "size_sq"
+        ),
+        F.ceil("p_retailprice").cast("bigint").alias("ceil_price"),
+        F.floor("p_retailprice").cast("bigint").alias("floor_price"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+        F.round(F.greatest(F.col("p_retailprice"), F.lit(1500.0)), 2).alias(
+            "greatest_1500"
+        ),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    """
+    WITH t AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS dim,
+           ROUND(v[1], 4) AS first_val,
+           ROUND(list_min(v), 4) AS min_val,
+           ROUND(list_max(v), 4) AS max_val,
+           ROUND(list_sum(v), 3) AS vec_sum,
+           ROUND(list_sum(v[1:8]), 4) AS head8_sum,
+           ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS l2,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM t
+    """,
+    doc="§2.G array scalars: size, element_at, array_min/max, slice, "
+        "aggregate (fold), zip_with, filter — all JVM-side, no UDF",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    acc_sum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at(v, 1), 4).alias("first_val"),
+        F.round(F.array_min(v), 4).alias("min_val"),
+        F.round(F.array_max(v), 4).alias("max_val"),
+        F.round(acc_sum(v), 3).alias("vec_sum"),
+        F.round(acc_sum(F.slice(v, 1, 8)), 4).alias("head8_sum"),
+        F.round(
+            F.sqrt(acc_sum(F.zip_with(v, v, lambda a, b: a * b))), 4
+        ).alias("l2"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_positive"),
+    )
+
+
+@register(
+    "scalar_null_conditional",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(COUNT(nullif(o_orderstatus, 'O')) AS BIGINT) AS n_closed,
+           ROUND(COALESCE(SUM(CASE WHEN o_totalprice > 200000
+                                   THEN o_totalprice END), 0), 2) AS big_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+    FROM orders GROUP BY 1
+    """,
+    doc="§2.G conditional/null scalars: when/otherwise, nullif, coalesce, "
+        "null-skipping count (jsonrecords omitted-key semantics, oec.py:22)",
+)
+def scalar_null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.nullif(F.col("o_orderstatus"), F.lit("O")))
+        .cast("bigint")
+        .alias("n_closed"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("big_total"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_f"),
+    )
+
+
+@register(
+    "join_outer_full",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS snk, COUNT(*) AS n_supp
+               FROM supplier WHERE s_nationkey < 13 GROUP BY 1)
+    SELECT CAST(COALESCE(nk, snk) AS INTEGER) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON nk = snk
+    """,
+    doc="J2 full outer join: nations with customers but no (filtered) "
+        "suppliers survive on both sides, null-filled",
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = (
+        cat.supplier.filter(F.col("s_nationkey") < 13)
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, F.col("nk") == F.col("snk"), "full").select(
+        F.coalesce("nk", "snk").cast("int").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "window_rank_frames",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(dense_rank() OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+           ) AS INTEGER) AS day_rank,
+           CAST(ntile(4) OVER wp AS INTEGER) AS quartile,
+           ROUND(SUM(o_totalprice) OVER w30, 2) AS spend_30d,
+           CAST(COUNT(*) OVER w30 AS BIGINT) AS n_30d,
+           ROUND(first_value(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS cheapest_price
+    FROM orders
+    WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+           w30 AS (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+    doc="§2.J window completion: dense_rank, ntile, RANGE frame (trailing "
+        "30-day spend+count; SUM not AVG — averages of 2-decimal prices land "
+        "exactly on half-cent round boundaries where engine fp noise flips "
+        "the digit), first_value — ntile ties broken on the unique key",
+)
+def window_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    w_date = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date")
+    )
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    days = F.unix_date(F.col("o_orderdate").cast("date"))
+    w_range = Window.partitionBy("o_custkey").orderBy(days).rangeBetween(-30, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w_date).cast("int").alias("day_rank"),
+        F.ntile(4).over(w_price).cast("int").alias("quartile"),
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("spend_30d"),
+        F.count(F.lit(1)).over(w_range).cast("bigint").alias("n_30d"),
+        F.round(
+            F.first("o_totalprice").over(
+                w_price.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("cheapest_price"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    None,  # HLL++ sketch estimate is engine-specific → rows-only; accuracy
+           # vs the exact count is gated in tests/test_llm_ops.py
+    doc="A3 100-TB tier: approx_count_distinct (HyperLogLog++) beside the "
+        "exact count — the sketch is one pass, no distinct shuffle",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "pandas_udf_l2_norm",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
+    FROM embeddings
+    """,
+    doc="L6/2.K scalar pandas_udf (Arrow batches, numpy reduction) — same "
+        "result as the JVM fold in scalar_array_funcs, different engine path",
+)
+def pandas_udf_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import l2_norm
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return emb.select(
+        "vec_id", F.round(l2_norm("embedding"), 4).alias("l2")
+    )
+
+
+@register(
+    "pandas_grouped_centroid",
+    """
+    WITH per_dim AS (
+      SELECT label, dim, AVG(v) AS c FROM (
+        SELECT label,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+               unnest(range(len(embedding))) AS dim
+        FROM embeddings) t
+      GROUP BY 1, 2
+    ), counts AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1)
+    SELECT p.label, n_vecs, ROUND(sqrt(SUM(c * c)), 4) AS centroid_norm
+    FROM per_dim p JOIN counts USING (label)
+    GROUP BY 1, 2
+    """,
+    doc="A6/L6 grouped-map applyInPandas: per-label centroid norm (bounded "
+        "groups; unbounded-group variant is the JVM two-phase label_centroids)",
+)
+def pandas_grouped_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import centroid_norms
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return centroid_norms(emb)
+
+
+@register(
+    "sink_partitioned_roundtrip",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE year(o_orderdate) >= 1995 GROUP BY 1
+    """,
+    doc="S4 sink: write orders hive-partitioned by year, read back with a "
+        "partition-pruning filter, aggregate — proves the write path end-to-end",
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.sinks import read_parquet, write_parquet
+
+    out = tempfile.mkdtemp(prefix="adb_sc_sink_")
+    orders = Catalog(spark, sf_dir).orders.withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    write_parquet(orders, out, partition_by=["o_year"])
+    back = read_parquet(spark, out).filter(F.col("o_year") >= 1995)
+    return back.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
