@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import word_shingles
+from ..functions.text import shingle_hashes
 
 
 def dedup_exact(
@@ -58,12 +58,29 @@ def jaccard_pairs(
 
     Inverted-index join: |output shuffle| ∝ co-occurring shingles, not n².
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
+
+    Scale choices (measured at sf0.1, see BENCH):
+    - shingles are ``xxhash64``-ed to int64 *before* the shuffle — 8-byte
+      join keys instead of ~30-byte strings (collision odds at 64 bits are
+      ~m²/2⁶⁵, irrelevant below ~10⁹ distinct shingles);
+    - NO ``.distinct()`` after the explode: ``word_shingles`` is
+      ``array_distinct`` per doc, so (id, shingle) is already unique —
+      the distinct was a second full shuffle for nothing;
+    - set sizes come from ``F.size`` on the un-exploded array — zero-shuffle,
+      recomputing tokenization once more is pure map-side CPU.
     """
+    shingles = shingle_hashes(text_col, n)
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(word_shingles(text_col, n)).alias("__shingle"),
-    ).distinct()
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+        F.explode(shingles).alias("__shingle"),
+    )
+    # partition on the join key BEFORE the self-join: both sides then read
+    # the SAME shuffle output (ReusedExchange) already co-located on
+    # __shingle, so the explode+hash runs once and the join adds no shuffle
+    sh = sh.repartition(F.col("__shingle"))
+    sizes = df.select(
+        F.col(id_col).alias("__id"), F.size(shingles).alias("__n")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.__shingle") == F.col("b.__shingle"))
@@ -104,11 +121,16 @@ def minhash_signatures(
     (The tempting pure-expression form ``array_min(transform(shingles, ...))``
     re-evaluates the shingle-building expression once per seed after
     Catalyst's projection collapse — 32× the work; measured 15× slower.)
+
+    Each shingle string is hashed ONCE (``xxhash64`` → int64); the per-seed
+    hashes mix that 8-byte value, not the full string. No ``.distinct()``
+    before the agg: min() is duplicate-insensitive, and ``word_shingles``
+    is already distinct per doc anyway.
     """
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(word_shingles(text_col, n)).alias("__s"),
-    ).distinct()
+        F.explode(shingle_hashes(text_col, n)).alias("__s"),
+    )
     mins = [
         F.min(F.xxhash64("__s", F.lit(i))).alias(f"__h{i}")
         for i in range(num_hashes)
@@ -142,7 +164,14 @@ def lsh_candidate_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    # one row per band: (band_idx, hash of the band's slice, id, full sig)
+    # one row per band: (band_idx, hash of the band's slice, id, full sig).
+    # The signature rides along through the band join: the min-agg's shuffle
+    # output is reused by BOTH sides of the self-join (ReusedExchange), so
+    # carrying sig costs bytes but zero extra passes — measured faster at
+    # bench scale than the "slim join + rejoin signatures" variant, which
+    # recomputes or caches the signature subtree three times. At petabyte
+    # scale flip to the slim variant with an explicitly materialized
+    # signature table.
     banded = sig.select(
         "__id",
         "__sig",
