@@ -37,9 +37,10 @@ def token_count(col: str | Column) -> Column:
 
 def bpe_token_count(col: str | Column) -> Column:
     """Count of BPE-ish regex tokens (alpha runs / digit runs / punct).
+    ``regexp_count`` — never materializes the match array.
     SQL: ``len(regexp_extract_all(x, pattern))``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
 
 
 def distinct_token_ratio(col: str | Column) -> Column:
@@ -53,8 +54,8 @@ def non_alpha_ratio(col: str | Column) -> Column:
     """Share of characters outside [a-z0-9 ] after lowercasing — punctuation/
     noise signal. SQL: ``1 - len(regexp_replace(lower(x),'[^a-z0-9 ]','','g'))/len(x)``."""
     c = F.col(col) if isinstance(col, str) else col
-    kept = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""))
-    return 1 - kept / F.length(c)
+    bad = F.regexp_count(F.lower(c), F.lit("[^a-z0-9 ]"))
+    return bad / F.length(c)
 
 
 def quality_score(col: str | Column) -> Column:

@@ -229,30 +229,48 @@ def lsh_candidate_pairs(
 
 @F.pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens — Arrow-batched, numpy-vectorized
-    per batch. Token hash: first 8 bytes of the token's md5 (stable across
-    processes; no PYTHONHASHSEED dependence)."""
+    """64-bit SimHash over whitespace tokens — Arrow-batched, vectorized
+    across the WHOLE batch: tokens are flattened into one array, md5-hashed
+    once per *distinct* token (word-soup corpora repeat tokens heavily),
+    the (total_tokens × 64) bit matrix is built in one numpy op, and
+    per-document bit sums come from ``np.add.reduceat`` over segment
+    offsets — no per-document Python loop. Token hash: first 8 bytes of
+    md5 (stable across processes; no PYTHONHASHSEED dependence)."""
     import hashlib
 
     out = np.zeros(len(texts), dtype=np.uint64)
-    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    for i, text in enumerate(texts):
-        toks = (text or "").split()
-        if not toks:
-            continue
-        hashes = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+    tok_lists = [(t or "").split() for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = [tok for toks in tok_lists for tok in toks]
+    if flat:
+        cache: dict[str, int] = {}
+
+        def h(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
                 )
-                for t in toks
-            ),
-            dtype=np.uint64,
-            count=len(toks),
+                cache[tok] = v
+            return v
+
+        hashes = np.fromiter(
+            (h(t) for t in flat), dtype=np.uint64, count=len(flat)
         )
-        bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        sim = (bits.sum(axis=0) * 2 >= len(toks)).astype(np.uint64)
-        out[i] = (sim * powers).sum(dtype=np.uint64)
+        bits = (
+            (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.uint8)
+        offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        # reduceat quirks: equal/decreasing indices (empty docs) return a
+        # single row instead of a zero sum, and indices must stay in range —
+        # clamp, then mask empty docs back to 0
+        idx = np.minimum(offsets, len(flat) - 1)
+        seg = np.add.reduceat(bits, idx, axis=0).astype(np.int64)
+        sim = (seg * 2 >= lens[:, None]).astype(np.uint64)
+        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        vals = (sim * powers).sum(axis=1, dtype=np.uint64)
+        nonempty = lens > 0
+        out[nonempty] = vals[nonempty]
     # reinterpret the 64 bits as a signed long (Spark LongType)
     return pd.Series(out.view(np.int64))
 
