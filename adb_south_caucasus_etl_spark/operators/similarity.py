@@ -81,6 +81,52 @@ def cosine_topk_exact(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, cosine)
+    with id_a < id_b and cosine (rounded to 4) >= threshold.
+
+    Norms are computed ONCE per row as scalar columns before the join
+    (a norm inside a per-element ``transform`` would re-aggregate the
+    array per element — O(dim²)); the per-pair work is a single dot
+    product. The O(n²) self-join is the exact baseline used as a dedup
+    oracle; at corpus scale swap in the sign-LSH bucketing of ``ivf_topk``
+    (candidates per bucket, same verify expression)."""
+    v = as_double(F.col(vec_col))
+    side = df.select(
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        _norm(v).alias("__n"),
+    )
+    a = side.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    b = side.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def random_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH bucketing."""
     rng = np.random.RandomState(seed)

@@ -1377,3 +1377,91 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (L2/L3 bridge) + skew mitigation (§4 at 100 TB)
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH t AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM t
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.46
+    """,
+    doc="L2 embedding-cosine near-duplicate pairs (exact O(n²) baseline; "
+        "LSH-bucketed scale path shares the verify expression via ivf_topk). "
+        "Threshold 0.46 sits at the synthetic corpus's top-of-distribution — "
+        "it has no true near-dups, so this verifies the highest-cosine pairs",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_pairs
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return cosine_pairs(emb, threshold=0.46)
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+    doc="§4 skew: two-phase salted aggregation over the 3-value hot key "
+        "l_returnflag — partial agg on (key, salt16), final on key; exact "
+        "same result as the direct groupBy, 16× the reducers per hot key",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_agg_sum
+
+    li = Catalog(spark, sf_dir).lineitem
+    out = salted_agg_sum(
+        li,
+        group_cols=["l_returnflag"],
+        sum_cols={
+            "revenue": F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            "n": F.count(F.lit(1)),
+        },
+        salt_from=["l_orderkey", "l_linenumber"],
+        num_salts=16,
+    )
+    return _round2(out, "revenue")
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    doc="§4 skew: salted equi-join (orders salted from full row content, "
+        "customer replicated 8×) — row-identical to the plain join; the "
+        "oracle IS the plain join",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_join
+
+    cat = Catalog(spark, sf_dir)
+    joined = salted_join(
+        cat.orders, cat.customer, "o_custkey", "c_custkey", num_salts=8
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
