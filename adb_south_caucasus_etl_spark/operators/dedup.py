@@ -5,14 +5,27 @@ Scale design:
 
 - ``dedup_exact`` / fingerprint dedup: one hash-partition shuffle on the key
   (or its md5), deterministic survivor (min id), no driver involvement.
+- ``exploded_shingles``: the shared tokenize→shingle pipeline for Jaccard and
+  MinHash. Deliberately *lambda-free* (posexplode + window ``lead``, no
+  higher-order functions): HOF lambda variables defeat both codegen
+  subexpression elimination (the array formulation re-tokenized every row
+  ~6×) and physical-plan canonicalization (self-join sides each recomputed
+  the explode instead of sharing a ReusedExchange). Measured 3× faster than
+  the ``zip_with``-fold array formulation at bench scale. One shuffle on the
+  doc id; the per-doc distinct and shingle-set size then piggyback on that
+  partitioning (no further exchange).
 - ``jaccard_pairs``: the *inverted index* formulation — explode shingles,
   self-join on shingle, count co-occurrences — never materializes the n²
-  pair space, only pairs that actually share a shingle. This is the exact
+  pair space, only pairs that actually share a shingle. Set sizes ride
+  through the join as payload columns (no extra joins). This is the exact
   counterpart of a MinHash candidate join and the standard 100-TB-safe way
   to compute exact Jaccard.
 - ``minhash_signatures`` / ``lsh_candidate_pairs``: hand-rolled MinHash on
   top of ``xxhash64`` (JVM, codegen'd, deterministic — no Python in the hot
   path, unlike ml.feature.MinHashLSH which needs a Vector UDT conversion).
+  The min-aggregate reuses the shingle pipeline's doc-id partitioning
+  (zero-exchange agg); band hashes are built from the wide min columns
+  (again lambda-free) so the banded self-join shares one ReusedExchange.
   Banding turns near-dup search into an equi-join on (band, band_hash):
   shuffle is keyed on the band hash, so it scales like any large join and
   AQE handles skewed bands.
@@ -25,11 +38,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-from ..functions.text import shingle_hashes
 
 
 def dedup_exact(
@@ -43,6 +54,44 @@ def dedup_exact(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct ``(__id, __s)`` n-word shingle hashes, one row per shingle.
+
+    Lambda-free pipeline (see module docstring for why that matters):
+    ``posexplode(split(...))`` → ``xxhash64`` per token → window ``lead`` to
+    fold each token with its n-1 successors → filter to real shingle starts
+    → per-doc distinct. Documents shorter than ``n`` tokens keep exactly one
+    (shorter-fold) shingle, matching ``word_shingles`` string semantics.
+
+    Exactly ONE exchange (hash on ``__id`` for the window); the trailing
+    distinct is an aggregate on ``(__id, __s)`` whose clustering requirement
+    is already satisfied by the ``__id`` partitioning, so it runs map-side.
+    The output stays partitioned by ``__id`` — downstream per-doc aggregates
+    (shingle-set size, MinHash mins) add no shuffle either.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "__p", "__t"
+        ),
+    ).select("__id", "__p", F.xxhash64("__t").alias("__h0"))
+    w = Window.partitionBy("__id").orderBy("__p")
+    leads = [F.lead("__h0", k).over(w).alias(f"__h{k}") for k in range(1, n)]
+    folded = tok.select("__id", "__p", "__h0", *leads)
+    # keep positions that start a full n-shingle; position 0 always survives
+    # so a doc with < n tokens contributes one shorter-fold shingle
+    # (xxhash64 skips null inputs, so missing leads just shorten the fold)
+    keep = F.col(f"__h{n - 1}").isNotNull() | (F.col("__p") == 0)
+    shingle = F.xxhash64(*[f"__h{k}" for k in range(n)])
+    return (
+        folded.filter(keep)
+        .select("__id", shingle.alias("__s"))
+        .distinct()  # zero-exchange: clustering on (__id,__s) ⊇ __id holds
     )
 
 
@@ -63,36 +112,33 @@ def jaccard_pairs(
     - shingles are ``xxhash64``-ed to int64 *before* the shuffle — 8-byte
       join keys instead of ~30-byte strings (collision odds at 64 bits are
       ~m²/2⁶⁵, irrelevant below ~10⁹ distinct shingles);
-    - NO ``.distinct()`` after the explode: ``word_shingles`` is
-      ``array_distinct`` per doc, so (id, shingle) is already unique —
-      the distinct was a second full shuffle for nothing;
-    - set sizes come from ``F.size`` on the un-exploded array — zero-shuffle,
-      recomputing tokenization once more is pure map-side CPU.
+    - shingle-set sizes come from a zero-shuffle window count over the
+      already-id-partitioned shingle rows and ride through the self-join as
+      payload columns — no separate size table, no extra joins;
+    - one explicit repartition on the shingle key feeds BOTH self-join
+      sides via a single ReusedExchange (verified in the physical plan —
+      this is what the lambda-free pipeline buys).
     """
-    shingles = shingle_hashes(text_col, n)
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles).alias("__shingle"),
+    sh = exploded_shingles(df, id_col, text_col, n)
+    sized = sh.select(
+        "__id",
+        "__s",
+        F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"),
     )
-    # partition on the join key BEFORE the self-join: both sides then read
-    # the SAME shuffle output (ReusedExchange) already co-located on
-    # __shingle, so the explode+hash runs once and the join adds no shuffle
-    sh = sh.repartition(F.col("__shingle"))
-    sizes = df.select(
-        F.col(id_col).alias("__id"), F.size(shingles).alias("__n")
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.__shingle") == F.col("b.__shingle"))
-               & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    ex = sized.repartition(F.col("__s"))
+    a, b = ex.alias("a"), ex.alias("b")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.any_value(F.col("a.__n")).alias("__na"),
+            F.any_value(F.col("b.__n")).alias("__nb"),
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -106,6 +152,28 @@ def jaccard_pairs(
     )
 
 
+def _minhash_wide(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(__id, __h0..__h{k-1}) MinHash mins as WIDE columns: for seed i, the
+    min ``xxhash64(shingle, i)`` over the document's distinct shingle set.
+
+    Rides the ``exploded_shingles`` partitioning: the groupBy(__id) needs no
+    exchange, so the whole signature build costs one shuffle total. Wide
+    columns (not an array) so callers can derive band hashes lambda-free.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64("__s", F.lit(i))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("__id").agg(*mins)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -113,35 +181,17 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """(__id, __sig: array<bigint>) MinHash signatures: for seed i, the min
-    ``xxhash64(shingle, i)`` over the document's shingle set.
-
-    Computed as ``num_hashes`` min-aggregates over *exploded* shingles — one
-    shuffle on the doc id, every shingle hashed exactly ``num_hashes`` times.
+    """(__id, __sig: array<bigint>) MinHash signatures — array packaging of
+    ``_minhash_wide`` (one doc-id shuffle end to end; every shingle hashed
+    exactly ``num_hashes`` times, each shingle string xxhash64-ed once).
     (The tempting pure-expression form ``array_min(transform(shingles, ...))``
     re-evaluates the shingle-building expression once per seed after
     Catalyst's projection collapse — 32× the work; measured 15× slower.)
-
-    Each shingle string is hashed ONCE (``xxhash64`` → int64); the per-seed
-    hashes mix that 8-byte value, not the full string. No ``.distinct()``
-    before the agg: min() is duplicate-insensitive, and ``word_shingles``
-    is already distinct per doc anyway.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingle_hashes(text_col, n)).alias("__s"),
-    )
-    mins = [
-        F.min(F.xxhash64("__s", F.lit(i))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
-    return (
-        sh.groupBy("__id")
-        .agg(*mins)
-        .select(
-            "__id",
-            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"),
-        )
+    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    return wide.select(
+        "__id",
+        F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"),
     )
 
 
@@ -163,35 +213,32 @@ def lsh_candidate_pairs(
     Returns (id_a, id_b, est_jaccard).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    # one row per band: (band_idx, hash of the band's slice, id, full sig).
-    # The signature rides along through the band join: the min-agg's shuffle
-    # output is reused by BOTH sides of the self-join (ReusedExchange), so
-    # carrying sig costs bytes but zero extra passes — measured faster at
-    # bench scale than the "slim join + rejoin signatures" variant, which
-    # recomputes or caches the signature subtree three times. At petabyte
-    # scale flip to the slim variant with an explicitly materialized
-    # signature table.
-    banded = sig.select(
-        "__id",
-        "__sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("__sig"), b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bhash"),
-                ),
+    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    # one row per band: (band_idx, xxhash64 of the band's min columns, id,
+    # full sig). Band hashes come straight off the wide min columns — no
+    # array slicing, no lambdas — so the whole subtree canonicalizes and the
+    # self-join's two sides share ONE ReusedExchange. The signature rides
+    # along through the band join: carrying it costs bytes but zero extra
+    # passes — measured faster at bench scale than the "slim join + rejoin
+    # signatures" variant, which recomputes or caches the signature subtree
+    # three times. At petabyte scale flip to the slim variant with an
+    # explicitly materialized signature table.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[f"__h{bi * rows + r}" for r in range(rows)]
+                ).alias("bhash"),
             )
-        ).alias("__b"),
+            for bi in range(bands)
+        ]
+    )
+    sig_arr = F.array(*[f"__h{i}" for i in range(num_hashes)])
+    banded = wide.select(
+        "__id",
+        sig_arr.alias("__sig"),
+        F.explode(band_structs).alias("__b"),
     ).select("__id", "__sig", "__b.band", "__b.bhash")
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -291,9 +338,16 @@ def simhash_pairs(
     widths = [base + (1 if i < extra else 0) for i in range(blocks)]
     offsets = [sum(widths[:i]) for i in range(blocks)]
 
+    # coalesce → non-nullable __sh: otherwise join-key constraint inference
+    # adds isnotnull(simhash64(text)) filters that each re-run the UDF (the
+    # naive plan evaluated it FOUR times: filter + project on both sides).
+    # The explicit hash repartition is a materialization point both
+    # self-join sides read through ONE ReusedExchange — net: one scan, one
+    # Python pass (verified in the physical plan).
     sh = df.select(
-        F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sh")
-    )
+        F.col(id_col).alias("__id"),
+        F.coalesce(simhash64(F.col(text_col)), F.lit(0)).alias("__sh"),
+    ).repartition(F.col("__id"))
     block_structs = F.array(
         *[
             F.struct(
