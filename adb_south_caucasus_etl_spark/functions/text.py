@@ -80,10 +80,20 @@ def lang_scores(col: str | Column) -> dict[str, Column]:
     return out
 
 
-def lang_id(col: str | Column) -> Column:
-    """Argmax language by stopword hits; deterministic tie-break by language
-    code order; 'und' (undetermined) when no stopword hits at all."""
-    scores = lang_scores(col)
+def lang_id_from_tokens(tokens_col: Column) -> Column:
+    """``lang_id`` over a pre-tokenized array column — use this when the
+    token array is already materialized (see ``text_profile`` docstring on
+    why re-embedding the tokenizer per metric is slow)."""
+    scores = {
+        lang: F.size(
+            F.filter(tokens_col, lambda x: x.isin(*words))  # noqa: B023
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    return _argmax_lang(scores)
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
     best_lang = F.lit("und")
     best_score = F.lit(0)
     for lang in sorted(LANG_STOPWORDS):  # later langs win only on strict >
@@ -91,6 +101,53 @@ def lang_id(col: str | Column) -> Column:
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
     return best_lang
+
+
+def lang_id(col: str | Column) -> Column:
+    """Argmax language by stopword hits; deterministic tie-break by language
+    code order; 'und' (undetermined) when no stopword hits at all.
+    Embeds one tokenizer per language — prefer ``lang_id_from_tokens`` over
+    a materialized token column in hot paths."""
+    return _argmax_lang(lang_scores(col))
+
+
+def text_profile(df, text_col: str = "text", out_prefix: str = ""):
+    """Append token/quality profile columns in a STAGED projection chain:
+    ``n_tok``, ``n_distinct_tok``, ``bpe_tok``, ``quality``.
+
+    Staging matters: the Column-functions above each embed their own
+    ``split(trim(text))`` subtree, so selecting several of them in ONE
+    projection evaluates the tokenizer once per metric (no common
+    subexpression elimination across a hand-built expression tree —
+    measured ~4× slower at bench scale). Materializing the token array as
+    a named column in a first select and deriving every metric from it in
+    follow-up selects keeps exactly one ``split`` in the physical plan:
+    Catalyst's CollapseProject declines to inline an expensive alias that
+    is referenced more than once.
+    """
+    p = out_prefix
+    ts, ntok, ndis = f"__{p}ts", f"{p}n_tok", f"{p}n_distinct_tok"
+    bad, ln = f"__{p}bad", f"__{p}len"
+    c = F.col(text_col)
+    staged = df.withColumns(
+        {
+            ts: tokens(c),
+            f"{p}bpe_tok": F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)),
+            bad: F.regexp_count(F.lower(c), F.lit("[^a-z0-9 ]")),
+            ln: F.length(c),
+        }
+    ).withColumns(
+        {
+            ntok: F.size(F.col(ts)),
+            ndis: F.size(F.array_distinct(F.col(ts))),
+        }
+    )
+    quality = (
+        0.4 * F.least(F.lit(1.0), F.col(ntok) / F.lit(100.0))
+        + 0.4 * (F.col(ndis) / F.col(ntok))
+        + 0.2 * (1 - F.col(bad) / F.col(ln))
+    )
+    return staged.withColumn(f"{p}quality", quality).drop(ts, bad, ln)
 
 
 def fingerprint(col: str | Column) -> Column:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import glob
 import os
+import weakref
 
 import pyarrow.parquet as pq
 from pyarrow import types as patypes
@@ -70,9 +71,29 @@ def _ns_timestamp_cols(path: str) -> list[str]:
     ]
 
 
+#: session-scoped DataFrame handle cache: (sf_dir, table) → DataFrame.
+#: ``spark.read.parquet`` costs a driver-side file listing + footer schema
+#: read every call (~0.5 s across a 5-table star at bench scale); the scan
+#: relation is immutable for a given path, so reusing the handle is safe.
+#: Weak-keyed on the session so stopped sessions don't pin JVM references.
+_TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in per_session:
+        return per_session[key]
+    df = _load_table_uncached(spark, sf_dir, name)
+    per_session[key] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
     path = _table_path(sf_dir, name)
     ns_cols = _ns_timestamp_cols(path)
     if not ns_cols:

@@ -732,16 +732,17 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality score (length/diversity/cleanliness) aggregated by lang",
 )
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import bpe_token_count, quality_score, token_count
+    from .functions.text import text_profile
 
     docs = Catalog(spark, sf_dir).documents
     return (
-        docs.select(
+        text_profile(docs, "text")
+        .select(
             "lang",
             "n_chars",
-            token_count("text").alias("n_tok"),
-            bpe_token_count("text").alias("bpe"),
-            quality_score("text").alias("quality"),
+            F.col("n_tok"),
+            F.col("bpe_tok").alias("bpe"),
+            "quality",
         )
         .groupBy("lang")
         .agg(
@@ -779,12 +780,14 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "confusion matrix vs the labeled lang column",
 )
 def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import lang_id
+    from .functions.text import lang_id_from_tokens, tokens
 
     docs = Catalog(spark, sf_dir).documents
+    # stage the token array so the per-language scores share one tokenizer
     return (
-        docs.select(
-            F.col("lang").alias("true_lang"), lang_id("text").alias("predicted")
+        docs.select(F.col("lang").alias("true_lang"), tokens("text").alias("__ts"))
+        .select(
+            "true_lang", lang_id_from_tokens(F.col("__ts")).alias("predicted")
         )
         .groupBy("true_lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
