@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,26 +53,88 @@ def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            lens = payloads.str.len().astype("int32")
+            lens = payloads.str.len().to_numpy(dtype=np.int64)
+            # vectorize across the WHOLE batch: one concatenated uint8 view,
+            # per-row ascii counts via reduceat over row offsets — no
+            # per-byte Python loop (same pattern as the simhash UDF)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            if len(flat):
+                idx = np.minimum(offsets, len(flat) - 1)
+                ascii_counts = np.add.reduceat(
+                    (flat < 128).astype(np.int64), idx
+                )
+            else:
+                ascii_counts = np.zeros(len(pdf), dtype=np.int64)
+            nonempty = lens > 0
+            ratio = np.zeros(len(pdf))
+            ratio[nonempty] = ascii_counts[nonempty] / lens[nonempty]
+            first = np.full(len(pdf), -1, dtype=np.int32)
+            last = np.full(len(pdf), -1, dtype=np.int32)
+            first[nonempty] = flat[offsets[nonempty]]
+            last[nonempty] = flat[
+                (offsets + lens - 1)[nonempty]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "byte_len": lens,
-                    "first_byte": payloads.map(
-                        lambda b: b[0] if len(b) else -1
-                    ).astype("int32"),
-                    "last_byte": payloads.map(
-                        lambda b: b[-1] if len(b) else -1
-                    ).astype("int32"),
-                    "ascii_ratio": payloads.map(
-                        lambda b: (sum(1 for x in b if x < 128) / len(b))
-                        if len(b)
-                        else 0.0
-                    ).round(4),
+                    "byte_len": lens.astype("int32"),
+                    "first_byte": first,
+                    "last_byte": last,
+                    "ascii_ratio": np.round(ratio, 4),
                 }
             )
 
     return df.mapInPandas(op, schema=BYTE_FEATURE_SCHEMA)
+
+
+#: output schema of sample_frames
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_len int"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    stride: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic frame sampler over binary payloads — the video
+    frame-extraction SHAPE with a fake codec: the payload is treated as a
+    sequence of fixed-size ``frame_bytes`` chunks and every ``stride``-th
+    chunk is emitted as one output row (1→N fan-out through the Arrow
+    batch iterator, schema declared up front). A real implementation swaps
+    the chunk slicing for libav frame decode; nothing else changes.
+
+    Emits (doc_id, frame_idx, frame, frame_len); a final partial chunk is
+    kept (frame_len < frame_bytes) so the byte coverage is auditable.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            frames: list = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                for fi, start in enumerate(range(0, n, frame_bytes)):
+                    if fi % stride:
+                        continue
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(payload[start : start + frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                    "frame_len": pd.Series(
+                        [len(f) for f in frames], dtype="int32"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(op, schema=FRAME_SCHEMA)
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:

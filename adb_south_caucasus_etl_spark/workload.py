@@ -892,6 +892,44 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_byte_features(with_binary_payload(docs))
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    -- byte slicing == char slicing here: the corpus is pure ASCII (checked
+    -- at every sf), and this DuckDB build has no BLOB substring/md5
+    WITH i AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(0,
+               CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)))
+               AS INTEGER) AS frame_idx
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, frame_idx,
+             substring(text, frame_idx * 64 + 1, 64) AS frame
+      FROM i WHERE frame_idx % 2 = 0
+    )
+    SELECT doc_id, frame_idx, md5(frame) AS frame_md5,
+           CAST(length(frame) AS INTEGER) AS frame_len
+    FROM f
+    """,
+    doc="L5 video-shaped frame sampling: fixed-size chunks of the binary "
+        "payload, every 2nd kept, 1-to-N fan-out through mapInPandas; "
+        "frames projected to md5 so the oracle compares content",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames, with_binary_payload
+
+    docs = Catalog(spark, sf_dir).documents
+    frames = sample_frames(with_binary_payload(docs), frame_bytes=64, stride=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        "frame_len",
+    )
+
+
 # --------------------------------------------------------------------------
 # streaming shapes, batch-first (SURVEY §2.I)
 

@@ -145,6 +145,26 @@ def test_multimodal_plumbing(spark):
     assert rows[2].byte_len == 0 and rows[2].first_byte == -1
 
 
+def test_sample_frames_chunks_and_stride(spark):
+    from adb_south_caucasus_etl_spark.operators.multimodal import sample_frames
+
+    # 10-byte payload, 4-byte frames, stride 2 → chunks 0..2, keep 0 and 2;
+    # the last chunk is partial (2 bytes)
+    df = spark.createDataFrame(
+        [(1, b"0123456789"), (2, b""), (3, b"ab")],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(
+        sample_frames(df, frame_bytes=4, stride=2).collect(),
+        key=lambda r: (r.doc_id, r.frame_idx),
+    )
+    assert [(r.doc_id, r.frame_idx, bytes(r.frame), r.frame_len) for r in rows] == [
+        (1, 0, b"0123", 4),
+        (1, 2, b"89", 2),
+        (3, 0, b"ab", 2),
+    ]
+
+
 def test_decode_image_is_stub(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
     with pytest.raises(NotImplementedError, match="imaging library"):
