@@ -95,6 +95,49 @@ def dedup_stream(
     )
 
 
+def running_totals_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """T5 custom stateful operator via ``applyInPandasWithState``: per-key
+    running (event_count, value_total) carried in explicit group state
+    across micro-batches, emitting the updated totals for every key seen in
+    a batch.
+
+    This is the escape hatch for stateful logic Spark's built-ins can't
+    express (per-key model state, custom eviction, cross-batch counters);
+    state is a tuple per key, partitioned by the grouping key, so it scales
+    horizontally like any keyed stream. With an ``availableNow`` one-batch
+    replay the emitted rows equal the batch ``groupBy(key).agg`` — which is
+    exactly the DuckDB oracle used for the workload entry.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

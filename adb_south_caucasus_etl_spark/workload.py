@@ -1092,6 +1092,29 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id").distinct()
 
 
+@register(
+    "streaming_running_totals_live",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="T5 custom stateful operator (applyInPandasWithState): per-user "
+        "running totals in explicit group state; one-batch replay makes the "
+        "emitted state equal the batch groupBy — the oracle",
+)
+def streaming_running_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import (
+        read_events_stream,
+        run_to_memory,
+        running_totals_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    totals = running_totals_stream(stream)
+    return run_to_memory(spark, totals, "running_totals_live", mode="update")
+
+
 # --------------------------------------------------------------------------
 # coverage completion: grouping sets (A4), scalar families (2.G), full outer
 # join (J2), window frames (2.J), sketches (A3 at 100 TB), pandas UDF surface
@@ -1505,4 +1528,128 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational breadth: classic TPC-H-shaped composites over the star schema.
+# These compose operators already covered above (J1/J2 joins, A1/A3 aggs,
+# O2/O3 sort+limit, P2 cuts) into the multi-way plans a reference user
+# actually runs day to day.
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective cuts on two tables, 3-way join, agg, "
+        "top-10 by computed measure with deterministic tiebreak",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(
+            cat.orders.filter(F.col("o_orderdate") < "1995-03-15"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            cat.lineitem.filter(F.col("l_shipdate") > "1995-03-15"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name AS nation,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1
+    ORDER BY revenue DESC
+    """,
+    doc="TPC-H Q5 shape: 6-way star join incl. the customer-nation = "
+        "supplier-nation locality predicate, region cut, agg + sort",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(
+            cat.orders, F.col("c_custkey") == F.col("o_custkey")
+        )
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cat.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(cat.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+    FROM lineitem GROUP BY 1
+    """,
+    doc="A3 distribution aggregates: exact linear-interpolated percentiles "
+        "(Spark percentile == DuckDB quantile_cont). At 100 TB swap to "
+        "approx_percentile (t-digest) and drop the oracle to rows-only",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
     )

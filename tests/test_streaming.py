@@ -81,3 +81,27 @@ def test_session_agg_counts_sum_to_total(spark, sf_dir):
     total = events.count()
     agg = session_agg(events, "ts", ["user_id"], "30 minutes")
     assert agg.agg(F.sum("n_events")).collect()[0][0] == total
+
+
+def test_running_totals_stateful_stream(spark, sf_dir):
+    from adb_south_caucasus_etl_spark.streaming.wrappers import (
+        read_events_stream,
+        run_to_memory,
+        running_totals_stream,
+    )
+
+    events = Catalog(spark, sf_dir).events
+    expected = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    out = run_to_memory(
+        spark,
+        running_totals_stream(read_events_stream(spark, sf_dir)),
+        "running_totals_test",
+        mode="update",
+    )
+    got = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    assert got == expected
