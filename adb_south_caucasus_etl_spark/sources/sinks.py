@@ -40,6 +40,42 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write an external bucketed (+ optionally sorted) parquet table.
+
+    Bucketing is THE co-located-join tool at 100 TB: two tables bucketed on
+    the join key with the same bucket count join with ZERO exchange — the
+    scan's output partitioning already satisfies the join's distribution
+    requirement (verified by the no-Exchange plan assertion in
+    tests/test_sinks_sketches.py). Sorted buckets additionally drop the
+    sort-merge join's per-task sort. The price is paid once at write time
+    (one shuffle into buckets), then every downstream join of both tables
+    on that key is shuffle-free — the right trade for facts joined
+    repeatedly on the same key (orders ⋈ lineitem on orderkey).
+
+    Bucketed tables need the session catalog (bucket metadata lives there,
+    not in parquet footers) — hence ``saveAsTable`` with an explicit
+    ``path`` (external: dropping the table keeps the files).
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 

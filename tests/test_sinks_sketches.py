@@ -56,3 +56,45 @@ def test_max_records_per_file_splits_output(spark, tmp_path):
     write_parquet(li, out, max_records_per_file=1000)
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) >= 2  # 6k rows / 1k per file
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from adb_south_caucasus_etl_spark.sources.sinks import write_bucketed
+
+    cat = Catalog(spark, SF)
+    write_bucketed(
+        cat.orders, "t_orders_b", str(tmp_path / "ob"),
+        ["o_orderkey"], num_buckets=4, sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        cat.lineitem, "t_lineitem_b", str(tmp_path / "lb"),
+        ["l_orderkey"], num_buckets=4, sort_cols=["l_orderkey"],
+    )
+    try:
+        o = spark.table("t_orders_b")
+        li = spark.table("t_lineitem_b")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        rows = {r.o_orderstatus: r.n for r in joined.collect()}
+        # correctness vs the plain (shuffling) join
+        plain = {
+            r.o_orderstatus: r.n
+            for r in cat.lineitem.join(
+                cat.orders, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert rows == plain
+        # the bucketed join itself must add no exchange before the join:
+        # only the final groupBy aggregation may shuffle
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        import re
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", final)
+        assert all(e.startswith("o_orderstatus") for e in exchanges), exchanges
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
