@@ -321,18 +321,22 @@ def members(
     """Member enumeration — the engine-native ``OEC.get_members``
     (reference oec.py:12-25): distinct (id, label) of a level, sorted by id.
     Implements the *intended* sort the reference drops on the floor
-    (oec.py:23 discards the sort_values result; SURVEY §2.L.1)."""
+    (oec.py:23 discards the sort_values result; SURVEY §2.L.1).
+
+    Scans ONLY the level's own table, never the fact: a level's key/label
+    expressions reference columns of the last table in its ``requires``
+    chain (or the fact for degenerate levels), so the member list comes
+    from that one table — the OLAP-server semantics (all members of the
+    level, fact-observed or not), and at 100 TB the difference between a
+    metadata lookup and a full fact scan."""
     cubes = cubes or DEFAULT_CUBES
     schema = cubes[cube]
     lvl = schema.level(level)
     catalog = Catalog(spark, sf_dir)
-    needed = _needed_tables(
-        schema, CubeQuery(cube, (level,), measures=())
-    )
-    star = _build_star(catalog, schema, needed)
+    source = catalog.table(lvl.requires[-1] if lvl.requires else schema.fact)
     out_id = f"{lvl.out_name}_id"
     return (
-        star.select(
+        source.select(
             F.expr(lvl.key).alias(out_id),
             F.expr(lvl.label_expr).alias(lvl.out_name),
         )
