@@ -98,3 +98,33 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    """Hive-partitioned writes + a filtered dim join give runtime partition
+    pruning (the fact scan's partition filter is a dynamicpruning subquery,
+    not a static literal) — the 100 TB scan-reduction path."""
+    out = str(tmp_path / "orders_by_year")
+    orders = Catalog(spark, SF).orders.withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    write_parquet(orders, out, partition_by=["o_year"])
+    fact = spark.read.parquet(out).select(
+        "o_orderkey", "o_totalprice", "o_year"
+    )
+    dim = (
+        Catalog(spark, SF)
+        .orders.select(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .distinct()
+    )
+    j = (
+        fact.join(dim.filter(F.col("prio") == "1-URGENT"), fact.o_year == F.col("y"))
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
