@@ -526,10 +526,11 @@ def setops_nation_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
            split_part(p_name, ' ', 1) AS first_word,
            CASE WHEN p_type LIKE '%ECO%' THEN 1 ELSE 0 END AS is_eco,
            concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(levenshtein(p_brand, 'Brand#11') AS INTEGER) AS brand_lev,
            ROUND(p_retailprice * 1.1, 2) AS inflated_price
     FROM part
     """,
-    doc="§2.G string/math scalars: upper, substring, length, replace, split, like, concat_ws",
+    doc="§2.G string/math scalars: upper, substring, length, replace, split, like, concat_ws, levenshtein",
 )
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
@@ -541,6 +542,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("p_name", " ").getItem(0).alias("first_word"),
         F.when(F.col("p_type").like("%ECO%"), 1).otherwise(0).alias("is_eco"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("brand_lev"),
         F.round(F.col("p_retailprice") * 1.1, 2).alias("inflated_price"),
     )
 
@@ -1652,4 +1654,70 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+@register(
+    "pivot_segment_by_year",
+    """
+    SELECT c_mktsegment AS segment,
+           ROUND(SUM(CASE WHEN year(o_orderdate) = 1994 THEN o_totalprice END), 2) AS y1994,
+           ROUND(SUM(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice END), 2) AS y1995,
+           ROUND(SUM(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice END), 2) AS y1996
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    doc="A4/P1 pivot: wide year columns per segment via groupBy().pivot() "
+        "with an explicit value list (no extra distinct-values job; the "
+        "oracle is the equivalent conditional-aggregation form)",
+)
+def pivot_segment_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    joined = cat.orders.join(
+        cat.customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.year("o_orderdate").alias("y"),
+        "o_totalprice",
+    )
+    # explicit pivot values: skips Spark's distinct-scan planning job and
+    # keeps the output schema deterministic — at 100 TB always pass them
+    pivoted = (
+        joined.groupBy("segment")
+        .pivot("y", [1994, 1995, 1996])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return pivoted.select(
+        "segment",
+        F.col("1994").alias("y1994"),
+        F.col("1995").alias("y1995"),
+        F.col("1996").alias("y1996"),
+    )
+
+
+@register(
+    "unpivot_segment_years",
+    """
+    WITH wide AS (
+      SELECT c_mktsegment AS segment,
+             ROUND(SUM(CASE WHEN year(o_orderdate) = 1994 THEN o_totalprice END), 2) AS y1994,
+             ROUND(SUM(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice END), 2) AS y1995
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    )
+    SELECT segment, yr, total FROM wide
+    UNPIVOT (total FOR yr IN (y1994, y1995))
+    ORDER BY segment, yr
+    """,
+    doc="P1 unpivot/melt: wide→long reshape (Spark df.unpivot == ANSI "
+        "UNPIVOT; nulls dropped on both sides per UNPIVOT semantics)",
+)
+def unpivot_segment_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pivot_segment_by_year(spark, sf_dir).select(
+        "segment", "y1994", "y1995"
+    )
+    return (
+        wide.unpivot("segment", ["y1994", "y1995"], "yr", "total")
+        .filter(F.col("total").isNotNull())
+        .orderBy("segment", "yr")
     )
