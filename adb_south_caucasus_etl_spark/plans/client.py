@@ -55,3 +55,13 @@ class CubeClient:
             cuts=dict(cut) if cut else None,
         )
         return compile_query(self.spark, self.sf_dir, query, self.cubes)
+
+    def sql(self, query: str) -> DataFrame:
+        """Raw Spark SQL over the catalog tables (registered as temp views
+        on first use). The escape hatch past the cube vocabulary: anything
+        the DataFrame surface expresses is equally writable as SQL, and the
+        resulting plan goes through the same Catalyst pipeline."""
+        from ..sources.registry import Catalog
+
+        Catalog(self.spark, self.sf_dir).register_views()
+        return self.spark.sql(query)

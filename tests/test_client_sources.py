@@ -63,3 +63,17 @@ def test_resolve_token_fallback_order(monkeypatch):
     assert resolve_token(None) == "from-env"
     monkeypatch.delenv("OEC_TOKEN")
     assert resolve_token(None) is None
+
+
+def test_client_sql_facade(spark, sf_dir):
+    from adb_south_caucasus_etl_spark.plans.client import CubeClient
+
+    client = CubeClient(spark, sf_dir)
+    got = {
+        (r.r_name, r.n)
+        for r in client.sql(
+            "SELECT r_name, count(*) AS n FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ).collect()
+    }
+    assert len(got) == 5 and all(n == 5 for _, n in got)
