@@ -68,7 +68,8 @@ def cosine_topk_exact(
                 _dot(F.col("qv"), F.col("cv"))
                 / (_norm(F.col("qv")) * _norm(F.col("cv"))),
                 4,
-            ),
+            )
+            + 0.0,  # -0.0 → +0.0 (comparator-stable)
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -120,7 +121,8 @@ def cosine_pairs(
             F.round(
                 _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 4,
-            ),
+            )
+            + 0.0,  # -0.0 → +0.0 (comparator-stable)
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -208,7 +210,8 @@ def ivf_topk(
             _dot(F.col("qv"), F.col("cv"))
             / (_norm(F.col("qv")) * _norm(F.col("cv"))),
             4,
-        ),
+        )
+        + 0.0,  # -0.0 → +0.0 (comparator-stable)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -234,5 +237,6 @@ def label_centroids(
             F.posexplode(as_double(F.col(vec_col))).alias("dim", "val"),
         )
         .groupBy("label", "dim")
-        .agg(F.round(F.avg("val"), 6).alias("centroid"))
+        # + 0.0 normalizes IEEE -0.0 → +0.0 (comparator-stable across engines)
+        .agg((F.round(F.avg("val"), 6) + 0.0).alias("centroid"))
     )

@@ -581,7 +581,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COALESCE(CAST(props->>'k' AS INTEGER), -1) AS k,
            COUNT(*) AS n,
-           ROUND(AVG(value), 2) AS avg_value
+           CAST(ROUND(CAST(AVG(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_value
     FROM events GROUP BY 1, 2
     """,
     doc="§2.G JSON access (events.props) + null handling via coalesce",
@@ -596,7 +596,13 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "k")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            # decimal-mediated rounding: a 1-ulp double difference between
+            # engines can flip ROUND at an exact .xx5 midpoint (divisions
+            # create real midpoints); casting to DECIMAL(18,6) first absorbs
+            # the ulp so both engines round the same number
+            F.round(F.avg("value").cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("avg_value"),
         )
     )
 
@@ -817,7 +823,7 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c, q WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
-      SELECT query_id, neighbor_id, ROUND(dot / (nq * nc), 4) AS cosine,
+      SELECT query_id, neighbor_id, ROUND(dot / (nq * nc), 4) + 0.0 AS cosine,
              row_number() OVER (
                PARTITION BY query_id
                ORDER BY ROUND(dot / (nq * nc), 4) DESC, neighbor_id
@@ -854,7 +860,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_centroids",
     """
     SELECT label, CAST(dim AS INTEGER) AS dim,
-           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) + 0.0 AS centroid
     FROM (
       SELECT label, unnest(embedding) AS v,
              unnest(range(len(embedding))) AS dim
@@ -1208,11 +1214,11 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(len(v) AS INTEGER) AS dim,
-           ROUND(v[1], 4) AS first_val,
-           ROUND(list_min(v), 4) AS min_val,
-           ROUND(list_max(v), 4) AS max_val,
-           ROUND(list_sum(v), 3) AS vec_sum,
-           ROUND(list_sum(v[1:8]), 4) AS head8_sum,
+           ROUND(v[1], 4) + 0.0 AS first_val,
+           ROUND(list_min(v), 4) + 0.0 AS min_val,
+           ROUND(list_max(v), 4) + 0.0 AS max_val,
+           ROUND(list_sum(v), 3) + 0.0 AS vec_sum,
+           ROUND(list_sum(v[1:8]), 4) + 0.0 AS head8_sum,
            ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS l2,
            CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive
     FROM t
@@ -1229,11 +1235,14 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").cast("int").alias("dim"),
-        F.round(F.element_at(v, 1), 4).alias("first_val"),
-        F.round(F.array_min(v), 4).alias("min_val"),
-        F.round(F.array_max(v), 4).alias("max_val"),
-        F.round(acc_sum(v), 3).alias("vec_sum"),
-        F.round(acc_sum(F.slice(v, 1, 8)), 4).alias("head8_sum"),
+        # + 0.0 after every signable round: IEEE -0.0 + 0.0 == +0.0, so a
+        # value one engine rounds to -0.0 and the other to 0.0 canonicalizes
+        # identically (observed at sf0.1: duck -0.0 vs spark 0.0)
+        (F.round(F.element_at(v, 1), 4) + 0.0).alias("first_val"),
+        (F.round(F.array_min(v), 4) + 0.0).alias("min_val"),
+        (F.round(F.array_max(v), 4) + 0.0).alias("max_val"),
+        (F.round(acc_sum(v), 3) + 0.0).alias("vec_sum"),
+        (F.round(acc_sum(F.slice(v, 1, 8)), 4) + 0.0).alias("head8_sum"),
         F.round(
             F.sqrt(acc_sum(F.zip_with(v, v, lambda a, b: a * b))), 4
         ).alias("l2"),
@@ -1639,9 +1648,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     """
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-           ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,6)), 2) AS DOUBLE) AS p50,
+           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DECIMAL(18,6)), 2) AS DOUBLE) AS p90,
+           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DECIMAL(18,6)), 2) AS DOUBLE) AS p99
     FROM lineitem GROUP BY 1
     """,
     doc="A3 distribution aggregates: exact linear-interpolated percentiles "
@@ -1651,9 +1660,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
+        # decimal-mediated rounding — interpolated percentiles are exact
+        # midpoints by construction; see events_json_props
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)).cast("decimal(18,6)"), 2).cast("double").alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)).cast("decimal(18,6)"), 2).cast("double").alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)).cast("decimal(18,6)"), 2).cast("double").alias("p99"),
     )
 
 
