@@ -58,9 +58,11 @@ def dedup_exact(
 
 
 def exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, unit: str = "word"
 ) -> DataFrame:
-    """Distinct ``(__id, __s)`` n-word shingle hashes, one row per shingle.
+    """Distinct ``(__id, __s)`` n-gram shingle hashes, one row per shingle.
+    ``unit="word"`` shingles over whitespace tokens; ``unit="char"`` over
+    single characters (classic character-n-gram dedup à la CCNet).
 
     Lambda-free pipeline (see module docstring for why that matters):
     ``posexplode(split(...))`` → ``xxhash64`` per token → window ``lead`` to
@@ -74,11 +76,15 @@ def exploded_shingles(
     The output stays partitioned by ``__id`` — downstream per-doc aggregates
     (shingle-set size, MinHash mins) add no shuffle either.
     """
+    if unit == "word":
+        units = F.split(F.trim(F.col(text_col)), r"\s+")
+    elif unit == "char":
+        units = F.split(F.col(text_col), "")
+    else:
+        raise ValueError(f"unit must be word|char, got {unit!r}")
     tok = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
-            "__p", "__t"
-        ),
+        F.posexplode(units).alias("__p", "__t"),
     ).select("__id", "__p", F.xxhash64("__t").alias("__h0"))
     w = Window.partitionBy("__id").orderBy("__p")
     leads = [F.lead("__h0", k).over(w).alias(f"__h{k}") for k in range(1, n)]
@@ -101,6 +107,8 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    unit: str = "word",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-word-shingle Jaccard similarity for every document pair that
     shares ≥1 shingle, filtered to ``jaccard >= threshold``.
@@ -117,14 +125,35 @@ def jaccard_pairs(
       payload columns — no separate size table, no extra joins;
     - one explicit repartition on the shingle key feeds BOTH self-join
       sides via a single ReusedExchange (verified in the physical plan —
-      this is what the lambda-free pipeline buys).
+      this is what the lambda-free pipeline buys);
+    - ``max_df`` (document-frequency cap) drops shingles present in more
+      than that many documents BEFORE the join — the standard guard
+      against stop-shingles, whose posting lists make the join quadratic
+      (a shingle in p docs yields p·(p-1)/2 pairs). Jaccard is then
+      computed over the capped shingle universe on both the numerator and
+      the per-doc set sizes (consistent denominators). Costs one extra
+      exchange; leave None when the shingle unit already discriminates.
     """
-    sh = exploded_shingles(df, id_col, text_col, n)
-    sized = sh.select(
-        "__id",
-        "__s",
-        F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"),
-    )
+    sh = exploded_shingles(df, id_col, text_col, n, unit)
+    if max_df is not None:
+        # df per shingle, then re-derive per-doc sizes over the capped
+        # universe (extra __id exchange — the price of consistency)
+        sh = sh.select(
+            "__id",
+            "__s",
+            F.count(F.lit(1)).over(Window.partitionBy("__s")).alias("__df"),
+        ).filter(F.col("__df") <= max_df)
+        sized = sh.select(
+            "__id",
+            "__s",
+            F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"),
+        )
+    else:
+        sized = sh.select(
+            "__id",
+            "__s",
+            F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"),
+        )
     ex = sized.repartition(F.col("__s"))
     a, b = ex.alias("a"), ex.alias("b")
     return (

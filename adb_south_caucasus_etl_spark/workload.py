@@ -1732,3 +1732,40 @@ def unpivot_segment_years(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total").isNotNull())
         .orderBy("segment", "yr")
     )
+
+
+@register(
+    "neardup_char_ngram_jaccard",
+    """
+    WITH i AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(1, greatest(length(text) - 15, 1) + 1))
+                  AS INTEGER) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substring(text, pos, 16) AS s FROM i
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) t WHERE jaccard >= 0.7
+    """,
+    doc="L2 character-16-gram Jaccard near-dup pairs (CCNet-style) through "
+        "the same lambda-free inverted-index pipeline as the word variant; "
+        "16 chars because shorter grams do not discriminate on this corpus "
+        "(5-gram posting lists cover ~80%% of docs -> quadratic join)",
+)
+def neardup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return jaccard_pairs(docs, "doc_id", "text", n=16, threshold=0.7, unit="char")

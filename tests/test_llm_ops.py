@@ -169,3 +169,33 @@ def test_decode_image_is_stub(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
     with pytest.raises(NotImplementedError, match="imaging library"):
         decode_image(df)
+
+
+def test_char_ngram_jaccard_and_df_cap(spark):
+    from adb_south_caucasus_etl_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefgh"),
+            (2, "abcdefgh"),          # exact copy of 1
+            (3, "abcdefxx"),          # shares a prefix with 1/2
+            (4, "zzzzzzzz"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            df, "doc_id", "text", n=4, threshold=0.99, unit="char"
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1.0}
+    # df cap: 'abcd' appears in 3 docs; capping at 2 removes it from the
+    # universe, so 1-2 remain identical over the remaining grams
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            df, "doc_id", "text", n=4, threshold=0.99, unit="char", max_df=2
+        ).collect()
+    }
+    assert capped == {(1, 2): 1.0}
