@@ -159,41 +159,15 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(canonical)
 
 
-def shingle_hashes(col: str | Column, n: int = 3) -> Column:
-    """Distinct n-word shingles as 64-bit hashes — the fast path for
-    Jaccard/MinHash dedup.
-
-    Each token is ``xxhash64``-ed ONCE; shingle hashes are built by n-1
-    ``zip_with`` passes that fold each element with its k-shifted neighbor:
-    ``s_i = xxhash64(...xxhash64(th_i, th_i+1)..., th_i+n-1)``. Everything
-    is a flat array op over primitive longs — no per-position ``slice``
-    allocation, no intermediate strings — measured ~8× faster than the
-    string-shingle (``word_shingles``) or per-position-fold formulations at
-    bench scale. Order-sensitive; collision odds ~2⁻⁶⁴ per pair; hash
-    chaining (not multiply-add) so ANSI overflow checking — the driver owns
-    the session config — can never fire.
-
-    ``zip_with`` null-pads the shorter (shifted) side, and ``xxhash64``
-    skips null inputs, so trailing entries degenerate to shorter folds;
-    the final ``slice`` trims to the max(|tokens|-n+1, 1) real shingles,
-    which matches the string semantics of ``word_shingles`` including
-    documents shorter than n tokens.
-    """
-    th = F.transform(tokens(col), lambda t: F.xxhash64(t))
-    s = th
-    for k in range(1, n):
-        s = F.zip_with(
-            s, F.slice(th, k + 1, F.size(th)), lambda a, b: F.xxhash64(a, b)
-        )
-    return F.array_distinct(
-        F.slice(s, 1, F.greatest(F.size(th) - (n - 1), F.lit(1)))
-    )
-
-
 def word_shingles(col: str | Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (the unit for Jaccard/MinHash dedup).
-    Built from sequence+transform — JVM-side, no UDF. Prefer
-    ``shingle_hashes`` in hot paths: same set semantics, no string building."""
+    """Distinct n-word shingles (the unit for Jaccard/MinHash dedup) as an
+    array column. Built from sequence+transform — JVM-side, no UDF.
+
+    This is the readable per-row form; dedup operators use the exploded,
+    lambda-free pipeline in ``operators.dedup.exploded_shingles`` instead
+    (same set semantics per document) — higher-order-function lambdas here
+    defeat codegen subexpression elimination and exchange-reuse
+    canonicalization, which costs ~3× at scale (see SCALE.md)."""
     t = tokens(col)
     idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
     return F.array_distinct(
