@@ -199,3 +199,34 @@ def test_char_ngram_jaccard_and_df_cap(spark):
         ).collect()
     }
     assert capped == {(1, 2): 1.0}
+
+
+def test_text_profile_staged_single_tokenizer(spark):
+    from adb_south_caucasus_etl_spark.functions.text import (
+        lang_id_from_tokens,
+        text_profile,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("the cat and the dog went to the park",), ("a b!!",)],
+        "text string",
+    )
+    rows = text_profile(df, "text").collect()
+    r0, r1 = rows
+    assert r0.n_tok == 9 and r0.n_distinct_tok == 7
+    assert r1.n_tok == 2 and r1.bpe_tok == 4  # a, b, !, !
+    assert 0.0 <= r1.quality <= r0.quality <= 1.0
+    # exactly one tokenizer in the optimized plan (staging contract)
+    plan = (
+        text_profile(df, "text")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(trim") == 1
+    # lang_id over the staged token array agrees with the labeled sentence
+    out = df.select(
+        lang_id_from_tokens(tokens("text")).alias("lang")
+    ).collect()
+    assert out[0].lang == "en"
