@@ -303,6 +303,66 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node's label converges to the smallest node id in its
+    component. Returns ``(node, label)`` — one row per node that appears in
+    ``edges``. This is what turns near-dup *pairs* into near-dup *clusters*
+    ("keep one doc per near-duplicate cluster", SURVEY §2.H L2): survivor =
+    the node whose ``label == node``.
+
+    Scale design: each round is ONE shuffle keyed on node id (neighbor-min
+    groupBy) plus a broadcast-free left join on the same key; rounds needed
+    = component diameter, which for near-dup clusters is tiny (near-dup
+    similarity is near-transitive, so clusters are dense and shallow).
+    ``localCheckpoint`` after every round truncates the lineage — without it
+    the plan doubles per iteration and analysis time explodes. The per-round
+    convergence check is a scalar ``count`` (never collects rows). For
+    petabyte graphs with deep components, swap in the large-star/small-star
+    rounds of Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (SoCC'14) — same join/groupBy primitives, O(log n) rounds.
+    """
+    fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    sym = fwd.union(rev)
+    # seed one hop ahead: label(n) = min(n, min over neighbors)
+    labels = sym.groupBy("node").agg(
+        F.least(F.col("node"), F.min("nbr")).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
+            .agg(F.min("label").alias("__nlabel"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("__nlabel"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "__new")
+            .join(labels, "node")
+            .filter(F.col("__new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens — Arrow-batched, vectorized

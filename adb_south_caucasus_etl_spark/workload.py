@@ -684,6 +684,63 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_clusters",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 2, 1) + 1),
+               i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      ) p WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS node, id_b AS nbr FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT node, node FROM edges
+      UNION
+      SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.nbr
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           node = MIN(label) AS keep
+    FROM reach GROUP BY node
+    """,
+    doc="L2 near-dup CLUSTERS: connected components (min-label propagation) "
+        "over the exact-Jaccard pair graph; survivor = min doc_id per cluster. "
+        "Oracle: recursive-CTE reachability over the same pair SQL.",
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components, jaccard_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
+@register(
     "minhash_lsh_neardup",
     None,  # xxhash64-seeded MinHash not reproducible in ANSI SQL → rows-only
     doc="L2 MinHash(32) + 8-band LSH candidate pairs with estimated Jaccard >= 0.5",
@@ -799,6 +856,73 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("true_lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE term <> ''),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+    scored AS (
+      SELECT lang, term, tf,
+             tf * ln((1.0 + n_docs) / (1.0 + df)) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT lang, term, tfidf, rnk FROM (
+      SELECT lang, term, ROUND(score, 4) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY score DESC, term
+             ) AS rnk
+      FROM scored
+    ) ranked WHERE rnk <= 5
+    """,
+    doc="L4 TF-IDF: corpus-level term frequency per lang × smoothed inverse "
+        "document frequency; top-5 terms per lang, deterministic term "
+        "tie-break. N rides as a broadcast 1-row aggregate (no collect).",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions.text import tokens
+
+    docs = Catalog(spark, sf_dir).documents
+    tok = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens("text")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "lang", "term", F.round("score", 4).alias("tfidf"), "rnk"
+        )
     )
 
 

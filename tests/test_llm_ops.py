@@ -230,3 +230,38 @@ def test_text_profile_staged_single_tokenizer(spark):
         lang_id_from_tokens(tokens("text")).alias("lang")
     ).collect()
     assert out[0].lang == "en"
+
+
+def test_connected_components_chain_and_singleton_pair(spark):
+    from adb_south_caucasus_etl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    # and an isolated pair 7-7 self-loop is not representable — edges only
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.node: r.label for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_neardup_clusters_partitions_pair_graph(spark, sf_dir):
+    from adb_south_caucasus_etl_spark.workload import (
+        neardup_clusters,
+        neardup_jaccard_pairs,
+    )
+
+    pairs = neardup_jaccard_pairs(spark, sf_dir).collect()
+    clusters = neardup_clusters(spark, sf_dir).collect()
+    label = {r.doc_id: r.cluster_id for r in clusters}
+    # every paired doc is clustered; both ends of a pair share a label
+    for p in pairs:
+        assert label[p.id_a] == label[p.id_b]
+    # labels are component minima and survivors are exactly the minima
+    for r in clusters:
+        assert r.cluster_id <= r.doc_id
+        assert r.keep == (r.cluster_id == r.doc_id)
+    assert set(label.values()) <= set(label)
