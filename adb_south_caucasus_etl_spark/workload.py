@@ -1769,6 +1769,57 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q18_large_volume_customer",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY 1 HAVING SUM(l_quantity) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           ROUND(o_totalprice, 2) AS total_price,
+           SUM(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: agg-HAVING subquery -> semi join (J3) gating a "
+        "3-way join + re-agg, deterministic top-100 (orderkey tie-break). "
+        "The HAVING side reduces lineitem to order grain BEFORE the semi "
+        "join, so the gate shuffles keys only.",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    big = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        cat.orders.join(
+            big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+        )
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
     "agg_percentiles",
     """
     SELECT l_returnflag,
