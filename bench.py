@@ -26,6 +26,7 @@ HEADLINE = [
     "cube_flagship_revenue",
     "q1_pricing_summary",
     "cube_rollup_geo",
+    "q18_large_volume_customer",
     "join_left_agg",
     "topk_customers_per_region",
     "window_running_orders",
