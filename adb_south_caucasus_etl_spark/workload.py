@@ -741,6 +741,64 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_survivors",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 2, 1) + 1),
+               i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      ) p WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS node, id_b AS nbr FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT node, node FROM edges
+      UNION
+      SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.nbr
+    ),
+    drops AS (
+      SELECT node FROM reach GROUP BY node HAVING node <> MIN(label)
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM drops)
+    """,
+    doc="L2 end-to-end dedup: documents anti-joined (J3) against non-minimal "
+        "cluster members — literally 'keep one doc per near-dup cluster'. "
+        "Singletons pass through untouched (anti join, not survivor list).",
+)
+def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components, jaccard_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    drops = cc.filter(F.col("node") != F.col("label")).select("node")
+    return docs.join(
+        drops, docs["doc_id"] == drops["node"], "left_anti"
+    ).select("doc_id", "lang", "source")
+
+
+@register(
     "minhash_lsh_neardup",
     None,  # xxhash64-seeded MinHash not reproducible in ANSI SQL → rows-only
     doc="L2 MinHash(32) + 8-band LSH candidate pairs with estimated Jaccard >= 0.5",
