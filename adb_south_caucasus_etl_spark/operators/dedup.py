@@ -36,6 +36,8 @@ Scale design:
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -308,6 +310,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    on_nonconverged: str = "warn",
 ) -> DataFrame:
     """Connected components over an undirected edge list by min-label
     propagation: every node's label converges to the smallest node id in its
@@ -320,20 +323,30 @@ def connected_components(
     groupBy) plus a broadcast-free left join on the same key; rounds needed
     = component diameter, which for near-dup clusters is tiny (near-dup
     similarity is near-transitive, so clusters are dense and shallow).
-    ``localCheckpoint`` after every round truncates the lineage — without it
-    the plan doubles per iteration and analysis time explodes. The per-round
-    convergence check is a scalar ``count`` (never collects rows). For
-    petabyte graphs with deep components, swap in the large-star/small-star
-    rounds of Kiveris et al., "Connected Components in MapReduce and Beyond"
-    (SoCC'14) — same join/groupBy primitives, O(log n) rounds.
+    The symmetrized edge list is materialized ONCE via ``localCheckpoint``
+    before the loop — ``edges`` is typically the expensive Jaccard
+    inverted-index pipeline, and without the checkpoint every round (plus
+    the seed) would re-execute it from scratch. ``localCheckpoint`` after
+    every round likewise truncates the label lineage — without it the plan
+    doubles per iteration and analysis time explodes. The per-round
+    convergence check is a scalar ``count`` (never collects rows).
+
+    If ``max_iter`` rounds pass without convergence (component diameter >
+    ``max_iter``) the labels are NOT final; ``on_nonconverged`` picks the
+    reaction: ``"warn"`` (default, RuntimeWarning), ``"raise"``, or
+    ``"ignore"``. For graphs whose diameter can be deep, use
+    ``connected_components_star`` (O(log n)-ish rounds, diameter-free).
     """
     fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
     rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
-    sym = fwd.union(rev)
+    # materialize the (possibly very expensive) edge pipeline exactly once;
+    # every propagation round reads the checkpointed rows, not the lineage
+    sym = fwd.union(rev).localCheckpoint(eager=True)
     # seed one hop ahead: label(n) = min(n, min over neighbors)
     labels = sym.groupBy("node").agg(
         F.least(F.col("node"), F.min("nbr")).alias("label")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         prop = (
             sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
@@ -359,8 +372,146 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components: label propagation did not converge in "
+            f"{max_iter} rounds (component diameter exceeds max_iter); "
+            f"labels are NOT final. Raise max_iter or use "
+            f"connected_components_star for deep graphs."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged != "ignore":
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating **large-star / small-star** rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Same output contract as ``connected_components``:
+    ``(node, label)`` with label = component-minimum id, one row per node
+    appearing in ``edges``.
+
+    Why a second algorithm: min-label propagation needs *diameter* rounds —
+    fine for shallow near-dup clusters, hopeless for path-shaped graphs
+    (a 10⁶-node chain would need 10⁶ shuffles). Star contraction halves
+    component height every other round independent of diameter
+    (O(log² n) worst case, O(log n) in practice), which is the 100 TB-safe
+    default whenever the graph shape is unknown.
+
+    Each round is two phases over the current edge set E (self-loops
+    dropped, orientation canonicalized):
+
+    - **large-star**: for every node u with neighborhood Γ(u) in the
+      symmetrized E, let m = min(Γ(u) ∪ {u}); emit edge (v, m) for every
+      strictly-larger neighbor v > u. (Hooks big nodes onto small ones.)
+    - **small-star**: orient edges high→low (u > v); for every u let
+      m = min(Γ⁻(u)); emit (v, m) for every smaller neighbor v plus (u, m).
+      (Flattens each partial star onto its minimum.)
+
+    Both phases are a groupBy-min plus a same-key join — exactly the
+    primitives the rest of the engine shuffles on; no driver-side state.
+    Convergence = the edge set reaches a fixed point, detected with a
+    scalar (count, sum-of-hashes) checksum per round — one tiny action,
+    never a row collect. At the fixed point E is a disjoint set of stars
+    whose centers are the component minima, so the final labels fall out
+    of one neighbor-min aggregation; nodes whose component fully collapsed
+    earlier are restored from the original node set with label = their
+    star minimum (left join + coalesce).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical high→low orientation, no self-loops, distinct
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(df: DataFrame) -> tuple:
+        # bit_xor is order-independent and overflow-free (ANSI-safe, unlike
+        # sum); e is distinct so xor cancellation can't mask a real change
+        # without also changing the count
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(e)
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star ----
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # ---- small-star (edges already oriented u > v after canonicalize) ----
+        d = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smins = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+        )
+        e = (
+            small.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        warnings.warn(
+            f"connected_components_star: edge set not stable after "
+            f"{max_iter} rounds; labels may be partial.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # fixed point is a star forest centered on component minima: every
+    # node's label is min(self, min neighbor) over the final edge set
+    sym = e.select("u", "v").union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    star_labels = sym.groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).alias("label")
+    )
+    return (
+        nodes.join(star_labels, nodes["node"] == star_labels["u"], "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
+    )
 
 
 @F.pandas_udf(T.LongType())

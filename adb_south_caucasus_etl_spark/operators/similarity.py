@@ -167,6 +167,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via multi-table sign-LSH: ``num_tables``
     independent hash tables of 2^nbits buckets each; a corpus vector is a
@@ -177,8 +178,25 @@ def ivf_topk(
     The candidate join is an equi-join on (table, bucket) → shuffle is
     proportional to collisions, not |corpus| × |queries|; the corpus is
     replicated ``num_tables``× into the index, the standard LSH space/recall
-    trade."""
-    dim = len(queries.select(vec_col).first()[0])
+    trade.
+
+    ``dim`` (the embedding length) sizes the hyperplane literals and must be
+    known at plan-build time. Pass it explicitly, or attach it as column
+    metadata (``{"dim": N}``) on ``vec_col`` — there is deliberately NO
+    data-probing fallback: an operator must never run driver-side actions
+    to build its plan (a ``.first()`` here would block plan construction on
+    a cluster round-trip and break on empty inputs)."""
+    if dim is None:
+        for side in (queries, corpus):
+            meta = side.schema[vec_col].metadata or {}
+            if "dim" in meta:
+                dim = int(meta["dim"])
+                break
+    if dim is None:
+        raise ValueError(
+            f"ivf_topk needs the embedding dimension: pass dim= or attach "
+            f'{{"dim": N}} metadata to column {vec_col!r}'
+        )
     tables = [
         random_hyperplanes(dim, nbits, seed + 1000 * t)
         for t in range(num_tables)

@@ -653,12 +653,21 @@ def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
     ),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_distinct(list_transform(
                range(1, greatest(len(ts) - 2, 1) + 1),
                i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
       FROM t
+    ),
+    sh AS (
+      -- stop-shingle cap, mirrors jaccard_pairs(max_df=50): shingles in
+      -- more than 50 docs are dropped BEFORE the join on both engines
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0
+      ) c WHERE df <= 50
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     inter AS (
@@ -680,7 +689,10 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import jaccard_pairs
 
     docs = Catalog(spark, sf_dir).documents
-    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    # max_df=50 (10% of the sf0.01 corpus): the stop-shingle guard —
+    # a shingle in p docs yields p·(p-1)/2 join rows, so uncapped common
+    # shingles make the inverted-index join quadratic on real corpora
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=50)
 
 
 @register(
@@ -689,12 +701,21 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE t AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
     ),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_distinct(list_transform(
                range(1, greatest(len(ts) - 2, 1) + 1),
                i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
       FROM t
+    ),
+    sh AS (
+      -- stop-shingle cap, mirrors jaccard_pairs(max_df=50): shingles in
+      -- more than 50 docs are dropped BEFORE the join on both engines
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0
+      ) c WHERE df <= 50
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     inter AS (
@@ -731,7 +752,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components, jaccard_pairs
 
     docs = Catalog(spark, sf_dir).documents
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=50)
     cc = connected_components(pairs.select("id_a", "id_b"))
     return cc.select(
         F.col("node").alias("doc_id"),
@@ -746,12 +767,21 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE t AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
     ),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_distinct(list_transform(
                range(1, greatest(len(ts) - 2, 1) + 1),
                i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
       FROM t
+    ),
+    sh AS (
+      -- stop-shingle cap, mirrors jaccard_pairs(max_df=50): shingles in
+      -- more than 50 docs are dropped BEFORE the join on both engines
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0
+      ) c WHERE df <= 50
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     inter AS (
@@ -790,7 +820,7 @@ def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components, jaccard_pairs
 
     docs = Catalog(spark, sf_dir).documents
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=50)
     cc = connected_components(pairs.select("id_a", "id_b"))
     drops = cc.filter(F.col("node") != F.col("label")).select("node")
     return docs.join(
@@ -1033,8 +1063,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
     emb = Catalog(spark, sf_dir).embeddings
+    # dim=64 per FIXTURES.md (embeddings.embedding is fixed length 64) —
+    # passed explicitly so plan construction never probes data (.first())
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, nbits=3, num_tables=12
+        emb, emb.filter(F.col("vec_id") < 5), k=10, nbits=3, num_tables=12,
+        dim=64,
     )
 
 
@@ -1976,8 +2009,14 @@ def unpivot_segment_years(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS INTEGER) AS pos
       FROM documents
     ),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, substring(text, pos, 16) AS s FROM i
+    ),
+    sh AS (
+      -- stop-shingle cap, mirrors jaccard_pairs(max_df=50)
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh0
+      ) c WHERE df <= 50
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     inter AS (
@@ -2001,4 +2040,6 @@ def neardup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import jaccard_pairs
 
     docs = Catalog(spark, sf_dir).documents
-    return jaccard_pairs(docs, "doc_id", "text", n=16, threshold=0.7, unit="char")
+    return jaccard_pairs(
+        docs, "doc_id", "text", n=16, threshold=0.7, unit="char", max_df=50
+    )

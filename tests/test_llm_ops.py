@@ -8,6 +8,8 @@ from adb_south_caucasus_etl_spark.functions.text import (
     word_shingles,
 )
 from adb_south_caucasus_etl_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
     dedup_exact,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -57,6 +59,83 @@ def test_jaccard_pairs_near_and_exact(spark, docs):
     assert pairs[(2, 4)] == pairs[(1, 2)]
 
 
+def _brute_jaccard(corpus, n, max_df, threshold):
+    """Reference implementation: word n-shingle Jaccard over the df-capped
+    shingle universe (consistent numerator AND denominators), mirroring
+    jaccard_pairs semantics incl. the short-doc single-shingle rule."""
+    sets = {}
+    for doc_id, text in corpus:
+        toks = text.split()
+        if len(toks) < n:
+            sets[doc_id] = {tuple(toks)}
+        else:
+            sets[doc_id] = {
+                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+    if max_df is not None:
+        df_count = {}
+        for s in sets.values():
+            for sh in s:
+                df_count[sh] = df_count.get(sh, 0) + 1
+        sets = {
+            d: {sh for sh in s if df_count[sh] <= max_df}
+            for d, s in sets.items()
+        }
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter:
+                j = round(inter / union, 4)
+                if j >= threshold:
+                    out[(a, b)] = j
+    return out
+
+
+@pytest.fixture(scope="module")
+def stopword_corpus(spark):
+    # every doc starts with the same 6-token stopword phrase → the phrase's
+    # shingles appear in ALL docs; unique tails keep true similarity low
+    # except for 3 planted near-dup pairs
+    stop = "it is one of the most"
+    rows = []
+    for i in range(40):
+        rows.append((i, f"{stop} unique tail {i} alpha beta gamma delta w{i}"))
+    # planted near-dups: same tail, one token differs
+    rows.append((100, f"{stop} shared tail text epsilon zeta eta theta iota"))
+    rows.append((101, f"{stop} shared tail text epsilon zeta eta theta kappa"))
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_max_df_correctness_on_stopword_corpus(spark, stopword_corpus):
+    rows, df = stopword_corpus
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.3, max_df=5
+        ).collect()
+    }
+    want = _brute_jaccard(rows, n=3, max_df=5, threshold=0.3)
+    assert got == want
+    assert (100, 101) in got  # planted near-dup survives the cap
+
+
+def test_max_df_keeps_pair_join_subquadratic(spark, stopword_corpus):
+    rows, df = stopword_corpus
+    n = len(rows)
+    # threshold=0 exposes the full co-occurring pair space the join pays for:
+    # uncapped, the shared stopword shingles connect EVERY doc pair (n²)
+    uncapped = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).count()
+    assert uncapped == n * (n - 1) // 2
+    # capped, only genuinely-overlapping docs ever meet in the join
+    capped = jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, max_df=5
+    ).count()
+    assert capped < n  # vs 861 uncapped — sub-quadratic by construction
+
+
 def test_minhash_lsh_finds_dups(spark, docs):
     got = {
         (r.id_a, r.id_b)
@@ -76,6 +155,41 @@ def test_simhash_identical_zero_hamming(spark, docs):
     }
     assert pairs[(1, 4)] == 0
     assert 0 < pairs[(1, 2)] <= 15  # one word swapped → few bits flip
+
+
+def test_cc_star_deep_path_graph(spark):
+    # 100-node path (diameter 99): min-label propagation needs 99 rounds,
+    # star contraction collapses it in O(log n) — the deep-graph scale path
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    rows = connected_components_star(edges).collect()
+    assert len(rows) == 100
+    assert all(r.label == 0 for r in rows)
+
+
+def test_cc_min_label_warns_when_not_converged(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edges, max_iter=3)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3, on_nonconverged="raise")
+
+
+def test_cc_star_matches_min_label_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    es = sorted(
+        {(rng.randint(0, 199), rng.randint(0, 199)) for _ in range(150)}
+    )
+    es = [(a, b) for a, b in es if a != b]
+    edges = spark.createDataFrame(es, "id_a long, id_b long")
+    ml = {r.node: r.label for r in connected_components(edges, max_iter=50).collect()}
+    st = {r.node: r.label for r in connected_components_star(edges).collect()}
+    assert ml == st
 
 
 def test_lang_id_on_real_sentences(spark):
@@ -127,10 +241,24 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in ivf_topk(emb, q, k=10, nbits=3, num_tables=12).collect()
+        for r in ivf_topk(emb, q, k=10, nbits=3, num_tables=12, dim=64).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall} below gate"
+
+
+def test_ivf_requires_dim_without_metadata(spark, sf_dir):
+    # no dim arg and no column metadata → plan-build error, never a data probe
+    emb = Catalog(spark, sf_dir).embeddings
+    with pytest.raises(ValueError, match="dim"):
+        ivf_topk(emb, emb.limit(1), k=5)
+
+
+def test_ivf_reads_dim_from_column_metadata(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    tagged = emb.withMetadata("embedding", {"dim": 64})
+    out = ivf_topk(tagged, tagged.filter(F.col("vec_id") == 0), k=5)
+    assert out.count() == 5
 
 
 def test_multimodal_plumbing(spark):
