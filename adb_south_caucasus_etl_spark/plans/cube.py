@@ -317,11 +317,24 @@ def members(
     cube: str,
     level: str,
     cubes: dict[str, CubeSchema] | None = None,
+    full_payload: bool = False,
 ) -> DataFrame:
     """Member enumeration — the engine-native ``OEC.get_members``
     (reference oec.py:12-25): distinct (id, label) of a level, sorted by id.
     Implements the *intended* sort the reference drops on the floor
     (oec.py:23 discards the sort_values result; SURVEY §2.L.1).
+
+    ``full_payload=False`` (default) projects exactly ``(id, label)`` — the
+    columns every caller actually drills on. The reference instead returns
+    *every* column the members endpoint sends (oec.py:22 builds the frame
+    from the raw JSON payload); ``full_payload=True`` restores that parity
+    by carrying ALL remaining columns of the level's source table as member
+    attributes (names normalized, reference oec.py:24). Attribute rows are
+    well-defined when the member key is a key of the source table (true for
+    every dim-backed level — the shape the members endpoint serves); for
+    degenerate/derived levels (Year, Return Flag) the distinct still
+    collapses correctly but the "attributes" are whatever fact columns ride
+    along, so the default stays (id, label).
 
     Scans ONLY the level's own table, never the fact: a level's key/label
     expressions reference columns of the last table in its ``requires``
@@ -335,11 +348,15 @@ def members(
     catalog = Catalog(spark, sf_dir)
     source = catalog.table(lvl.requires[-1] if lvl.requires else schema.fact)
     out_id = f"{lvl.out_name}_id"
-    return (
-        source.select(
-            F.expr(lvl.key).alias(out_id),
-            F.expr(lvl.label_expr).alias(lvl.out_name),
-        )
-        .distinct()
-        .orderBy(out_id)
-    )
+    cols = [
+        F.expr(lvl.key).alias(out_id),
+        F.expr(lvl.label_expr).alias(lvl.out_name),
+    ]
+    if full_payload:
+        claimed = {lvl.key, lvl.label_expr}
+        cols += [
+            F.col(c).alias(normalize_colname(c))
+            for c in source.columns
+            if c not in claimed
+        ]
+    return source.select(*cols).distinct().orderBy(out_id)

@@ -73,10 +73,41 @@ def _ns_timestamp_cols(path: str) -> list[str]:
 
 #: session-scoped DataFrame handle cache: (sf_dir, table) → DataFrame.
 #: ``spark.read.parquet`` costs a driver-side file listing + footer schema
-#: read every call (~0.5 s across a 5-table star at bench scale); the scan
-#: relation is immutable for a given path, so reusing the handle is safe.
+#: read every call (~0.5 s across a 5-table star at bench scale).
+#:
+#: IMMUTABLE-INPUT ASSUMPTION: the cached handle freezes the file listing
+#: at first load, so files added to / rewritten under the same (sf_dir,
+#: table) path later in the session are invisible to subsequent queries.
+#: That is the right trade for this engine's inputs (the driver testdata is
+#: generated once; 100 TB lake tables are append-by-new-partition, which a
+#: directory-path scan re-lists per query anyway) — but any writer that
+#: targets a cached path must call ``invalidate_table_cache`` with the
+#: matching sf_dir/name (or no args to drop everything).
 #: Weak-keyed on the session so stopped sessions don't pin JVM references.
 _TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def invalidate_table_cache(
+    spark: SparkSession | None = None,
+    sf_dir: str | None = None,
+    name: str | None = None,
+) -> None:
+    """Drop cached table handles so the next ``load_table`` re-lists files.
+    Filters are conjunctive; omitted args match everything (e.g.
+    ``invalidate_table_cache(name="orders")`` drops orders for every sf_dir
+    in every live session)."""
+    sessions = [spark] if spark is not None else list(_TABLE_CACHE.keys())
+    for sess in sessions:
+        per_session = _TABLE_CACHE.get(sess)
+        if not per_session:
+            continue
+        for key in [
+            k
+            for k in per_session
+            if (sf_dir is None or k[0] == sf_dir)
+            and (name is None or k[1] == name)
+        ]:
+            del per_session[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -63,6 +63,30 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T2+T4: watermarked sliding-window count by event_type — the live
+    form of ``operators.windows.sliding_agg`` (each event lands in
+    duration/slide overlapping windows; state per open window, evicted by
+    the watermark)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            F.unix_micros("window.end").alias("window_end_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def session_counts_stream(
     events: DataFrame,
     ts_col: str = "ts",
@@ -111,6 +135,12 @@ def running_totals_stream(
     horizontally like any keyed stream. With an ``availableNow`` one-batch
     replay the emitted rows equal the batch ``groupBy(key).agg`` — which is
     exactly the DuckDB oracle used for the workload entry.
+
+    The UDF emits the UNROUNDED running total; rounding happens engine-side
+    on the output column through the decimal-mediated pattern the rest of
+    the workload uses (Python ``round`` is half-to-even while SQL ROUND is
+    half-away-from-zero — rounding inside the state function would bake a
+    cross-engine midpoint mismatch into the emitted state).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -123,18 +153,22 @@ def running_totals_stream(
         state.update((n, total))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                key_col: [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [total],
             }
         )
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    out = events.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputStructType=f"{key_col} bigint, n_events bigint, total_value double",
         stateStructType="n bigint, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.withColumn(
+        "total_value",
+        F.round(F.col("total_value").cast("decimal(18,6)"), 2).cast("double"),
     )
 
 

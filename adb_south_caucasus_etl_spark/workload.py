@@ -104,6 +104,21 @@ def cube_members_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_members_nation_full",
+    """
+    SELECT DISTINCT n_nationkey AS nation_id, n_name AS nation, n_regionkey
+    FROM nation ORDER BY nation_id
+    """,
+    doc="A2/E2 member enumeration with FULL payload parity: the reference's "
+        "members endpoint returns every column it gets (oec.py:22); "
+        "full_payload=True carries the dim table's remaining columns as "
+        "member attributes",
+)
+def cube_members_nation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return members(spark, sf_dir, "lineitem", "Nation", full_payload=True)
+
+
+@register(
     "cube_multi_cut_isin",
     """
     SELECT c_mktsegment AS segment,
@@ -1284,6 +1299,37 @@ def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_live",
+    """
+    WITH b AS (
+      SELECT event_type, to_timestamp(floor(epoch(ts) / 900) * 900) AS bucket
+      FROM events
+    )
+    SELECT epoch_us(bucket - i * INTERVAL 15 MINUTE) AS window_start_us,
+           epoch_us(bucket - i * INTERVAL 15 MINUTE + INTERVAL 1 HOUR) AS window_end_us,
+           event_type, COUNT(*) AS n
+    FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) s
+    GROUP BY 1, 2, 3
+    """,
+    doc="T2 executed as an ACTUAL Structured Streaming sliding-window query "
+        "(1 hour / 15 min slide, complete-mode memory sink, availableNow); "
+        "oracle identical to the batch sliding query",
+)
+def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import (
+        read_events_stream,
+        run_to_memory,
+        sliding_counts_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = sliding_counts_stream(
+        stream, "ts", "1 hour", "15 minutes", watermark="10 minutes"
+    )
+    return run_to_memory(spark, agg, "sliding_live", mode="complete")
+
+
+@register(
     "streaming_session_live",
     None,  # session_window end = last_ts + gap (streaming semantics) → rows-only
     doc="T3 executed as an ACTUAL streaming session_window aggregation "
@@ -1319,7 +1365,7 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_running_totals_live",
     """
     SELECT user_id, COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(CAST(SUM(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY 1
     """,
     doc="T5 custom stateful operator (applyInPandasWithState): per-user "
@@ -2042,4 +2088,139 @@ def neardup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     return jaccard_pairs(
         docs, "doc_id", "text", n=16, threshold=0.7, unit="char", max_df=50
+    )
+
+
+# --------------------------------------------------------------------------
+# round-2 coverage completion: right outer join (J2), map/JSON scalar
+# breadth (2.G), shuffle-free bucketed join (S4 + J1 at 100 TB)
+
+@register(
+    "join_right_outer",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price,
+           c_custkey, c_mktsegment AS segment
+    FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="J2 right outer join: every customer preserved; order columns are "
+        "null for customers with no qualifying (>300k) order — the left "
+        "side is filtered so the null-extension path is actually exercised "
+        "(at sf0.01 every customer has SOME order)",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    big = cat.orders.filter(F.col("o_totalprice") > 300000)
+    return (
+        big.join(
+            cat.customer, F.col("o_custkey") == F.col("c_custkey"), "right"
+        )
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+
+@register(
+    "scalar_map_json_funcs",
+    """
+    SELECT event_id,
+           CAST(props->>'k' AS INTEGER) AS k_path,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_tuple,
+           json_keys(props)[1] AS prop_key,
+           CAST(props->>'k' AS INTEGER) AS prop_val,
+           to_json({'k': CAST(props->>'k' AS INTEGER)}) AS props_norm,
+           array_to_string(json_keys(props), ',') AS keys_csv,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+    FROM events
+    """,
+    doc="§2.G map/JSON breadth: get_json_object (JSONPath), json_tuple "
+        "(generator), from_json→map with explode/map_keys/size, and a "
+        "to_json round-trip — over events.props",
+)
+def scalar_map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    props_map = F.from_json("props", "map<string,int>")
+    # json_tuple and explode are both generators — one generator per SELECT,
+    # so json_tuple runs in a first projection, explode(map) in the second
+    stage1 = cat.events.select(
+        "event_id",
+        "props",
+        F.json_tuple(F.col("props"), "k").alias("k_tuple_raw"),
+    )
+    return stage1.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        F.col("k_tuple_raw").cast("int").alias("k_tuple"),
+        F.explode(props_map).alias("prop_key", "prop_val"),
+        F.to_json(props_map).alias("props_norm"),
+        F.array_join(F.map_keys(props_map), ",").alias("keys_csv"),
+        F.size(props_map).alias("n_keys"),
+    )
+
+
+def bucketed_orders_customer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build (once per call) bucketed orders/customer tables and return their
+    shuffle-free join. Both sides are bucketed AND sorted on the customer
+    key with the same bucket count, so the sort-merge join's distribution
+    and ordering requirements are satisfied straight off the scan: the
+    physical plan has NO Exchange and NO Sort on either side (asserted in
+    tests/test_sinks_sketches.py::test_bucketed_join_has_no_exchange).
+
+    This is the 100 TB answer to repeatedly joining the same big tables:
+    pay one bucketing shuffle at write time, then every custkey join is
+    co-located. The ``merge`` hint pins the strategy — without it the tiny
+    sf0.01 customer side would be broadcast, which also has no shuffle but
+    proves nothing about co-location."""
+    import os
+    import tempfile
+
+    from .sources.sinks import write_bucketed
+
+    out = tempfile.mkdtemp(prefix="adb_sc_buckets_")
+    tag = os.path.basename(out).removeprefix("adb_sc_buckets_")
+    cat = Catalog(spark, sf_dir)
+    names = {}
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tname = f"bkt_{tbl}_{tag}"
+        write_bucketed(
+            cat.table(tbl),
+            tname,
+            os.path.join(out, tbl),
+            [key],
+            num_buckets=8,
+            sort_cols=[key],
+        )
+        names[tbl] = tname
+    o = spark.table(names["orders"])
+    c = spark.table(names["customer"])
+    return o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
+
+
+@register(
+    "bucketed_join_segments",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    doc="S4+J1 shuffle-free co-located join: orders ⋈ customer both "
+        "pre-bucketed+sorted on custkey (8 buckets) — zero Exchange on the "
+        "join (plan-asserted in tests); the bucketing-at-write-time pattern "
+        "that amortizes the shuffle across every future join at 100 TB",
+)
+def bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = bucketed_orders_customer_join(spark, sf_dir)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
     )

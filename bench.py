@@ -69,19 +69,38 @@ def main() -> None:
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
 
+    # full per-query sweep (1 iteration each): every registered query, so
+    # round-over-round regressions are visible per operator, not just for
+    # the headline set. Failures record null rather than erasing the bench.
+    full: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
+    for name, entry in WORKLOAD.items():
+        if name in times:
+            full[name] = times[name]
+            continue
+        try:
+            t0 = time.time()
+            entry.fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            full[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — bench must survive one bad query
+            full[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "iterations": 2,
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "iterations": 2,
+        "queries": times,
+        "queries_full": full,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -74,6 +74,46 @@ def test_members_sorted(spark, sf_dir):
     assert len(ids) == len(set(ids))
 
 
+def test_members_full_payload_parity(spark, sf_dir):
+    # default stays the drill-friendly (id, label) projection; full_payload
+    # restores the reference's whole-endpoint-payload behavior (oec.py:22)
+    slim = members(spark, sf_dir, "lineitem", "Nation")
+    full = members(spark, sf_dir, "lineitem", "Nation", full_payload=True)
+    assert slim.columns == ["nation_id", "nation"]
+    assert full.columns == ["nation_id", "nation", "n_regionkey"]
+    # same member set either way, one attribute row per member, sorted
+    assert [r["nation_id"] for r in full.collect()] == [
+        r["nation_id"] for r in slim.collect()
+    ]
+
+
+def test_registry_cache_invalidation(spark, sf_dir, tmp_path):
+    import shutil
+
+    from adb_south_caucasus_etl_spark.sources.registry import (
+        invalidate_table_cache,
+        load_table,
+    )
+
+    # copy a table to a private dir so we can rewrite it mid-session
+    d = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    shutil.copy(f"{sf_dir}/region.parquet", f"{d}/region.parquet")
+    first = load_table(spark, d, "region")
+    n = first.count()
+    # rewrite the table in the directory layout with fewer rows (write
+    # BEFORE removing the source — the plan reads lazily)
+    first.limit(2).write.parquet(str(tmp_path / "region_new"))
+    import os
+
+    os.remove(f"{d}/region.parquet")
+    shutil.copytree(str(tmp_path / "region_new"), f"{d}/region")
+    # the stale cached handle still lists the deleted file; the hook makes
+    # the next load re-list
+    invalidate_table_cache(spark, sf_dir=d, name="region")
+    assert load_table(spark, d, "region").count() == 2 < n
+
+
 def test_rollup_subtotals(spark, sf_dir):
     q = CubeQuery("lineitem", ("Return Flag", "Line Status"), ("Quantity",), rollup=True)
     rows = compile_query(spark, sf_dir, q).collect()

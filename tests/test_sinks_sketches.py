@@ -100,6 +100,23 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """The registered bucketed_join_segments entry: the orders ⋈ customer
+    join itself must run with NO Exchange and NO per-task Sort — both sides
+    are bucketed+sorted on the key, so the scan satisfies the sort-merge
+    join's distribution and ordering requirements directly."""
+    from adb_south_caucasus_etl_spark.workload import (
+        bucketed_orders_customer_join,
+    )
+
+    joined = bucketed_orders_customer_join(spark, SF)
+    assert joined.count() > 0
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final, final
+    assert "Exchange" not in final, final
+
+
 def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
     """Hive-partitioned writes + a filtered dim join give runtime partition
     pruning (the fact scan's partition filter is a dynamicpruning subquery,
