@@ -2224,3 +2224,141 @@ def bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# correlated-subquery shapes (TPC-H q4/q6/q17/q22 adapted to this schema) —
+# the decorrelation patterns: EXISTS → compound-condition semi join,
+# scalar-per-group subquery → groupBy + join, scalar subquery → broadcast
+# cross join, NOT EXISTS → anti join. All shuffle on join keys; no driver
+# actions, no collects.
+
+@register(
+    "q4_late_shipments",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS with a non-equi component → "
+        "left-semi join on (orderkey, shipdate > orderdate + 90d); the "
+        "equi key carries the shuffle, the range predicate rides along",
+)
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        cat.orders.join(cat.lineitem, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure filter + global agg — every predicate reaches "
+        "the parquet scan (PushedFilters), zero joins, one-row result",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(ROUND(CAST(SUM(l_extendedprice) / 7.0 AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: scalar correlated subquery (per-part avg qty) "
+        "decorrelated into groupBy(l_partkey)+join — one extra keyed "
+        "shuffle instead of a per-row subquery; part filter broadcast",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    lim = cat.lineitem.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("__qty_lim")
+    )
+    brand = cat.part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        cat.lineitem.join(
+            F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(lim, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__qty_lim"))
+        .agg(
+            F.round(
+                (F.sum("l_extendedprice") / 7.0).cast("decimal(18,6)"), 2
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 300000
+      )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape: uncorrelated scalar subquery (global avg balance) "
+        "as a broadcast cross join — never a collect — plus NOT EXISTS as "
+        "a left-anti join on the filtered orders side",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    avg_bal = (
+        cat.customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("__avg_bal"))
+    )
+    big = cat.orders.filter(F.col("o_totalprice") > 300000)
+    return (
+        cat.customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
