@@ -172,6 +172,33 @@ def running_totals_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+    right_key: str | None = None,
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: right rows
+    within ``[left_ts, left_ts + within]`` for the same key. Watermarks on
+    BOTH sides plus the explicit time bound are what let Spark evict join
+    state (without them, every row waits forever for future matches) — the
+    canonical enrich-one-stream-with-another shape. With an availableNow
+    one-batch replay the output equals the batch interval join, which is
+    the DuckDB oracle of the workload entry."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[right_key or key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def run_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

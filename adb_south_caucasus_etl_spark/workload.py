@@ -1348,6 +1348,58 @@ def streaming_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join_live",
+    """
+    SELECT e.user_id, e.event_id AS err_id, p.event_id AS buy_id,
+           epoch_us(e.ts) AS err_ts_us, epoch_us(p.ts) AS buy_ts_us,
+           ROUND(p.value, 2) AS buy_value
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'error') e
+    JOIN (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+    """,
+    doc="stream-stream inner join (errors enriched with purchases within "
+        "30 min, same user) executed as an ACTUAL Structured Streaming "
+        "join: watermarks on both sides + the time bound let Spark evict "
+        "join state; one-batch replay equals the batch interval join",
+)
+def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import (
+        interval_join_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    errs = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("err_ts"),
+                F.col("event_id").alias("err_id"))
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("buyer_id"),
+                F.col("ts").alias("buy_ts"),
+                F.col("event_id").alias("buy_id"), "value")
+    )
+    joined = interval_join_stream(
+        errs, buys, key="user_id", left_ts="err_ts", right_ts="buy_ts",
+        within="30 minutes", watermark="10 minutes", right_key="buyer_id",
+    ).select(
+        "user_id",
+        "err_id",
+        "buy_id",
+        F.unix_micros("err_ts").alias("err_ts_us"),
+        F.unix_micros("buy_ts").alias("buy_ts_us"),
+        F.round("value", 2).alias("buy_value"),
+    )
+    return run_to_memory(spark, joined, "interval_join_live", mode="append")
+
+
+@register(
     "streaming_dedup_users",
     None,  # which duplicate row survives is arrival-order-dependent → rows-only
     doc="T5 stateful streaming dedup (dropDuplicatesWithinWatermark on user_id)",
@@ -2224,6 +2276,34 @@ def bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "udtf_chunk_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents
+    ),
+    i AS (
+      SELECT doc_id, ts,
+             CAST(unnest(range(0, len(ts), 24)) AS INTEGER) AS s
+      FROM t
+    )
+    SELECT doc_id, CAST(s / 24 AS INTEGER) AS chunk_idx,
+           array_to_string(ts[s + 1 : s + 32], ' ') AS chunk,
+           CAST(len(ts[s + 1 : s + 32]) AS INTEGER) AS n_tokens
+    FROM i
+    """,
+    doc="2.K UDTF surface: LLM context-window chunking (32-word windows, "
+        "stride 24) as a Python UDTF in a LATERAL join — ragged 1-to-N row "
+        "expansion the planner can't size up front",
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.chunking import chunk_documents
+
+    docs = Catalog(spark, sf_dir).documents
+    return chunk_documents(spark, docs, size=32, stride=24)
 
 
 # --------------------------------------------------------------------------
