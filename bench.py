@@ -54,16 +54,18 @@ def main() -> None:
         spark, "/root/testdata/sf0.001"
     ).write.format("noop").mode("overwrite").save()
 
-    # two iterations per query, report the min: every iteration rebuilds the
-    # DataFrame from scratch (full analysis/optimization/codegen + execution
-    # end-to-end into the noop sink), so the number still measures the whole
-    # engine path — the min just suppresses one-off JIT/GC noise that was
-    # ±15% run to run.
+    # three iterations per query, report the min: every iteration rebuilds
+    # the DataFrame from scratch (full analysis/optimization/codegen +
+    # execution end-to-end into the noop sink), so the number still measures
+    # the whole engine path — the min suppresses JIT/GC warm-up noise
+    # (measured on this rig: a shuffle-heavy query ran 4.5 / 2.65 / 1.9 s on
+    # iterations 1/2/3, steady thereafter — min-of-2 still carried ~40%
+    # first-touch JIT).
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = WORKLOAD[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
