@@ -1,0 +1,133 @@
+"""Training-data curation operators (SURVEY §2.H [NS] tier) — the steps a
+pretraining pipeline runs between raw documents and a training mix:
+deterministic sampling, per-source caps, token budgeting, and the composed
+quality→dedup→cap pipeline. All pure DataFrame expressions (JVM codegen),
+every one oracle-verified in the workload.
+
+Scale notes:
+
+- Sampling is a FILTER, not Spark's ``df.sample``: ``sample`` is seeded
+  per-partition, so results change with partitioning/retries — useless for
+  reproducible corpus construction. A modulus on a uniform key (or a hash
+  of a non-uniform key) is stable under any partitioning, any retry, any
+  cluster size, and pushes down to the scan.
+- Per-source caps and token budgets are window functions partitioned by
+  bounded keys (source, lang) — no global sort, no single-partition window.
+- The composed pipeline is one plan: Catalyst fuses the quality projection,
+  dedup window, and cap window; only the two window shuffles (fingerprint,
+  source) and the final exchange survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, text_profile, token_count
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 10,
+    hash_key: bool = False,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``key mod 100 < pct(stratum)``. Reproducible by construction —
+    independent of partitioning, task retries, and cluster size (unlike
+    ``df.sample``, whose per-partition seeding ties results to the physical
+    plan). With sequential ids the modulus IS the sampling rate; for
+    non-uniform keys pass ``hash_key=True`` to sample on
+    ``xxhash64(key)`` instead (not ANSI-SQL-reproducible → rows-only
+    check, hence the registered query keeps it off)."""
+    key = F.col(key_col)
+    if hash_key:
+        key = F.xxhash64(key)
+    pct = F.lit(default_pct)
+    for stratum, rate in sorted(rates_pct.items()):
+        pct = F.when(F.col(stratum_col) == stratum, F.lit(rate)).otherwise(pct)
+    return df.filter(F.pmod(key, F.lit(100)) < pct)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group (per-domain cap in a training mix).
+    One window shuffle on the group key; Spark's WindowGroupLimit prunes
+    each partition to k rows before the final filter."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def token_budget_filter(
+    df: DataFrame,
+    budget_tokens: int,
+    stratum_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    cum_col: str | None = None,
+) -> DataFrame:
+    """Fill each stratum up to a token budget: docs taken in deterministic
+    ``order_col`` order, kept while the running (inclusive) token total
+    stays within ``budget_tokens``. The "give me ~N tokens per language"
+    mixing primitive. One window shuffle on the stratum. Pass ``cum_col``
+    to keep the running total in the output."""
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(text_col)
+    out = (
+        df.withColumn("__tok", n_tok)
+        .withColumn("__cum", F.sum("__tok").over(w).cast("bigint"))
+        .filter(F.col("__cum") <= budget_tokens)
+        .drop("__tok")
+    )
+    if cum_col is None:
+        return out.drop("__cum")
+    return out.withColumnRenamed("__cum", cum_col)
+
+
+def curate(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    per_source_cap: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The composed curation pipeline: quality floor → exact dedup
+    (canonical fingerprint, min-id survivor) → per-source cap keeping the
+    highest-quality docs. Returns (doc_id, lang, source, quality).
+
+    Quality is rounded to 6 decimals BEFORE it is used for ranking so the
+    keep/drop decision is identical across engines (raw float ulp noise
+    between Spark and the SQL oracle could otherwise flip the rank of two
+    near-equal docs at the cap boundary)."""
+    profiled = text_profile(df, text_col).withColumn(
+        "quality", F.round(F.col("quality"), 6)
+    )
+    passed = profiled.filter(F.col("quality") >= min_quality)
+    dd = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    deduped = (
+        passed.withColumn("__dd", F.row_number().over(dd))
+        .filter(F.col("__dd") == 1)
+        .drop("__dd")
+    )
+    capped = cap_per_group(
+        deduped,
+        [source_col],
+        [F.col("quality").desc(), F.col(id_col).asc()],
+        per_source_cap,
+    )
+    return capped.select(id_col, "lang", source_col, "quality")

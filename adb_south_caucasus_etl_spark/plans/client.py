@@ -35,9 +35,18 @@ class CubeClient:
         self.sf_dir = sf_dir
         self.cubes = cubes or DEFAULT_CUBES
 
-    def get_members(self, cube: str, level: str) -> DataFrame:
-        """Member table of ``(cube, level)`` — reference oec.py:12-25."""
-        return members(self.spark, self.sf_dir, cube, level, self.cubes)
+    def get_members(
+        self, cube: str, level: str, full_payload: bool = False
+    ) -> DataFrame:
+        """Member table of ``(cube, level)`` — reference oec.py:12-25.
+        ``full_payload=True`` returns every column of the level's source
+        table (the reference keeps the endpoint's whole payload,
+        oec.py:22); the default projects the (id, label) pair callers
+        actually drill on."""
+        return members(
+            self.spark, self.sf_dir, cube, level, self.cubes,
+            full_payload=full_payload,
+        )
 
     def get_data(
         self,

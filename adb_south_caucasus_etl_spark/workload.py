@@ -2307,6 +2307,102 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# training-data curation (operators/curation.py): deterministic sampling,
+# token budgeting, and the composed quality→dedup→cap pipeline
+
+@register(
+    "curation_stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 100 < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25
+                                   ELSE 10 END
+    """,
+    doc="curation: deterministic stratified sampling (key-modulus filter — "
+        "reproducible under any partitioning/retry, unlike df.sample's "
+        "per-partition seeding; xxhash64 variant for non-uniform keys)",
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import stratified_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    return stratified_sample(
+        docs, "lang", "doc_id", {"en": 50, "de": 25}, default_pct=10
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "curation_token_budget",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 2000
+    """,
+    doc="curation: fill each language up to a 2000-token budget in "
+        "deterministic doc_id order (window cumsum ≤ budget) — the "
+        "mixing primitive for 'give me N tokens per language'",
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import token_budget_filter
+
+    docs = Catalog(spark, sf_dir).documents
+    return token_budget_filter(
+        docs, 2000, stratum_col="lang", order_col="doc_id",
+        cum_col="cum_tokens",
+    ).select("doc_id", "lang", "cum_tokens")
+
+
+@register(
+    "curation_pipeline",
+    r"""
+    WITH prof AS (
+      SELECT doc_id, lang, source, text,
+             ROUND(0.4 * least(1.0, len(ts) / 100.0)
+                   + 0.4 * (len(list_distinct(ts)) / len(ts))
+                   + 0.2 * (len(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                               '', 'g')) / len(text)),
+                   6) AS quality
+      FROM (SELECT doc_id, lang, source, text,
+                   string_split_regex(trim(text), '\s+') AS ts
+            FROM documents) t
+    ),
+    passed AS (SELECT * FROM prof WHERE quality >= 0.6),
+    dd AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+      FROM passed
+    ),
+    deduped AS (SELECT doc_id, lang, source, quality FROM dd WHERE rn = 1),
+    capped AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY quality DESC, doc_id) AS rn2
+      FROM deduped
+    )
+    SELECT doc_id, lang, source, quality FROM capped WHERE rn2 <= 15
+    """,
+    doc="curation: the composed pipeline — quality floor (0.6) → exact "
+        "dedup on canonical fingerprint (min-id survivor) → per-source cap "
+        "keeping the 15 highest-quality docs; quality rounded to 6 before "
+        "ranking so the cap boundary is engine-stable",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import curate
+
+    docs = Catalog(spark, sf_dir).documents
+    return curate(docs, min_quality=0.6, per_source_cap=15)
+
+
+# --------------------------------------------------------------------------
 # correlated-subquery shapes (TPC-H q4/q6/q17/q22 adapted to this schema) —
 # the decorrelation patterns: EXISTS → compound-condition semi join,
 # scalar-per-group subquery → groupBy + join, scalar subquery → broadcast

@@ -192,6 +192,58 @@ def test_cc_star_matches_min_label_on_random_graph(spark):
     assert ml == st
 
 
+def test_stratified_sample_deterministic(spark, sf_dir):
+    from adb_south_caucasus_etl_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    a = stratified_sample(docs, "lang", "doc_id", {"en": 50}, default_pct=10)
+    # repartitioning must not change the sample (df.sample would)
+    b = stratified_sample(
+        docs.repartition(7), "lang", "doc_id", {"en": 50}, default_pct=10
+    )
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b and ids_a
+    # every kept row satisfies the modulus rule
+    assert all(
+        (i % 100 < 50) or (i % 100 < 10)
+        for i in ids_a
+    )
+
+
+def test_token_budget_respects_budget_per_stratum(spark, sf_dir):
+    from adb_south_caucasus_etl_spark.operators.curation import (
+        token_budget_filter,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    out = token_budget_filter(docs, 1500, cum_col="cum").collect()
+    assert out
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for rows in by_lang.values():
+        assert max(r.cum for r in rows) <= 1500
+        # prefix property: kept docs are exactly the smallest doc_ids
+        ids = sorted(r.doc_id for r in rows)
+        assert len(ids) == len(set(ids))
+
+
+def test_curate_respects_cap_and_quality_floor(spark, sf_dir):
+    from adb_south_caucasus_etl_spark.operators.curation import curate
+
+    docs = Catalog(spark, sf_dir).documents
+    out = curate(docs, min_quality=0.6, per_source_cap=5).collect()
+    assert out
+    per_source = {}
+    for r in out:
+        assert r.quality >= 0.6
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert max(per_source.values()) <= 5
+
+
 def test_lang_id_on_real_sentences(spark):
     df = spark.createDataFrame(
         [
