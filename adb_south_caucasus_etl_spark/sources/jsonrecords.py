@@ -9,8 +9,10 @@ array of flat record objects) into a DataFrame, then normalizes column names
   parallelized so anything downstream is distributed).
 - :func:`read_http_jsonrecords` owns the GET + auth-token plumbing with the
   reference's exact fallback order: explicit arg > environment variable
-  (reference oec.py:59-60). Gated behind an import-try since the test
-  container has no network.
+  (reference oec.py:59-60). Uses ``requests`` when installed, else falls
+  back to stdlib ``urllib`` — the HTTP path works everywhere Python does
+  (exercised against an in-process HTTP server in
+  tests/test_client_sources.py).
 
 For *bulk* JSON (data plane, not control plane), use
 ``spark.read.json(path, schema=...)`` on staged files instead — executors
@@ -19,7 +21,10 @@ read in parallel and the scan participates in pushdown.
 
 from __future__ import annotations
 
+import json
 import os
+import urllib.parse
+import urllib.request
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -71,17 +76,25 @@ def read_http_jsonrecords(
     timeout: float = 60.0,
 ) -> DataFrame:
     """GET ``url`` with query params and parse the jsonrecords body —
-    the full reference request path (oec.py:43-63). Requires ``requests``."""
-    if not _HAS_REQUESTS:  # pragma: no cover
-        raise NotImplementedError(
-            "requests is unavailable in this environment; "
-            "use records_to_df on a pre-fetched payload"
-        )
+    the full reference request path (oec.py:43-63). Uses ``requests`` when
+    available, stdlib ``urllib`` otherwise (same URL encoding, same
+    error-on-HTTP-failure contract)."""
     payload = dict(params or {})  # never mutate caller input (oec.py:48)
     if auth:
         tok = resolve_token(token, token_env)
         if tok:
             payload["token"] = tok
-    r = requests.get(url, params=payload, timeout=timeout)
-    r.raise_for_status()
-    return records_to_df(spark, r.json(), schema=schema)
+    if _HAS_REQUESTS:
+        r = requests.get(url, params=payload, timeout=timeout)
+        r.raise_for_status()
+        body = r.json()
+    else:
+        full = url
+        if payload:
+            sep = "&" if urllib.parse.urlparse(url).query else "?"
+            full = f"{url}{sep}{urllib.parse.urlencode(payload)}"
+        # raises urllib.error.HTTPError on non-2xx — the raise_for_status
+        # equivalent
+        with urllib.request.urlopen(full, timeout=timeout) as resp:
+            body = json.loads(resp.read().decode("utf-8"))
+    return records_to_df(spark, body, schema=schema)

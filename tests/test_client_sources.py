@@ -77,3 +77,55 @@ def test_client_sql_facade(spark, sf_dir):
         ).collect()
     }
     assert len(got) == 5 and all(n == 5 for _, n in got)
+
+
+def test_http_jsonrecords_roundtrip_localhost(spark):
+    """Full HTTP path (S1) against an in-process server: query-param
+    encoding, auth-token attachment, jsonrecords parsing, name
+    normalization — works via requests or the stdlib urllib fallback."""
+    import http.server
+    import json
+    import threading
+    import urllib.parse
+
+    from adb_south_caucasus_etl_spark.sources.jsonrecords import (
+        read_http_jsonrecords,
+    )
+
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = urllib.parse.urlparse(self.path)
+            seen.update(urllib.parse.parse_qsl(q.query))
+            body = json.dumps(
+                {"data": [
+                    {"ID": 1, "Trade Value": 10.5},
+                    {"ID": 2, "Trade Value": 20.0},
+                ]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/data"
+        df = read_http_jsonrecords(
+            spark, url,
+            params={"cube": "trade", "drilldowns": "Year"},
+            auth=True, token="tok-123",
+        )
+        rows = sorted(df.collect(), key=lambda r: r.id)
+        assert df.columns == ["id", "trade_value"]
+        assert [(r.id, r.trade_value) for r in rows] == [(1, 10.5), (2, 20.0)]
+        assert seen == {"cube": "trade", "drilldowns": "Year",
+                        "token": "tok-123"}
+    finally:
+        srv.shutdown()
