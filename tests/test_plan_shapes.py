@@ -1,0 +1,89 @@
+"""Plan-shape regression tests: lock in the physical-plan claims SCALE.md
+and the operator docstrings make. These are the 100 TB invariants — a
+correctness-green change that silently doubles the scans or adds a Python
+pass would still regress here.
+
+All assertions run on the AQE-FINAL plan (collect first; before execution
+AdaptiveSparkPlan only shows the initial, pre-reuse plan).
+"""
+
+import re
+
+from adb_south_caucasus_etl_spark.sources.registry import Catalog
+from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+SF = "/root/testdata/sf0.001"
+
+
+def _final_plan(df):
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"\bExchange (hash|range|Single)", plan))
+
+
+def test_flagship_one_exchange_four_broadcasts(spark):
+    """The star query: 4 broadcast-hash joins over ONE lineitem pass; the
+    only shuffle is the final drilldown aggregation."""
+    plan = _final_plan(WORKLOAD["cube_flagship_revenue"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert _exchanges(plan) == 1, plan
+    # the cut is pushed into the parquet scan, not applied post-join
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+
+
+def test_jaccard_self_join_shares_one_subtree(spark):
+    """The inverted-index self-join must read ONE shared shingle pipeline
+    (ReusedExchange), not re-execute the explode/window chain per side."""
+    plan = _final_plan(WORKLOAD["neardup_jaccard_pairs"].fn(spark, SF))
+    assert plan.count("ReusedExchange") >= 1, plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+
+
+def test_simhash_single_python_pass(spark):
+    """SimHash: exactly ONE ArrowEvalPython in the final plan — join-key
+    constraint inference must not re-evaluate the UDF per side (the naive
+    plan ran it 4x; see SCALE.md Catalyst facts)."""
+    plan = _final_plan(WORKLOAD["simhash_near_pairs"].fn(spark, SF))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+
+
+def test_topk_pushes_window_group_limit(spark):
+    """Top-k per group: WindowGroupLimit prunes partitions to k rows before
+    the final sort (the documented O3 scale shape)."""
+    plan = _final_plan(WORKLOAD["topk_customers_per_region"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q6_filters_reach_scan(spark):
+    """TPC-H q6 shape: every predicate is pushed to the parquet scan."""
+    plan = _final_plan(WORKLOAD["q6_forecast_revenue"].fn(spark, SF))
+    m = re.search(r"PushedFilters: \[([^\]]*)", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_curation_pipeline_two_window_shuffles(spark):
+    """The composed curate() plan: quality projection fuses; only the
+    fingerprint-dedup window and the per-source cap window shuffle."""
+    plan = _final_plan(WORKLOAD["curation_pipeline"].fn(spark, SF))
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    assert _exchanges(plan) == 2, plan
+
+
+def test_scan_prunes_columns(spark):
+    """Column pruning: a 2-column projection must not read the whole table."""
+    df = Catalog(spark, SF).lineitem.select("l_orderkey", "l_quantity")
+    plan = _final_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey", "l_quantity",
+    }
