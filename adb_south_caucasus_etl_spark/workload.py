@@ -2306,6 +2306,81 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(spark, docs, size=32, stride=24)
 
 
+@register(
+    "scd2_user_value_intervals",
+    """
+    SELECT user_id, event_id,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           ROUND(value, 2) AS state_value,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD2 dimension build: each event becomes a validity-interval "
+        "version row [ts, next ts) per user via window lead; open interval "
+        "(null valid_to) marks the current version — one shuffle on the key",
+)
+def scd2_user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        F.round("value", 2).alias("state_value"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@register(
+    "funnel_signup_to_purchase",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conv AS (
+      SELECT DISTINCT s.user_id
+      FROM s JOIN events p
+        ON p.user_id = s.user_id AND p.event_type = 'purchase'
+       AND p.ts >= s.signup_ts AND p.ts <= s.signup_ts + INTERVAL 24 HOUR
+    )
+    SELECT 'signed_up' AS stage, COUNT(*) AS users FROM s
+    UNION ALL
+    SELECT 'purchased_within_24h' AS stage, COUNT(*) AS users FROM conv
+    """,
+    doc="event funnel: users whose first signup is followed by a purchase "
+        "within 24 h — first-touch agg + time-bounded semi join, the "
+        "standard conversion shape over the events stream",
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = s.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("signup_ts"))
+        & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 24 HOUR")),
+        "left_semi",
+    )
+    tag = lambda df, t: df.agg(F.count(F.lit(1)).alias("users")).select(  # noqa: E731
+        F.lit(t).alias("stage"), "users"
+    )
+    return tag(s, "signed_up").unionByName(tag(conv, "purchased_within_24h"))
+
+
 # --------------------------------------------------------------------------
 # training-data curation (operators/curation.py): deterministic sampling,
 # token budgeting, and the composed quality→dedup→cap pipeline
