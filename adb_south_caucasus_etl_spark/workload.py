@@ -2307,6 +2307,104 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_gap_fill",
+    """
+    WITH f AS (
+      SELECT date_trunc('hour', ts) AS h, value
+      FROM events WHERE event_type = 'purchase' AND value > 250
+    ),
+    c AS (SELECT h, COUNT(*) AS n, ROUND(SUM(value), 2) AS total FROM f GROUP BY 1),
+    spine AS (
+      SELECT unnest(generate_series((SELECT MIN(h) FROM f),
+                                    (SELECT MAX(h) FROM f),
+                                    INTERVAL 1 HOUR)) AS h
+    )
+    SELECT epoch_us(spine.h) AS hour_us,
+           COALESCE(n, 0) AS n,
+           COALESCE(total, 0.0) AS total
+    FROM spine LEFT JOIN c ON spine.h = c.h
+    """,
+    doc="time-series gap fill: hourly date spine built engine-side "
+        "(sequence over the 1-row min/max aggregate — no driver collect) "
+        "left-joined to the sparse counts, missing hours zero-filled",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    f = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 250)
+    ).select(F.date_trunc("hour", "ts").alias("h"), "value")
+    counts = f.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    spine = (
+        f.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    return spine.join(counts, "h", "left").select(
+        F.unix_micros("h").alias("hour_us"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
+
+
+@register(
+    "share_of_total_revenue",
+    """
+    WITH r AS (
+      SELECT r_name AS region,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1
+    )
+    SELECT region, revenue,
+           CAST(ROUND(CAST(revenue / SUM(revenue) OVER ()
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS share
+    FROM r
+    """,
+    doc="percent-of-total (ratio_to_report): whole-frame window AFTER "
+        "aggregating to bounded cardinality — the window spans 5 region "
+        "rows, never the fact table; decimal-mediated division rounding",
+)
+def share_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    total = Window.partitionBy()
+    return rev.select(
+        "region",
+        "revenue",
+        F.round(
+            (F.col("revenue") / F.sum("revenue").over(total)).cast(
+                "decimal(18,6)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("share"),
+    )
+
+
+@register(
     "scd2_user_value_intervals",
     """
     SELECT user_id, event_id,
