@@ -2711,3 +2711,272 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# multi-join / distribution / disjunctive-predicate shapes (TPC-H q7/q9/q13/
+# q14/q16/q19 adapted to this schema — no partsupp table, so q9's supplycost
+# becomes a retail-price margin). The point of each: q7 two independent dim
+# paths into one fact row; q9 four-way star with an expression measure; q13
+# outer-join count distribution (group on an aggregate of an aggregate); q14
+# conditional-numerator ratio; q16 count-distinct with an anti-joined
+# exclusion list; q19 OR-of-conjuncts that still prunes at the scan.
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, yr,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    )
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: two independent dimension paths (supplier-nation "
+        "and customer-nation) join the same fact row; the nation-pair OR "
+        "filter is applied AFTER both dim joins but Catalyst pushes the "
+        "single-nation IN-lists down each broadcast side",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    sn = cat.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = cat.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT nation, yr, ROUND(SUM(amount), 2) AS profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             l_extendedprice * (1 - l_discount)
+               - 0.8 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+    )
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (no partsupp in this schema, so supplycost becomes "
+        "a 0.8*retailprice margin): four-way star with an arithmetic "
+        "expression measure; the p_name LIKE filter prunes the part "
+        "broadcast BEFORE the fact join",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    parts = cat.part.filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.8 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        cat.lineitem.join(
+            F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("profit"))
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: aggregate-of-aggregate distribution — left outer "
+        "join with the priority predicate INSIDE the join condition (not a "
+        "post-filter, which would drop order-less customers), COUNT(col) "
+        "null-skipping for the zero bucket, then a second tiny regroup",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cat.customer.join(cat.orders, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue_pct",
+    """
+    SELECT CAST(ROUND(CAST(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount))
+           AS DECIMAL(18,6)), 4) AS DOUBLE) AS promo_pct,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+    """,
+    doc="TPC-H Q14 shape: conditional-numerator ratio in one aggregation "
+        "pass (no second scan for the denominator); decimal-mediated "
+        "division rounding; date filter reaches the lineitem scan",
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                (100.0 * F.sum(promo) / F.sum(rev)).cast("decimal(18,6)"), 4
+            )
+            .cast("double")
+            .alias("promo_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute with "
+        "a NOT-IN exclusion list decorrelated into a left-anti join on the "
+        "(small, broadcast) negative-balance supplier set; part predicates "
+        "prune the broadcast before the fact join",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    parts = cat.part.filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        cat.lineitem.join(
+            F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: OR-of-conjuncts mixing part and lineitem columns "
+        "— Catalyst derives the single-table residuals (brand IN-list onto "
+        "the part scan, quantity range onto lineitem) so the disjunction "
+        "never forces a full-scan join",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+
+    def arm(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand", "p_size")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#34", 15, 20, 30)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
