@@ -173,3 +173,33 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
     )
+
+
+#: PII-ish patterns kept deliberately simple so the SAME regex compiles
+#: identically under Java (Spark) and RE2-style (DuckDB/duckdb_re2)
+#: engines: no lookarounds, no backrefs, no \b-adjacent quantifier tricks.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+}
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-kind PII match counts (``regexp_count`` — JVM codegen, no UDF).
+    SQL mirror: ``len(regexp_extract_all(text, pattern))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(col: str | Column, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token`` (``regexp_replace`` replaces
+    globally in Spark; the SQL mirror needs the ``'g'`` flag). Chained in
+    deterministic sorted-kind order so both engines redact identically
+    even when patterns could overlap."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in sorted(PII_PATTERNS):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], token)
+    return c

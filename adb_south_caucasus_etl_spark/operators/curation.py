@@ -131,3 +131,78 @@ def curate(
         per_source_cap,
     )
     return capped.select(id_col, "lang", source_col, "quality")
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Test-set decontamination: flag training documents whose n-gram sets
+    overlap the held-out test corpus (the GPT-3 appendix-C / PaLM
+    "13-gram collision" check, with ``n`` sized to this corpus).
+
+    Returns ``(doc_id, n_grams, n_hits, contamination, contaminated)``
+    where ``contamination = n_hits / n_grams`` over the train doc's
+    DISTINCT n-grams and ``n_hits`` counts how many of them appear
+    ANYWHERE in the test corpus.
+
+    Scale shape: the test side collapses to one GLOBAL distinct n-gram set
+    (no per-doc identity) — at 100 TB train / GB-scale test that set is
+    broadcast-sized, so the probe is a broadcast left-semi-style join: the
+    train side never shuffles beyond its own shingle build, and no
+    train×test pair blow-up can occur because hits are counted against the
+    deduplicated global set. Shingles ride ``exploded_shingles``'s single
+    exchange (operators/dedup.py:62)."""
+    from .dedup import exploded_shingles
+
+    tr = exploded_shingles(train, id_col, text_col, n=n)
+    te = (
+        exploded_shingles(test, id_col, text_col, n=n)
+        .select("__s")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        tr.join(F.broadcast(te), "__s", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hits"),
+        )
+    )
+    contamination = F.round(
+        (F.col("n_hits") / F.col("n_grams")).cast("decimal(18,6)"), 4
+    ).cast("double")
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "n_hits",
+        contamination.alias("contamination"),
+        (contamination >= threshold).alias("contaminated"),
+    )
+
+
+def assign_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 16,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard assignment for training-data export: shard =
+    first 32 md5 bits of the key, mod ``n_shards``. Stable under
+    partitioning, retries, and cluster size — the property a resumable
+    100 TB export needs (re-running a failed shard re-selects exactly the
+    same rows). md5 is used instead of ``xxhash64`` because it is
+    reproducible in ANSI SQL (the oracle casts the same hex prefix);
+    swap in ``F.xxhash64`` for a ~5× cheaper hash when cross-engine
+    verifiability is not required. Pure projection — no shuffle; the
+    subsequent partitioned write (``sources/sinks.py``) is what groups
+    rows physically."""
+    bits = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+    return df.withColumn(
+        shard_col, F.pmod(bits.cast("bigint"), F.lit(n_shards))
+    )

@@ -2980,3 +2980,225 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# training-data curation, part 2: decontamination, deterministic sharding,
+# PII scrubbing, repetition profiling. All JVM-expression pipelines — the
+# only shuffles are keyed aggregates; hashing is md5 where the oracle must
+# reproduce it, xxhash64 where it need not (shingle join keys).
+
+@register(
+    "curation_decontaminate",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents
+    ),
+    tr AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 4, 1) + 1),
+               i -> array_to_string(ts[i:i+4], ' ')))) AS g
+      FROM t WHERE doc_id % 20 <> 0
+    ),
+    te AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 4, 1) + 1),
+               i -> array_to_string(ts[i:i+4], ' ')))) AS g
+      FROM t WHERE doc_id % 20 = 0
+    ),
+    hits AS (
+      SELECT tr.doc_id, COUNT(*) AS n_grams, COUNT(te.g) AS n_hits
+      FROM tr LEFT JOIN te ON tr.g = te.g
+      GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_hits,
+           CAST(ROUND(CAST(n_hits / n_grams AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS contamination,
+           CAST(ROUND(CAST(n_hits / n_grams AS DECIMAL(18,6)), 4) AS DOUBLE)
+             >= 0.1 AS contaminated
+    FROM hits
+    """,
+    doc="test-set decontamination (GPT-3 appendix-C shape): 5-gram overlap "
+        "of each train doc (doc_id%20!=0) against the GLOBAL distinct "
+        "n-gram set of the held-out split (doc_id%20=0); test set collapses "
+        "to a broadcast — no train-side shuffle beyond the shingle build",
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import decontaminate
+
+    docs = Catalog(spark, sf_dir).documents
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    test = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(train, test, n=5, threshold=0.1)
+
+
+@register(
+    "curation_shard_assign",
+    """
+    SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 16 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="deterministic hash-shard assignment for training export: shard = "
+        "first 32 md5 bits of the key mod 16 — stable under partitioning/"
+        "retries (resumable export re-selects identical rows); the query "
+        "proves the shards come out statistically even",
+)
+def curation_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import assign_shards
+
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        assign_shards(docs, "doc_id", n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS INTEGER)
+             AS n_phone,
+           length(regexp_replace(regexp_replace(t,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[PII]', 'g'),
+                    '\d{3}-\d{3}-\d{4}', '[PII]', 'g')) AS clean_chars
+    FROM aug
+    WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+    """,
+    doc="PII scrub: regexp_count + global regexp_replace redaction, "
+        "engine-parity regexes (no lookarounds); the synthetic corpus has "
+        "no PII, so deterministic fake emails/phones are appended "
+        "engine-side on BOTH engines before scrubbing — the counts and "
+        "redacted lengths then verify the real operator logic",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import pii_counts, pii_redact
+
+    docs = Catalog(spark, sf_dir).documents
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    aug = docs.filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0)).select(
+        "doc_id", F.concat("text", email, phone).alias("t")
+    )
+    counts = pii_counts("t")
+    return aug.select(
+        "doc_id",
+        counts["email"],
+        counts["phone"],
+        F.length(pii_redact("t")).alias("clean_chars"),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents
+    ),
+    arr AS (
+      SELECT doc_id,
+             greatest(len(ts) - 1, 1) AS total2,
+             len(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 1, 1) + 1),
+               i -> array_to_string(ts[i:i+1], ' ')))) AS d2
+      FROM t
+    ),
+    cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(ts) AS tok FROM t)
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_cnt
+      FROM cnt GROUP BY 1
+    )
+    SELECT agg.doc_id, n_tokens,
+           CAST(ROUND(CAST(top_cnt / n_tokens AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS top_token_share,
+           CAST(ROUND(CAST(1.0 - d2 / total2 AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS dup_2gram_ratio
+    FROM agg JOIN arr ON agg.doc_id = arr.doc_id
+    """,
+    doc="intra-document repetition profile (boilerplate / looping-text "
+        "detector): top-token share via explode→two keyed aggregates, "
+        "duplicate-2-gram ratio via pure array expressions on the same "
+        "row — the two paths join back on doc_id; all JVM, no UDF",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens, word_shingles
+
+    docs = Catalog(spark, sf_dir).documents
+    t = tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.explode(t).alias("tok"),
+        F.greatest(F.size(t) - 1, F.lit(1)).alias("total2"),
+        F.size(word_shingles("text", n=2)).alias("d2"),
+    )
+    per_tok = base.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("total2").alias("total2"),
+        F.max("d2").alias("d2"),
+    )
+    agg = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_cnt"),
+        F.max("total2").alias("total2"),
+        F.max("d2").alias("d2"),
+    )
+    share = F.round(
+        (F.col("top_cnt") / F.col("n_tokens")).cast("decimal(18,6)"), 4
+    ).cast("double")
+    dup2 = F.round(
+        (1.0 - F.col("d2") / F.col("total2")).cast("decimal(18,6)"), 4
+    ).cast("double")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        share.alias("top_token_share"),
+        dup2.alias("dup_2gram_ratio"),
+    )
