@@ -87,3 +87,29 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Read a sink back; hive partition columns come back as inferred types."""
     return spark.read.parquet(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — same layout contract as ``write_parquet`` (hive
+    partitioning, no coalesce). ORC is the interchange format for
+    Hive/Trino-side consumers; both formats carry min/max stats and
+    support predicate pushdown + column pruning in Spark's scan."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """CSV read-back with an EXPLICIT schema — inference costs an extra
+    full pass and guesses types from samples (both wrong at 100 TB)."""
+    return spark.read.option("header", True).schema(schema).csv(path)

@@ -3202,3 +3202,65 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("top_token_share"),
         dup2.alias("dup_2gram_ratio"),
     )
+
+
+@register(
+    "sink_orc_roundtrip",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS gross
+    FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+    GROUP BY 1
+    """,
+    doc="S4 sink, ORC format: write the filtered lineitem as ORC "
+        "partitioned by returnflag, read back, aggregate — ORC scans get "
+        "the same pushdown/pruning treatment as parquet in Spark",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.sinks import read_orc, write_orc
+
+    out = tempfile.mkdtemp(prefix="adb_sc_orc_")
+    li = Catalog(spark, sf_dir).lineitem.filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ).select("l_returnflag", "l_extendedprice")
+    write_orc(li, out, partition_by=["l_returnflag"])
+    return (
+        read_orc(spark, out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        )
+    )
+
+
+@register(
+    "sink_csv_roundtrip",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 2) AS bal
+    FROM customer GROUP BY 1
+    """,
+    doc="S4 sink, CSV interchange: write customer as headered CSV, read "
+        "back with an EXPLICIT schema (no inference pass), aggregate — "
+        "proves the text-format round trip preserves values exactly",
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.sinks import read_csv, write_csv
+
+    out = tempfile.mkdtemp(prefix="adb_sc_csv_")
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_csv(cust, out)
+    back = read_csv(
+        spark, out, "c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE"
+    )
+    return back.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal"),
+    )
