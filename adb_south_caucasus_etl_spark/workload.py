@@ -3264,3 +3264,54 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("bal"),
     )
+
+
+@register(
+    "rollup_materialized_serve",
+    """
+    SELECT r_name AS region,
+           CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount))
+                           AS DECIMAL(18,6)), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count,
+           CAST(ROUND(CAST(SUM(l_discount) / COUNT(l_discount)
+                           AS DECIMAL(18,9)), 6) AS DOUBLE) AS avg_discount
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+    doc="materialized rollup serve: cube pre-aggregated ONCE at "
+        "(region, nation, year) grain with additive COMPONENTS (avg stored "
+        "as sum+count, never avg-of-avgs), then the coarser (region, year) "
+        "drilldown is answered from the 175-row rollup instead of the fact "
+        "table — the oracle recomputes from facts, proving the fold",
+)
+def rollup_materialized_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .plans.rollup import materialize_rollup, rollup_drilldown
+
+    out = tempfile.mkdtemp(prefix="adb_sc_rollup_")
+    fine = CubeQuery(
+        cube="lineitem",
+        drilldowns=("Region", "Nation", "Year"),
+        measures=("Revenue", "Line Count", "Avg Discount"),
+    )
+    materialize_rollup(spark, sf_dir, fine, out, partition_by=["region"])
+    served = rollup_drilldown(
+        spark, out, ["Region", "Year"], ["Revenue", "Line Count", "Avg Discount"]
+    )
+    return served.select(
+        "region",
+        "year",
+        F.round(F.col("revenue").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("revenue"),
+        "line_count",
+        F.round(F.col("avg_discount").cast("decimal(18,9)"), 6)
+        .cast("double")
+        .alias("avg_discount"),
+    )
