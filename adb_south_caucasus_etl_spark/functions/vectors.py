@@ -64,3 +64,14 @@ def centroid_norms(
         )
         .withColumn("centroid_norm", F.round("centroid_norm", 4))
     )
+
+
+@pandas_udf("double")
+def geometric_mean(v: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF (the true vectorized-UDAF surface, §2.K):
+    whole-group Series in, one scalar out — Spark runs it as a real
+    two-phase-capable aggregate expression inside ``groupBy().agg()``,
+    unlike ``applyInPandas`` which replaces the whole group computation.
+    Accumulates in log space (numpy, C loop) so products of thousands of
+    prices don't overflow. SQL mirror: ``exp(avg(ln(x)))``."""
+    return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))

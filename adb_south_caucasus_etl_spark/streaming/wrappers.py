@@ -213,3 +213,27 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def stream_to_parquet_refresh(
+    spark: SparkSession, stream_df: DataFrame, path: str, checkpoint: str
+) -> None:
+    """foreachBatch file sink, full-refresh pattern: each micro-batch
+    OVERWRITES the parquet output with the complete-mode aggregate state.
+    Overwrite-per-batch is idempotent — a batch replayed after failure
+    rewrites the same rows, so end-to-end exactly-once falls out without
+    transactional sinks (the checkpoint tracks which batch is committed).
+    This is the right sink shape for small hot aggregates (dashboards);
+    for append-scale facts use append mode + partitioned writes instead."""
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

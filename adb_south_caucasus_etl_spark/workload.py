@@ -3315,3 +3315,71 @@ def rollup_materialized_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_discount"),
     )
+
+
+@register(
+    "udaf_geometric_mean",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(ROUND(CAST(exp(avg(ln(o_totalprice))) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS gmean_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    doc="2.K GROUPED_AGG pandas UDAF: geometric mean of order price per "
+        "priority — a real vectorized aggregate expression inside "
+        "groupBy().agg() (log-space numpy accumulation), not a grouped-map "
+        "replacement; oracle is exp(avg(ln(x)))",
+)
+def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import geometric_mean
+
+    orders = Catalog(spark, sf_dir).orders
+    # Spark disallows mixing a group-agg pandas UDF with JVM aggregates in
+    # one agg() — the count comes from a second (tiny, 5-row) agg joined
+    # back on the group key; AQE broadcasts it.
+    gmean = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.round(geometric_mean("o_totalprice").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("gmean_price")
+    )
+    counts = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return gmean.join(counts, "priority")
+
+
+@register(
+    "streaming_foreachbatch_refresh",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="T5/S4 streaming file sink via foreachBatch: complete-mode tumbling "
+        "counts, each micro-batch idempotently OVERWRITING the parquet "
+        "output (replayed batches rewrite identical rows → exactly-once "
+        "without a transactional sink); the query returns the read-back "
+        "parquet, compared against the batch aggregate",
+)
+def streaming_foreachbatch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .streaming.wrappers import read_events_stream, stream_to_parquet_refresh
+
+    base = tempfile.mkdtemp(prefix="adb_sc_fb_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            F.unix_micros("window.end").alias("window_end_us"),
+            "event_type",
+            "n",
+        )
+    )
+    stream_to_parquet_refresh(spark, agg, out, ckpt)
+    return spark.read.parquet(out)
