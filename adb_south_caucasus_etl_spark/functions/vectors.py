@@ -26,9 +26,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
-@pandas_udf("double")
+# explicit DataType for the same import-before-session reason as
+# geometric_mean below
+@pandas_udf(DoubleType())
 def l2_norm(vecs: pd.Series) -> pd.Series:
     """Euclidean norm per vector, float64 accumulation (matches the SQL
     oracle: sqrt(sum(x*x)) with every x cast to DOUBLE first)."""
@@ -66,7 +69,10 @@ def centroid_norms(
     )
 
 
-@pandas_udf("double")
+# explicit DataType (not a DDL string): a GROUPED_AGG pandas_udf resolves a
+# string return type eagerly via the active SparkContext, which would make
+# this module unimportable before a session exists
+@pandas_udf(DoubleType())
 def geometric_mean(v: pd.Series) -> float:
     """GROUPED_AGG pandas UDF (the true vectorized-UDAF surface, §2.K):
     whole-group Series in, one scalar out — Spark runs it as a real
