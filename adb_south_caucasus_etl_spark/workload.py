@@ -3384,3 +3384,163 @@ def streaming_foreachbatch_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     )
     stream_to_parquet_refresh(spark, agg, out, ckpt)
     return spark.read.parquet(out)
+
+
+@register(
+    "window_offset_stats",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(lag(o_totalprice) OVER w, 2) AS prev_price,
+           ROUND(lead(o_totalprice) OVER w, 2) AS next_price,
+           CAST(ROUND(CAST(percent_rank() OVER w AS DECIMAL(18,8)), 6)
+                AS DOUBLE) AS pct_rank,
+           CAST(ROUND(CAST(cume_dist() OVER w AS DECIMAL(18,8)), 6)
+                AS DOUBLE) AS cume,
+           ROUND(nth_value(o_totalprice, 2) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="§2.J offset/distribution completion: lag, lead, percent_rank, "
+        "cume_dist, nth_value — deterministic compound ordering (unique "
+        "orderkey tiebreak) so offset neighbors are engine-stable; "
+        "ratio outputs decimal-mediated",
+)
+def window_offset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = lambda c: F.round(c.cast("decimal(18,8)"), 6).cast("double")  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        dec(F.percent_rank().over(w)).alias("pct_rank"),
+        dec(F.cume_dist().over(w)).alias("cume"),
+        F.round(F.nth_value("o_totalprice", 2).over(w_rows), 2).alias(
+            "second_price"
+        ),
+    )
+
+
+@register(
+    "join_nullsafe",
+    """
+    WITH a AS (
+      SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer
+    ),
+    b AS (
+      SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 'unsegmented'
+                  ELSE lower(c_mktsegment) END AS seg_label
+      FROM customer
+    )
+    SELECT seg_label, COUNT(*) AS n
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    GROUP BY 1
+    """,
+    doc="J2 completion: null-safe equality join (Spark `<=>` / SQL IS NOT "
+        "DISTINCT FROM) — NULL keys match each other instead of dropping, "
+        "the semantics dimension-lookup joins need for 'unknown' members; "
+        "still hash-partitionable (NULL hashes like any value under "
+        "null-safe equality, no skew-to-one-task surprise here)",
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).customer
+    a = cust.select(
+        "c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg")
+    )
+    b = cust.select(
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("bseg"),
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit("unsegmented"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg_label"),
+    ).distinct()
+    return (
+        a.join(F.broadcast(b), F.col("seg").eqNullSafe(F.col("bseg")))
+        .groupBy("seg_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "streaming_static_enrich_live",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           CASE WHEN event_type IN ('click', 'view') THEN 'browse'
+                WHEN event_type IN ('purchase', 'signup') THEN 'convert'
+                ELSE 'ops' END AS category,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="streaming enrich: stream-STATIC broadcast join (the canonical "
+        "dimension-lookup on a live stream — no state, no watermark "
+        "needed on the static side) followed by a tumbling count by "
+        "enriched category; complete-mode memory sink, batch oracle",
+)
+def streaming_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import read_events_stream, run_to_memory
+
+    dim = F.broadcast(
+        spark.createDataFrame(
+            [
+                ("click", "browse"),
+                ("view", "browse"),
+                ("purchase", "convert"),
+                ("signup", "convert"),
+                ("error", "ops"),
+            ],
+            "event_type string, category string",
+        )
+    )
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.join(dim, "event_type")
+        .groupBy(F.window("ts", "1 hour"), "category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "category",
+            "n",
+        )
+    )
+    return run_to_memory(spark, agg, "static_enrich_live", mode="complete")
+
+
+@register(
+    "sink_range_partitioned",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+    doc="S4 data layout: repartitionByRange(o_orderdate) + "
+        "sortWithinPartitions before the write — contiguous time ranges "
+        "per file give parquet min/max footers real pruning power for "
+        "time-predicate scans (the poor-man's clustering/Z-order for the "
+        "single-key case); read back and aggregate to prove the roundtrip",
+)
+def sink_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="adb_sc_range_")
+    orders = Catalog(spark, sf_dir).orders
+    (
+        orders.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
