@@ -36,7 +36,9 @@ from .cube import DEFAULT_CUBES, CubeQuery, CubeSchema, _apply_cuts, _build_star
 _DISTRIBUTIVE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 
-def _component_cols(schema: CubeSchema, measures: Sequence[str]) -> list:
+def _component_cols(
+    schema: CubeSchema, measures: Sequence[str], sketch_distinct: bool = False
+) -> list:
     """Fine-grain component expressions, one or two per measure."""
     cols = []
     for m in measures:
@@ -50,11 +52,16 @@ def _component_cols(schema: CubeSchema, measures: Sequence[str]) -> list:
         elif meas.agg == "avg":
             cols.append(F.sum(expr).alias(f"{meas.out_name}__sum"))
             cols.append(F.count(expr).alias(f"{meas.out_name}__count"))
+        elif meas.agg == "count_distinct" and sketch_distinct:
+            # opt-in: store a mergeable Datasketches HLL sketch instead of
+            # the unfoldable exact distinct — serve estimates at ANY grain
+            cols.append(F.hll_sketch_agg(expr).alias(f"{meas.out_name}__hll"))
         else:
             raise ValueError(
                 f"measure {m!r} uses holistic agg {meas.agg!r}: it cannot be "
-                "re-aggregated from a rollup — query the fact table (or "
-                "materialize a sketch) instead"
+                "re-aggregated from a rollup — query the fact table, or pass "
+                "sketch_distinct=True to store a mergeable HLL sketch "
+                "(approximate) for count_distinct measures"
             )
     return cols
 
@@ -66,10 +73,25 @@ def materialize_rollup(
     path: str,
     partition_by: Sequence[str] = (),
     cubes: dict[str, CubeSchema] | None = None,
+    sketch_distinct: bool = False,
 ) -> None:
     """Aggregate the cube at ``query.drilldowns`` grain, storing additive
     COMPONENTS (``m__sum``/``m__count``/...) rather than finished measures,
     and write it hive-partitioned for pruning at serve time."""
+    fine = _fine_grain(spark, sf_dir, query, cubes, sketch_distinct)
+    writer = fine.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def _fine_grain(
+    spark: SparkSession,
+    sf_dir: str,
+    query: CubeQuery,
+    cubes: dict[str, CubeSchema] | None,
+    sketch_distinct: bool,
+) -> DataFrame:
     cubes = cubes or DEFAULT_CUBES
     schema = cubes[query.cube]
     catalog = Catalog(spark, sf_dir)
@@ -82,11 +104,37 @@ def materialize_rollup(
         F.expr(schema.level(d).label_expr).alias(schema.level(d).out_name)
         for d in query.drilldowns
     ]
-    fine = star.groupBy(*dd).agg(*_component_cols(schema, query.measures))
-    writer = fine.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    return star.groupBy(*dd).agg(
+        *_component_cols(schema, query.measures, sketch_distinct)
+    )
+
+
+def refresh_rollup_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    query: CubeQuery,
+    path: str,
+    partition_col: str,
+    partition_values: Sequence[object],
+    cubes: dict[str, CubeSchema] | None = None,
+    sketch_distinct: bool = False,
+) -> None:
+    """Incremental rollup maintenance: recompute ONLY the named partitions
+    from the facts and dynamically overwrite them in place — late-arriving
+    data for one day/year never forces a full rebuild. Uses Spark's
+    dynamic partition-overwrite mode: untouched partitions keep their
+    files, the listed ones are atomically replaced; the operation is
+    idempotent (re-running a refresh rewrites identical rows), which is
+    the recovery contract a scheduled 100 TB pipeline needs."""
+    fine = _fine_grain(spark, sf_dir, query, cubes, sketch_distinct).filter(
+        F.col(partition_col).isin(list(partition_values))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fine.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def rollup_drilldown(
@@ -122,6 +170,11 @@ def rollup_drilldown(
             finals.append(
                 (F.col(f"{out}__sum") / F.col(f"{out}__count")).alias(out)
             )
+        elif meas.agg == "count_distinct":
+            # HLL sketches union losslessly at any grain; the estimate is
+            # approximate (~2% at default lgK) — rows-only + pytest-gated
+            folds.append(F.hll_union_agg(f"{out}__hll").alias(f"{out}__hll"))
+            finals.append(F.hll_sketch_estimate(f"{out}__hll").alias(out))
         else:  # pragma: no cover - materialize_rollup already rejects
             raise ValueError(f"holistic agg {meas.agg!r} not servable")
     return rollup.groupBy(*keys).agg(*folds).select(*keys, *finals)

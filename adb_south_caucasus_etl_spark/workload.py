@@ -3544,3 +3544,77 @@ def sink_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "rollup_hll_distinct_serve",
+    None,  # approximate by construction; accuracy pytest-gated vs exact
+    doc="distinct-at-any-grain from a summary table: the rollup stores a "
+        "mergeable Datasketches HLL sketch per (region, nation, year) "
+        "cell; the coarser (region, year) drilldown UNIONS the sketches "
+        "(lossless) and estimates — the thing plain count_distinct "
+        "partials fundamentally cannot do; ~2% error at default lgK, "
+        "gated in tests/test_curation2.py",
+)
+def rollup_hll_distinct_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .plans.rollup import materialize_rollup, rollup_drilldown
+
+    out = tempfile.mkdtemp(prefix="adb_sc_hll_")
+    fine = CubeQuery(
+        cube="lineitem",
+        drilldowns=("Region", "Nation", "Year"),
+        measures=("Order Count",),
+    )
+    materialize_rollup(spark, sf_dir, fine, out, sketch_distinct=True)
+    return rollup_drilldown(spark, out, ["Region", "Year"], ["Order Count"])
+
+
+@register(
+    "rollup_incremental_refresh",
+    """
+    SELECT r_name AS region,
+           CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount))
+                           AS DECIMAL(18,6)), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+    doc="incremental rollup maintenance: materialize hive-partitioned by "
+        "year, then dynamically overwrite ONLY the 1996 partition (late-"
+        "arriving-data repair) — untouched partitions keep their files, "
+        "the refreshed one is replaced idempotently; the served result "
+        "must still equal a full recompute from facts",
+)
+def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .plans.rollup import (
+        materialize_rollup,
+        refresh_rollup_partitions,
+        rollup_drilldown,
+    )
+
+    out = tempfile.mkdtemp(prefix="adb_sc_refresh_")
+    fine = CubeQuery(
+        cube="lineitem",
+        drilldowns=("Region", "Year"),
+        measures=("Revenue", "Line Count"),
+    )
+    materialize_rollup(spark, sf_dir, fine, out, partition_by=["year"])
+    refresh_rollup_partitions(spark, sf_dir, fine, out, "year", [1996])
+    served = rollup_drilldown(spark, out, ["Region", "Year"], ["Revenue", "Line Count"])
+    return served.select(
+        "region",
+        F.col("year").cast("int").alias("year"),
+        F.round(F.col("revenue").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("revenue"),
+        "line_count",
+    )

@@ -129,3 +129,82 @@ def test_geometric_mean_udaf(spark):
     }
     assert math.isclose(rows["a"], 4.0, rel_tol=1e-12)
     assert math.isclose(rows["b"], 5.0, rel_tol=1e-12)
+
+
+def test_rollup_hll_estimate_within_5pct(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="hll_test_")
+    fine = CubeQuery(
+        cube="lineitem",
+        drilldowns=("Region", "Nation", "Year"),
+        measures=("Order Count",),
+    )
+    materialize_rollup(spark, sf_dir, fine, out, sketch_distinct=True)
+    est = {
+        (r["region"], r["year"]): r["order_count"]
+        for r in rollup_drilldown(
+            spark, out, ["Region", "Year"], ["Order Count"]
+        ).collect()
+    }
+    exact = {
+        (r["region"], r["year"]): r["order_count"]
+        for r in compile_query(
+            spark,
+            sf_dir,
+            CubeQuery(
+                cube="lineitem",
+                drilldowns=("Region", "Year"),
+                measures=("Order Count",),
+            ),
+        ).collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
+
+
+def test_refresh_rollup_overwrites_only_named_partition(spark, sf_dir):
+    from adb_south_caucasus_etl_spark.plans.rollup import (
+        refresh_rollup_partitions,
+    )
+
+    out = tempfile.mkdtemp(prefix="refresh_test_")
+    fine = CubeQuery(
+        cube="lineitem",
+        drilldowns=("Region", "Year"),
+        measures=("Line Count",),
+    )
+    materialize_rollup(spark, sf_dir, fine, out, partition_by=["year"])
+    # corrupt one partition's counts by rewriting it with zeros, then refresh
+    spark.read.parquet(out).createOrReplaceTempView("rt_before")
+    years = [r["year"] for r in spark.sql("SELECT DISTINCT year FROM rt_before").collect()]
+    target = years[0]
+    corrupt = (
+        spark.read.parquet(out)
+        .filter(F.col("year") == target)
+        .withColumn("line_count__count", F.lit(0).cast("long"))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrupt.write.mode("overwrite").partitionBy("year").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert (
+        spark.read.parquet(out)
+        .filter((F.col("year") == target) & (F.col("line_count__count") > 0))
+        .count()
+        == 0
+    )
+    # the dynamic refresh must repair exactly that partition
+    refresh_rollup_partitions(spark, sf_dir, fine, out, "year", [target])
+    served = {
+        (r["region"], r["year"]): r["line_count"]
+        for r in rollup_drilldown(
+            spark, out, ["Region", "Year"], ["Line Count"]
+        ).collect()
+    }
+    direct = {
+        (r["region"], r["year"]): r["line_count"]
+        for r in compile_query(spark, sf_dir, fine).collect()
+    }
+    assert served == direct
