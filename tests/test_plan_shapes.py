@@ -87,3 +87,54 @@ def test_scan_prunes_columns(spark):
     assert set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "l_orderkey", "l_quantity",
     }
+
+
+def test_q7_broadcasts_both_dim_paths(spark):
+    """q7: supplier/nation dims broadcast on BOTH paths; the only hash
+    exchanges belong to the fact-side joins and the final aggregate.
+    Runs at sf0.01: at sf0.001 the nation-pair filter matches nothing and
+    AQE collapses the join subtree to EmptyRelation."""
+    plan = _final_plan(WORKLOAD["q7_nation_volume"].fn(spark, "/root/testdata/sf0.01"))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q19_disjunction_prunes_scan(spark):
+    """q19: Catalyst derives single-table residuals from the OR-of-
+    conjuncts — the part scan must carry a brand IN-list (Or(EqualTo...)
+    pushed filter), not a bare scan. sf0.01 for the same EmptyRelation
+    reason as q7."""
+    plan = _final_plan(WORKLOAD["q19_disjunctive_revenue"].fn(spark, "/root/testdata/sf0.01"))
+    assert re.search(r"PushedFilters: \[[^\]]*p_brand", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", plan), plan
+
+
+def test_decontaminate_broadcasts_test_set(spark):
+    """Decontamination: the global test n-gram set is broadcast — the
+    train side must NOT shuffle for the probe join."""
+    plan = _final_plan(WORKLOAD["curation_decontaminate"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_shard_assign_no_exchange_before_agg(spark):
+    """assign_shards is a pure projection: exactly one exchange (the
+    shard aggregate), nothing for the assignment itself."""
+    plan = _final_plan(WORKLOAD["curation_shard_assign"].fn(spark, SF))
+    assert _exchanges(plan) == 1, plan
+
+
+def test_repetition_stats_single_scan_generate_bare(spark):
+    """The Generate (explode) must not carry the 2-gram transform through
+    it (the measured 60× trap): array stats come from a separate
+    projection joined back, and the doc scan is shared."""
+    plan = _final_plan(WORKLOAD["text_repetition_stats"].fn(spark, SF))
+    gen = re.search(r"Generate explode[^\n]*", plan)
+    assert gen and "transform" not in gen.group(0), gen and gen.group(0)
+
+
+def test_rollup_serve_reads_only_rollup(spark):
+    """Serving from a materialized rollup must scan the rollup parquet
+    only — never the fact table."""
+    plan = _final_plan(WORKLOAD["rollup_materialized_serve"].fn(spark, SF))
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    assert scans and all("lineitem" not in s for s in scans), scans
