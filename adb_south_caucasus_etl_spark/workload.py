@@ -3618,3 +3618,152 @@ def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         "line_count",
     )
+
+
+# --------------------------------------------------------------------------
+# CDC merge, reproducible sampling variants, percentile sketch
+
+@register(
+    "merge_upsert_events",
+    """
+    WITH updates AS (
+      SELECT event_id, user_id, event_type,
+             ROUND(value + 1.0, 2) AS value
+      FROM events WHERE event_id % 3 = 0
+    ),
+    base AS (SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+             FROM events)
+    SELECT b.event_id, b.user_id, b.event_type, b.value FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.event_id = b.event_id)
+    UNION ALL
+    SELECT event_id, user_id, event_type, value FROM updates
+    """,
+    doc="CDC MERGE/upsert without a table format: base LEFT-ANTI updates "
+        "(rows being replaced drop out) UNION ALL updates — one shuffle "
+        "per side on the merge key and the union is exchange-free; this "
+        "is the batch-merge shape (Delta/Iceberg do the same dance with "
+        "file-level pruning on top)",
+)
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    base = ev.select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+    updates = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") + 1.0, 2).alias("value"),
+    )
+    kept = base.join(updates.select("event_id"), "event_id", "left_anti")
+    return kept.unionByName(updates)
+
+
+@register(
+    "curation_reservoir_per_group",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               AS hk
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id, source FROM r WHERE rn <= 20
+    """,
+    doc="reproducible per-group 'random' sample: order each source's docs "
+        "by a content-independent md5 hash (deterministic uniform shuffle) "
+        "and keep the first k — the reservoir-sampling result without "
+        "reservoir state, stable under partitioning/retries; one window "
+        "shuffle on the bounded group key, WindowGroupLimit prunes to k",
+)
+def curation_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    hk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 20)
+        .drop("__rn")
+    )
+
+
+@register(
+    "curation_domain_mix",
+    """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+    ),
+    targets AS (
+      SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.1),
+                            ('src3', 0.05), ('src4', 0.05)) t(source, frac)
+    ),
+    rates AS (
+      -- largest achievable corpus honoring the mix: limited by the
+      -- scarcest source relative to its target share
+      SELECT c.source,
+             (SELECT MIN(c2.n / t2.frac) FROM counts c2
+              JOIN targets t2 ON c2.source = t2.source) * t.frac / c.n
+               AS keep_rate
+      FROM counts c JOIN targets t ON c.source = t.source
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          / 4294967296.0 < r.keep_rate
+    """,
+    doc="domain-mixture resampling: down-sample each source to the largest "
+        "corpus achieving target proportions (bounded by the scarcest "
+        "source); keep-decision is an md5-uniform draw per doc — "
+        "deterministic, partitioning-independent, engine-reproducible; "
+        "rates come from a broadcast 5-row join, never a driver collect",
+)
+def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    targets = docs.sparkSession.createDataFrame(
+        [("src0", 0.5), ("src1", 0.3), ("src2", 0.1), ("src3", 0.05), ("src4", 0.05)],
+        "source string, frac double",
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    joined = counts.join(targets, "source")
+    total = joined.agg(F.min(F.col("n") / F.col("frac")).alias("__total"))
+    rates = joined.crossJoin(F.broadcast(total)).select(
+        "source",
+        (F.col("__total") * F.col("frac") / F.col("n")).alias("keep_rate"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") / F.lit(4294967296.0)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.col("keep_rate"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "agg_percentile_approx",
+    None,  # sketch estimate is engine-specific → rows-only; accuracy vs
+           # the exact percentiles is gated in tests/test_curation2.py
+    doc="A3 sketch tier: percentile_approx (Greenwald-Khanna-style, one "
+        "pass, mergeable, bounded memory) beside the exact percentile — "
+        "at 100 TB exact percentiles need a full sort per group, the "
+        "sketch needs one scan",
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+            "pctl_approx"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -208,3 +208,25 @@ def test_refresh_rollup_overwrites_only_named_partition(spark, sf_dir):
         for r in compile_query(spark, sf_dir, fine).collect()
     }
     assert served == direct
+
+
+def test_percentile_approx_close_to_exact(spark):
+    from adb_south_caucasus_etl_spark.sources.registry import Catalog
+    from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["o_orderpriority"]: r["pctl_approx"]
+        for r in WORKLOAD["agg_percentile_approx"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["pctl"]
+        for r in Catalog(spark, sf)
+        .orders.groupBy("o_orderpriority")
+        .agg(F.percentile("o_totalprice", F.lit([0.5, 0.9, 0.99])).alias("pctl"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, ex in exact.items():
+        for a, e in zip(approx[k], ex):
+            assert abs(a - e) <= 0.02 * e, (k, a, e)
