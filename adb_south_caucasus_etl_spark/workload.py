@@ -3767,3 +3767,52 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_stats_moments",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(ROUND(CAST(stddev_pop(o_totalprice) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS price_sd,
+           CAST(ROUND(CAST(var_pop(o_totalprice) AS DECIMAL(28,6)), 2)
+                AS DOUBLE) AS price_var,
+           CAST(ROUND(CAST(corr(o_totalprice, c_acctbal) AS DECIMAL(18,8)), 5)
+                AS DOUBLE) AS price_bal_corr,
+           CAST(ROUND(CAST(covar_pop(o_totalprice, c_acctbal)
+                           AS DECIMAL(28,6)), 2) AS DOUBLE) AS price_bal_cov,
+           CAST(ROUND(CAST(regr_slope(o_totalprice, c_acctbal)
+                           AS DECIMAL(18,8)), 5) AS DOUBLE) AS slope,
+           CAST(ROUND(CAST(regr_intercept(o_totalprice, c_acctbal)
+                           AS DECIMAL(18,6)), 2) AS DOUBLE) AS intercept
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    doc="A3 statistical moments: stddev/var/corr/covar (population forms — "
+        "identical definitions across engines, unlike sample "
+        "skewness/kurtosis whose bias corrections differ) plus the "
+        "regr_slope/regr_intercept linear-fit aggregates; all single-pass "
+        "partial-aggregable, decimal-mediated rounding",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    j = cat.orders.join(
+        cat.customer, F.col("o_custkey") == F.col("c_custkey")
+    )
+    dec = lambda c, p, s, r: (  # noqa: E731
+        F.round(c.cast(f"decimal({p},{s})"), r).cast("double")
+    )
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        dec(F.stddev_pop("o_totalprice"), 18, 6, 2).alias("price_sd"),
+        dec(F.var_pop("o_totalprice"), 28, 6, 2).alias("price_var"),
+        dec(F.corr("o_totalprice", "c_acctbal"), 18, 8, 5).alias(
+            "price_bal_corr"
+        ),
+        dec(F.covar_pop("o_totalprice", "c_acctbal"), 28, 6, 2).alias(
+            "price_bal_cov"
+        ),
+        dec(F.regr_slope("o_totalprice", "c_acctbal"), 18, 8, 5).alias("slope"),
+        dec(F.regr_intercept("o_totalprice", "c_acctbal"), 18, 6, 2).alias(
+            "intercept"
+        ),
+    )

@@ -104,7 +104,8 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"ok   {name}: {len(sdf)} rows match")
-    print(f"\n{len(queries) - len(failed)}/{len(queries)} ok")
+    ran = len([n for n in queries if not only or n in only])
+    print(f"\n{ran - len(failed)}/{ran} ok" + ("" if not only else " (subset)"))
     return 1 if failed else 0
 
 
