@@ -3816,3 +3816,53 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "asof_next_purchase",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT user_id, ts, ROUND(MIN(value), 2) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us,
+           epoch_us(l.pts) AS purchase_ts_us, l.pvalue AS purchase_value
+    FROM s LEFT JOIN LATERAL (
+      SELECT p.ts AS pts, p.pvalue
+      FROM p WHERE p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.ts LIMIT 1
+    ) l ON TRUE
+    """,
+    doc="J5 forward as-of: each signup gets the FIRST purchase at-or-after "
+        "it per user (right side pre-deduped to unique (user, ts) so the "
+        "match is deterministic); same union-tag single-shuffle plan as "
+        "the backward direction — the oracle is a lateral min-over "
+        "subquery, the engine never executes one",
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.round(F.min("value"), 2).alias("pvalue"))
+        # the as-of join emits right PAYLOAD columns only — carry the
+        # matched timestamp as payload explicitly
+        .withColumn("matched_ts", F.col("pts"))
+    )
+    joined = asof_join(
+        signups, purchases, on="user_id", left_ts="ts", right_ts="pts",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("matched_ts").alias("purchase_ts_us"),
+        F.col("pvalue").alias("purchase_value"),
+    )
