@@ -158,8 +158,9 @@ def rollup_drilldown(
         meas = schema.measure(m)
         out = meas.out_name
         if meas.agg in ("sum", "min", "max"):
-            fn = _DISTRIBUTIVE[meas.agg] if meas.agg != "sum" else F.sum
-            folds.append(fn(f"{out}__{meas.agg}").alias(out))
+            folds.append(
+                _DISTRIBUTIVE[meas.agg](f"{out}__{meas.agg}").alias(out)
+            )
             finals.append(F.col(out))
         elif meas.agg == "count":
             folds.append(F.sum(f"{out}__count").alias(out))
