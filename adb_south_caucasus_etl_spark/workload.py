@@ -1794,10 +1794,14 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "it has no true near-dups, so this verifies the highest-cosine pairs",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import cosine_pairs
+    # blocked-GEMM exact variant: same results as the expression-based
+    # cosine_pairs (which remains the readable reference form, tested for
+    # equality in tests/test_llm_ops.py), ~10x faster — one numpy matmul
+    # per block pair instead of n² codegen'd zip_with dot products
+    from .operators.similarity import cosine_pairs_blocked
 
     emb = Catalog(spark, sf_dir).embeddings
-    return cosine_pairs(emb, threshold=0.46)
+    return cosine_pairs_blocked(emb, threshold=0.46)
 
 
 @register(

@@ -445,3 +445,21 @@ def test_neardup_clusters_partitions_pair_graph(spark, sf_dir):
         assert r.cluster_id <= r.doc_id
         assert r.keep == (r.cluster_id == r.doc_id)
     assert set(label.values()) <= set(label)
+
+
+def test_cosine_pairs_blocked_equals_expression_form(spark, sf_dir):
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_blocked,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    ref = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    blk = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs_blocked(emb, threshold=0.4, n_blocks=5).collect()
+    }
+    assert ref == blk and len(ref) > 0
