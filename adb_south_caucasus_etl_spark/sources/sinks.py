@@ -113,3 +113,54 @@ def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """CSV read-back with an EXPLICIT schema — inference costs an extra
     full pass and guesses types from samples (both wrong at 100 TB)."""
     return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the maintenance job every long-lived 100 TB
+    table needs: streaming appends and dynamic-partition repairs leave
+    thousands of KB-sized files whose open/footer overhead eventually
+    dominates scans. Rewrites ``src_path`` into ``ceil(bytes/target)``
+    files of ~``target_file_bytes`` via ``repartition(n)`` (full shuffle —
+    deliberate: it rebalances skewed input files; use coalesce only when
+    input sizes are already even). Returns the output file count.
+
+    File sizing reads the FILE LISTING (driver metadata op), never the
+    data.
+    """
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(jvm_path)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_path).repartition(n).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    return n
+
+
+def zorder_key(cols: Sequence[str], bits: int = 16):
+    """Morton (Z-order) interleave of ``cols`` (each rank-normalized to
+    ``bits`` bits beforehand) — multi-column clustering: sorting by the
+    interleaved key keeps rows close in EVERY dimension, so parquet
+    min/max footers prune scans filtered on ANY of the clustered columns
+    (single-column range sort only helps its own column). Pure bit
+    arithmetic, JVM codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, c in enumerate(cols):
+            pos = bit * len(cols) + i
+            one = F.shiftright(F.col(c).cast("long"), bit).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(one, pos))
+    return z

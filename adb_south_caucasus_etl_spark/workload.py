@@ -3870,3 +3870,46 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("matched_ts").alias("purchase_ts_us"),
         F.col("pvalue").alias("purchase_value"),
     )
+
+
+@register(
+    "sink_zorder_layout",
+    """
+    SELECT o_orderpriority AS priority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+    doc="S4 multi-column clustering: orders sorted by a Morton (Z-order) "
+        "interleave of (custkey, order-day) before the write — parquet "
+        "min/max footers then prune scans filtered on EITHER column, "
+        "which a single-column range sort cannot do; read-back aggregate "
+        "proves the layout rewrite preserves the data exactly",
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.sinks import zorder_key
+
+    out = tempfile.mkdtemp(prefix="adb_sc_zorder_")
+    orders = Catalog(spark, sf_dir).orders
+    zk = zorder_key(["__ck", "__day"], bits=16)
+    clustered = (
+        orders.withColumn("__ck", F.pmod(F.col("o_custkey"), F.lit(65536)))
+        .withColumn(
+            "__day",
+            F.pmod(F.unix_date(F.col("o_orderdate").cast("date")), F.lit(65536)),
+        )
+        .withColumn("__z", zk)
+        .repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__ck", "__day", "__z")
+    )
+    clustered.write.mode("overwrite").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -145,3 +145,31 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
     assert j.collect()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    import glob
+
+    from adb_south_caucasus_etl_spark.sources.registry import Catalog
+    from adb_south_caucasus_etl_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    orders = Catalog(spark, sf_dir).orders
+    orders.repartition(40).write.mode("overwrite").parquet(src)
+    n_in = len(glob.glob(f"{src}/*.parquet"))
+    assert n_in == 40
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=256 * 1024)
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == n_out < n_in
+    assert spark.read.parquet(dst).count() == orders.count()
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from adb_south_caucasus_etl_spark.sources.sinks import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+    z = df.select(zorder_key(["x", "y"], bits=3).alias("z")).first()["z"]
+    # bit layout pos = bit*2 + i: x bits at even positions, y at odd
+    # x=101, y=011 -> z = x0,y0,x1,y1,x2,y2 = 1,1,0,1,1,0 -> 0b011011
+    assert z == 0b011011, bin(z)
