@@ -3913,3 +3913,53 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "q10_returned_items_top20",
+    """
+    SELECT c_custkey, c_name, n_name AS nation,
+           CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount))
+                           AS DECIMAL(18,6)), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: global ORDER BY + LIMIT after the agg — Spark "
+        "plans TakeOrderedAndProject (per-partition top-k, k-row merge on "
+        "the driver), NOT a global sort; deterministic tiebreak on "
+        "custkey because equal revenues straddle the cutoff",
+)
+def q10_returned_items_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            cat.orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

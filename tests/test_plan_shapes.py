@@ -138,3 +138,10 @@ def test_rollup_serve_reads_only_rollup(spark):
     plan = _final_plan(WORKLOAD["rollup_materialized_serve"].fn(spark, SF))
     scans = re.findall(r"FileScan parquet[^\n]*", plan)
     assert scans and all("lineitem" not in s for s in scans), scans
+
+
+def test_q10_take_ordered_not_global_sort(spark):
+    """Global ORDER BY + LIMIT must plan TakeOrderedAndProject (per-
+    partition top-k + k-row merge), never a full global Sort."""
+    plan = _final_plan(WORKLOAD["q10_returned_items_top20"].fn(spark, "/root/testdata/sf0.01"))
+    assert "TakeOrderedAndProject" in plan, plan
