@@ -3963,3 +3963,110 @@ def q10_returned_items_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "session_event_paths",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, event_type, us,
+             CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY us, event_id) AS path,
+           COUNT(*) AS n_events
+    FROM m GROUP BY 1, 2
+    """,
+    doc="user-journey paths: 30-min sessionization, then the ORDERED "
+        "event-type sequence per session as one string — ordering is "
+        "deterministic (ts, event_id) via sort_array over collected "
+        "structs, since collect_list alone has no order guarantee; the "
+        "classic funnel-mining / next-event-prediction feature",
+)
+def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import sessionize
+
+    events = Catalog(spark, sf_dir).events
+    s = sessionize(events, "ts", ["user_id"], gap="30 minutes")
+    collected = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            )
+        )
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(collected, lambda x: x["et"]), ">"
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "dq_checks_orders",
+    """
+    SELECT 'null_custkey' AS check_name,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'dup_orderkey',
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) t
+    WHERE c > 1
+    UNION ALL
+    SELECT 'orphan_custkey', COUNT(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'negative_price',
+           COUNT(*) FILTER (WHERE o_totalprice <= 0)
+    FROM orders
+    """,
+    doc="data-quality expectations in ONE pass per shape: null-rate, "
+        "key-uniqueness (duplicate count), referential integrity (orphan "
+        "FKs via anti join), domain check — the ETL gate that runs before "
+        "a partition is published; all four checks are aggregates, the "
+        "result is a tiny (check, violations) table a scheduler can assert "
+        "on",
+)
+def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders
+    nulls = o.agg(
+        F.lit("null_custkey").alias("check_name"),
+        F.count_if(F.col("o_custkey").isNull()).alias("violations"),
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.lit("dup_orderkey").alias("check_name"),
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("violations"),
+        )
+    )
+    orphans = (
+        o.join(cat.customer, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(
+            F.lit("orphan_custkey").alias("check_name"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+    )
+    domain = o.agg(
+        F.lit("negative_price").alias("check_name"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("violations"),
+    )
+    return nulls.unionByName(dups).unionByName(orphans).unionByName(domain)
