@@ -4070,3 +4070,70 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_totalprice") <= 0).alias("violations"),
     )
     return nulls.unionByName(dups).unionByName(orphans).unionByName(domain)
+
+
+@register(
+    "sql_api_revenue_by_segment",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(DISTINCT o_custkey) AS customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="the SQL entry point: identical text runs through "
+        "`spark.sql(...)` over `Catalog.register_views()` — proving a "
+        "reference user can drive this engine with plain SQL, not just "
+        "the DataFrame API; Catalyst produces the same plan either way",
+)
+def sql_api_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views(("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(DISTINCT o_custkey) AS customers
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+        """
+    )
+
+
+@register(
+    "source_corrupt_json_tolerance",
+    """
+    SELECT * FROM (VALUES ('valid', CAST(2 AS BIGINT)),
+                          ('corrupt', CAST(1 AS BIGINT))) t(kind, n)
+    """,
+    doc="ingestion robustness: PERMISSIVE JSON read routes malformed "
+        "records into _corrupt_record instead of failing the job (the "
+        "right posture for a 100 TB ingest where one bad line must not "
+        "kill a 6-hour batch; FAILFAST is for curated inputs) — the "
+        "query writes a deterministic 2-valid+1-corrupt file and counts "
+        "both routes",
+)
+def source_corrupt_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="adb_sc_json_")
+    with open(os.path.join(d, "part-0.json"), "w") as fh:
+        fh.write('{"id": 1, "v": "a"}\n')
+        fh.write('{"id": 2 "v": "broken"\n')  # malformed on purpose
+        fh.write('{"id": 3, "v": "c"}\n')
+    df = (
+        spark.read.schema("id BIGINT, v STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+        # Spark refuses to answer queries that project only the corrupt
+        # column straight off a raw scan (it would have to re-parse);
+        # caching the parsed frame is the documented unlock
+        .cache()
+    )
+    kind = F.when(F.col("_corrupt_record").isNull(), F.lit("valid")).otherwise(
+        F.lit("corrupt")
+    )
+    return df.groupBy(kind.alias("kind")).agg(F.count(F.lit(1)).alias("n"))
