@@ -4033,19 +4033,27 @@ def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE o_totalprice <= 0)
     FROM orders
     """,
-    doc="data-quality expectations in ONE pass per shape: null-rate, "
-        "key-uniqueness (duplicate count), referential integrity (orphan "
-        "FKs via anti join), domain check — the ETL gate that runs before "
-        "a partition is published; all four checks are aggregates, the "
-        "result is a tiny (check, violations) table a scheduler can assert "
-        "on",
+    doc="data-quality expectations: all row-local checks (null-rate, "
+        "domain) fold into ONE scan and unpivot via map-explode; "
+        "key-uniqueness and referential integrity (anti join) each need "
+        "their own keyed shuffle — the publish gate emits a tiny "
+        "(check, violations) table a scheduler asserts on",
 )
 def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     o = cat.orders
-    nulls = o.agg(
-        F.lit("null_custkey").alias("check_name"),
-        F.count_if(F.col("o_custkey").isNull()).alias("violations"),
+    # all row-local checks share ONE scan: aggregate every counter in a
+    # single pass, then unpivot the 1-row result into (check, violations)
+    row_local = o.agg(
+        F.count_if(F.col("o_custkey").isNull()).alias("null_custkey"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("negative_price"),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("null_custkey"), F.col("null_custkey"),
+                F.lit("negative_price"), F.col("negative_price"),
+            )
+        ).alias("check_name", "violations")
     )
     dups = (
         o.groupBy("o_orderkey")
@@ -4065,11 +4073,7 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("violations"),
         )
     )
-    domain = o.agg(
-        F.lit("negative_price").alias("check_name"),
-        F.count_if(F.col("o_totalprice") <= 0).alias("violations"),
-    )
-    return nulls.unionByName(dups).unionByName(orphans).unionByName(domain)
+    return row_local.unionByName(dups).unionByName(orphans)
 
 
 @register(
