@@ -4141,3 +4141,52 @@ def source_corrupt_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit("corrupt")
     )
     return df.groupBy(kind.alias("kind")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount))
+                             AS DECIMAL(18,6)), 2) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: argmax against a GLOBAL scalar (top supplier by "
+        "quarterly revenue, ALL ties kept — the semantics LIMIT 1 gets "
+        "wrong): per-supplier agg reused for both the 1-row max (broadcast "
+        "cross join, never a collect) and the equality filter; rounded "
+        "BEFORE the max so the tie set is engine-stable",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    return (
+        cat.supplier.join(rev, F.col("s_suppkey") == F.col("suppkey"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
