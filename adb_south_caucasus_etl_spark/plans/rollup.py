@@ -179,3 +179,36 @@ def rollup_drilldown(
         else:  # pragma: no cover - materialize_rollup already rejects
             raise ValueError(f"holistic agg {meas.agg!r} not servable")
     return rollup.groupBy(*keys).agg(*folds).select(*keys, *finals)
+
+
+def backfill_missing_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    query: CubeQuery,
+    path: str,
+    partition_col: str,
+    cubes: dict[str, CubeSchema] | None = None,
+) -> list:
+    """Backfill orchestration: diff the partition values the FACTS produce
+    against the ones the rollup sink already has (anti join on the
+    partition key — two metadata-sized frames, one tiny shuffle), then
+    dynamically overwrite exactly the missing ones. Returns the backfilled
+    values (a small driver list by construction — it is the job manifest).
+    Idempotent: a crashed backfill re-runs with the same diff minus
+    whatever completed."""
+    expected = (
+        _fine_grain(spark, sf_dir, query, cubes, False)
+        .select(partition_col)
+        .distinct()
+    )
+    try:
+        existing = spark.read.parquet(path).select(partition_col).distinct()
+        missing_df = expected.join(existing, partition_col, "left_anti")
+    except Exception:  # first run: sink does not exist yet
+        missing_df = expected
+    missing = [r[partition_col] for r in missing_df.collect()]
+    if missing:
+        refresh_rollup_partitions(
+            spark, sf_dir, query, path, partition_col, missing, cubes
+        )
+    return sorted(missing)

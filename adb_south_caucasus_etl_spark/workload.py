@@ -4190,3 +4190,100 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_rev") == F.col("__mx"))
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+@register(
+    "source_schema_evolution",
+    """
+    SELECT batch, COUNT(*) AS n,
+           COUNT(region) AS with_region, COUNT(tier) AS with_tier
+    FROM (
+      SELECT 'b1' AS batch, n_name AS name, n_regionkey AS region,
+             NULL::INTEGER AS tier
+      FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT 'b2', n_name, n_regionkey, CAST(n_nationkey % 3 AS INTEGER)
+      FROM nation WHERE n_nationkey >= 10
+    )
+    GROUP BY 1
+    """,
+    doc="schema evolution on read: batch 2 adds a column batch 1 lacks; "
+        "mergeSchema unions the parquet footers and back-fills nulls — "
+        "the append-only ingest contract (never rewrite old files to add "
+        "a column); explicit option because schema merge costs a footer "
+        "read per file and is off by default",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="adb_sc_evo_")
+    nation = Catalog(spark, sf_dir).nation
+    b1 = nation.filter(F.col("n_nationkey") < 10).select(
+        F.lit("b1").alias("batch"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("region"),
+    )
+    b2 = nation.filter(F.col("n_nationkey") >= 10).select(
+        F.lit("b2").alias("batch"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("region"),
+        (F.col("n_nationkey") % 3).cast("int").alias("tier"),
+    )
+    b1.write.mode("overwrite").parquet(f"{out}/p1")
+    b2.write.mode("overwrite").parquet(f"{out}/p2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{out}/p1", f"{out}/p2"
+    )
+    return merged.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("region").alias("with_region"),
+        F.count("tier").alias("with_tier"),
+    )
+
+
+@register(
+    "fuzzy_match_suppliers",
+    """
+    WITH messy AS (
+      SELECT s_suppkey,
+             substr(s_name, 1, 9 + s_suppkey % 4)
+               || substr(s_name, 11 + s_suppkey % 4) AS typo
+      FROM supplier
+    ),
+    blocked AS (
+      SELECT m.s_suppkey, m.typo, c.s_name AS cand,
+             levenshtein(m.typo, c.s_name) AS d
+      FROM messy m JOIN supplier c
+        ON substr(m.typo, -3, 3) = substr(c.s_name, -3, 3)
+      WHERE levenshtein(m.typo, c.s_name) <= 2
+    ),
+    best AS (
+      SELECT s_suppkey, typo, cand, d,
+             row_number() OVER (PARTITION BY s_suppkey ORDER BY d, cand) AS rn
+      FROM blocked
+    )
+    SELECT s_suppkey, typo, cand AS matched, CAST(d AS INTEGER) AS distance
+    FROM best WHERE rn = 1
+    """,
+    doc="fuzzy entity resolution: deterministic one-char-deletion typos "
+        "matched back to the canonical supplier list via suffix-3 "
+        "blocking + in-block levenshtein + best-match window — never the "
+        "n×m cross join; the blocking key is chosen so the modeled error "
+        "(deletion before the tail) cannot change it",
+)
+def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fuzzy import fuzzy_match
+
+    supp = Catalog(spark, sf_dir).supplier
+    p = 10 + F.col("s_suppkey") % 4  # 1-indexed deletion position
+    messy = supp.select(
+        "s_suppkey",
+        F.concat(
+            F.substring(F.col("s_name"), 1, 9 + (F.col("s_suppkey") % 4).cast("int")),
+            F.col("s_name").substr(p + 1, F.length("s_name")),
+        ).alias("typo"),
+    )
+    return fuzzy_match(
+        messy, supp, messy_id="s_suppkey", messy_col="typo",
+        canon_col="s_name", max_dist=2,
+    )

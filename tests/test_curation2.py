@@ -230,3 +230,30 @@ def test_percentile_approx_close_to_exact(spark):
     for k, ex in exact.items():
         for a, e in zip(approx[k], ex):
             assert abs(a - e) <= 0.02 * e, (k, a, e)
+
+
+def test_backfill_fills_only_missing_partitions(spark, sf_dir):
+    from adb_south_caucasus_etl_spark.plans.rollup import (
+        backfill_missing_partitions,
+        materialize_rollup,
+    )
+
+    out = tempfile.mkdtemp(prefix="backfill_test_")
+    fine = CubeQuery(
+        cube="lineitem",
+        drilldowns=("Region", "Year"),
+        measures=("Line Count",),
+    )
+    materialize_rollup(spark, sf_dir, fine, out, partition_by=["year"])
+    # drop one year's directory to simulate a hole
+    import glob
+    import shutil
+
+    parts = sorted(glob.glob(f"{out}/year=*"))
+    victim = parts[0]
+    year = int(victim.split("=")[1])
+    shutil.rmtree(victim)
+    filled = backfill_missing_partitions(spark, sf_dir, fine, out, "year")
+    assert filled == [year]
+    # second run: nothing missing
+    assert backfill_missing_partitions(spark, sf_dir, fine, out, "year") == []
