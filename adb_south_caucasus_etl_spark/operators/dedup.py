@@ -46,11 +46,15 @@ from pyspark.sql import types as T
 
 
 def dedup_exact(
-    df: DataFrame, key_cols: list[str], order_col: str
+    df: DataFrame, key_cols: list[str] | str, order_col: str
 ) -> DataFrame:
     """Keep exactly one row per ``key_cols`` group — the one with the
     smallest ``order_col`` (deterministic, unlike ``dropDuplicates``).
-    One shuffle on the key columns."""
+    One shuffle on the key columns. A bare string means ONE key column
+    (without this guard ``partitionBy(*"text")`` would silently partition
+    on the string's characters)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
