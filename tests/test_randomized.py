@@ -1,0 +1,111 @@
+"""Seeded-random brute-force comparisons for the intricate custom
+operators: the Spark implementation must agree with an obviously-correct
+Python reference on arbitrary inputs, not just the curated fixtures.
+Deterministic seeds — no flaky CI."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from adb_south_caucasus_etl_spark.operators.asof import asof_join
+from adb_south_caucasus_etl_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _brute_asof(left, right, direction):
+    out = {}
+    for k, lts, lid in left:
+        best = None
+        for rk, rts, pay in right:
+            if rk != k:
+                continue
+            ok = rts <= lts if direction == "backward" else rts >= lts
+            if not ok:
+                continue
+            if best is None:
+                best = (rts, pay)
+            elif direction == "backward" and rts > best[0]:
+                best = (rts, pay)
+            elif direction == "forward" and rts < best[0]:
+                best = (rts, pay)
+        out[lid] = best[1] if best else None
+    return out
+
+
+def test_asof_matches_bruteforce_random(spark):
+    rng = random.Random(1234)
+    for direction in ("backward", "forward"):
+        for trial in range(3):
+            left = [
+                (rng.randint(0, 3), rng.randint(0, 1000) * 1_000_000, i)
+                for i in range(40)
+            ]
+            # unique (key, ts) on the right so the match is well-defined
+            seen = set()
+            right = []
+            for j in range(30):
+                k, ts = rng.randint(0, 3), rng.randint(0, 1000) * 1_000_000
+                if (k, ts) in seen:
+                    continue
+                seen.add((k, ts))
+                right.append((k, ts, f"p{j}"))
+            ldf = spark.createDataFrame(
+                left, "k long, ts long, lid long"
+            ).withColumn("ts", F.timestamp_micros("ts"))
+            rdf = spark.createDataFrame(
+                right, "k long, ts long, payload string"
+            ).withColumn("ts", F.timestamp_micros("ts"))
+            got = {
+                r["lid"]: r["payload"]
+                for r in asof_join(
+                    ldf, rdf, on="k", left_ts="ts", direction=direction
+                ).collect()
+            }
+            want = _brute_asof(left, right, direction)
+            assert got == want, (direction, trial)
+
+
+def _brute_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for root, members in comp.items():
+        label = min(members)
+        for m in members:
+            out[m] = label
+    return out
+
+
+def test_connected_components_match_bruteforce_random(spark):
+    rng = random.Random(99)
+    for trial in range(3):
+        nodes = list(range(30))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _brute_components(edges, {n for e in edges for n in e})
+        edf = spark.createDataFrame(edges, "id_a long, id_b long")
+        for fn in (connected_components, connected_components_star):
+            got = {
+                r["node"]: r["label"] for r in fn(edf, "id_a", "id_b").collect()
+            }
+            assert got == want, (fn.__name__, trial)
