@@ -4287,3 +4287,24 @@ def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         messy, supp, messy_id="s_suppkey", messy_col="typo",
         canon_col="s_name", max_dist=2,
     )
+
+
+@register(
+    "scalar_phonetic_funcs",
+    None,  # DuckDB has no soundex — canonical values pytest-gated instead
+    doc="2.G string-family completion: soundex phonetic codes over "
+        "customer names (the blocking-key family fuzzy_match unions at "
+        "production scale); rows-only here, canonical soundex vectors "
+        "(Robert→R163 etc.) asserted in tests/test_edge_cases.py",
+)
+def scalar_phonetic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).customer
+    return (
+        cust.select(
+            "c_custkey",
+            F.soundex("c_name").alias("name_soundex"),
+            F.soundex(F.col("c_mktsegment")).alias("segment_soundex"),
+        )
+        .groupBy("name_soundex", "segment_soundex")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

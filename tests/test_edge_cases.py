@@ -113,3 +113,13 @@ def test_rollup_drilldown_on_empty_cut(spark, sf_dir, tmp_path):
     out = str(tmp_path / "empty_rollup")
     materialize_rollup(spark, sf_dir, q, out)
     assert rollup_drilldown(spark, out, ["Region"], ["Revenue"]).count() == 0
+
+
+def test_soundex_canonical_vectors(spark):
+    # the classic published test vectors for American Soundex
+    df = spark.createDataFrame(
+        [("Robert",), ("Rupert",), ("Ashcraft",), ("Tymczak",), ("Pfister",)],
+        "name string",
+    )
+    got = [r["s"] for r in df.select(F.soundex("name").alias("s")).collect()]
+    assert got == ["R163", "R163", "A261", "T522", "P236"], got
