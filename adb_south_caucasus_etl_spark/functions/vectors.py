@@ -21,6 +21,8 @@ which stays JVM-side entirely.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -81,3 +83,20 @@ def geometric_mean(v: pd.Series) -> float:
     Accumulates in log space (numpy, C loop) so products of thousands of
     prices don't overflow. SQL mirror: ``exp(avg(ln(x)))``."""
     return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+
+@pandas_udf(DoubleType())
+def chars_per_token_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """SCALAR_ITER pandas UDF — the third vectorized-UDF evaluation mode
+    (§2.K): the worker receives an ITERATOR of Arrow batches, so expensive
+    one-time setup (tokenizer/model load — here a compiled regex standing
+    in for it) is paid once per TASK, not once per batch, and state never
+    crosses the Arrow boundary. The per-batch body is still fully
+    vectorized. SQL mirror: n_chars / token_count."""
+    import re
+
+    word = re.compile(r"\S+")  # the "expensive init" done once per task
+    for texts in batches:
+        n_chars = texts.str.len().astype("float64")
+        n_tok = texts.map(lambda t: float(len(word.findall(t))))
+        yield n_chars / n_tok.clip(lower=1.0)

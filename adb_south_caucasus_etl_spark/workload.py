@@ -4308,3 +4308,31 @@ def scalar_phonetic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("name_soundex", "segment_soundex")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "pandas_udf_iter_chars_per_token",
+    r"""
+    SELECT doc_id,
+           CAST(ROUND(CAST(length(text)
+                 / greatest(len(regexp_extract_all(text, '\S+')), 1)
+                 AS DECIMAL(18,8)), 4) AS DOUBLE) AS chars_per_token
+    FROM documents
+    """,
+    doc="2.K SCALAR_ITER pandas UDF: iterator-of-batches evaluation — "
+        "per-task one-time init (regex/model load) amortized across all "
+        "Arrow batches, the pattern for model-scoring UDFs at 100 TB; "
+        "same decimal-mediated output as the SQL mirror",
+)
+def pandas_udf_iter_chars_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import chars_per_token_iter
+
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        F.round(
+            chars_per_token_iter("text").cast("decimal(18,8)"), 4
+        )
+        .cast("double")
+        .alias("chars_per_token"),
+    )
