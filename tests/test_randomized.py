@@ -109,3 +109,46 @@ def test_connected_components_match_bruteforce_random(spark):
                 r["node"]: r["label"] for r in fn(edf, "id_a", "id_b").collect()
             }
             assert got == want, (fn.__name__, trial)
+
+
+def _brute_jaccard_pairs(docs, n, threshold):
+    def shingles(text):
+        toks = text.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if round(j, 4) >= threshold:
+                out[(a, b)] = round(j, 4)
+    return out
+
+
+def test_jaccard_pairs_match_bruteforce_random(spark):
+    from adb_south_caucasus_etl_spark.operators.dedup import jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → real overlaps
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 15))))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.2
+            ).collect()
+        }
+        want = _brute_jaccard_pairs(docs, 3, 0.2)
+        assert got == want, (trial, set(got) ^ set(want))
