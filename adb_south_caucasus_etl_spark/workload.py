@@ -4336,3 +4336,68 @@ def pandas_udf_iter_chars_per_token(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("double")
         .alias("chars_per_token"),
     )
+
+
+@register(
+    "q12_priority_by_lateness",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape: conditional counts (FILTER clause / count_if) "
+        "splitting one pass by a predicate — never two scans; the "
+        "late-shipment join condition is non-equi on top of the equi key",
+)
+def q12_priority_by_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        cat.orders.join(
+            cat.lineitem,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "scalar_bitwise_funcs",
+    """
+    SELECT CAST(o_custkey % 8 AS BIGINT) AS bucket,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(o_orderkey % 256) AS BIGINT) AS key_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+           CAST(SUM(o_orderkey & 15) AS BIGINT) AS sum_low_nibble,
+           CAST(SUM(o_orderkey >> 4) AS BIGINT) AS sum_high_bits
+    FROM orders GROUP BY 1
+    """,
+    doc="2.G bitwise completion: scalar shift/mask (shiftright, & mask — "
+        "the zorder_key building blocks) and the bit_and/bit_or/bit_xor "
+        "AGGREGATES (flag-set union/intersection per group)",
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.groupBy(
+        (F.col("o_custkey") % 8).cast("bigint").alias("bucket")
+    ).agg(
+        F.bit_and("o_orderkey").cast("bigint").alias("key_and"),
+        F.bit_or(F.col("o_orderkey") % 256).cast("bigint").alias("key_or"),
+        F.bit_xor("o_orderkey").cast("bigint").alias("key_xor"),
+        F.sum(F.col("o_orderkey").bitwiseAND(F.lit(15)))
+        .cast("bigint")
+        .alias("sum_low_nibble"),
+        F.sum(F.shiftright(F.col("o_orderkey"), 4))
+        .cast("bigint")
+        .alias("sum_high_bits"),
+    )
