@@ -4401,3 +4401,227 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_high_bits"),
     )
+
+
+# --------------------------------------------------------------------------
+# analytics & data-prep staples: cohorts, histograms, robust stats,
+# imputation, time-weighted aggregation
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_ev AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events
+      GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT epoch_us(cohort) AS cohort_week_us,
+           CAST((epoch(w) - epoch(cohort)) / 604800 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN first_ev f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention: users bucketed by first-seen week, activity "
+        "counted per week offset — the canonical product-analytics "
+        "triangle; two keyed aggregates + one equi-join, the cohort side "
+        "is user-grain (small) so AQE broadcasts it",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    first_ev = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    off = (
+        (F.unix_timestamp("w") - F.unix_timestamp("cohort")) / 604800
+    ).cast("bigint")
+    return (
+        activity.join(first_ev, "user_id")
+        .groupBy(
+            F.unix_micros("cohort").alias("cohort_week_us"),
+            off.alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "histogram_order_values",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+    doc="fixed-width histogram via floor arithmetic (width_bucket is not "
+        "portable) with an overflow bucket — the one-pass distribution "
+        "profile that sizes chart axes and sanity-checks skew before a "
+        "join strategy is chosen",
+)
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast(
+        "bigint"
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "agg_winsorized_mean",
+    """
+    WITH lim AS (
+      SELECT c_mktsegment AS segment,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    )
+    SELECT o.segment,
+           CAST(ROUND(CAST(AVG(o.clipped) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS wmean,
+           COUNT(*) AS n
+    FROM (
+      SELECT c_mktsegment AS segment,
+             greatest(l.p05, least(l.p95, o_totalprice)) AS clipped
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN lim l ON l.segment = c_mktsegment
+    ) o
+    GROUP BY 1
+    """,
+    doc="winsorized mean (robust statistics for noisy training signals): "
+        "per-group p05/p95 exact interpolated percentiles (Spark "
+        "`percentile` == DuckDB `quantile_cont`), values clipped via "
+        "greatest/least, then the plain mean — the percentile frame is "
+        "group-grain and broadcasts back onto the fact rows",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    j = cat.orders.join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+    lim = j.groupBy(F.col("c_mktsegment").alias("__seg")).agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    clipped = (
+        j.join(F.broadcast(lim), F.col("c_mktsegment") == F.col("__seg"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.greatest("p05", F.least("p95", F.col("o_totalprice"))).alias(
+                "clipped"
+            ),
+        )
+    )
+    return clipped.groupBy("segment").agg(
+        F.round(F.avg("clipped").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("wmean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "impute_group_mean",
+    """
+    WITH holey AS (
+      SELECT event_type,
+             CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    means AS (
+      SELECT event_type, AVG(v) AS m FROM holey GROUP BY 1
+    )
+    SELECT h.event_type,
+           COUNT(*) FILTER (WHERE h.v IS NULL) AS n_imputed,
+           CAST(ROUND(CAST(AVG(COALESCE(h.v, m.m)) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS mean_after
+    FROM holey h JOIN means m ON h.event_type = m.event_type
+    GROUP BY 1
+    """,
+    doc="null imputation by group mean: nulls synthesized deterministically "
+        "on both engines (event_id%10), per-type means computed over the "
+        "non-null subset, coalesce back — the standard feature-prep "
+        "transform; AVG skips nulls identically in both engines",
+)
+def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    holey = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    means = holey.groupBy(F.col("event_type").alias("__et")).agg(
+        F.avg("v").alias("m")
+    )
+    return (
+        holey.join(F.broadcast(means), F.col("event_type") == F.col("__et"))
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("v").isNull()).alias("n_imputed"),
+            F.round(
+                F.avg(F.coalesce("v", "m")).cast("decimal(18,6)"), 2
+            )
+            .cast("double")
+            .alias("mean_after"),
+        )
+    )
+
+
+@register(
+    "time_weighted_avg_value",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           CAST(ROUND(CAST(SUM(value * dt) / SUM(dt) AS DECIMAL(28,8)), 4)
+                AS DOUBLE) AS tw_avg,
+           CAST(SUM(dt) AS BIGINT) AS observed_us
+    FROM seq WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY 1
+    """,
+    doc="time-weighted average (the honest mean for irregularly-sampled "
+        "signals — each reading weighted by how long it was current): "
+        "lead() for interval lengths with a deterministic (ts, event_id) "
+        "ordering, zero-length intervals dropped on both engines",
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond integer arithmetic on both engines: DuckDB epoch() is
+    # fractional DOUBLE seconds while Spark unix_timestamp truncates —
+    # epoch_us/unix_micros agree exactly
+    seq = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt"),
+    )
+    return (
+        seq.filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                (F.sum(F.col("value") * F.col("dt")) / F.sum("dt")).cast(
+                    "decimal(28,8)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("tw_avg"),
+            F.sum("dt").cast("bigint").alias("observed_us"),
+        )
+    )
