@@ -4625,3 +4625,60 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dt").cast("bigint").alias("observed_us"),
         )
     )
+
+
+@register(
+    "audit_table_checksum",
+    """
+    SELECT 'orders' AS tbl, COUNT(*) AS n,
+           CAST(SUM(CAST('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(ROUND(o_totalprice, 2) AS VARCHAR)
+           ), 1, 8) AS BIGINT)) AS BIGINT) AS checksum
+    FROM orders
+    UNION ALL
+    SELECT 'customer', COUNT(*),
+           CAST(SUM(CAST('0x' || substr(md5(
+             CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment
+           ), 1, 8) AS BIGINT)) AS BIGINT)
+    FROM customer
+    """,
+    doc="order-insensitive table checksum (SUM of per-row md5-prefix "
+        "hashes): equal checksums ⇒ equal multisets of rows regardless of "
+        "partitioning or row order — the migration/backfill validation "
+        "primitive (this driver's own correctness gate is the same idea); "
+        "one scan per table, no sort, no collect",
+)
+def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+
+    def row_hash(*cols):
+        h = F.md5(F.concat_ws("|", *cols))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+    orders = cat.orders.agg(
+        F.lit("orders").alias("tbl"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            row_hash(
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.round("o_totalprice", 2).cast("string"),
+            )
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )
+    customer = cat.customer.agg(
+        F.lit("customer").alias("tbl"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            row_hash(F.col("c_custkey").cast("string"), F.col("c_mktsegment"))
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )
+    return orders.unionByName(customer)

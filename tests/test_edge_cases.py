@@ -123,3 +123,23 @@ def test_soundex_canonical_vectors(spark):
     )
     got = [r["s"] for r in df.select(F.soundex("name").alias("s")).collect()]
     assert got == ["R163", "R163", "A261", "T522", "P236"], got
+
+
+def test_observe_metrics_side_channel(spark, sf_dir):
+    """df.observe(): data-quality metrics collected DURING the query (one
+    pass, no second scan) — the runtime-observability hook a production
+    pipeline attaches alongside its real output."""
+    from pyspark.sql import Observation
+
+    from adb_south_caucasus_etl_spark.sources.registry import Catalog
+
+    obs = Observation("orders_dq")
+    o = Catalog(spark, sf_dir).orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("bad_price"),
+    )
+    n = o.filter(F.col("o_orderstatus") == "F").count()
+    assert n > 0
+    got = obs.get
+    assert got["rows_seen"] > 0 and got["bad_price"] == 0
