@@ -151,6 +151,26 @@ def _star_joins() -> tuple[Join, ...]:
 
 
 DEFAULT_CUBES: dict[str, CubeSchema] = {
+    # a second cube over the events table — the registry is plural like a
+    # real OLAP server schema; degenerate (fact-column) levels only, no
+    # joins, which exercises the compiler's join-pruning down to zero dims
+    "events": CubeSchema(
+        name="events",
+        fact="events",
+        joins=(),
+        levels={
+            "Event Type": Level("Event Type", "event_type"),
+            "User": Level("User", "user_id"),
+            "Day": Level("Day", "cast(date_trunc('day', ts) as date)"),
+            "Hour": Level("Hour", "hour(ts)"),
+        },
+        measures={
+            "Total Value": Measure("Total Value", "value"),
+            "Avg Value": Measure("Avg Value", "value", agg="avg"),
+            "Event Count": Measure("Event Count", "*", agg="count"),
+            "Users": Measure("Users", "user_id", agg="count_distinct"),
+        },
+    ),
     "lineitem": CubeSchema(
         name="lineitem",
         fact="lineitem",

@@ -4682,3 +4682,50 @@ def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("checksum"),
     )
     return orders.unionByName(customer)
+
+
+@register(
+    "cube_events_drilldown",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           ROUND(SUM(value), 2) AS total_value,
+           COUNT(*) AS event_count,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY 1, 2
+    """,
+    doc="second cube in the registry (events): drilldown + multi-member "
+        "cut compiled over a join-free fact — the compiler's join pruning "
+        "reduces the star to a bare scan; proves the CubeQuery surface is "
+        "schema-plural like the OLAP server it replaces",
+)
+def cube_events_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = CubeQuery(
+        cube="events",
+        drilldowns=("Event Type", "Day"),
+        measures=("Total Value", "Event Count", "Users"),
+        cuts={"Event Type": ["purchase", "signup"]},
+    )
+    df = compile_query(spark, sf_dir, q)
+    return df.select(
+        "event_type",
+        "day",
+        F.round("total_value", 2).alias("total_value"),
+        "event_count",
+        "users",
+    )
+
+
+@register(
+    "cube_events_members",
+    """
+    SELECT DISTINCT event_type AS event_type_id, event_type
+    FROM events ORDER BY 1
+    """,
+    doc="member enumeration against the second cube's degenerate level — "
+        "members() falls back to the fact scan when the level has no "
+        "backing dim table (documented in plans/cube.py)",
+)
+def cube_events_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return members(spark, sf_dir, "events", "Event Type")
