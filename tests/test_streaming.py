@@ -105,3 +105,66 @@ def test_running_totals_stateful_stream(spark, sf_dir):
     )
     got = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
     assert got == expected
+
+
+def test_tumbling_counts_identical_across_micro_batch_splits(spark, sf_dir, tmp_path):
+    """Cross-batch state: the same events replayed as TWO micro-batches
+    (maxFilesPerTrigger=1 over two time-split files) must produce exactly
+    the single-batch result — the incremental-state property availableNow
+    over one file never exercises."""
+    from pyspark.sql import functions as F
+
+    from adb_south_caucasus_etl_spark.sources.registry import Catalog
+
+    ev = Catalog(spark, sf_dir).events
+    mid = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)")
+    ).first()[0]
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "split_events")
+    os.makedirs(src)
+    for tag, half in (
+        ("a", ev.filter(F.unix_micros("ts") <= mid)),
+        ("b", ev.filter(F.unix_micros("ts") > mid)),
+    ):
+        staging = str(tmp_path / f"stage_{tag}")
+        half.coalesce(1).write.parquet(staging)
+        part = glob.glob(f"{staging}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/{tag}.parquet")
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("window.start").alias("ws"), "event_type", "n"
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("two_batch_tumbling")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1, "expected at least two micro-batches"
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM two_batch_tumbling").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("window.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == want
