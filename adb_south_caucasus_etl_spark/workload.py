@@ -4729,3 +4729,56 @@ def cube_events_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cube_events_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members(spark, sf_dir, "events", "Event Type")
+
+
+@register(
+    "q20_excess_volume_suppliers",
+    """
+    WITH vol AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    part_avg AS (
+      SELECT l_partkey AS pk, AVG(qty) AS avg_qty
+      FROM vol GROUP BY 1
+    ),
+    excess AS (
+      SELECT DISTINCT l_suppkey FROM vol
+      JOIN part_avg ON l_partkey = pk
+      WHERE qty > 2.5 * avg_qty
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM excess WHERE l_suppkey = s_suppkey)
+    """,
+    doc="TPC-H Q20 shape: a semi-join CHAIN through aggregate thresholds — "
+        "per-(supplier, part) volumes, per-part average of those volumes, "
+        "suppliers exceeding 2.5× on any part, then supplier EXISTS as a "
+        "left-semi join; both aggregates shuffle on their grain keys, the "
+        "final probe side is a distinct key set",
+)
+def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    vol = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_avg = vol.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("qty").alias("avg_qty")
+    )
+    excess = (
+        vol.join(part_avg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty") > 2.5 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return cat.supplier.join(
+        excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
