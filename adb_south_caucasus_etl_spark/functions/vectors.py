@@ -97,6 +97,13 @@ def chars_per_token_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
     word = re.compile(r"\S+")  # the "expensive init" done once per task
     for texts in batches:
+        # null text → NaN on both operands → NULL out, matching the SQL
+        # mirror (length(NULL) is NULL); .str.len() already propagates NaN,
+        # the token counter must not crash on None
         n_chars = texts.str.len().astype("float64")
-        n_tok = texts.map(lambda t: float(len(word.findall(t))))
+        n_tok = texts.map(
+            lambda t: float(len(word.findall(t)))
+            if isinstance(t, str)
+            else np.nan
+        )
         yield n_chars / n_tok.clip(lower=1.0)

@@ -324,6 +324,16 @@ def cosine_pairs_blocked(
     )
     both = rep_a.unionByName(rep_b)
 
+    # candidate slack: the pandas group emits RAW float64 scores at a
+    # loosened threshold; the final round (Spark F.round, HALF_UP — same
+    # operator cosine_pairs and the DuckDB oracle use, NOT numpy's
+    # half-to-even) and the exact >= threshold filter run engine-side, so a
+    # 4th-decimal-midpoint cosine rounds identically in both formulations.
+    # Residual tolerance: BLAS matmul accumulation can differ from the
+    # zip_with fold in the last ulp; the slack keeps such a pair in the
+    # candidate set and the shared rounding then decides inclusion.
+    slack = 1e-3
+
     def per_pair(key, pdf: pd.DataFrame):
         b1, b2 = int(key[0]), int(key[1])
         left = pdf[pdf["__side"] == 0]
@@ -336,8 +346,8 @@ def cosine_pairs_blocked(
         Y = np.stack(right["__v"].to_numpy()).astype(np.float64)
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
-        S = np.round(Xn @ Yn.T, 4) + 0.0
-        ia, ib = np.nonzero(S >= threshold)
+        S = Xn @ Yn.T
+        ia, ib = np.nonzero(S >= threshold - slack)
         id_l = left["__id"].to_numpy()[ia]
         id_r = right["__id"].to_numpy()[ib]
         lo, hi = np.minimum(id_l, id_r), np.maximum(id_l, id_r)
@@ -349,6 +359,9 @@ def cosine_pairs_blocked(
             out = out.drop_duplicates(subset=["id_a", "id_b"])
         return out
 
-    return both.groupBy("b1", "b2").applyInPandas(
+    cand = both.groupBy("b1", "b2").applyInPandas(
         per_pair, "id_a long, id_b long, cosine double"
     )
+    return cand.withColumn(
+        "cosine", F.round(F.col("cosine"), 4) + 0.0
+    ).filter(F.col("cosine") >= threshold)

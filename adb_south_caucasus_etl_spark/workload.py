@@ -2288,6 +2288,11 @@ def bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
       FROM documents
+      -- the UDTF yields NO rows for empty/whitespace-only/null text;
+      -- string_split_regex('', '\s+') returns [''] → one degenerate chunk
+      -- row, so filter those docs here to keep the pair equivalent on ALL
+      -- inputs, not just the (empty-free) fixture
+      WHERE text IS NOT NULL AND trim(text) <> ''
     ),
     i AS (
       SELECT doc_id, ts,

@@ -1,6 +1,12 @@
 """Benchmark harness: runs the headline workload at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+compact JSON line as the LAST line of stdout:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The full per-query sweep (all registered queries, batch and streaming walls
+split, errors) is written to BENCH_FULL.json next to this file — kept OUT of
+the stdout line so the driver's tail capture always parses the headline
+(round 2 lost its perf datum to a truncated 127-query inline dict).
 
 Each query executes end-to-end into Spark's noop sink — full plan runs
 (scans, shuffles, aggs), nothing is transferred to the driver, so the
@@ -19,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from adb_south_caucasus_etl_spark.session import get_spark  # noqa: E402
 from adb_south_caucasus_etl_spark.workload import WORKLOAD  # noqa: E402
+
+#: min-of-N iterations for each headline query (used by both the loop and
+#: the emitted metadata — r2 shipped a stale hand-written count)
+ITERATIONS = 3
 
 #: headline set — every operator family, weighted toward the scale-relevant
 #: shapes (star agg, window, as-of, dedup, similarity, streaming-batch)
@@ -54,7 +64,7 @@ def main() -> None:
         spark, "/root/testdata/sf0.001"
     ).write.format("noop").mode("overwrite").save()
 
-    # three iterations per query, report the min: every iteration rebuilds
+    # ITERATIONS runs per query, report the min: every iteration rebuilds
     # the DataFrame from scratch (full analysis/optimization/codegen +
     # execution end-to-end into the noop sink), so the number still measures
     # the whole engine path — the min suppresses JIT/GC warm-up noise
@@ -65,7 +75,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = WORKLOAD[name].fn
         best = float("inf")
-        for _ in range(3):
+        for _ in range(ITERATIONS):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
@@ -90,19 +100,46 @@ def main() -> None:
             full[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # batch vs streaming split: the five streaming_*_live queries run real
+    # Structured Streaming starts (availableNow replay) whose fixed start/stop
+    # cost (~2-8 s each) would drown batch-plan regressions in the full wall.
+    batch_wall = round(
+        sum(v for n, v in full.items() if v and not n.startswith("streaming_")), 3
+    )
+    streaming_wall = round(
+        sum(v for n, v in full.items() if v and n.startswith("streaming_")), 3
+    )
+    full_report = {
+        "iterations_headline": ITERATIONS,
+        "full_wall_batch": batch_wall,
+        "full_wall_streaming": streaming_wall,
+        "queries_full": full,
+        "errors": errors,
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(full_report, fh, indent=1, sort_keys=True)
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
-        "iterations": 2,
+        "iterations": ITERATIONS,
         "queries": times,
-        "queries_full": full,
+        "full_wall_batch": batch_wall,
+        "full_wall_streaming": streaming_wall,
+        "n_queries": len(full),
+        "n_errors": len(errors),
         "sf": sf,
     }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    # the compact headline line is the LAST stdout line, nothing after it —
+    # the driver tails stdout for one parseable JSON object
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
