@@ -2234,12 +2234,17 @@ def bucketed_orders_customer_join(
     sf0.01 customer side would be broadcast, which also has no shuffle but
     proves nothing about co-location."""
     import os
+    import re
     import tempfile
 
     from .sources.sinks import write_bucketed
 
-    out = tempfile.mkdtemp(prefix="adb_sc_buckets_")
-    tag = os.path.basename(out).removeprefix("adb_sc_buckets_")
+    # deterministic per-sf_dir table names and temp path: repeated
+    # bench/oracle sweeps OVERWRITE the same two catalog entries and one
+    # directory instead of minting a fresh mkdtemp + bkt_*_<random> pair
+    # per call (which accumulated disk and metastore entries)
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"adb_sc_buckets_{tag}")
     cat = Catalog(spark, sf_dir)
     names = {}
     for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
@@ -4110,6 +4115,10 @@ def sql_api_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: previous invocation's cached corrupt-JSON frame (see unpersist below)
+_CORRUPT_JSON_CACHE: list[DataFrame] = []
+
+
 @register(
     "source_corrupt_json_tolerance",
     """
@@ -4127,11 +4136,22 @@ def source_corrupt_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
     import os
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="adb_sc_json_")
+    # deterministic fixture dir (content is constant — rewriting is
+    # idempotent) instead of one mkdtemp per call
+    d = os.path.join(tempfile.gettempdir(), "adb_sc_json_fixture")
+    os.makedirs(d, exist_ok=True)
     with open(os.path.join(d, "part-0.json"), "w") as fh:
         fh.write('{"id": 1, "v": "a"}\n')
         fh.write('{"id": 2 "v": "broken"\n')  # malformed on purpose
         fh.write('{"id": 3, "v": "c"}\n')
+    # repeated sweeps must not accumulate cached frames: drop the previous
+    # invocation's cache before building this one (bounded at one 3-row
+    # cached plan per process)
+    while _CORRUPT_JSON_CACHE:
+        try:
+            _CORRUPT_JSON_CACHE.pop().unpersist()
+        except Exception:  # noqa: BLE001 — stale session; nothing to free
+            pass
     df = (
         spark.read.schema("id BIGINT, v STRING, _corrupt_record STRING")
         .option("mode", "PERMISSIVE")
@@ -4142,6 +4162,7 @@ def source_corrupt_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
         # caching the parsed frame is the documented unlock
         .cache()
     )
+    _CORRUPT_JSON_CACHE.append(df)
     kind = F.when(F.col("_corrupt_record").isNull(), F.lit("valid")).otherwise(
         F.lit("corrupt")
     )
