@@ -101,6 +101,10 @@ class CubeSchema:
     joins: tuple[Join, ...]
     levels: dict[str, Level] = field(default_factory=dict)
     measures: dict[str, Measure] = field(default_factory=dict)
+    #: runtime-registered cubes (``infer_cube``) carry their own DataFrames;
+    #: table names resolve here first, then through the parquet catalog —
+    #: so a cube over an ad-hoc frame needs no catalog entry at all
+    frames: dict[str, DataFrame] | None = None
 
     def level(self, name: str) -> Level:
         try:
@@ -261,12 +265,20 @@ def _needed_tables(
     return needed
 
 
+def _resolve_table(catalog: Catalog, schema: CubeSchema, name: str) -> DataFrame:
+    """Cube-attached runtime frames (``infer_cube``) win over the parquet
+    catalog, so ad-hoc cubes and catalog cubes compile through one path."""
+    if schema.frames and name in schema.frames:
+        return schema.frames[name]
+    return catalog.table(name)
+
+
 def _build_star(catalog: Catalog, schema: CubeSchema, needed: set[str]) -> DataFrame:
-    star = catalog.table(schema.fact)
+    star = _resolve_table(catalog, schema, schema.fact)
     for j in schema.joins:
         if j.table not in needed:
             continue
-        dim = catalog.table(j.table)
+        dim = _resolve_table(catalog, schema, j.table)
         if j.broadcast:
             dim = F.broadcast(dim)
         star = star.join(dim, F.col(j.left) == F.col(j.right), "inner")
@@ -366,7 +378,9 @@ def members(
     schema = cubes[cube]
     lvl = schema.level(level)
     catalog = Catalog(spark, sf_dir)
-    source = catalog.table(lvl.requires[-1] if lvl.requires else schema.fact)
+    source = _resolve_table(
+        catalog, schema, lvl.requires[-1] if lvl.requires else schema.fact
+    )
     out_id = f"{lvl.out_name}_id"
     cols = [
         F.expr(lvl.key).alias(out_id),
@@ -380,3 +394,104 @@ def members(
             if c not in claimed
         ]
     return source.select(*cols).distinct().orderBy(out_id)
+
+
+# --------------------------------------------------------------------------
+# runtime cube registration
+
+
+def _titleize(col: str) -> str:
+    return " ".join(p.capitalize() for p in col.split("_") if p)
+
+
+def infer_cube(
+    name: str,
+    fact: DataFrame,
+    joins: tuple[Join, ...] = (),
+    dim_frames: dict[str, DataFrame] | None = None,
+    levels: dict[str, Level] | None = None,
+    measures: dict[str, Measure] | None = None,
+    exclude: tuple[str, ...] = (),
+) -> CubeSchema:
+    """Build a ``CubeSchema`` from DataFrames at runtime — the ad-hoc path
+    the reference gets for free by addressing any server cube by name
+    (reference oec.py:53 ``"cube": cube_name``): a user with a new fact
+    table registers it here instead of editing ``DEFAULT_CUBES``.
+
+    Inference walks the fact's schema plus each joined dim frame:
+
+    - string columns → one degenerate level apiece ("event_type" →
+      level "Event Type")
+    - date/timestamp columns → derived Year and Month levels
+    - numeric columns → a summed "Total X" measure
+    - join-key columns (any side of a ``Join``) and ``exclude`` names are
+      skipped — keys are plumbing, not analysis axes
+    - a "Row Count" count(*) measure is always present
+
+    ``levels``/``measures`` overlay the inferred dicts (same names replace,
+    new names extend), so inference handles the long tail and the caller
+    spells only the interesting derived expressions. Dim-frame levels get
+    ``requires`` chains through the join graph, so join pruning works
+    exactly as for the hand-built cubes. The returned schema carries its
+    DataFrames in ``frames`` — ``compile_query``/``members`` resolve those
+    before the parquet catalog, so the cube works with no catalog entry:
+
+        schema = infer_cube("sales", fact_df,
+                            joins=(Join("stores", "store_id", "id"),),
+                            dim_frames={"stores": stores_df})
+        compile_query(spark, sf_dir, q, cubes={**DEFAULT_CUBES,
+                                               "sales": schema})
+    """
+    from pyspark.sql import types as T
+
+    dim_frames = dict(dim_frames or {})
+    key_cols = {j.left for j in joins} | {j.right for j in joins}
+    skip = key_cols | set(exclude)
+
+    by_table = {j.table: j for j in joins}
+
+    def requires_chain(table: str | None) -> tuple[str, ...]:
+        chain: list[str] = []
+        while table is not None:
+            chain.append(table)
+            table = by_table[table].parent
+        return tuple(reversed(chain))
+
+    inf_levels: dict[str, Level] = {}
+    inf_measures: dict[str, Measure] = {}
+
+    sources: list[tuple[str | None, DataFrame]] = [(None, fact)]
+    sources += [(t, df) for t, df in dim_frames.items() if t in by_table]
+    for table, df in sources:
+        req = requires_chain(table)
+        for f in df.schema.fields:
+            if f.name in skip:
+                continue
+            title = _titleize(f.name)
+            dt = f.dataType
+            if isinstance(dt, T.StringType):
+                inf_levels[title] = Level(title, f.name, requires=req)
+            elif isinstance(
+                dt, (T.DateType, T.TimestampType, T.TimestampNTZType)
+            ):
+                for part in ("year", "month"):
+                    lname = f"{title} {part.capitalize()}"
+                    inf_levels[lname] = Level(
+                        lname, f"{part}({f.name})", requires=req
+                    )
+            elif isinstance(dt, T.NumericType):
+                mname = f"Total {title}"
+                inf_measures[mname] = Measure(mname, f.name, requires=req)
+    inf_measures["Row Count"] = Measure("Row Count", "*", agg="count")
+
+    inf_levels.update(levels or {})
+    inf_measures.update(measures or {})
+    frames = {name: fact, **dim_frames}
+    return CubeSchema(
+        name=name,
+        fact=name,
+        joins=joins,
+        levels=inf_levels,
+        measures=inf_measures,
+        frames=frames,
+    )

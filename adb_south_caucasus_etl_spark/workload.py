@@ -4808,3 +4808,48 @@ def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.supplier.join(
         excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@register(
+    "cube_runtime_inferred",
+    """
+    SELECT c_mktsegment,
+           CAST(year(o_orderdate) AS INTEGER) AS o_orderdate_year,
+           ROUND(SUM(o_totalprice), 2) AS total_o_totalprice,
+           COUNT(*) AS row_count
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1, 2
+    """,
+    doc="ad-hoc cube registration (the reference addresses ANY server cube "
+        "by name, oec.py:53): infer_cube() builds a CubeSchema at runtime "
+        "from a fact DataFrame + dim spec — string columns become levels, "
+        "dates become Year/Month levels, numerics become summed measures, "
+        "join keys are skipped — and compile_query resolves the cube's own "
+        "attached frames, no catalog entry or DEFAULT_CUBES edit involved",
+)
+def cube_runtime_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.cube import DEFAULT_CUBES, Join, infer_cube
+
+    cat = Catalog(spark, sf_dir)
+    schema = infer_cube(
+        "orders_adhoc",
+        cat.orders,
+        joins=(Join("customer", "o_custkey", "c_custkey", broadcast=False),),
+        dim_frames={"customer": cat.customer},
+    )
+    q = CubeQuery(
+        cube="orders_adhoc",
+        drilldowns=("C Mktsegment", "O Orderdate Year"),
+        measures=("Total O Totalprice", "Row Count"),
+        cuts={"O Orderstatus": "F"},
+    )
+    df = compile_query(
+        spark, sf_dir, q, cubes={**DEFAULT_CUBES, "orders_adhoc": schema}
+    )
+    return _round2(
+        df.withColumn(
+            "o_orderdate_year", F.col("o_orderdate_year").cast("int")
+        ),
+        "total_o_totalprice",
+    )

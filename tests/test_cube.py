@@ -126,3 +126,105 @@ def test_unknown_level_raises():
     schema = DEFAULT_CUBES["lineitem"]
     with pytest.raises(KeyError, match="no level"):
         schema.level("Nope")
+
+
+# --------------------------------------------------------------------------
+# runtime cube registration (infer_cube)
+
+
+def test_infer_cube_levels_and_measures(spark, sf_dir):
+    from adb_south_caucasus_etl_spark.plans.cube import Join, infer_cube
+    from adb_south_caucasus_etl_spark.sources.registry import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    schema = infer_cube(
+        "orders_adhoc",
+        cat.orders,
+        joins=(Join("customer", "o_custkey", "c_custkey", broadcast=False),),
+        dim_frames={"customer": cat.customer},
+    )
+    # string columns of fact AND dim become levels; date columns become
+    # Year/Month; join keys never appear
+    assert "O Orderstatus" in schema.levels
+    assert "C Mktsegment" in schema.levels
+    assert "O Orderdate Year" in schema.levels
+    assert "O Orderdate Month" in schema.levels
+    assert not any("Custkey" in name for name in schema.levels)
+    # numeric columns become summed measures; Row Count always present
+    assert schema.measures["Total O Totalprice"].agg == "sum"
+    assert schema.measures["Row Count"].agg == "count"
+    # dim-frame levels carry requires chains so join pruning works
+    assert schema.levels["C Mktsegment"].requires == ("customer",)
+    assert schema.levels["O Orderstatus"].requires == ()
+
+
+def test_infer_cube_compiles_and_prunes(spark, sf_dir):
+    from adb_south_caucasus_etl_spark.plans.cube import (
+        Join,
+        _needed_tables,
+        infer_cube,
+    )
+    from adb_south_caucasus_etl_spark.sources.registry import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    schema = infer_cube(
+        "orders_adhoc",
+        cat.orders,
+        joins=(Join("customer", "o_custkey", "c_custkey", broadcast=False),),
+        dim_frames={"customer": cat.customer},
+    )
+    cubes = {"orders_adhoc": schema}
+    # fact-only query prunes the customer join entirely
+    q_fact = CubeQuery(
+        "orders_adhoc", ("O Orderstatus",), ("Total O Totalprice",)
+    )
+    assert _needed_tables(schema, q_fact) == set()
+    df = compile_query(spark, sf_dir, q_fact, cubes=cubes)
+    assert df.columns == ["o_orderstatus", "total_o_totalprice"]
+    assert df.count() == 3  # O, F, P
+    # dim drilldown + cut compiles through the attached frames
+    q_dim = CubeQuery(
+        "orders_adhoc",
+        ("C Mktsegment",),
+        ("Row Count",),
+        cuts={"O Orderstatus": "F"},
+    )
+    rows = compile_query(spark, sf_dir, q_dim, cubes=cubes).collect()
+    assert len(rows) == 5  # five market segments
+    assert all(r["row_count"] > 0 for r in rows)
+
+
+def test_infer_cube_overlays_and_members(spark, sf_dir):
+    from adb_south_caucasus_etl_spark.plans.cube import (
+        Join,
+        Level,
+        Measure,
+        infer_cube,
+        members,
+    )
+    from adb_south_caucasus_etl_spark.sources.registry import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    schema = infer_cube(
+        "orders_adhoc",
+        cat.orders,
+        joins=(Join("customer", "o_custkey", "c_custkey", broadcast=False),),
+        dim_frames={"customer": cat.customer},
+        levels={
+            "Quarter": Level("Quarter", "quarter(o_orderdate)"),
+        },
+        measures={
+            # same-name override replaces the inferred sum with avg
+            "Total O Totalprice": Measure(
+                "Total O Totalprice", "o_totalprice", agg="avg"
+            ),
+        },
+    )
+    assert schema.levels["Quarter"].label_expr == "quarter(o_orderdate)"
+    assert schema.measures["Total O Totalprice"].agg == "avg"
+    # members() resolves the runtime frames too (customer-backed level)
+    m = members(
+        spark, sf_dir, "orders_adhoc", "C Mktsegment",
+        cubes={"orders_adhoc": schema},
+    )
+    assert m.count() == 5
