@@ -777,6 +777,31 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_clusters_star",
+    WORKLOAD["neardup_clusters"].oracle,
+    doc="L2 near-dup clusters via LARGE-STAR/SMALL-STAR contraction "
+        "(Kiveris SoCC'14) over the same exact-Jaccard pair graph — the "
+        "diameter-free CC that is the 100 TB default when graph shape is "
+        "unknown (min-label propagation needs diameter rounds; star "
+        "contraction halves component height every other round). Same "
+        "recursive-CTE oracle as neardup_clusters, so the driver hash "
+        "proves both CC algorithms agree end-to-end on real data, not "
+        "just on randomized pytest graphs.",
+)
+def neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components_star, jaccard_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=50)
+    cc = connected_components_star(pairs.select("id_a", "id_b"))
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
+@register(
     "neardup_survivors",
     r"""
     WITH RECURSIVE t AS (

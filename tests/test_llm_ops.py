@@ -345,10 +345,38 @@ def test_sample_frames_chunks_and_stride(spark):
     ]
 
 
-def test_decode_image_is_stub(spark):
+def _has_pil() -> bool:
+    from adb_south_caucasus_etl_spark.operators.multimodal import _pil_image
+
+    return _pil_image() is not None
+
+
+@pytest.mark.skipif(_has_pil(), reason="Pillow installed: decode is real")
+def test_decode_image_declared_unavailable_without_pil(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
-    with pytest.raises(NotImplementedError, match="imaging library"):
+    with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(df)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not installed")
+def test_decode_image_real_decode_with_pil(spark):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (13, 7), (255, 0, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, buf.getvalue()), (2, b"not-an-image")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_image(df, thumb_px=4).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (13, 7, 3)
+    thumb = Image.open(io.BytesIO(bytes(rows[1].thumb)))
+    assert thumb.size == (4, 4)
+    # corrupt payloads degrade to sentinel rows, never a dead task
+    assert (rows[2].width, rows[2].height, rows[2].channels) == (-1, -1, -1)
+    assert bytes(rows[2].thumb) == b""
 
 
 def test_char_ngram_jaccard_and_df_cap(spark):
