@@ -137,22 +137,60 @@ def jaccard_pairs(
       against stop-shingles, whose posting lists make the join quadratic
       (a shingle in p docs yields p·(p-1)/2 pairs). Jaccard is then
       computed over the capped shingle universe on both the numerator and
-      the per-doc set sizes (consistent denominators). Costs one extra
-      exchange; leave None when the shingle unit already discriminates.
+      the per-doc set sizes (consistent denominators). The df-count
+      window's hash partitioning on the shingle key is reused directly by
+      both self-join sides (AQE stage reuse), and the capped per-doc sizes
+      reduce map-side to one row per doc and join onto the already-
+      aggregated pair table — so the cap costs ONE extra full shingle-row
+      exchange (the __s window), not the three of the naive
+      window-df → window-sizes → repartition chain. Leave None when the
+      shingle unit already discriminates.
     """
     sh = exploded_shingles(df, id_col, text_col, n, unit)
     if max_df is not None:
-        # df per shingle, then re-derive per-doc sizes over the capped
-        # universe (extra __id exchange — the price of consistency)
-        sh = sh.select(
-            "__id",
-            "__s",
-            F.count(F.lit(1)).over(Window.partitionBy("__s")).alias("__df"),
-        ).filter(F.col("__df") <= max_df)
-        sized = sh.select(
-            "__id",
-            "__s",
-            F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"),
+        # df per shingle via ONE window over __s whose hash partitioning is
+        # then reused directly by both self-join sides (ReusedExchange) —
+        # no explicit repartition. Per-doc sizes over the capped universe
+        # (consistent denominators) no longer ride the shingle rows back
+        # through an __id window + re-repartition (two full shingle-row
+        # shuffles, the r2 shape): they reduce map-side to one row per doc
+        # and join onto the already-aggregated PAIR table, which is orders
+        # of magnitude smaller than the shingle stream.
+        capped = (
+            sh.select(
+                "__id",
+                "__s",
+                F.count(F.lit(1))
+                .over(Window.partitionBy("__s"))
+                .alias("__df"),
+            )
+            .filter(F.col("__df") <= max_df)
+            .select("__id", "__s")
+        )
+        sizes = capped.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+        a, b = capped.alias("a"), capped.alias("b")
+        scored = (
+            a.join(
+                b,
+                (F.col("a.__s") == F.col("b.__s"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .groupBy(
+                F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("__inter"))
+            .join(
+                sizes.select(
+                    F.col("__id").alias("id_a"), F.col("__n").alias("__na")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
+                ),
+                "id_b",
+            )
         )
     else:
         sized = sh.select(
@@ -160,21 +198,25 @@ def jaccard_pairs(
             "__s",
             F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"),
         )
-    ex = sized.repartition(F.col("__s"))
-    a, b = ex.alias("a"), ex.alias("b")
+        ex = sized.repartition(F.col("__s"))
+        a, b = ex.alias("a"), ex.alias("b")
+        scored = (
+            a.join(
+                b,
+                (F.col("a.__s") == F.col("b.__s"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .groupBy(
+                F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("__inter"),
+                F.any_value(F.col("a.__n")).alias("__na"),
+                F.any_value(F.col("b.__n")).alias("__nb"),
+            )
+        )
     return (
-        a.join(
-            b,
-            (F.col("a.__s") == F.col("b.__s"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("__inter"),
-            F.any_value(F.col("a.__n")).alias("__na"),
-            F.any_value(F.col("b.__n")).alias("__nb"),
-        )
-        .withColumn(
+        scored.withColumn(
             "jaccard",
             F.round(
                 F.col("__inter")
