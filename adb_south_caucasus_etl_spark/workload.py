@@ -57,6 +57,24 @@ def _round2(df: DataFrame, *cols: str) -> DataFrame:
     return out
 
 
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf_dir) scratch directory. Registered
+    queries that write (sinks, rollups, stream checkpoints) reuse and
+    OVERWRITE one directory per scale factor instead of minting a fresh
+    ``mkdtemp`` per invocation, so repeated bench/oracle sweeps stay
+    bounded on disk (every writer in these queries already uses
+    mode=overwrite; stream checkpoints are keyed by the same sf_dir their
+    source files come from, so offset reuse is idempotent)."""
+    import os
+    import re
+    import tempfile
+
+    safe = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    d = os.path.join(tempfile.gettempdir(), f"adb_sc_{tag}_{safe}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 # --------------------------------------------------------------------------
 # flagship (SURVEY §7 Phase 1): the reference's whole [API] surface in one
 # query — star join (J1/J2), cut (P2), drilldown agg (A1), date scalar,
@@ -1776,11 +1794,10 @@ def pandas_grouped_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition-pruning filter, aggregate — proves the write path end-to-end",
 )
 def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from .sources.sinks import read_parquet, write_parquet
 
-    out = tempfile.mkdtemp(prefix="adb_sc_sink_")
+    out = _scratch_dir("sink", sf_dir)
     orders = Catalog(spark, sf_dir).orders.withColumn(
         "o_year", F.year("o_orderdate").cast("int")
     )
@@ -3257,11 +3274,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the same pushdown/pruning treatment as parquet in Spark",
 )
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from .sources.sinks import read_orc, write_orc
 
-    out = tempfile.mkdtemp(prefix="adb_sc_orc_")
+    out = _scratch_dir("orc", sf_dir)
     li = Catalog(spark, sf_dir).lineitem.filter(
         F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
     ).select("l_returnflag", "l_extendedprice")
@@ -3288,11 +3304,10 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "proves the text-format round trip preserves values exactly",
 )
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from .sources.sinks import read_csv, write_csv
 
-    out = tempfile.mkdtemp(prefix="adb_sc_csv_")
+    out = _scratch_dir("csv", sf_dir)
     cust = Catalog(spark, sf_dir).customer.select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
@@ -3330,11 +3345,10 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table — the oracle recomputes from facts, proving the fold",
 )
 def rollup_materialized_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from .plans.rollup import materialize_rollup, rollup_drilldown
 
-    out = tempfile.mkdtemp(prefix="adb_sc_rollup_")
+    out = _scratch_dir("rollup", sf_dir)
     fine = CubeQuery(
         cube="lineitem",
         drilldowns=("Region", "Nation", "Year"),
@@ -3404,11 +3418,10 @@ def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parquet, compared against the batch aggregate",
 )
 def streaming_foreachbatch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from .streaming.wrappers import read_events_stream, stream_to_parquet_refresh
 
-    base = tempfile.mkdtemp(prefix="adb_sc_fb_")
+    base = _scratch_dir("fb", sf_dir)
     out, ckpt = f"{base}/out", f"{base}/ckpt"
     ev = read_events_stream(spark, sf_dir)
     agg = (
@@ -3565,9 +3578,8 @@ def streaming_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "single-key case); read back and aggregate to prove the roundtrip",
 )
 def sink_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="adb_sc_range_")
+    out = _scratch_dir("range", sf_dir)
     orders = Catalog(spark, sf_dir).orders
     (
         orders.repartitionByRange(8, "o_orderdate")
@@ -3596,11 +3608,10 @@ def sink_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gated in tests/test_curation2.py",
 )
 def rollup_hll_distinct_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from .plans.rollup import materialize_rollup, rollup_drilldown
 
-    out = tempfile.mkdtemp(prefix="adb_sc_hll_")
+    out = _scratch_dir("hll", sf_dir)
     fine = CubeQuery(
         cube="lineitem",
         drilldowns=("Region", "Nation", "Year"),
@@ -3632,7 +3643,6 @@ def rollup_hll_distinct_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "must still equal a full recompute from facts",
 )
 def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from .plans.rollup import (
         materialize_rollup,
@@ -3640,7 +3650,7 @@ def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup_drilldown,
     )
 
-    out = tempfile.mkdtemp(prefix="adb_sc_refresh_")
+    out = _scratch_dir("refresh", sf_dir)
     fine = CubeQuery(
         cube="lineitem",
         drilldowns=("Region", "Year"),
@@ -3921,11 +3931,10 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "proves the layout rewrite preserves the data exactly",
 )
 def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from .sources.sinks import zorder_key
 
-    out = tempfile.mkdtemp(prefix="adb_sc_zorder_")
+    out = _scratch_dir("zorder", sf_dir)
     orders = Catalog(spark, sf_dir).orders
     zk = zorder_key(["__ck", "__day"], bits=16)
     clustered = (
@@ -4265,9 +4274,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "read per file and is off by default",
 )
 def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="adb_sc_evo_")
+    out = _scratch_dir("evo", sf_dir)
     nation = Catalog(spark, sf_dir).nation
     b1 = nation.filter(F.col("n_nationkey") < 10).select(
         F.lit("b1").alias("batch"),
