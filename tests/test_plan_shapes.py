@@ -145,3 +145,61 @@ def test_q10_take_ordered_not_global_sort(spark):
     partition top-k + k-row merge), never a full global Sort."""
     plan = _final_plan(WORKLOAD["q10_returned_items_top20"].fn(spark, "/root/testdata/sf0.01"))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q9_broadcasts_filtered_dims_one_exchange(spark):
+    """q9: part (pre-filtered by the LIKE), supplier, and nation all
+    broadcast — ONE lineitem pass, the only hash exchange is the final
+    (nation, yr) aggregate; the p_name predicate reaches the part scan.
+    sf0.01 for the q7 EmptyRelation reason."""
+    plan = _final_plan(WORKLOAD["q9_product_profit"].fn(spark, "/root/testdata/sf0.01"))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert _exchanges(plan) == 1, plan
+    assert re.search(r"PushedFilters: \[[^\]]*StringContains\(p_name,gear\)", plan), plan
+
+
+def test_q16_anti_join_broadcast_no_smj(spark):
+    """q16: the NOT-IN exclusion decorrelates to a broadcast LEFT-ANTI
+    against the negative-balance supplier set, and the part predicates are
+    pushed to the part scan — no sort-merge join anywhere."""
+    plan = _final_plan(
+        WORKLOAD["q16_supplier_part_counts"].fn(spark, "/root/testdata/sf0.01")
+    )
+    assert re.search(r"BroadcastHashJoin[^\n]*LeftAnti", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert re.search(r"PushedFilters: \[[^\]]*p_size", plan), plan
+
+
+def test_q20_semi_join_chain_no_cartesian(spark):
+    """q20: the supplier EXISTS plans as a left-semi join fed by the
+    aggregate-threshold chain; the ship-date window reaches the lineitem
+    scan and nothing degenerates to a cartesian product."""
+    plan = _final_plan(
+        WORKLOAD["q20_excess_volume_suppliers"].fn(spark, "/root/testdata/sf0.01")
+    )
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+
+
+def test_rollup_refresh_serves_from_rollup_only(spark):
+    """Incremental refresh: after materialize + 1996-partition repair, the
+    SERVED plan scans the rollup parquet only — refreshing a partition
+    must not leave the serve path coupled to the fact table."""
+    plan = _final_plan(WORKLOAD["rollup_incremental_refresh"].fn(spark, SF))
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    assert scans and all("lineitem" not in s for s in scans), scans
+
+
+def test_runtime_cube_prunes_and_pushes_cut(spark):
+    """infer_cube path: the compiled ad-hoc cube query keeps the
+    customer-side join and pushes the O Orderstatus cut into the orders
+    scan, exactly like the hand-built cubes."""
+    plan = _final_plan(
+        WORKLOAD["cube_runtime_inferred"].fn(spark, "/root/testdata/sf0.01")
+    )
+    assert re.search(
+        r"PushedFilters: \[[^\]]*EqualTo\(o_orderstatus,F\)", plan
+    ), plan
+    # fact + customer only: the runtime cube has one join edge
+    assert len(re.findall(r"FileScan parquet", plan)) == 2, plan
