@@ -32,6 +32,12 @@ def get_spark(app_name: str = "adb_south_caucasus_etl_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet TIMESTAMP(isAdjustedToUTC=false) loads as plain TIMESTAMP
+        # (stored micros taken as epoch micros) instead of TIMESTAMP_NTZ:
+        # matches the DuckDB oracle's treat-naive-as-UTC epoch semantics and
+        # keeps unix_micros()/window() applicable regardless of which writer
+        # produced the files (the driver testdata has shipped both flavors)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

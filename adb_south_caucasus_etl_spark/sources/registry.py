@@ -122,9 +122,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_ltz_timestamps(spark: SparkSession) -> None:
+    """Force parquet TIMESTAMP(isAdjustedToUTC=false) columns to load as
+    plain TIMESTAMP (the stored micros ARE the epoch micros, no timezone
+    interpretation) rather than TIMESTAMP_NTZ. Two reasons: (1) the DuckDB
+    oracle's ``epoch_us`` treats naive timestamps as UTC, so this is the
+    engine-neutral reading; (2) ``unix_micros`` / streaming ``window()``
+    reject NTZ inputs. Set at load time (same pattern as ``nanosAsLong``
+    below) so driver-owned sessions built without ``get_spark`` behave
+    identically."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def _load_table_uncached(
     spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame:
+    ensure_ltz_timestamps(spark)
     path = _table_path(sf_dir, name)
     ns_cols = _ns_timestamp_cols(path)
     if not ns_cols:

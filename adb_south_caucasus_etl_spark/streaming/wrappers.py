@@ -14,7 +14,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.registry import _ns_timestamp_cols, _table_path
+from ..sources.registry import (
+    _ns_timestamp_cols,
+    _table_path,
+    ensure_ltz_timestamps,
+)
 
 
 def read_events_stream(
@@ -23,6 +27,7 @@ def read_events_stream(
     """File-based streaming source over the driver parquet (one-batch replay;
     in production this is Kafka/Kinesis — the downstream plan is identical).
     Handles the same TIMESTAMP(NANOS) quirk as the batch catalog."""
+    ensure_ltz_timestamps(spark)
     path = _table_path(sf_dir, table)
     ns_cols = _ns_timestamp_cols(path)
     if ns_cols:
