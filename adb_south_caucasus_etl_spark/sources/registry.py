@@ -122,31 +122,64 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def ensure_ltz_timestamps(spark: SparkSession) -> None:
-    """Force parquet TIMESTAMP(isAdjustedToUTC=false) columns to load as
-    plain TIMESTAMP (the stored micros ARE the epoch micros, no timezone
-    interpretation) rather than TIMESTAMP_NTZ. Two reasons: (1) the DuckDB
-    oracle's ``epoch_us`` treats naive timestamps as UTC, so this is the
-    engine-neutral reading; (2) ``unix_micros`` / streaming ``window()``
-    reject NTZ inputs. Set at load time (same pattern as ``nanosAsLong``
-    below) so driver-owned sessions built without ``get_spark`` behave
-    identically."""
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+class _scoped_conf:
+    """Set a SQL conf for the duration of a ``with`` block, then restore the
+    caller's value. Parquet schema inference happens eagerly inside
+    ``spark.read.parquet(...)`` (footer read on the driver), so the inferred
+    LTZ-vs-NTZ decision is baked into the returned DataFrame's schema before
+    the conf is restored — intentional NTZ reads elsewhere in the session are
+    unaffected."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        try:
+            self.prior = self.spark.conf.get(self.key)
+        except Exception:
+            self.prior = None
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        if self.prior is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prior)
+        return False
+
+
+def ensure_ltz_timestamps(spark: SparkSession) -> _scoped_conf:
+    """Context manager: within the block, parquet
+    TIMESTAMP(isAdjustedToUTC=false) columns load as plain TIMESTAMP (the
+    stored micros ARE the epoch micros, no timezone interpretation) rather
+    than TIMESTAMP_NTZ. Rationale: the DuckDB oracle's ``epoch_us`` treats
+    naive timestamps as UTC, and ``unix_micros`` (epoch semantics used
+    throughout the workload) requires LTZ inputs — so LTZ is the
+    engine-neutral reading for untagged inputs. Scoped set/restore so an
+    intentional TIMESTAMP_NTZ parquet read elsewhere in the same session is
+    not silently coerced (round-3 ADVICE)."""
+    return _scoped_conf(
+        spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+    )
 
 
 def _load_table_uncached(
     spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame:
-    ensure_ltz_timestamps(spark)
     path = _table_path(sf_dir, name)
     ns_cols = _ns_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        with ensure_ltz_timestamps(spark):
+            return spark.read.parquet(path)
     # Read NANOS columns as raw int64 nanos, then convert to Spark's native
     # microsecond timestamps (floor division — same truncation DuckDB applies
     # when it loads ns into its µs TIMESTAMP, so oracles agree).
+    # nanosAsLong stays session-wide (not scoped): unlike NTZ inference it is
+    # consulted again at scan execution per-file, so restoring it after the
+    # lazy read would break the plan at runtime.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    with ensure_ltz_timestamps(spark):
+        df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

@@ -27,13 +27,14 @@ def read_events_stream(
     """File-based streaming source over the driver parquet (one-batch replay;
     in production this is Kafka/Kinesis — the downstream plan is identical).
     Handles the same TIMESTAMP(NANOS) quirk as the batch catalog."""
-    ensure_ltz_timestamps(spark)
     path = _table_path(sf_dir, table)
     ns_cols = _ns_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # streaming sources need an explicit schema: reuse the batch reader's
-    schema = spark.read.parquet(path).schema
+    # (inference is eager, so the LTZ scope can end before the stream starts)
+    with ensure_ltz_timestamps(spark):
+        schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
         stream_dir, glob_filter = path, "*.parquet"
     else:
