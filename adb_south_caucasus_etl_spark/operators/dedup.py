@@ -664,3 +664,117 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def span_corpus_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """C4/MassiveText-style duplicated-passage removal: split every document
+    into tumbling ``span_tokens``-token spans, keep only the FIRST corpus
+    occurrence of each distinct span (ordered by ``(id, span_idx)``), and
+    reassemble the surviving spans per document in original order.
+
+    Returns ``(id_col, clean_text, n_spans_removed)``. Documents whose every
+    span was seen earlier disappear from the output (their text is empty) —
+    the caller anti-joins against the input if it wants tombstones.
+
+    Scale shape: one shuffle keyed on the 64-bit span hash for the
+    first-occurrence window (state per distinct span, like any exact-dedup),
+    then one shuffle back on the doc id for reassembly. Span text rides as
+    payload; the window partitions on ``xxhash64(span)`` so the exchange
+    key is 8 bytes (same collision-odds argument as ``jaccard_pairs``).
+    No n² anything — this is exact-dedup at span grain.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * span_tokens + 1, span_tokens), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        n_spans.alias("__n_spans"),
+        F.posexplode(spans).alias("__span_idx", "__span"),
+    )
+    w = Window.partitionBy(F.xxhash64("__span")).orderBy("__id", "__span_idx")
+    kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return (
+        kept.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__span_idx", "__span"))
+                    ),
+                    lambda s: s["__span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            (F.any_value("__n_spans") - F.count(F.lit(1))).alias(
+                "n_spans_removed"
+            ),
+        )
+    )
+
+
+def jaccard_pairs_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental exact near-dup: score NEW documents against an existing
+    CORPUS without scoring corpus×corpus — the shape of "dedupe today's
+    crawl against everything already ingested". Returns
+    ``(new_id, corpus_id, jaccard)`` with jaccard rounded to 4, filtered to
+    ``>= threshold``.
+
+    Same inverted-index formulation as :func:`jaccard_pairs`, but the
+    posting-list join is new⋈corpus only: shuffle and compute scale with
+    |new| + |shared postings|, not |corpus|² — at 100 TB the corpus-side
+    shingle table is the thing you persist between ingests (write it once,
+    bucket it by shingle hash, and each day's join is co-located against
+    yesterday's buckets). Set sizes per side ride the same aggregates as
+    the batch variant; a stop-shingle ``max_df`` cap composes exactly as
+    in :func:`jaccard_pairs` (over the union) when the corpus needs it.
+    """
+    sh_new = exploded_shingles(new_df, id_col, text_col, n)
+    sh_old = exploded_shingles(corpus_df, id_col, text_col, n)
+    sizes_new = sh_new.groupBy(F.col("__id").alias("new_id")).agg(
+        F.count(F.lit(1)).alias("__na")
+    )
+    sizes_old = sh_old.groupBy(F.col("__id").alias("corpus_id")).agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    inter = (
+        sh_new.select(F.col("__id").alias("new_id"), "__s")
+        .join(
+            sh_old.select(F.col("__id").alias("corpus_id"), "__s"),
+            "__s",
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.join(sizes_new, "new_id")
+        .join(sizes_old, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

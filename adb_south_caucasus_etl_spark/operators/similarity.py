@@ -365,3 +365,42 @@ def cosine_pairs_blocked(
     return cand.withColumn(
         "cosine", F.round(F.col("cosine"), 4) + 0.0
     ).filter(F.col("cosine") >= threshold)
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label assignment: for each query vector, take its
+    ``k`` exact cosine neighbors in the labeled corpus and vote; ties break
+    to the smallest label. Returns
+    ``(query_id, predicted_label, n_votes)``.
+
+    Composition of :func:`cosine_topk_exact` (broadcast queries, JVM dot
+    products, windowed top-k — rounded-cosine ranking keeps the neighbor
+    set identical across engines) with a per-query argmax. The argmax is
+    ``max_by`` over a ``(votes, -label)`` struct — one more hash aggregate
+    on the query id, no extra shuffle beyond the top-k window's. At scale
+    swap the exact top-k for ``ivf_topk`` — the voting tail is identical.
+    """
+    nbrs = cosine_topk_exact(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lbl")
+    )
+    votes = (
+        nbrs.join(labels, "neighbor_id")
+        .groupBy("query_id", "__lbl")
+        .agg(F.count(F.lit(1)).alias("__votes"))
+    )
+    return votes.groupBy("query_id").agg(
+        F.max_by(
+            F.col("__lbl"), F.struct(F.col("__votes"), -F.col("__lbl"))
+        ).alias("predicted_label"),
+        F.max("__votes").alias("n_votes"),
+    )

@@ -243,3 +243,130 @@ def stream_to_parquet_refresh(
         .start()
     )
     q.awaitTermination()
+
+
+def topk_values_tws_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 3,
+) -> DataFrame:
+    """T5 via Spark 4's arbitrary-state API (``transformWithStateInPandas``
+    + ``StatefulProcessor``): per-key top-``k`` values carried in a
+    ListState across micro-batches, re-emitted (ranked) whenever the key
+    sees new rows.
+
+    This is the successor surface to ``applyInPandasWithState`` (which
+    ``running_totals_stream`` above exercises): typed named state objects
+    on a handle instead of one opaque tuple, per-state TTL, timers. State
+    here is bounded at ``k`` rows per key — the merge keeps only the top
+    ``k`` by ``(value DESC, id ASC)``, so a key that sees a billion events
+    still stores three. Partitioned by the grouping key; scales like any
+    keyed stream. Requires the RocksDB state store provider (the caller
+    sets it — see the workload entry).
+
+    With an availableNow one-batch replay the emitted rows equal the batch
+    window ``row_number() <= k`` — the DuckDB oracle of the workload entry.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # one ListState row per retained (value, id) pair
+            self._top = handle.getListState(
+                "topk", f"{value_col} double, {id_col} bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            merged = [tuple(r) for r in self._top.get()]
+            for pdf in rows:
+                merged.extend(
+                    zip(pdf[value_col].astype(float), pdf[id_col].astype(int))
+                )
+            # top-k by (value DESC, id ASC) — deterministic under ties
+            merged.sort(key=lambda t: (-t[0], t[1]))
+            merged = merged[:k]
+            self._top.put(merged)
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(merged),
+                    "rnk": range(1, len(merged) + 1),
+                    value_col: [t[0] for t in merged],
+                    id_col: [t[1] for t in merged],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        TopKProcessor(),
+        outputStructType=(
+            f"{key_col} bigint, rnk int, {value_col} double, {id_col} bigint"
+        ),
+        outputMode="append",
+        timeMode="None",
+    )
+
+
+def has_transform_with_state(spark: SparkSession | None = None) -> bool:
+    """transformWithStateInPandas needs google.protobuf on the Python side
+    (the state-server wire protocol); absent in some minimal images."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def topk_values_apply_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-key top-``k`` with ``applyInPandasWithState`` — the same bounded
+    per-key state as :func:`topk_values_tws_stream` on the older (protobuf-
+    free) arbitrary-state API: state is the top-``k`` (value, id) pairs,
+    merged with each batch's rows and re-emitted ranked. Used as the
+    fallback where the transformWithState wire protocol's protobuf
+    dependency is unavailable; semantics (and the workload oracle) are
+    identical."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        merged = list(state.get[0]) if state.exists else []
+        merged = [(float(v), int(i)) for v, i in merged]
+        for pdf in pdfs:
+            merged.extend(
+                zip(pdf[value_col].astype(float), pdf[id_col].astype(int))
+            )
+        merged.sort(key=lambda t: (-t[0], t[1]))
+        merged = merged[:k]
+        state.update(([[v, float(i)] for v, i in merged],))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(merged),
+                "rnk": range(1, len(merged) + 1),
+                value_col: [t[0] for t in merged],
+                id_col: [t[1] for t in merged],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} bigint, rnk int, {value_col} double, {id_col} bigint"
+        ),
+        stateStructType="top array<array<double>>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -5217,3 +5217,367 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# round 4: training-data-pipeline additions — passage-grain corpus dedup
+# (C4/MassiveText), incremental new-vs-corpus dedup, kNN label assignment,
+# unigram-LM quality scoring, AQE runtime bloom-filter join, the Spark 4
+# Python DataSource surface, and the transformWithState streaming surface.
+
+
+@register(
+    "dedup_span_corpus",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id,
+             CAST(ceil(len(ts) / 8.0) AS INT) AS n_spans,
+             unnest(range(0, CAST(ceil(len(ts) / 8.0) AS INT))) AS span_idx,
+             ts
+      FROM t
+    ),
+    spans AS (
+      SELECT doc_id, n_spans, span_idx,
+             array_to_string(ts[span_idx * 8 + 1 : span_idx * 8 + 8], ' ')
+               AS span
+      FROM ex
+    ),
+    kept AS (
+      SELECT doc_id, n_spans, span_idx, span FROM (
+        SELECT doc_id, n_spans, span_idx, span,
+               ROW_NUMBER() OVER (
+                 PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+        FROM spans) r WHERE rn = 1
+    )
+    SELECT doc_id,
+           string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
+           any_value(n_spans) - COUNT(*) AS n_spans_removed
+    FROM kept GROUP BY 1
+    """,
+    doc="C4/MassiveText-style duplicated-passage removal: tumbling 8-token "
+        "spans, first corpus occurrence wins (ordered by doc_id, span_idx), "
+        "survivors reassembled in document order. Exact dedup at span "
+        "grain: one shuffle on the 64-bit span hash, one back on doc_id — "
+        "no pairwise anything",
+)
+def dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import span_corpus_dedup
+
+    docs = Catalog(spark, sf_dir).documents
+    return span_corpus_dedup(docs, "doc_id", "text", span_tokens=8)
+
+
+@register(
+    "dedup_incremental_vs_corpus",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 2, 1) + 1),
+               i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
+      FROM t
+    ),
+    new_sh AS (SELECT * FROM sh WHERE doc_id % 5 = 4),
+    old_sh AS (SELECT * FROM sh WHERE doc_id % 5 <> 4),
+    sizes_new AS (SELECT doc_id, COUNT(*) AS n FROM new_sh GROUP BY 1),
+    sizes_old AS (SELECT doc_id, COUNT(*) AS n FROM old_sh GROUP BY 1),
+    inter AS (
+      SELECT n.doc_id AS new_id, o.doc_id AS corpus_id, COUNT(*) AS i
+      FROM new_sh n JOIN old_sh o ON n.shingle = o.shingle
+      GROUP BY 1, 2
+    )
+    SELECT new_id, corpus_id, jaccard FROM (
+      SELECT new_id, corpus_id,
+             ROUND(i / (sn.n + so.n - i), 4) AS jaccard
+      FROM inter
+      JOIN sizes_new sn ON sn.doc_id = new_id
+      JOIN sizes_old so ON so.doc_id = corpus_id
+    ) s WHERE jaccard >= 0.5
+    """,
+    doc="incremental near-dup: today's batch (doc_id % 5 = 4 stands in for "
+        "the new crawl) scored against the existing corpus WITHOUT scoring "
+        "corpus x corpus — the posting-list join is new-vs-old only, so "
+        "daily ingest cost scales with the batch, not the lake; at 100 TB "
+        "the corpus shingle table is persisted and bucketed by shingle "
+        "hash between runs",
+)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pairs_incremental
+
+    docs = Catalog(spark, sf_dir).documents
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    return jaccard_pairs_incremental(
+        new, corpus, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@register(
+    "knn_label_classify",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    ),
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    c AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS lbl,
+             ROUND(list_sum(list_transform(range(1, len(q.v) + 1),
+                   i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS cosine
+      FROM q JOIN c ON true
+    ),
+    top AS (
+      SELECT query_id, lbl FROM (
+        SELECT query_id, lbl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored) r WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT query_id, lbl, COUNT(*) AS votes FROM top GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT query_id, lbl AS predicted_label, votes,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY votes DESC, lbl) AS r
+      FROM votes
+    )
+    SELECT w.query_id, w.predicted_label,
+           CAST(w.votes AS BIGINT) AS n_votes,
+           t.label AS true_label
+    FROM win w JOIN embeddings t ON t.vec_id = w.query_id
+    WHERE w.r = 1
+    """,
+    doc="kNN majority-vote labeling (the standard weak-labeling / "
+        "nearest-class-assignment step): 2% of vectors (vec_id % 50 = 0) "
+        "classified against the labeled rest, k=5, ties to the smaller "
+        "label. Composes cosine_topk_exact (broadcast queries, JVM dot "
+        "products, rounded-cosine rank stability) with a max_by argmax; "
+        "swap in ivf_topk for the 100 TB corpus, voting tail unchanged",
+)
+def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_classify
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    out = knn_classify(corpus, queries, k=5)
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return out.join(truth, "query_id").select(
+        "query_id", "predicted_label", "n_votes", "true_label"
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total FROM freq)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(cnt / total)), 4) AS avg_logprob
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY 1
+    """,
+    doc="unigram-LM quality scoring (the shuffle shape of a perplexity "
+        "filter): token frequencies self-trained on the corpus, per-doc "
+        "mean log-probability. Two aggregates (vocab, then per-doc) plus "
+        "one join from token instances to the vocab table — at 100 TB the "
+        "vocab side is the small one and AQE broadcasts it; compose with "
+        "curation_pipeline to drop the low-logprob tail",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(freq, "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("total"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "join_runtime_bloom_filter",
+    """
+    SELECT o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= DATE '1997-03-01'
+      AND o_orderdate < DATE '1997-04-01'
+      AND o_orderpriority = '2-HIGH'
+    GROUP BY 1
+    """,
+    doc="runtime bloom-filter join: the selective orders filter (one "
+        "month x one priority) becomes a bloom filter Catalyst injects "
+        "into the lineitem scan side BEFORE the shuffle, so the fact "
+        "shuffle carries only probably-matching rows — the 10-100x "
+        "shuffle reducer on selective fact-fact joins at 100 TB. "
+        "InjectRuntimeFilter fires only for probably-shuffle joins whose "
+        "application side exceeds 10 GB, i.e. exactly the 100 TB regime "
+        "and never this testdata (locally the filtered orders side is "
+        "broadcastable-by-size, which correctly suppresses the filter); "
+        "tests/test_plan_shapes.py recreates the scale conditions "
+        "(broadcast off, thresholds floored) and asserts might_contain/"
+        "bloom_filter_agg appear. The MERGE hint pins the sort-merge "
+        "path the 100 TB plan takes",
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        & (F.col("o_orderpriority") == "2-HIGH")
+    ).hint("merge")
+    return (
+        cat.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "source_python_datasource",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id < 120
+    GROUP BY 1
+    """,
+    doc="Spark 4 Python DataSource API (SPARK-44076) lifting the "
+        "reference's jsonrecords wire format (oec.py:43-63) to a "
+        "partition-parallel executor-side source: a jsonrecords payload "
+        "(built here from the first 120 documents, driver-side by "
+        "construction — it stands in for the reference's control-plane "
+        "endpoint) is read back via format('jsonrecords') with 4 modulo "
+        "partitions and aggregated. Bulk data still belongs in native "
+        "scans; this is the API-parity path for jsonrecords endpoints",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from .sources.pyds import JsonRecordsDataSource
+
+    try:
+        spark.dataSource.register(JsonRecordsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    docs = Catalog(spark, sf_dir).documents
+    rows = (
+        docs.filter(F.col("doc_id") < 120)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .collect()  # bounded fixture (≤120 control-plane records)
+    )
+    payload = {"data": [r.asDict() for r in rows]}
+    path = _os.path.join(_scratch_dir("pyds", sf_dir), "payload.json")
+    with open(path, "w", encoding="utf-8") as fh:
+        _json.dump(payload, fh, sort_keys=True)
+    df = (
+        spark.read.format("jsonrecords")
+        .schema("doc_id bigint, lang string, n_chars bigint")
+        .option("url", f"file://{path}")
+        .option("numPartitions", "4")
+        .load()
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "streaming_tws_topk_live",
+    """
+    SELECT user_id, CAST(rnk AS INTEGER) AS rnk, value, event_id
+    FROM (
+      SELECT user_id, value, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY value DESC, event_id) AS rnk
+      FROM events) r
+    WHERE rnk <= 3
+    """,
+    doc="T5 on Spark 4's transformWithStateInPandas: per-user top-3 event "
+        "values held in a named ListState (bounded at k rows per key no "
+        "matter the stream length), RocksDB state store, availableNow "
+        "replay — emitted rows equal the batch window top-k, the oracle. "
+        "transformWithState's wire protocol needs google.protobuf; where "
+        "that is absent (this container) the query runs the semantically "
+        "identical applyInPandasWithState fallback — same oracle either "
+        "way, and the TWS path is pytest-gated for protobuf-equipped envs",
+)
+def streaming_tws_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import (
+        has_transform_with_state,
+        read_events_stream,
+        run_to_memory,
+        topk_values_apply_stream,
+        topk_values_tws_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    if not has_transform_with_state(spark):
+        out = topk_values_apply_stream(stream)
+        return run_to_memory(spark, out, "tws_topk_live", mode="update")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prior = spark.conf.get(provider_key)
+    except Exception:
+        prior = None
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = topk_values_tws_stream(stream)
+        return run_to_memory(spark, out, "tws_topk_live", mode="append")
+    finally:
+        # other live queries' checkpoints were created under the default
+        # provider; restore so their state formats stay compatible
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)

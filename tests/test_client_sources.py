@@ -129,3 +129,60 @@ def test_http_jsonrecords_roundtrip_localhost(spark):
                         "token": "tok-123"}
     finally:
         srv.shutdown()
+
+
+class TestPythonDataSource:
+    def test_modulo_partitions_cover_all_records(self, spark, tmp_path):
+        import json
+
+        from adb_south_caucasus_etl_spark.sources.pyds import (
+            JsonRecordsDataSource,
+        )
+
+        payload = {
+            "data": [
+                {"doc_id": i, "lang": "en" if i % 2 else "fr", "n_chars": 10 * i}
+                for i in range(17)  # deliberately not divisible by 3
+            ]
+        }
+        p = tmp_path / "payload.json"
+        p.write_text(json.dumps(payload))
+        try:
+            spark.dataSource.register(JsonRecordsDataSource)
+        except Exception:
+            pass
+        df = (
+            spark.read.format("jsonrecords")
+            .schema("doc_id bigint, lang string, n_chars bigint")
+            .option("url", f"file://{p}")
+            .option("numPartitions", "3")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 3
+        rows = sorted(df.collect(), key=lambda r: r["doc_id"])
+        assert [r["doc_id"] for r in rows] == list(range(17))
+        assert rows[3]["lang"] == "en" and rows[3]["n_chars"] == 30
+
+    def test_bare_list_payload_and_missing_fields(self, spark, tmp_path):
+        import json
+
+        from adb_south_caucasus_etl_spark.sources.pyds import (
+            JsonRecordsDataSource,
+        )
+
+        p = tmp_path / "bare.json"
+        p.write_text(json.dumps([{"doc_id": 1}, {"doc_id": 2, "lang": "en"}]))
+        try:
+            spark.dataSource.register(JsonRecordsDataSource)
+        except Exception:
+            pass
+        df = (
+            spark.read.format("jsonrecords")
+            .schema("doc_id bigint, lang string")
+            .option("url", f"file://{p}")
+            .option("numPartitions", "2")
+            .load()
+        )
+        rows = sorted(df.collect(), key=lambda r: r["doc_id"])
+        assert rows[0]["lang"] is None  # absent field → null
+        assert rows[1]["lang"] == "en"

@@ -491,3 +491,90 @@ def test_cosine_pairs_blocked_equals_expression_form(spark, sf_dir):
         for r in cosine_pairs_blocked(emb, threshold=0.4, n_blocks=5).collect()
     }
     assert ref == blk and len(ref) > 0
+
+
+class TestSpanCorpusDedup:
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from adb_south_caucasus_etl_spark.operators.dedup import (
+            span_corpus_dedup,
+        )
+
+        w8 = " ".join(f"w{i}" for i in range(8))  # one full span
+        rows = [
+            (1, w8 + " tail one"),          # spans: [w8], [tail one]
+            (2, w8 + " tail two"),          # first span duplicates doc 1's
+            (3, "tail one"),                # duplicates doc 1's 2nd span
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in span_corpus_dedup(df, "doc_id", "text", 8).collect()
+        }
+        assert out[1]["clean_text"] == w8 + " tail one"
+        assert out[1]["n_spans_removed"] == 0
+        assert out[2]["clean_text"] == "tail two"
+        assert out[2]["n_spans_removed"] == 1
+        # doc 3's only span was seen at doc 1 → doc drops out entirely
+        assert 3 not in out
+
+    def test_short_doc_single_span(self, spark):
+        from adb_south_caucasus_etl_spark.operators.dedup import (
+            span_corpus_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "just three words")], "doc_id long, text string"
+        )
+        [r] = span_corpus_dedup(df, "doc_id", "text", 8).collect()
+        assert r["clean_text"] == "just three words"
+        assert r["n_spans_removed"] == 0
+
+
+class TestIncrementalJaccard:
+    def test_only_new_vs_corpus_pairs(self, spark):
+        from adb_south_caucasus_etl_spark.operators.dedup import (
+            jaccard_pairs_incremental,
+        )
+
+        text = "a b c d e f g h"
+        corpus = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(10, text), (11, "x y z q r s")], "doc_id long, text string"
+        )
+        out = jaccard_pairs_incremental(
+            new, corpus, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+        pairs = {(r["new_id"], r["corpus_id"]) for r in out}
+        # the identical corpus pair (1,2) must NOT appear; both new-vs-old
+        # matches for doc 10 must
+        assert pairs == {(10, 1), (10, 2)}
+        assert all(r["jaccard"] == 1.0 for r in out)
+
+
+class TestKnnClassify:
+    def test_majority_vote_with_tiebreak(self, spark):
+        from adb_south_caucasus_etl_spark.operators.similarity import (
+            knn_classify,
+        )
+
+        # corpus: 3 vectors near +x labeled 1, 2 near +y labeled 0;
+        # query at +x → 3 votes for label 1
+        corpus = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], 1),
+                (2, [0.9, 0.1], 1),
+                (3, [0.8, 0.2], 1),
+                (4, [0.0, 1.0], 0),
+                (5, [0.1, 0.9], 0),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        queries = spark.createDataFrame(
+            [(100, [1.0, 0.05], None)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        [r] = knn_classify(corpus, queries, k=5).collect()
+        assert r["predicted_label"] == 1
+        assert r["n_votes"] == 3

@@ -203,3 +203,74 @@ def test_runtime_cube_prunes_and_pushes_cut(spark):
     ), plan
     # fact + customer only: the runtime cube has one join edge
     assert len(re.findall(r"FileScan parquet", plan)) == 2, plan
+
+
+def test_runtime_bloom_filter_injected_at_scale_conditions(spark):
+    """join_runtime_bloom_filter: InjectRuntimeFilter only fires for
+    probably-shuffle joins with a big application side — the 100 TB
+    regime. Recreate those conditions (broadcast off, application-side
+    threshold floored) and assert the bloom filter lands in the lineitem
+    scan side; then confirm the default local plan correctly SKIPS it
+    (small creation side broadcasts instead)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    prior = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = WORKLOAD["join_runtime_bloom_filter"].fn(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in prior.items():
+            spark.conf.set(k, v)
+    plan = (
+        WORKLOAD["join_runtime_bloom_filter"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "might_contain" not in plan, plan
+
+
+def test_span_dedup_two_exchanges_one_scan(spark):
+    """dedup_span_corpus is exact dedup at span grain: one shuffle on the
+    span hash (first-occurrence window), one back on doc_id (reassembly),
+    one documents scan — nothing pairwise."""
+    plan = _final_plan(WORKLOAD["dedup_span_corpus"].fn(spark, SF))
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    assert _exchanges(plan) <= 3, plan  # span window + reassembly agg (+AQE)
+
+
+def test_incremental_dedup_scans_stay_linear(spark):
+    """dedup_incremental_vs_corpus: posting-list join new-vs-old — no
+    cartesian, no corpus self-join; the documents scans carry pushed
+    doc_id % 5 partition filters."""
+    plan = _final_plan(WORKLOAD["dedup_incremental_vs_corpus"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the posting join is an equi-join on the shingle hash — any hash
+    # strategy is fine (AQE picks broadcast at this SF, shuffle at scale)
+    assert re.search(r"(SortMerge|ShuffledHash|BroadcastHash)Join \[__s", plan), plan
+
+
+def test_knn_broadcasts_queries(spark):
+    """knn_label_classify: the query side is broadcast (BroadcastNestedLoop
+    over the corpus scan), votes aggregate on query_id — corpus is never
+    shuffled pairwise."""
+    plan = _final_plan(WORKLOAD["knn_label_classify"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_unigram_logprob_vocab_join_broadcast_or_shuffle(spark):
+    """text_unigram_logprob: token instances join the vocab table; the
+    1-row total is broadcast, never a shuffle side."""
+    plan = _final_plan(WORKLOAD["text_unigram_logprob"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row total
+    assert "CartesianProduct" not in plan, plan

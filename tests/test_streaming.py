@@ -168,3 +168,71 @@ def test_tumbling_counts_identical_across_micro_batch_splits(spark, sf_dir, tmp_
         .collect()
     }
     assert got == want
+
+
+import pytest
+
+
+class TestTopKStateful:
+    def test_apply_stream_equals_batch_topk(self, spark):
+        """availableNow replay of the applyInPandasWithState top-k equals
+        the batch window top-3 (same invariant the workload oracle pins)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from adb_south_caucasus_etl_spark.streaming.wrappers import (
+            read_events_stream,
+            run_to_memory,
+            topk_values_apply_stream,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = run_to_memory(
+            spark,
+            topk_values_apply_stream(read_events_stream(spark, sf)),
+            "test_topk_apply",
+            mode="update",
+        )
+        batch = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("value").desc(), F.col("event_id")
+        )
+        expected = (
+            batch.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("user_id", "rnk", "value", "event_id")
+        )
+        got = {tuple(r) for r in out.select("user_id", "rnk", "value", "event_id").collect()}
+        want = {tuple(r) for r in expected.collect()}
+        assert got == want
+
+    def test_tws_stream_where_protobuf_available(self, spark):
+        """transformWithStateInPandas needs google.protobuf (absent in this
+        container) — run the ListState top-k end-to-end wherever it exists."""
+        from adb_south_caucasus_etl_spark.streaming.wrappers import (
+            has_transform_with_state,
+            read_events_stream,
+            run_to_memory,
+            topk_values_tws_stream,
+        )
+
+        if not has_transform_with_state(spark):
+            pytest.skip("google.protobuf not installed")
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            out = run_to_memory(
+                spark,
+                topk_values_tws_stream(
+                    read_events_stream(spark, "/root/testdata/sf0.001")
+                ),
+                "test_topk_tws",
+                mode="append",
+            )
+            assert out.count() > 0
+        finally:
+            spark.conf.unset(provider_key)
