@@ -5581,3 +5581,159 @@ def streaming_tws_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prior)
+
+
+# --------------------------------------------------------------------------
+# round 4: Spark 4 SQL-surface coverage — VARIANT semi-structured type,
+# approx_top_k sketch, SQL pipe syntax, recursive CTEs.
+
+
+@register(
+    "events_variant_props",
+    """
+    SELECT event_type,
+           CAST(ROUND(CAST(AVG(CAST(json_extract(props, '$.k')
+                                    AS INTEGER)) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS avg_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Spark 4 VARIANT type (SPARK-45891): props parsed once into a "
+        "binary variant column, fields extracted with variant_get — the "
+        "engine-native semi-structured path that replaces per-field "
+        "get_json_object re-parses (each of which re-reads the whole "
+        "string). At 100 TB the parse happens once per row at ingest and "
+        "extraction is a cheap typed access; oracle extracts the same "
+        "field with DuckDB's JSON functions",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.select("event_type", F.parse_json("props").alias("v"))
+        .select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k").cast("decimal(18,6)"), 4)
+            .cast("double")
+            .alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_approx_top_k",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="approx_top_k sketch (Spark 4): heavy-hitter extraction in one "
+        "pass with bounded state — the scalable form of 'what are the top "
+        "domains/templates in this 100 TB crawl'. The testdata's "
+        "event_type cardinality is far below maxItemsTracked, so the "
+        "sketch is SATURATED and provably exact — which is what lets the "
+        "plain GROUP BY oracle hash-match an approximate operator",
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 100)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").alias("n"),
+        )
+    )
+
+
+@register(
+    "sql_pipe_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_quantity > 5
+    GROUP BY 1, 2
+    """,
+    doc="SQL pipe syntax (Spark 4, |> operator chains): the same logical "
+        "plan as the GROUP BY form, written as a linear dataflow — "
+        "FROM |> WHERE |> AGGREGATE ... GROUP BY. Parity surface for "
+        "users migrating pipelines written in the pipe style; Catalyst "
+        "compiles both spellings to the identical plan",
+)
+def sql_pipe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views(("lineitem",))
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 5
+        |> AGGREGATE ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                     COUNT(*) AS n_items
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, revenue, n_items
+        """
+    )
+
+
+@register(
+    "sql_recursive_month_series",
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS mn,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
+      FROM orders
+    ),
+    months(m, mx) AS (
+      SELECT mn, mx FROM bounds
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx
+      FROM months WHERE m < mx
+    ),
+    per_month AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mm,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT m AS month, COALESCE(n, 0) AS n_orders
+    FROM months LEFT JOIN per_month ON mm = m
+    """,
+    doc="recursive CTE (Spark 4, SPARK-24497): a monotone month-series "
+        "generator — anchor carries the max bound as a column so the "
+        "recursion is self-terminating, then a left join marks empty "
+        "months. The SAME recursive SQL shape runs on DuckDB as the "
+        "oracle. Recursion on Spark is UNION ALL with a strictly "
+        "increasing term — the only recursive shape that is safe at "
+        "scale (cyclic reachability belongs to the iterative "
+        "connected-components operators instead)",
+)
+def sql_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views(("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS mn,
+                 CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
+          FROM orders
+        ),
+        months(m, mx) AS (
+          SELECT mn, mx FROM bounds
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE), mx
+          FROM months WHERE m < mx
+        ),
+        per_month AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mm,
+                 COUNT(*) AS n
+          FROM orders GROUP BY 1
+        )
+        SELECT m AS month, COALESCE(n, 0) AS n_orders
+        FROM months LEFT JOIN per_month ON mm = m
+        """
+    )
