@@ -5737,3 +5737,43 @@ def sql_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN per_month ON mm = m
         """
     )
+
+
+@register(
+    "streaming_state_inspect",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="state-store data source (Spark 4 ops surface): a complete-mode "
+        "streaming aggregate is checkpointed, then its RUNNING STATE is "
+        "read back with spark.read.format('statestore') — the debugging/"
+        "auditing path for live pipelines (inspect hot keys, validate "
+        "state size, back up state) without stopping the query. For a "
+        "complete-mode count over a fully-replayed source the state IS "
+        "the batch group count, which the plain GROUP BY oracle pins. "
+        "Checkpoint reuse is idempotent: a re-run finds committed offsets "
+        "and inspects the same state",
+)
+def streaming_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import read_events_stream
+
+    ckpt = _scratch_dir("state_inspect", sf_dir)
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.format("statestore").load(ckpt)
+    # state value struct carries the aggregation buffer; for a count
+    # aggregate that is a single long field
+    buf_field = st.schema["value"].dataType.fieldNames()[0]
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col(f"value.{buf_field}").cast("bigint").alias("n"),
+    )
