@@ -8,15 +8,18 @@ output cardinality the planner can't know (vs ``explode``, which needs the
 array fully built per row first): the UDTF streams chunks out per input
 row, joins laterally, and parallelizes like any projection.
 
-Scale posture: a UDTF ``eval`` runs per input row in Python — fine for the
-1-to-N shape (each row's work is O(its own tokens), no cross-row state),
-but the per-row bridge costs more than Arrow batches. The workload also
-keeps every hot text metric JVM-side (functions/text.py); chunking sits on
-the Python side deliberately because its output is ragged (variable rows
-per input), which is exactly what the UDTF contract exists for. For a
-petabyte corpus, the same logic drops into ``mapInPandas`` with one
-pandas ``str.split`` + offset arithmetic per Arrow batch — the UDTF here
-proves the surface and the semantics; both formulations share the oracle.
+Scale posture: ``eval`` still runs per input row in Python (the UDTF
+contract — each row's work is O(its own tokens), no cross-row state), but
+``useArrow=True`` moves the TRANSPORT to Arrow batches
+(``ArrowEvalPythonUDTF`` in the plan, asserted by the fleet-wide audit in
+tests/test_plan_audit.py) — rows cross the JVM/Python boundary in columnar
+batches instead of pickled one at a time. The workload keeps every hot
+text metric JVM-side (functions/text.py); chunking sits on the Python side
+deliberately because its output is ragged (variable rows per input), which
+is exactly what the UDTF contract exists for. For a petabyte corpus, the
+same logic drops into ``mapInPandas`` with one pandas ``str.split`` +
+offset arithmetic per Arrow batch — the UDTF here proves the surface and
+the semantics; both formulations share the oracle.
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="chunk_idx int, chunk string, n_tokens int")
+@udtf(returnType="chunk_idx int, chunk string, n_tokens int", useArrow=True)
 class ChunkWords:
     """Overlapping word windows: start offsets 0, stride, 2*stride, ...
     while the offset lands inside the document; the final window may be
