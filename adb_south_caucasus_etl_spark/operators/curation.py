@@ -206,3 +206,38 @@ def assign_shards(
     return df.withColumn(
         shard_col, F.pmod(bits.cast("bigint"), F.lit(n_shards))
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, ``k`` per group
+    (Efraimidis–Spirakis A-ES): each row gets key ``u^(1/w)`` — here in log
+    form ``ln(u)/w`` — and the top-``k`` keys per group are the sample.
+    Heavier rows draw keys nearer 0, so selection probability is
+    proportional to weight, exactly (Efraimidis & Spirakis, IPL 2006).
+
+    ``u`` is NOT random: it is the first 32 md5 bits of the id mapped to
+    (0, 1] — the same derandomization as ``assign_shards`` (md5 because
+    both engines and any re-run agree on it), so the sample is stable
+    under partitioning, retries, and cluster size, and the DuckDB oracle
+    reproduces it bit-for-bit. One window shuffle on the group key;
+    WindowGroupLimit prunes partitions to ``k`` before the filter.
+    """
+    u32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (u32 + 1) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(
+        key.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

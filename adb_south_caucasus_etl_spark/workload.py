@@ -5777,3 +5777,36 @@ def streaming_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col(f"value.{buf_field}").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "curation_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) + 1) / 4294967296.0)
+               / n_chars AS k
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+      FROM keyed) t
+    WHERE rn <= 5
+    """,
+    doc="derandomized Efraimidis-Spirakis weighted sampling: 5 docs per "
+        "source with probability proportional to n_chars, the 'sample "
+        "long documents preferentially' curation step. The uniform draw "
+        "is the first 32 md5 bits of doc_id, so the sample is identical "
+        "across retries/partitionings/engines — which is what lets an "
+        "intrinsically randomized operator carry an exact oracle",
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import weighted_sample_per_group
+
+    docs = Catalog(spark, sf_dir).documents
+    return weighted_sample_per_group(
+        docs, ["source"], "n_chars", "doc_id", k=5
+    ).select("source", "doc_id", "n_chars")
