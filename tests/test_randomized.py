@@ -152,3 +152,77 @@ def test_jaccard_pairs_match_bruteforce_random(spark):
         }
         want = _brute_jaccard_pairs(docs, 3, 0.2)
         assert got == want, (trial, set(got) ^ set(want))
+
+
+def _brute_span_dedup(docs: list[tuple[int, str]], span: int):
+    """Obviously-correct reimplementation: global first-occurrence by
+    (doc_id, span_idx) over tumbling spans, reassemble survivors."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        toks = text.split()
+        spans = [
+            " ".join(toks[i : i + span]) for i in range(0, len(toks), span)
+        ]
+        kept = []
+        for s in spans:
+            if s in seen:
+                continue
+            seen.add(s)
+            kept.append(s)
+        if kept:
+            out[doc_id] = (" ".join(kept), len(spans) - len(kept))
+    return out
+
+
+def test_span_dedup_matches_bruteforce_random(spark):
+    from adb_south_caucasus_etl_spark.operators.dedup import span_corpus_dedup
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab → many span collisions
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_spans_removed"])
+            for r in span_corpus_dedup(df, "doc_id", "text", 4).collect()
+        }
+        assert got == _brute_span_dedup(docs, 4), f"trial {trial}"
+
+
+def test_weighted_sample_matches_bruteforce_random(spark):
+    """A-ES keys recomputed in pure Python (hashlib md5 + math.log) must
+    select the identical k rows per group."""
+    import hashlib
+    import math
+
+    from adb_south_caucasus_etl_spark.operators.curation import (
+        weighted_sample_per_group,
+    )
+
+    rng = random.Random(99)
+    rows = [
+        (i, f"g{rng.randint(0, 2)}", rng.randint(1, 500))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, wt int")
+    got = {
+        (r["grp"], r["id"])
+        for r in weighted_sample_per_group(df, ["grp"], "wt", "id", 4).collect()
+    }
+
+    def key(i, w):
+        u32 = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return math.log((u32 + 1) / 4294967296.0) / w
+
+    want = set()
+    for g in {r[1] for r in rows}:
+        members = sorted(
+            (r for r in rows if r[1] == g),
+            key=lambda r: (-key(r[0], r[2]), r[0]),
+        )
+        want |= {(g, r[0]) for r in members[:4]}
+    assert got == want
