@@ -681,12 +681,16 @@ def span_corpus_dedup(
     span was seen earlier disappear from the output (their text is empty) —
     the caller anti-joins against the input if it wants tombstones.
 
-    Scale shape: one shuffle keyed on the 64-bit span hash for the
-    first-occurrence window (state per distinct span, like any exact-dedup),
-    then one shuffle back on the doc id for reassembly. Span text rides as
-    payload; the window partitions on ``xxhash64(span)`` so the exchange
-    key is 8 bytes (same collision-odds argument as ``jaccard_pairs``).
-    No n² anything — this is exact-dedup at span grain.
+    Scale shape: first-occurrence election is a ``min_by`` AGGREGATE on the
+    64-bit span hash, not a window — the min over ``(id, span_idx)`` structs
+    combines map-side, so the shuffle carries one candidate per (mapper,
+    distinct span) instead of every span row, there is no per-key sort, and
+    a pathologically hot span ("the the the…" across the whole corpus)
+    reduces mostly on the mappers instead of melting one reducer. The
+    elected row IS the aggregate output (``min_by`` carries the payload), so
+    no join-back either. One more combiner-friendly shuffle on the doc id
+    reassembles. Exchange keys are 8 bytes (same collision-odds argument as
+    ``jaccard_pairs``). No n² anything — exact dedup at span grain.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
@@ -701,9 +705,15 @@ def span_corpus_dedup(
         n_spans.alias("__n_spans"),
         F.posexplode(spans).alias("__span_idx", "__span"),
     )
-    w = Window.partitionBy(F.xxhash64("__span")).orderBy("__id", "__span_idx")
-    kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
+    kept = (
+        exploded.groupBy(F.xxhash64("__span").alias("__sh"))
+        .agg(
+            F.min_by(
+                F.struct("__id", "__span_idx", "__span", "__n_spans"),
+                F.struct("__id", "__span_idx"),
+            ).alias("__first")
+        )
+        .select("__first.*")
     )
     return (
         kept.groupBy(F.col("__id").alias(id_col))

@@ -239,12 +239,14 @@ def test_runtime_bloom_filter_injected_at_scale_conditions(spark):
 
 
 def test_span_dedup_two_exchanges_one_scan(spark):
-    """dedup_span_corpus is exact dedup at span grain: one shuffle on the
-    span hash (first-occurrence window), one back on doc_id (reassembly),
-    one documents scan — nothing pairwise."""
+    """dedup_span_corpus is exact dedup at span grain: one combiner-
+    friendly min_by agg shuffle on the span hash (first-occurrence
+    election — partial aggregation must appear), one back on doc_id
+    (reassembly), one documents scan — nothing pairwise, no window sort."""
     plan = _final_plan(WORKLOAD["dedup_span_corpus"].fn(spark, SF))
     assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
-    assert _exchanges(plan) <= 3, plan  # span window + reassembly agg (+AQE)
+    assert _exchanges(plan) <= 2, plan  # election agg + reassembly agg
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower(), plan
 
 
 def test_incremental_dedup_scans_stay_linear(spark):
