@@ -118,11 +118,18 @@ def curate(
         "quality", F.round(F.col("quality"), 6)
     )
     passed = profiled.filter(F.col("quality") >= min_quality)
-    dd = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    # min_by survivor election (not a row_number window): combines
+    # map-side, no per-key sort, and the boilerplate-repeated-a-billion-
+    # times hot fingerprint reduces on the mappers — same argument as
+    # dedup_exact, which this is a fused copy of (fingerprint computed
+    # in the same pass as the quality projection)
+    cols = passed.columns
     deduped = (
-        passed.withColumn("__dd", F.row_number().over(dd))
-        .filter(F.col("__dd") == 1)
-        .drop("__dd")
+        passed.groupBy(fingerprint(text_col).alias("__fp"))
+        .agg(
+            F.min_by(F.struct(*cols), F.col(id_col)).alias("__survivor")
+        )
+        .select("__survivor.*")
     )
     capped = cap_per_group(
         deduped,

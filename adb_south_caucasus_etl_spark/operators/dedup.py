@@ -50,16 +50,24 @@ def dedup_exact(
 ) -> DataFrame:
     """Keep exactly one row per ``key_cols`` group — the one with the
     smallest ``order_col`` (deterministic, unlike ``dropDuplicates``).
-    One shuffle on the key columns. A bare string means ONE key column
-    (without this guard ``partitionBy(*"text")`` would silently partition
-    on the string's characters)."""
+
+    Survivor election is a ``min_by`` AGGREGATE, not a row_number window:
+    the min combines map-side, so the one shuffle carries a single
+    candidate row per (mapper, key) instead of every duplicate, there is
+    no per-key sort, and a hot key (the same boilerplate document a
+    billion times — the exact situation dedup exists for) reduces on the
+    mappers instead of melting one reducer. A bare string means ONE key
+    column (without this guard a ``*"text"`` splat would silently
+    partition on the string's characters)."""
     if isinstance(key_cols, str):
         key_cols = [key_cols]
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    cols = df.columns
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*key_cols)
+        .agg(
+            F.min_by(F.struct(*cols), F.col(order_col)).alias("__survivor")
+        )
+        .select("__survivor.*")
     )
 
 
