@@ -5810,3 +5810,104 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_per_group(
         docs, ["source"], "n_chars", "doc_id", k=5
     ).select("source", "doc_id", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# round 4: Datasketches surfaces beyond HLL — theta set algebra and KLL
+# mergeable quantiles.
+
+
+@register(
+    "sketch_theta_user_overlap",
+    """
+    WITH p AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase'),
+         s AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'signup')
+    SELECT (SELECT COUNT(*) FROM p) AS n_purchase,
+           (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM p JOIN s USING (user_id)) AS n_both,
+           (SELECT COUNT(*) FROM (SELECT user_id FROM p
+                                  UNION SELECT user_id FROM s) u)
+             AS n_either,
+           (SELECT COUNT(*) FROM p
+            WHERE user_id NOT IN (SELECT user_id FROM s))
+             AS n_purchase_only
+    """,
+    doc="theta-sketch set algebra (Datasketches, Spark 4): audience "
+        "overlap between two event types computed as sketch "
+        "intersection/union/difference — the composable form of "
+        "COUNT(DISTINCT) that distributive rollups cannot express (HLL "
+        "unions but cannot intersect). lgNomEntries=16 keeps the "
+        "sketches in exact mode up to 65k distinct users per side — "
+        "covering every test SF, so the exact SQL oracle hash-matches; "
+        "past that the same plan degrades to ~1% estimates instead of "
+        "failing. One pass over events builds both sketches",
+)
+def sketch_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    sk = (
+        ev.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id, 16)").alias("sk"))
+    )
+    p = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("p_sk")
+    )
+    s = sk.filter(F.col("event_type") == "signup").select(
+        F.col("sk").alias("s_sk")
+    )
+    est = lambda c: F.round(F.expr(f"theta_sketch_estimate({c})")).cast(  # noqa: E731
+        "bigint"
+    )
+    return (
+        p.join(F.broadcast(s))
+        .withColumn("both_sk", F.expr("theta_intersection(p_sk, s_sk)"))
+        .withColumn("either_sk", F.expr("theta_union(p_sk, s_sk)"))
+        .withColumn("only_sk", F.expr("theta_difference(p_sk, s_sk)"))
+        .select(
+            est("p_sk").alias("n_purchase"),
+            est("s_sk").alias("n_signup"),
+            est("both_sk").alias("n_both"),
+            est("either_sk").alias("n_either"),
+            est("only_sk").alias("n_purchase_only"),
+        )
+    )
+
+
+@register(
+    "rollup_kll_quantile_serve",
+    None,  # approximate by construction; accuracy pytest-gated vs exact
+    doc="quantiles-at-any-grain from a summary table: the rollup stores a "
+        "mergeable Datasketches KLL sketch of o_totalprice per "
+        "(priority, year) cell; the coarser per-year p50/p95 MERGES the "
+        "cell sketches (kll_merge_agg_double — lossless composition, "
+        "unlike percentile partials, which cannot fold across grains at "
+        "all). k=4096 → normalized rank error ≈0.4%; accuracy vs the "
+        "exact percentile is gated in tests/test_sinks_sketches.py. The "
+        "sketch column is parquet BINARY — the rollup is a real table a "
+        "dashboard reads back",
+)
+def rollup_kll_quantile_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    out = _os.path.join(_scratch_dir("kll", sf_dir), "rollup")
+    orders = Catalog(spark, sf_dir).orders
+    fine = orders.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).agg(F.expr("kll_sketch_agg_double(o_totalprice, 4096)").alias("sk"))
+    fine.write.mode("overwrite").parquet(out)
+    rolled = spark.read.parquet(out)
+    return (
+        rolled.groupBy("yr")
+        .agg(F.expr("kll_merge_agg_double(sk)").alias("sk"))
+        .select(
+            "yr",
+            F.round(
+                F.expr("kll_sketch_get_quantile_double(sk, 0.5)"), 2
+            ).alias("p50_totalprice"),
+            F.round(
+                F.expr("kll_sketch_get_quantile_double(sk, 0.95)"), 2
+            ).alias("p95_totalprice"),
+        )
+    )

@@ -173,3 +173,69 @@ def test_zorder_key_interleaves_bits(spark):
     # bit layout pos = bit*2 + i: x bits at even positions, y at odd
     # x=101, y=011 -> z = x0,y0,x1,y1,x2,y2 = 1,1,0,1,1,0 -> 0b011011
     assert z == 0b011011, bin(z)
+
+
+class TestThetaKll:
+    def test_theta_algebra_on_disjoint_sets(self, spark):
+        """Exact-mode theta sketches: users 0-999 in A, 500-1499 in B →
+        intersection 500, union 1500, difference 500 — exactly."""
+        from pyspark.sql import functions as F
+
+        rows = [(i, "A") for i in range(1000)] + [
+            (i, "B") for i in range(500, 1500)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, t string")
+        sk = df.groupBy("t").agg(
+            F.expr("theta_sketch_agg(user_id, 16)").alias("sk")
+        )
+        a = sk.filter("t = 'A'").select(F.col("sk").alias("a_sk"))
+        b = sk.filter("t = 'B'").select(F.col("sk").alias("b_sk"))
+        [r] = (
+            a.crossJoin(b)
+            .select(
+                F.expr(
+                    "cast(round(theta_sketch_estimate("
+                    "theta_intersection(a_sk, b_sk))) as bigint)"
+                ).alias("i"),
+                F.expr(
+                    "cast(round(theta_sketch_estimate("
+                    "theta_union(a_sk, b_sk))) as bigint)"
+                ).alias("u"),
+                F.expr(
+                    "cast(round(theta_sketch_estimate("
+                    "theta_difference(a_sk, b_sk))) as bigint)"
+                ).alias("d"),
+            )
+            .collect()
+        )
+        assert (r["i"], r["u"], r["d"]) == (500, 1500, 500)
+
+    def test_kll_rollup_quantiles_close_to_exact(self, spark):
+        """Merged KLL p50/p95 per year within 2% relative of the exact
+        percentile (k=4096 → ~0.4% normalized rank error; at the small
+        SFs every cell fits the sketch so it is exact)."""
+        from pyspark.sql import functions as F
+
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        sf_dir = "/root/testdata/sf0.01"
+        got = {
+            r["yr"]: (r["p50_totalprice"], r["p95_totalprice"])
+            for r in WORKLOAD["rollup_kll_quantile_serve"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        exact = {
+            r["yr"]: (r["p50"], r["p95"])
+            for r in orders.groupBy(F.year("o_orderdate").alias("yr"))
+            .agg(
+                F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+                F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+            )
+            .collect()
+        }
+        assert got.keys() == exact.keys()
+        for yr in exact:
+            for g, e in zip(got[yr], exact[yr]):
+                assert abs(g - e) / e < 0.02, (yr, got[yr], exact[yr])
