@@ -187,14 +187,26 @@ def interval_join_stream(
     within: str = "30 minutes",
     watermark: str = "10 minutes",
     right_key: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with a time-range condition: right rows
+    """Stream-stream join with a time-range condition: right rows
     within ``[left_ts, left_ts + within]`` for the same key. Watermarks on
     BOTH sides plus the explicit time bound are what let Spark evict join
     state (without them, every row waits forever for future matches) — the
     canonical enrich-one-stream-with-another shape. With an availableNow
     one-batch replay the output equals the batch interval join, which is
-    the DuckDB oracle of the workload entry."""
+    the DuckDB oracle of the workload entry.
+
+    ``how="left_outer"`` adds watermark-gated NULL emission: an unmatched
+    left row is released (with null right columns) only once the global
+    watermark passes ``left_ts + within`` — i.e. once no future right row
+    could still match it. The global watermark is the MIN over both
+    sides' (max event time − delay), so with a bounded replay the emitted
+    outer set is exactly the unmatched rows older than
+    ``least(max_left_ts, max_right_ts) − delay − within`` — a batch-
+    computable rule, which is what lets the left-outer workload entry
+    carry a full oracle. Rows younger than that stay in state unemitted
+    (on a real stream they would flush as the watermark advances)."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -202,7 +214,7 @@ def interval_join_stream(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def run_to_memory(

@@ -5911,3 +5911,67 @@ def rollup_kll_quantile_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p95_totalprice"),
         )
     )
+
+
+@register(
+    "streaming_outer_join_live",
+    """
+    WITH wm AS (
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+        - INTERVAL 40 MINUTE AS cutoff
+    )
+    SELECT e.user_id, e.event_id AS err_id, p.event_id AS buy_id,
+           epoch_us(e.ts) AS err_ts_us, epoch_us(p.ts) AS buy_ts_us
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'error') e
+    LEFT JOIN (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+    WHERE p.event_id IS NOT NULL OR e.ts < (SELECT cutoff FROM wm)
+    """,
+    doc="stream-stream LEFT OUTER interval join: matched rows emit like "
+        "the inner join; an unmatched error is released with null "
+        "purchase columns only once the global watermark proves no "
+        "future purchase can match it. The global watermark is the MIN "
+        "over both sides' (max ts - 10 min), so the emitted outer set is "
+        "exactly the unmatched errors older than least(side maxes) - "
+        "40 min — the oracle encodes that watermark arithmetic, making "
+        "the null-emission semantics (not just the matches) driver-"
+        "hash-checked. Errors younger than the cutoff stay in state "
+        "(would flush on a live stream)",
+)
+def streaming_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import (
+        interval_join_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    errs = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("err_ts"),
+                F.col("event_id").alias("err_id"))
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("buyer_id"),
+                F.col("ts").alias("buy_ts"),
+                F.col("event_id").alias("buy_id"))
+    )
+    joined = interval_join_stream(
+        errs, buys, key="user_id", left_ts="err_ts", right_ts="buy_ts",
+        within="30 minutes", watermark="10 minutes", right_key="buyer_id",
+        how="left_outer",
+    ).select(
+        "user_id",
+        "err_id",
+        "buy_id",
+        F.unix_micros("err_ts").alias("err_ts_us"),
+        F.unix_micros("buy_ts").alias("buy_ts_us"),
+    )
+    return run_to_memory(spark, joined, "outer_join_live", mode="append")
