@@ -5975,3 +5975,152 @@ def streaming_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("buy_ts").alias("buy_ts_us"),
     )
     return run_to_memory(spark, joined, "outer_join_live", mode="append")
+
+
+# --------------------------------------------------------------------------
+# round 4: remaining format/SQL surfaces — native XML, LATERAL correlated
+# subquery, DataFrame.transpose.
+
+
+@register(
+    "sink_xml_roundtrip",
+    """
+    SELECT r_name, COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+    doc="S4 sink, native XML (Spark 4, SPARK-44751 — no spark-xml "
+        "package): the joined nation dim written as row-tagged XML, read "
+        "back with an explicit schema, aggregated. XML is the "
+        "interchange format of record for several statistical agencies "
+        "the reference's OLAP world ingests from; schema-on-read here, "
+        "never inference, same as the CSV roundtrip",
+)
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    out = _os.path.join(_scratch_dir("xml", sf_dir), "nations")
+    cat = Catalog(spark, sf_dir)
+    dim = cat.nation.join(
+        F.broadcast(cat.region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name", "r_name")
+    (
+        dim.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .schema("n_nationkey int, n_name string, r_name string")
+        .option("rowTag", "nation")
+        .load(out)
+    )
+    return back.groupBy("r_name").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+@register(
+    "sql_lateral_topk",
+    """
+    SELECT r.r_name, l.c_custkey, l.c_acctbal
+    FROM region r, LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_regionkey = r.r_regionkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) l
+    """,
+    doc="LATERAL correlated subquery (SQL surface distinct from the UDTF "
+        "LATERAL): top-2 customers by balance per region, the correlated "
+        "ORDER BY/LIMIT form analysts write. Catalyst decorrelates it to "
+        "the same windowed top-k plan as topk_per_group — proving the "
+        "declarative spelling carries no penalty; identical SQL runs on "
+        "DuckDB as the oracle",
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views(("region", "nation", "customer"))
+    return spark.sql(
+        """
+        SELECT r.r_name, l.c_custkey, l.c_acctbal
+        FROM region r, LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_regionkey = r.r_regionkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) l
+        """
+    )
+
+
+@register(
+    "reshape_transpose",
+    """
+    SELECT 'revenue' AS key,
+           ROUND(SUM(CASE WHEN r_name = 'AFRICA' THEN rev END), 2)
+             AS AFRICA,
+           ROUND(SUM(CASE WHEN r_name = 'AMERICA' THEN rev END), 2)
+             AS AMERICA,
+           ROUND(SUM(CASE WHEN r_name = 'ASIA' THEN rev END), 2) AS ASIA,
+           ROUND(SUM(CASE WHEN r_name = 'EUROPE' THEN rev END), 2)
+             AS EUROPE,
+           ROUND(SUM(CASE WHEN r_name = 'MIDDLE EAST' THEN rev END), 2)
+             AS "MIDDLE EAST"
+    FROM (
+      SELECT r_name,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1
+    ) t
+    """,
+    doc="DataFrame.transpose (Spark 4): the per-region revenue column "
+        "flipped into one wide row — the report-shaped output BI tools "
+        "ask for. transpose() keys columns from the first column's "
+        "values; bounded-cardinality inputs only (the transposed frame "
+        "is driver-shaped by construction, like any pivot-to-wide). "
+        "Decimal-mediated sums keep the five cells exact; the oracle is "
+        "the conditional-aggregation spelling of the same flip",
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.join(
+            F.broadcast(cat.supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(cat.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    wide = rev.transpose()
+    return wide.select(
+        F.col("key"),
+        *[F.col(f"`{c}`").cast("double") for c in wide.columns if c != "key"],
+    )
