@@ -6124,3 +6124,36 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key"),
         *[F.col(f"`{c}`").cast("double") for c in wide.columns if c != "key"],
     )
+
+
+@register(
+    "sql_parameterized_cut",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND year(o_orderdate) = 1997
+    GROUP BY 1
+    """,
+    doc="parameterized SQL + IDENTIFIER clause (Spark 3.4/4): the cut "
+        "values arrive as named parameters (:status, :yr) and the table "
+        "as IDENTIFIER(:tbl) — the injection-safe form of the dynamic "
+        "SQL the reference's cube-by-name addressing implies (any cube "
+        "name + user-supplied cut members, oec.py:53). Catalyst binds "
+        "parameters before analysis, so the plan is identical to the "
+        "literal spelling",
+)
+def sql_parameterized_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views(("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :status AND year(o_orderdate) = :yr
+        GROUP BY 1
+        """,
+        args={"tbl": "orders", "status": "F", "yr": 1997},
+    )
