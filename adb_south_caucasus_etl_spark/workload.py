@@ -6157,3 +6157,151 @@ def sql_parameterized_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "status": "F", "yr": 1997},
     )
+
+
+# --------------------------------------------------------------------------
+# round 4: training-export staples — sequence packing, split assignment,
+# tiered repeats.
+
+
+@register(
+    "curation_sequence_pack",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 4 AS shard,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS bin,
+           cum_tokens - n_tokens
+             - CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) * 2048
+             AS bin_offset
+    FROM packed
+    """,
+    doc="sequence packing for training export: docs are hash-sharded "
+        "(md5, retry-stable), ordered deterministically within shard, "
+        "and assigned to 2048-token bins by cumulative offset — the "
+        "contiguous-packing form whose window cumsum parallelizes per "
+        "shard (greedy first-fit is inherently sequential; contiguous "
+        "packing is what large pipelines actually run). bin/bin_offset "
+        "are what the tokenizer-side writer needs to pack without "
+        "re-counting",
+)
+def curation_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(4),
+    )
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = docs.select(
+        "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    bin_ = F.floor(start / 2048)
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        bin_.alias("bin"),
+        (start - bin_ * 2048).alias("bin_offset"),
+    )
+
+
+@register(
+    "curation_train_val_split",
+    """
+    SELECT CASE
+             WHEN b < 96 THEN 'train'
+             WHEN b < 98 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 AS b
+      FROM documents) t
+    GROUP BY 1
+    """,
+    doc="deterministic train/val/test assignment (96/2/2): the split is "
+        "a pure function of the id's md5 bucket, so membership is stable "
+        "under re-runs, repartitioning, and corpus growth (a doc never "
+        "migrates between splits as others are added — the property "
+        "random split lacks and leakage audits depend on)",
+)
+def curation_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(100),
+    )
+    split = (
+        F.when(b < 96, "train").when(b < 98, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "curation_tiered_repeats",
+    """
+    WITH tiered AS (
+      SELECT doc_id, lang,
+             CASE WHEN n_chars >= 400 THEN 3
+                  WHEN n_chars >= 200 THEN 2
+                  ELSE 1 END AS n_epochs
+      FROM documents
+    )
+    SELECT doc_id, lang, n_epochs, unnest(range(1, n_epochs + 1)) AS epoch
+    FROM tiered
+    """,
+    doc="tier-weighted epoch repeats (the 'high-quality sources get more "
+        "epochs' mixing rule): each doc expands to n_epochs rows via "
+        "posexplode(sequence(...)) — a Generate, no join, no shuffle; "
+        "the epoch column keeps the copies distinguishable for "
+        "shuffle-order seeding downstream",
+)
+def curation_tiered_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    n_epochs = (
+        F.when(F.col("n_chars") >= 400, 3)
+        .when(F.col("n_chars") >= 200, 2)
+        .otherwise(1)
+    )
+    return docs.select(
+        "doc_id", "lang", n_epochs.alias("n_epochs")
+    ).select(
+        "doc_id",
+        "lang",
+        "n_epochs",
+        F.explode(F.sequence(F.lit(1), F.col("n_epochs"))).alias("epoch"),
+    )
