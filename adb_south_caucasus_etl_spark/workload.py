@@ -6305,3 +6305,71 @@ def curation_tiered_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_epochs",
         F.explode(F.sequence(F.lit(1), F.col("n_epochs"))).alias("epoch"),
     )
+
+
+@register(
+    "streaming_full_outer_join_live",
+    """
+    WITH wm AS (
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+        - INTERVAL 10 MINUTE AS w
+    )
+    SELECT e.user_id AS err_user, p.user_id AS buy_user,
+           e.event_id AS err_id, p.event_id AS buy_id,
+           epoch_us(e.ts) AS err_ts_us, epoch_us(p.ts) AS buy_ts_us
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'error') e
+    FULL JOIN (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+    WHERE (e.event_id IS NOT NULL AND p.event_id IS NOT NULL)
+       OR (p.event_id IS NULL
+           AND e.ts < (SELECT w FROM wm) - INTERVAL 30 MINUTE)
+       OR (e.event_id IS NULL AND p.ts < (SELECT w FROM wm))
+    """,
+    doc="stream-stream FULL OUTER interval join: each side's unmatched "
+        "rows are released once the global watermark proves no future "
+        "match can arrive — for the left that is watermark > ts + "
+        "within (a future purchase could still land in the window), for "
+        "the right it is watermark > ts (a future error can only open a "
+        "window FORWARD of itself). The oracle encodes both cutoffs, so "
+        "the driver hash-checks the asymmetric eviction semantics — the "
+        "part of outer stream joins people get wrong",
+)
+def streaming_full_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import (
+        interval_join_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    errs = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("err_user"),
+                F.col("ts").alias("err_ts"),
+                F.col("event_id").alias("err_id"))
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("buy_user"),
+                F.col("ts").alias("buy_ts"),
+                F.col("event_id").alias("buy_id"))
+    )
+    joined = interval_join_stream(
+        errs, buys, key="err_user", left_ts="err_ts", right_ts="buy_ts",
+        within="30 minutes", watermark="10 minutes", right_key="buy_user",
+        how="full_outer",
+    ).select(
+        "err_user",
+        "buy_user",
+        "err_id",
+        "buy_id",
+        F.unix_micros("err_ts").alias("err_ts_us"),
+        F.unix_micros("buy_ts").alias("buy_ts_us"),
+    )
+    return run_to_memory(spark, joined, "full_outer_join_live", mode="append")
