@@ -193,6 +193,23 @@ def decontaminate(
     )
 
 
+def md5_bucket(key_col: str, n: int):
+    """First 32 md5 bits of the key's string form, mod ``n`` — THE
+    derandomization primitive shared by sharding, split assignment,
+    sequence packing, and weighted sampling. md5 (not xxhash64) because
+    DuckDB computes the identical value, so every consumer keeps an exact
+    oracle; the uniform u32 itself is ``md5_bucket(col, 1 << 32)``-shaped
+    via :func:`md5_u32`."""
+    return F.pmod(md5_u32(key_col), F.lit(n))
+
+
+def md5_u32(key_col: str):
+    """Uniform int in [0, 2^32) as a pure function of the key."""
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
 def assign_shards(
     df: DataFrame,
     key_col: str,
@@ -209,10 +226,7 @@ def assign_shards(
     verifiability is not required. Pure projection — no shuffle; the
     subsequent partitioned write (``sources/sinks.py``) is what groups
     rows physically."""
-    bits = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-    return df.withColumn(
-        shard_col, F.pmod(bits.cast("bigint"), F.lit(n_shards))
-    )
+    return df.withColumn(shard_col, md5_bucket(key_col, n_shards))
 
 
 def weighted_sample_per_group(
@@ -234,11 +248,14 @@ def weighted_sample_per_group(
     under partitioning, retries, and cluster size, and the DuckDB oracle
     reproduces it bit-for-bit. One window shuffle on the group key;
     WindowGroupLimit prunes partitions to ``k`` before the filter.
+
+    A-ES requires w > 0: rows with zero/negative/null weight are DROPPED
+    before keying (zero weight means zero selection probability; a
+    negative weight would flip the key sign and always win — silently
+    corrupting the sample).
     """
-    u32 = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    u = (u32 + 1) / F.lit(4294967296.0)
+    df = df.filter(F.col(weight_col).cast("double") > 0)
+    u = (md5_u32(id_col) + 1) / F.lit(4294967296.0)
     key = F.log(u) / F.col(weight_col).cast("double")
     w = Window.partitionBy(*group_cols).orderBy(
         key.desc(), F.col(id_col).asc()

@@ -62,11 +62,17 @@ def dedup_exact(
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     cols = df.columns
+    # ordering is (isNull, value): a NULL order value never beats a real
+    # one, and an all-NULL group still elects a real row (bare min_by
+    # ignores NULL orderings entirely — an all-NULL group would emit a
+    # corrupt all-NULL survivor). Ties on order_col elect an unspecified
+    # row, as before.
+    null_safe_order = F.struct(
+        F.col(order_col).isNull().alias("n"), F.col(order_col).alias("v")
+    )
     return (
         df.groupBy(*key_cols)
-        .agg(
-            F.min_by(F.struct(*cols), F.col(order_col)).alias("__survivor")
-        )
+        .agg(F.min_by(F.struct(*cols), null_safe_order).alias("__survivor"))
         .select("__survivor.*")
     )
 

@@ -403,9 +403,14 @@ def knn_classify(
         .groupBy("query_id", "__lbl")
         .agg(F.count(F.lit(1)).alias("__votes"))
     )
+    # argmax ordering is (-votes, label): min_by elects max votes, ties
+    # to the SMALLEST label under the label type's own ordering — works
+    # for string labels too (negating the label, the previous spelling,
+    # only worked for numerics)
     return votes.groupBy("query_id").agg(
-        F.max_by(
-            F.col("__lbl"), F.struct(F.col("__votes"), -F.col("__lbl"))
+        F.min_by(
+            F.col("__lbl"),
+            F.struct((-F.col("__votes")).alias("nv"), F.col("__lbl").alias("l")),
         ).alias("predicted_label"),
         F.max("__votes").alias("n_votes"),
     )

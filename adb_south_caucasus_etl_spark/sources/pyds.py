@@ -32,11 +32,23 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 def _fetch_records(url: str, data_key: str, timeout: float) -> list[dict]:
     """GET/open ``url`` (http(s):// or file://) and return the record array
-    — ``body[data_key]`` for a jsonrecords object, or the bare list."""
+    — ``body[data_key]`` for a jsonrecords object, or the bare list.
+    Unexpected shapes fail LOUDLY: a missing data key or a non-list body
+    would otherwise read as a silently empty/broken DataFrame."""
     with urllib.request.urlopen(url, timeout=timeout) as resp:
         body = json.loads(resp.read().decode("utf-8"))
     if isinstance(body, dict):
-        return body.get(data_key, [])
+        if data_key not in body:
+            raise ValueError(
+                f"jsonrecords payload has no {data_key!r} key "
+                f"(keys: {sorted(body)[:8]}); set .option('dataKey', ...)"
+            )
+        body = body[data_key]
+    if not isinstance(body, list):
+        raise ValueError(
+            f"jsonrecords payload must be an object with a record array or "
+            f"a bare array, got {type(body).__name__}"
+        )
     return body
 
 

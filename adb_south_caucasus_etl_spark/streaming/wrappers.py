@@ -326,7 +326,7 @@ def topk_values_tws_stream(
     )
 
 
-def has_transform_with_state(spark: SparkSession | None = None) -> bool:
+def has_transform_with_state() -> bool:
     """transformWithStateInPandas needs google.protobuf on the Python side
     (the state-server wire protocol); absent in some minimal images."""
     try:
@@ -355,7 +355,11 @@ def topk_values_apply_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        merged = list(state.get[0]) if state.exists else []
+        # ids stay in their own bigint array — stuffing them into the
+        # value's double array would corrupt ids above 2^53
+        merged = (
+            list(zip(state.get[0], state.get[1])) if state.exists else []
+        )
         merged = [(float(v), int(i)) for v, i in merged]
         for pdf in pdfs:
             merged.extend(
@@ -363,7 +367,7 @@ def topk_values_apply_stream(
             )
         merged.sort(key=lambda t: (-t[0], t[1]))
         merged = merged[:k]
-        state.update(([[v, float(i)] for v, i in merged],))
+        state.update(([v for v, _ in merged], [i for _, i in merged]))
         yield pd.DataFrame(
             {
                 key_col: [key[0]] * len(merged),
@@ -378,7 +382,7 @@ def topk_values_apply_stream(
         outputStructType=(
             f"{key_col} bigint, rnk int, {value_col} double, {id_col} bigint"
         ),
-        stateStructType="top array<array<double>>",
+        stateStructType="vals array<double>, ids array<bigint>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -5557,7 +5557,7 @@ def streaming_tws_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = read_events_stream(spark, sf_dir)
-    if not has_transform_with_state(spark):
+    if not has_transform_with_state():
         out = topk_values_apply_stream(stream)
         return run_to_memory(spark, out, "tws_topk_live", mode="update")
 
@@ -6201,12 +6201,10 @@ def sql_parameterized_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from .operators.curation import md5_bucket
+
     docs = Catalog(spark, sf_dir).documents
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint"),
-        F.lit(4),
-    )
+    shard = md5_bucket("doc_id", 4)
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     toks = docs.select(
         "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
@@ -6252,12 +6250,10 @@ def curation_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "random split lacks and leakage audits depend on)",
 )
 def curation_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import md5_bucket
+
     docs = Catalog(spark, sf_dir).documents
-    b = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint"),
-        F.lit(100),
-    )
+    b = md5_bucket("doc_id", 100)
     split = (
         F.when(b < 96, "train").when(b < 98, "val").otherwise("test")
     )

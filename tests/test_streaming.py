@@ -216,7 +216,7 @@ class TestTopKStateful:
             topk_values_tws_stream,
         )
 
-        if not has_transform_with_state(spark):
+        if not has_transform_with_state():
             pytest.skip("google.protobuf not installed")
         provider_key = "spark.sql.streaming.stateStore.providerClass"
         spark.conf.set(
