@@ -414,3 +414,54 @@ def knn_classify(
         ).alias("predicted_label"),
         F.max("__votes").alias("n_votes"),
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: each embedding is scaled by
+    its own max-abs so components land in [-127, 127] — the standard 4×
+    memory/bandwidth reduction before ANN index build (recall loss is
+    negligible at 8 bits for cosine). Returns ``(id, scale, q)`` where
+    ``x ≈ q * scale / 127``.
+
+    Implemented with ``mapInArrow`` — the rawest Python crossing Spark
+    offers: the function receives Arrow RecordBatches and returns Arrow
+    RecordBatches, no pandas materialization on either side (a pandas
+    round-trip would copy every list cell into Python objects; here the
+    flat float buffer feeds one numpy reshape). Rounding is explicit
+    half-away-from-zero (``sign * floor(abs + 0.5)``) to match SQL ROUND
+    exactly — ``np.round`` is half-to-even and would diverge from the
+    DuckDB oracle at .5 midpoints.
+    """
+    import pyarrow as pa
+
+    def op(batches):
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            embs = batch.column(batch.schema.get_field_index(vec_col))
+            n = len(embs)
+            if n == 0:
+                continue
+            flat = np.asarray(embs.values, dtype=np.float64)
+            dim = flat.size // n
+            v = flat.reshape(n, dim)
+            mx = np.abs(v).max(axis=1)
+            safe = np.where(mx == 0.0, 1.0, mx)
+            a = v * 127.0 / safe[:, None]
+            q = (np.sign(a) * np.floor(np.abs(a) + 0.5)).clip(-127, 127)
+            q = np.where((mx == 0.0)[:, None], 0.0, q).astype(np.int8)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(mx, type=pa.float64()),
+                    pa.array(list(q), type=pa.list_(pa.int8())),
+                ],
+                names=[id_col, "scale", "q"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        op, schema=f"{id_col} bigint, scale double, q array<tinyint>"
+    )

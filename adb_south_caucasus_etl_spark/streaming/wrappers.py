@@ -386,3 +386,86 @@ def topk_values_apply_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_summaries_timeout_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sessionization with EVENT-TIME TIMEOUT (``GroupStateTimeout.
+    EventTimeTimeout`` — the state surface ``running_totals_stream``'s
+    NoTimeout variant doesn't touch): a session summary is emitted when
+    the session CLOSES — either because a later in-batch event exceeded
+    the gap, or because the watermark passed ``last_event + gap`` and the
+    registered timer fired (the no-future-event proof). State per key is
+    one open session tuple; closed sessions leave state immediately.
+
+    Emission rule under a bounded replay (what the workload oracle
+    encodes): every non-final session of a key emits, and the final one
+    emits iff ``floor((end_us + gap)/1000) < floor(max_ts_us/1000) −
+    delay_ms`` — the millisecond arithmetic because Spark tracks
+    watermarks and timers in epoch millis even over microsecond data.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        cols = {
+            key_col: [],
+            "session_start_us": [],
+            "session_end_us": [],
+            "n_events": [],
+        }
+
+        def close(st, en, n):
+            cols[key_col].append(key[0])
+            cols["session_start_us"].append(st)
+            cols["session_end_us"].append(en)
+            cols["n_events"].append(n)
+
+        if state.hasTimedOut:
+            st, en, n = state.get
+            state.remove()
+            close(st, en, n)
+            yield pd.DataFrame(cols)
+            return
+
+        us: list[int] = []
+        for pdf in pdfs:
+            us.extend(int(v) for v in pdf["__us"])
+        us.sort()
+        if state.exists:
+            st, en, n = state.get
+        else:
+            st = en = None
+            n = 0
+        for t in us:
+            if en is not None and t - en > gap_us:
+                close(st, en, n)
+                st, en, n = t, t, 1
+            else:
+                st = t if st is None else st
+                en = t
+                n += 1
+        state.update((st, en, n))
+        state.setTimeoutTimestamp((en + gap_us) // 1000)  # epoch millis
+        yield pd.DataFrame(cols)
+
+    inp = events.withWatermark(ts_col, watermark).select(
+        key_col, F.col(ts_col), F.unix_micros(F.col(ts_col)).alias("__us")
+    )
+    return inp.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} bigint, session_start_us bigint, "
+            f"session_end_us bigint, n_events bigint"
+        ),
+        stateStructType="st bigint, en bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

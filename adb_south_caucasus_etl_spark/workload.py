@@ -6369,3 +6369,98 @@ def streaming_full_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFram
         F.unix_micros("buy_ts").alias("buy_ts_us"),
     )
     return run_to_memory(spark, joined, "full_outer_join_live", mode="append")
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx
+      FROM t
+    )
+    SELECT vec_id,
+           mx AS scale,
+           CASE WHEN mx = 0
+                THEN list_transform(v, x -> CAST(0 AS TINYINT))
+                ELSE list_transform(v, x -> CAST(
+                       GREATEST(-127.0, LEAST(127.0,
+                         round(x * 127.0 / mx))) AS TINYINT)) END AS q
+    FROM m
+    """,
+    doc="per-vector symmetric int8 quantization via mapInArrow (the raw "
+        "Arrow-batch crossing — no pandas materialization either side; "
+        "completes the Python-surface matrix: scalar/iterator pandas "
+        "UDFs, grouped agg/map, mapInPandas, Arrow UDTF, "
+        "applyInPandasWithState, mapInArrow). 4x memory reduction before "
+        "an ANN index build; x ~ q*scale/127. Explicit half-away "
+        "rounding matches SQL ROUND, so the oracle is exact down to "
+        "every int8 component",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import quantize_embeddings_int8
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return quantize_embeddings_int8(emb)
+
+
+@register(
+    "streaming_session_timeout_live",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    mx AS (SELECT MAX(us) AS m FROM e),
+    s AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    g AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+      FROM s
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(us) AS session_start_us,
+             MAX(us) AS session_end_us,
+             COUNT(*) AS n_events
+      FROM g GROUP BY 1, 2
+    ),
+    last AS (SELECT user_id, MAX(sid) AS maxsid FROM agg GROUP BY 1)
+    SELECT a.user_id, session_start_us, session_end_us, n_events
+    FROM agg a JOIN last l ON a.user_id = l.user_id CROSS JOIN mx
+    WHERE a.sid < l.maxsid
+       OR (session_end_us + 1800000000) // 1000 < m // 1000 - 600000
+    """,
+    doc="T5 with GroupStateTimeout.EventTimeTimeout: session summaries "
+        "emitted ON CLOSE — by an in-batch gap break, or by the event-"
+        "time TIMER firing once the watermark proves no future event can "
+        "extend the session. State is one open-session tuple per key "
+        "(closed sessions leave state immediately — bounded no matter "
+        "the history length). The oracle encodes the exact emission "
+        "rule, including Spark's millisecond watermark/timer arithmetic "
+        "over microsecond data — so the driver hash-checks the timer "
+        "semantics, not just the session math",
+)
+def streaming_session_timeout_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import (
+        read_events_stream,
+        run_to_memory,
+        session_summaries_timeout_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = session_summaries_timeout_stream(stream)
+    return run_to_memory(spark, out, "session_timeout_live", mode="append")
