@@ -1,0 +1,155 @@
+"""Randomized validation of the watermark emission rules three oracle-
+matched queries depend on (streaming_outer_join_live,
+streaming_full_outer_join_live, streaming_session_timeout_live).
+
+The rules were derived empirically from Spark's global-watermark and
+timer semantics; these tests regenerate RANDOM event streams (seeded)
+and assert the rules still predict the streaming output exactly — so a
+Spark behavior change or a bad generalization from the driver data
+shows up here, not as a silent oracle mismatch.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+DELAY_US = 10 * 60 * 1_000_000
+WITHIN_US = 30 * 60 * 1_000_000
+GAP_US = 30 * 60 * 1_000_000
+BASE = datetime.datetime(2024, 3, 1)
+
+
+def _write_events(spark, tmp_path, seed, n=300):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                BASE + datetime.timedelta(seconds=rng.randint(0, 5 * 86400)),
+                rng.randint(0, 6),
+                rng.choice(["error", "purchase", "view"]),
+                round(rng.uniform(0, 100), 2),
+                "{}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    path = str(tmp_path / f"events_{seed}")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_left_outer_emission_rule_random(spark, tmp_path):
+    from adb_south_caucasus_etl_spark.streaming.wrappers import (
+        interval_join_stream,
+        run_to_memory,
+    )
+
+    for seed in (11, 29):
+        path = _write_events(spark, tmp_path, seed)
+        ev = _stream(spark, path)
+        errs = ev.filter("event_type = 'error'").select(
+            "user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("err_id")
+        )
+        buys = ev.filter("event_type = 'purchase'").select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        out = run_to_memory(
+            spark,
+            interval_join_stream(
+                errs, buys, key="user_id", left_ts="err_ts", right_ts="buy_ts",
+                within="30 minutes", watermark="10 minutes",
+                right_key="buyer_id", how="left_outer",
+            ),
+            f"lo_rand_{seed}",
+            mode="append",
+        )
+        got = {(r["err_id"], r["buy_id"]) for r in out.select("err_id", "buy_id").collect()}
+
+        batch = spark.read.parquet(path)
+        e = batch.filter("event_type='error'").select(
+            F.col("user_id").alias("eu"), F.unix_micros("ts").alias("eus"),
+            F.col("event_id").alias("err_id"),
+        )
+        p = batch.filter("event_type='purchase'").select(
+            F.col("user_id").alias("pu"), F.unix_micros("ts").alias("pus"),
+            F.col("event_id").alias("buy_id"),
+        )
+        jc = (
+            (F.col("eu") == F.col("pu"))
+            & (F.col("pus") >= F.col("eus"))
+            & (F.col("pus") <= F.col("eus") + WITHIN_US)
+        )
+        lj = e.join(p, jc, "left_outer")
+        sides = batch.filter("event_type in ('error','purchase')").groupBy(
+            "event_type"
+        ).agg(F.max(F.unix_micros("ts")).alias("mx"))
+        wm_us = min(r["mx"] for r in sides.collect()) - DELAY_US
+        want = {
+            (r["err_id"], r["buy_id"])
+            for r in lj.filter(
+                F.col("buy_id").isNotNull()
+                | (F.col("eus") + WITHIN_US < F.lit(wm_us))
+            ).collect()
+        }
+        assert got == want, f"seed {seed}: {len(got)} vs {len(want)}"
+
+
+def test_session_timeout_emission_rule_random(spark, tmp_path):
+    from adb_south_caucasus_etl_spark.streaming.wrappers import (
+        run_to_memory,
+        session_summaries_timeout_stream,
+    )
+
+    for seed in (7, 83):
+        path = _write_events(spark, tmp_path, seed)
+        out = run_to_memory(
+            spark,
+            session_summaries_timeout_stream(_stream(spark, path)),
+            f"st_rand_{seed}",
+            mode="append",
+        )
+        got = {tuple(r) for r in out.collect()}
+
+        ev = spark.read.parquet(path).select(
+            "user_id", F.unix_micros("ts").alias("us")
+        )
+        w = Window.partitionBy("user_id").orderBy("us")
+        brk = F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > GAP_US),
+            1,
+        ).otherwise(0)
+        g = ev.withColumn("brk", brk).withColumn(
+            "sid",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        agg = g.groupBy("user_id", "sid").agg(
+            F.min("us").alias("st"), F.max("us").alias("en"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        wm_ms = ev.agg(F.max("us")).collect()[0][0] // 1000 - 600_000
+        last = agg.groupBy("user_id").agg(F.max("sid").alias("maxsid"))
+        want = {
+            (r["user_id"], r["st"], r["en"], r["n"])
+            for r in agg.join(last, "user_id")
+            .filter(
+                (F.col("sid") < F.col("maxsid"))
+                | (F.floor((F.col("en") + GAP_US) / 1000) < F.lit(wm_ms))
+            )
+            .collect()
+        }
+        assert got == want, f"seed {seed}: {len(got)} vs {len(want)}"
