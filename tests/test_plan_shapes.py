@@ -276,3 +276,50 @@ def test_unigram_logprob_vocab_join_broadcast_or_shuffle(spark):
     plan = _final_plan(WORKLOAD["text_unigram_logprob"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row total
     assert "CartesianProduct" not in plan, plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The 100 TB skew answer nobody has to hand-write: AQE detects the
+    hot key's oversized shuffle partition at RUNTIME and splits it
+    (SortMergeJoin(skew=true) + 'AQEShuffleRead coalesced and skewed').
+    Thresholds are floored to make a synthetic 100k-row hot key qualify
+    at test scale; the manual salting operators (skew_salted_agg/join)
+    remain the pre-AQE / deterministic-layout alternative SCALE.md
+    documents."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prior = {}
+    for k in confs:
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") < 100000, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        [row] = j.collect()
+        assert row["n"] == 200000 - 100000 + 100000  # hot key matches k=0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
