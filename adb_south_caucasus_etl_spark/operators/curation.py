@@ -13,9 +13,9 @@ Scale notes:
   cluster size, and pushes down to the scan.
 - Per-source caps and token budgets are window functions partitioned by
   bounded keys (source, lang) — no global sort, no single-partition window.
-- The composed pipeline is one plan: Catalyst fuses the quality projection,
-  dedup window, and cap window; only the two window shuffles (fingerprint,
-  source) and the final exchange survive.
+- The composed pipeline is one plan: Catalyst fuses the quality projection
+  into the dedup aggregate's scan; one combiner-friendly min_by aggregate
+  shuffle (fingerprint) and one window shuffle (source cap) survive.
 """
 
 from __future__ import annotations
@@ -124,11 +124,13 @@ def curate(
     # dedup_exact, which this is a fused copy of (fingerprint computed
     # in the same pass as the quality projection)
     cols = passed.columns
+    null_safe_id = F.struct(
+        F.col(id_col).isNull().alias("n"), F.col(id_col).alias("v")
+    )  # same guard as dedup_exact: an all-NULL-id group must not emit
+    # a corrupt all-NULL survivor (bare min_by ignores NULL orderings)
     deduped = (
         passed.groupBy(fingerprint(text_col).alias("__fp"))
-        .agg(
-            F.min_by(F.struct(*cols), F.col(id_col)).alias("__survivor")
-        )
+        .agg(F.min_by(F.struct(*cols), null_safe_id).alias("__survivor"))
         .select("__survivor.*")
     )
     capped = cap_per_group(
@@ -257,11 +259,6 @@ def weighted_sample_per_group(
     df = df.filter(F.col(weight_col).cast("double") > 0)
     u = (md5_u32(id_col) + 1) / F.lit(4294967296.0)
     key = F.log(u) / F.col(weight_col).cast("double")
-    w = Window.partitionBy(*group_cols).orderBy(
-        key.desc(), F.col(id_col).asc()
-    )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    return cap_per_group(
+        df, group_cols, [key.desc(), F.col(id_col).asc()], k
     )

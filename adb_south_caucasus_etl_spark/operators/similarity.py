@@ -445,7 +445,19 @@ def quantize_embeddings_int8(
             n = len(embs)
             if n == 0:
                 continue
-            flat = np.asarray(embs.values, dtype=np.float64)
+            if embs.null_count:
+                raise ValueError(
+                    f"{vec_col} must be non-null for int8 quantization"
+                )
+            # flatten() honors the ListArray's offset (a sliced batch's
+            # .values would return the full child buffer, silently
+            # misaligning every vector); ragged dims fail loudly below
+            flat = np.asarray(embs.flatten(), dtype=np.float64)
+            if flat.size % n:
+                raise ValueError(
+                    f"{vec_col} lists are ragged ({flat.size} values / "
+                    f"{n} rows); fixed-dim embeddings required"
+                )
             dim = flat.size // n
             v = flat.reshape(n, dim)
             mx = np.abs(v).max(axis=1)

@@ -16,9 +16,16 @@ read like any other ``spark.read.format(...)`` source —
 Record-level partitioning: partition ``i`` of ``N`` keeps records with
 ``index % N == i``. Each partition re-fetches the payload — the right trade
 for control-plane payloads (the reference's use), where the body is small
-and the win is that *downstream* work starts distributed. For bulk data
-files, stage to parquet/JSON-lines and use the native scans instead (same
-guidance as ``sources.jsonrecords``).
+and the win is that *downstream* work starts distributed.
+
+CONSISTENCY CONTRACT: because fetches are independent, the endpoint must
+return the SAME record array for the duration of the read (immutable
+snapshot or deterministic response). A payload that changes or reorders
+between partition fetches yields duplicated/dropped rows with no error —
+the classic multi-fetch race every snapshot-less HTTP pagination has. For
+mutable endpoints, fetch once driver-side (``sources.jsonrecords``) or
+stage to a file first. For bulk data files, stage to parquet/JSON-lines
+and use the native scans instead.
 """
 
 from __future__ import annotations
@@ -66,6 +73,10 @@ class JsonRecordsReader(DataSourceReader):
             raise ValueError("jsonrecords source needs .option('url', ...)")
         self.data_key = options.get("dataKey", "data")
         self.num_partitions = int(options.get("numPartitions", "4"))
+        if self.num_partitions < 1:
+            raise ValueError(
+                f"numPartitions must be >= 1, got {self.num_partitions}"
+            )
         self.timeout = float(options.get("timeout", "60"))
 
     def partitions(self) -> list[InputPartition]:

@@ -5019,8 +5019,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "market, supplier→nation labels the competitor). The share is a "
         "ratio of two sums; both are accumulated as DECIMAL(18,6) so the "
         "numerator/denominator are exact and engine-order-independent, "
-        "then divided as doubles (SURVEY §7 hard-part 3). All dims "
-        "broadcast; the one shuffle pair is lineitem⋈orders",
+        "then divided as doubles (SURVEY §7 hard-part 3). The bounded "
+        "dims (region, both nation paths, filtered part, supplier) "
+        "broadcast; lineitem⋈orders and ⋈customer shuffle — customer "
+        "is fact-sized at the 100 TB tier (locally AQE broadcasts it "
+        "too, but the plan contract only promises the bounded dims)",
 )
 def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
@@ -5846,19 +5849,19 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sketch_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
-    sk = (
-        ev.filter(F.col("event_type").isin("purchase", "signup"))
-        .groupBy("event_type")
-        .agg(F.expr("theta_sketch_agg(user_id, 16)").alias("sk"))
+    # two GLOBAL aggregates (not a groupBy): an event type with zero rows
+    # still yields its one row (null sketch), so the 1-row output shape —
+    # and the oracle match — survives an empty side; estimates coalesce
+    # to 0 exactly like the oracle's COUNT over an empty set
+    p = ev.filter(F.col("event_type") == "purchase").agg(
+        F.expr("theta_sketch_agg(user_id, 16)").alias("p_sk")
     )
-    p = sk.filter(F.col("event_type") == "purchase").select(
-        F.col("sk").alias("p_sk")
+    s = ev.filter(F.col("event_type") == "signup").agg(
+        F.expr("theta_sketch_agg(user_id, 16)").alias("s_sk")
     )
-    s = sk.filter(F.col("event_type") == "signup").select(
-        F.col("sk").alias("s_sk")
-    )
-    est = lambda c: F.round(F.expr(f"theta_sketch_estimate({c})")).cast(  # noqa: E731
-        "bigint"
+    est = lambda c: F.coalesce(  # noqa: E731
+        F.round(F.expr(f"theta_sketch_estimate({c})")).cast("bigint"),
+        F.lit(0),
     )
     return (
         p.join(F.broadcast(s))
@@ -5917,10 +5920,14 @@ def rollup_kll_quantile_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_outer_join_live",
     """
     WITH wm AS (
-      SELECT LEAST(
-        (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
-        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
-        - INTERVAL 40 MINUTE AS cutoff
+      -- the global watermark in µs: min over both sides' max event time,
+      -- FLOORED TO MILLISECONDS (Spark tracks watermarks in epoch ms),
+      -- minus the 10-minute delay
+      SELECT (LEAST(
+        (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'error'),
+        (SELECT MAX(epoch_us(ts)) FROM events
+         WHERE event_type = 'purchase'))
+        // 1000 - 600000) * 1000 AS w
     )
     SELECT e.user_id, e.event_id AS err_id, p.event_id AS buy_id,
            epoch_us(e.ts) AS err_ts_us, epoch_us(p.ts) AS buy_ts_us
@@ -5930,7 +5937,11 @@ def rollup_kll_quantile_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE event_type = 'purchase') p
       ON e.user_id = p.user_id
      AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
-    WHERE p.event_id IS NOT NULL OR e.ts < (SELECT cutoff FROM wm)
+    -- null emission: ts + within + Spark's extra 1 ms state-watermark
+    -- buffer must be at or below the ms-floored watermark (boundary
+    -- pinned empirically at ±1 µs; see tests/test_streaming_semantics)
+    WHERE p.event_id IS NOT NULL
+       OR epoch_us(e.ts) + 1800001000 <= (SELECT w FROM wm)
     """,
     doc="stream-stream LEFT OUTER interval join: matched rows emit like "
         "the inner join; an unmatched error is released with null "
@@ -6307,10 +6318,12 @@ def curation_tiered_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_full_outer_join_live",
     """
     WITH wm AS (
-      SELECT LEAST(
-        (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
-        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
-        - INTERVAL 10 MINUTE AS w
+      -- ms-floored global watermark in µs (see streaming_outer_join_live)
+      SELECT (LEAST(
+        (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'error'),
+        (SELECT MAX(epoch_us(ts)) FROM events
+         WHERE event_type = 'purchase'))
+        // 1000 - 600000) * 1000 AS w
     )
     SELECT e.user_id AS err_user, p.user_id AS buy_user,
            e.event_id AS err_id, p.event_id AS buy_id,
@@ -6321,10 +6334,12 @@ def curation_tiered_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE event_type = 'purchase') p
       ON e.user_id = p.user_id
      AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+    -- both cutoffs carry Spark's extra 1 ms state-watermark buffer
     WHERE (e.event_id IS NOT NULL AND p.event_id IS NOT NULL)
        OR (p.event_id IS NULL
-           AND e.ts < (SELECT w FROM wm) - INTERVAL 30 MINUTE)
-       OR (e.event_id IS NULL AND p.ts < (SELECT w FROM wm))
+           AND epoch_us(e.ts) + 1800001000 <= (SELECT w FROM wm))
+       OR (e.event_id IS NULL
+           AND epoch_us(p.ts) + 1000 <= (SELECT w FROM wm))
     """,
     doc="stream-stream FULL OUTER interval join: each side's unmatched "
         "rows are released once the global watermark proves no future "

@@ -1,12 +1,17 @@
-"""Randomized validation of the watermark emission rules three oracle-
-matched queries depend on (streaming_outer_join_live,
+"""Validation of the watermark emission rules three oracle-matched
+queries depend on (streaming_outer_join_live,
 streaming_full_outer_join_live, streaming_session_timeout_live).
 
-The rules were derived empirically from Spark's global-watermark and
-timer semantics; these tests regenerate RANDOM event streams (seeded)
-and assert the rules still predict the streaming output exactly — so a
-Spark behavior change or a bad generalization from the driver data
-shows up here, not as a silent oracle mismatch.
+Two layers: seeded RANDOM event streams with microsecond jitter assert
+the rules predict the streaming output exactly on arbitrary data, and
+an adversarial fixture pins the exact boundary to the microsecond —
+Spark floors watermarks to epoch milliseconds and the join-state
+watermark carries an extra 1 ms buffer, so an outer row is released
+iff ``ts + within + 1ms <= floor_ms(min side max) − delay`` (left) /
+``ts + 1ms <= …`` (right), while event-time TIMERS fire on the plain
+``floor_ms(timeout) < watermark_ms`` with no buffer. A Spark semantics
+change or a bad generalization from the driver data fails here, not as
+a silent oracle mismatch.
 """
 
 from __future__ import annotations
@@ -30,7 +35,11 @@ def _write_events(spark, tmp_path, seed, n=300):
         rows.append(
             (
                 i,
-                BASE + datetime.timedelta(seconds=rng.randint(0, 5 * 86400)),
+                BASE
+                + datetime.timedelta(
+                    seconds=rng.randint(0, 5 * 86400),
+                    microseconds=rng.randint(0, 999_999),
+                ),
                 rng.randint(0, 6),
                 rng.choice(["error", "purchase", "view"]),
                 round(rng.uniform(0, 100), 2),
@@ -97,12 +106,14 @@ def test_left_outer_emission_rule_random(spark, tmp_path):
         sides = batch.filter("event_type in ('error','purchase')").groupBy(
             "event_type"
         ).agg(F.max(F.unix_micros("ts")).alias("mx"))
-        wm_us = min(r["mx"] for r in sides.collect()) - DELAY_US
+        # ms-floored watermark + Spark's extra 1 ms state-watermark buffer
+        # (boundary pinned to the µs in test_outer_join_boundary_exact)
+        wm_us = (min(r["mx"] for r in sides.collect()) // 1000 - 600_000) * 1000
         want = {
             (r["err_id"], r["buy_id"])
             for r in lj.filter(
                 F.col("buy_id").isNotNull()
-                | (F.col("eus") + WITHIN_US < F.lit(wm_us))
+                | (F.col("eus") + WITHIN_US + 1000 <= F.lit(wm_us))
             ).collect()
         }
         assert got == want, f"seed {seed}: {len(got)} vs {len(want)}"
@@ -153,3 +164,61 @@ def test_session_timeout_emission_rule_random(spark, tmp_path):
             .collect()
         }
         assert got == want, f"seed {seed}: {len(got)} vs {len(want)}"
+
+
+def test_outer_join_boundary_exact(spark, tmp_path):
+    """Pin the eviction boundary to the microsecond: rows at exactly
+    cutoff emit, 1 µs above do not — on both join sides."""
+    from adb_south_caucasus_etl_spark.streaming.wrappers import (
+        interval_join_stream,
+        run_to_memory,
+    )
+
+    T = BASE + datetime.timedelta(days=1, microseconds=700)
+    rows = [
+        (9000, T, 999, "purchase", 0.0, "{}"),
+        (9001, T, 998, "error", 0.0, "{}"),
+    ]
+    d40 = datetime.timedelta(minutes=40)
+    d10 = datetime.timedelta(minutes=10)
+    us = datetime.timedelta(microseconds=1)
+    # left side: cutoff at delta=-1700 µs relative to T − 40 min
+    rows += [
+        (101, T - d40 - 1700 * us, 11, "error", 0.0, "{}"),   # emits
+        (102, T - d40 - 1699 * us, 12, "error", 0.0, "{}"),   # held
+        # right side: cutoff at delta=-1700 µs relative to T − 10 min
+        (201, T - d10 - 1700 * us, 21, "purchase", 0.0, "{}"),  # emits
+        (202, T - d10 - 1699 * us, 22, "purchase", 0.0, "{}"),  # held
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "boundary")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    ev = _stream(spark, path)
+    errs = ev.filter("event_type='error'").select(
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+        F.col("event_id").alias("err_id"),
+    )
+    buys = ev.filter("event_type='purchase'").select(
+        F.col("user_id").alias("buy_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    out = run_to_memory(
+        spark,
+        interval_join_stream(
+            errs, buys, key="err_user", left_ts="err_ts", right_ts="buy_ts",
+            within="30 minutes", watermark="10 minutes",
+            right_key="buy_user", how="full_outer",
+        ),
+        "boundary_exact",
+        mode="append",
+    )
+    null_err = {r["err_id"] for r in out.filter("buy_id is null").collect()}
+    null_buy = {r["buy_id"] for r in out.filter("err_id is null").collect()}
+    assert 101 in null_err and 102 not in null_err, null_err
+    assert 201 in null_buy and 202 not in null_buy, null_buy
