@@ -248,8 +248,18 @@ def weighted_sample_per_group(
     (0, 1] — the same derandomization as ``assign_shards`` (md5 because
     both engines and any re-run agree on it), so the sample is stable
     under partitioning, retries, and cluster size, and the DuckDB oracle
-    reproduces it bit-for-bit. One window shuffle on the group key;
-    WindowGroupLimit prunes partitions to ``k`` before the filter.
+    reproduces it. One window shuffle on the group key; WindowGroupLimit
+    prunes partitions to ``k`` before the filter.
+
+    Cross-engine precision caveat: the key ``ln(u)/w`` is JVM ``Math.log``
+    on the Spark side and libm ``log`` in DuckDB/CPython, which may differ
+    by 1 ulp for the same ``u``. Two keys straddling the per-group ``k``
+    boundary within 1 ulp could therefore select different rows per
+    engine. The id tiebreak only resolves EXACT key ties, not 1-ulp
+    near-ties, so an oracle mismatch here that reproduces only for one
+    boundary row should be diagnosed as float precision, not logic. Not
+    observed at any tested SF; if it ever flakes, pre-round the key to a
+    coarse fixed grid (the id tiebreak then resolves the collisions).
 
     A-ES requires w > 0: rows with zero/negative/null weight are DROPPED
     before keying (zero weight means zero selection probability; a

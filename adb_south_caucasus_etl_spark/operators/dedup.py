@@ -705,8 +705,19 @@ def span_corpus_dedup(
     no join-back either. One more combiner-friendly shuffle on the doc id
     reassembles. Exchange keys are 8 bytes (same collision-odds argument as
     ``jaccard_pairs``). No n² anything — exact dedup at span grain.
+
+    NULL/empty text is dropped up front: without the filter the behavior
+    is ANSI-dependent (``size(null)`` is -1 with ANSI off, so
+    ``sequence(0, -1)`` yields ``[0, -1]`` and every null-text document's
+    null spans xxhash64-collide into one garbage survivor; with ANSI on
+    the rows vanish silently). Filtering makes the output well-defined
+    and engine-config-independent: no-token documents simply do not
+    appear, same as fully-duplicated ones.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    df = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
     n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), n_spans - 1),

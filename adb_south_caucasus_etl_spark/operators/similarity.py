@@ -449,16 +449,23 @@ def quantize_embeddings_int8(
                 raise ValueError(
                     f"{vec_col} must be non-null for int8 quantization"
                 )
+            # Per-row lengths from the list offsets — a total-count
+            # divisibility check is NOT enough (two rows of dims 4 and 2
+            # average to 3 and would reshape into silently misaligned
+            # vectors); all-empty batches must also fail loudly rather
+            # than hit a numpy zero-size reduction below.
+            lens = np.asarray(embs.value_lengths())
+            if lens.min() != lens.max() or lens.min() <= 0:
+                raise ValueError(
+                    f"{vec_col} lists must share one positive dim "
+                    f"(got lengths in [{lens.min()}, {lens.max()}]); "
+                    "fixed-dim embeddings required"
+                )
             # flatten() honors the ListArray's offset (a sliced batch's
             # .values would return the full child buffer, silently
-            # misaligning every vector); ragged dims fail loudly below
+            # misaligning every vector)
             flat = np.asarray(embs.flatten(), dtype=np.float64)
-            if flat.size % n:
-                raise ValueError(
-                    f"{vec_col} lists are ragged ({flat.size} values / "
-                    f"{n} rows); fixed-dim embeddings required"
-                )
-            dim = flat.size // n
+            dim = int(lens[0])
             v = flat.reshape(n, dim)
             mx = np.abs(v).max(axis=1)
             safe = np.where(mx == 0.0, 1.0, mx)

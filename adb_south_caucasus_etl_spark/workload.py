@@ -1724,8 +1724,15 @@ def window_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    None,  # HLL++ sketch estimate is engine-specific → rows-only; accuracy
-           # vs the exact count is gated in tests/test_llm_ops.py
+    None,  # no oracle CAN exist: Spark's approx_count_distinct is HLL++
+           # with Spark-specific hashing/bias tables, DuckDB's approx
+           # family is a different sketch — identical inputs give
+           # different estimates by design, and at sf0.01 the per-flag
+           # distinct counts (tens of thousands) are far past the range
+           # where HLL++ answers exactly, so not even a value-equality
+           # fallback holds. The exact-count twin in this same query IS
+           # oracle-checkable and the ≤2%-error bound vs it is gated in
+           # tests/test_llm_ops.py
     doc="A3 100-TB tier: approx_count_distinct (HyperLogLog++) beside the "
         "exact count — the sketch is one pass, no distinct shuffle",
 )
@@ -3599,7 +3606,14 @@ def sink_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_hll_distinct_serve",
-    None,  # approximate by construction; accuracy pytest-gated vs exact
+    None,  # no oracle CAN exist: the rollup cell payload is Datasketches
+           # HLL sketch BYTES — DuckDB cannot parse them, and re-deriving
+           # the estimate from raw facts in SQL would compute a different
+           # sketch (union-then-estimate ≠ estimate-then-anything). The
+           # serve-vs-fact ≤2% agreement is pytest-gated
+           # (tests/test_curation2.py); the exact serve-path twins
+           # (rollup_materialized_serve, rollup_incremental_refresh,
+           # rollup_pctl_exact_serve) hash-stamp the merge arithmetic
     doc="distinct-at-any-grain from a summary table: the rollup stores a "
         "mergeable Datasketches HLL sketch per (region, nation, year) "
         "cell; the coarser (region, year) drilldown UNIONS the sketches "
@@ -3801,20 +3815,32 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentile_approx",
-    None,  # sketch estimate is engine-specific → rows-only; accuracy vs
-           # the exact percentiles is gated in tests/test_curation2.py
+    None,  # no oracle CAN exist: the GK-sketch estimate is
+           # engine-specific (DuckDB's approx_quantile is t-digest, a
+           # different summary with different interpolation) — any
+           # cross-engine value compare would flake by design; accuracy
+           # vs the exact percentiles is gated in tests/test_curation2.py
     doc="A3 sketch tier: percentile_approx (Greenwald-Khanna-style, one "
         "pass, mergeable, bounded memory) beside the exact percentile — "
         "at 100 TB exact percentiles need a full sort per group, the "
-        "sketch needs one scan",
+        "sketch needs one scan. One sketch per group serves all three "
+        "cut points via element_at, emitted as scalar p50/p90/p99 "
+        "columns (the driver canonicalizer cannot hash array cells)",
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
-    return o.groupBy("o_orderpriority").agg(
+    agg = o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
-            "pctl_approx"
+            "__p"
         ),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.element_at("__p", 1).alias("p50"),
+        F.element_at("__p", 2).alias("p90"),
+        F.element_at("__p", 3).alias("p99"),
+        "n",
     )
 
 
@@ -5880,7 +5906,14 @@ def sketch_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_kll_quantile_serve",
-    None,  # approximate by construction; accuracy pytest-gated vs exact
+    None,  # no oracle CAN exist: the rollup stores Datasketches KLL
+           # BYTES (engine-specific, unreadable by DuckDB), and KLL at
+           # k=4096 is NOT exact at sf0.1 (21k orders/year exceeds the
+           # all-values-retained regime), so quantile_cont on facts would
+           # legitimately differ. Accuracy is pytest-gated
+           # (tests/test_sinks_sketches.py); the serve-path MERGE
+           # arithmetic gets its hash-matched stamp from the exact twin
+           # rollup_pctl_exact_serve
     doc="quantiles-at-any-grain from a summary table: the rollup stores a "
         "mergeable Datasketches KLL sketch of o_totalprice per "
         "(priority, year) cell; the coarser per-year p50/p95 MERGES the "
@@ -6401,11 +6434,13 @@ def streaming_full_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT vec_id,
            mx AS scale,
-           CASE WHEN mx = 0
-                THEN list_transform(v, x -> CAST(0 AS TINYINT))
-                ELSE list_transform(v, x -> CAST(
-                       GREATEST(-127.0, LEAST(127.0,
-                         round(x * 127.0 / mx))) AS TINYINT)) END AS q
+           array_to_string(
+             CASE WHEN mx = 0
+                  THEN list_transform(v, x -> CAST(0 AS TINYINT))
+                  ELSE list_transform(v, x -> CAST(
+                         GREATEST(-127.0, LEAST(127.0,
+                           round(x * 127.0 / mx))) AS TINYINT)) END,
+             ',') AS q_csv
     FROM m
     """,
     doc="per-vector symmetric int8 quantization via mapInArrow (the raw "
@@ -6415,13 +6450,19 @@ def streaming_full_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFram
         "applyInPandasWithState, mapInArrow). 4x memory reduction before "
         "an ANN index build; x ~ q*scale/127. Explicit half-away "
         "rounding matches SQL ROUND, so the oracle is exact down to "
-        "every int8 component",
+        "every int8 component; the vector is emitted as a canonical "
+        "CSV string because the driver canonicalizer hashes scalar "
+        "columns only (array columns crash its pandas sort_values)",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import quantize_embeddings_int8
 
     emb = Catalog(spark, sf_dir).embeddings
-    return quantize_embeddings_int8(emb)
+    return quantize_embeddings_int8(emb).select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
+    )
 
 
 @register(
@@ -6479,3 +6520,92 @@ def streaming_session_timeout_live(spark: SparkSession, sf_dir: str) -> DataFram
     stream = read_events_stream(spark, sf_dir)
     out = session_summaries_timeout_stream(stream)
     return run_to_memory(spark, out, "session_timeout_live", mode="append")
+
+
+# --------------------------------------------------------------------------
+# Round 5: exact-mode rollup serve + new operator coverage
+
+@register(
+    "rollup_pctl_exact_serve",
+    """
+    WITH fine AS (
+      -- the materialized rollup: value-grain frequency cells
+      SELECT o_orderpriority,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             o_totalprice AS price,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      -- serve-time merge across priority cells: count-sum only
+      SELECT yr, price, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM fine GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT yr, price,
+             SUM(cnt) OVER (PARTITION BY yr ORDER BY price) AS cum,
+             SUM(cnt) OVER (PARTITION BY yr) AS tot
+      FROM merged
+    )
+    SELECT yr,
+           MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN price END)
+             AS p50_totalprice,
+           MIN(CASE WHEN cum >= CEIL(0.95 * tot) THEN price END)
+             AS p95_totalprice,
+           CAST(MAX(tot) AS BIGINT) AS n_orders
+    FROM cum GROUP BY 1
+    """,
+    doc="EXACT-mode companion to rollup_kll_quantile_serve: the rollup "
+        "stores value-grain frequency cells (priority, year, price, "
+        "count) in parquet; serving per-year p50/p95 merges cells by "
+        "count-sum and walks the cumulative distribution to the first "
+        "price whose cumulative count reaches ceil(q*n) — the type-1 "
+        "(lower) discrete quantile. Every serve-side operation is "
+        "integer arithmetic plus comparisons on untouched doubles, so "
+        "the DuckDB oracle reproduces it bit-for-bit and the MERGE "
+        "ARITHMETIC itself gets a hash-matched stamp (the KLL variant "
+        "stays rows-only — its sketch bytes are engine-specific). At "
+        "100 TB, band prices to a fixed grid: the rollup then holds "
+        "(grains x bands) rows and serve cost is the per-group "
+        "cumulative walk over bands, independent of fact rows",
+)
+def rollup_pctl_exact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql import Window
+
+    out = _os.path.join(_scratch_dir("pctl_exact", sf_dir), "rollup")
+    orders = Catalog(spark, sf_dir).orders
+    fine = orders.groupBy(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.col("o_totalprice").alias("price"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    fine.write.mode("overwrite").parquet(out)
+
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("yr", "price")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("yr")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("yr")
+    cum = merged.select(
+        "yr",
+        "price",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("tot"),
+    )
+    return cum.groupBy("yr").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("tot") * 0.5), F.col("price"))
+        ).alias("p50_totalprice"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("tot") * 0.95), F.col("price"))
+        ).alias("p95_totalprice"),
+        F.max("tot").alias("n_orders"),
+    )

@@ -109,8 +109,14 @@ def main() -> None:
     streaming_wall = round(
         sum(v for n, v in full.items() if v and n.startswith("streaming_")), 3
     )
+    total = round(sum(times.values()), 3)
     full_report = {
         "iterations_headline": ITERATIONS,
+        # headline duplicated into the artifact so tools/bench_compare.py
+        # can diff rounds from BENCH_FULL.json alone (it used to live only
+        # in the printed tail, forcing commit-message archaeology)
+        "headline_value": total,
+        "headline_queries": times,
         "full_wall_batch": batch_wall,
         "full_wall_streaming": streaming_wall,
         "queries_full": full,
@@ -124,7 +130,6 @@ def main() -> None:
     ) as fh:
         json.dump(full_report, fh, indent=1, sort_keys=True)
 
-    total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_suite_wall",
         "value": total,

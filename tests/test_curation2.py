@@ -216,7 +216,7 @@ def test_percentile_approx_close_to_exact(spark):
 
     sf = "/root/testdata/sf0.01"
     approx = {
-        r["o_orderpriority"]: r["pctl_approx"]
+        r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
         for r in WORKLOAD["agg_percentile_approx"].fn(spark, sf).collect()
     }
     exact = {

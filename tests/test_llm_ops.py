@@ -529,6 +529,27 @@ class TestSpanCorpusDedup:
         assert r["clean_text"] == "just three words"
         assert r["n_spans_removed"] == 0
 
+    def test_null_and_empty_text_dropped_not_garbage(self, spark):
+        # regression (r4 ADVICE): with ANSI off, size(null)=-1 made
+        # sequence(0,-1) yield [0,-1] and null-text docs collided into a
+        # single empty survivor with n_spans_removed=-1; they must
+        # simply be absent, independent of the ANSI setting
+        from adb_south_caucasus_etl_spark.operators.dedup import (
+            span_corpus_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "real words here"), (2, None), (3, ""), (4, "   ")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in span_corpus_dedup(df, "doc_id", "text", 8).collect()
+        }
+        assert set(out) == {1}
+        assert out[1]["clean_text"] == "real words here"
+        assert out[1]["n_spans_removed"] == 0
+
 
 class TestIncrementalJaccard:
     def test_only_new_vs_corpus_pairs(self, spark):
@@ -578,3 +599,47 @@ class TestKnnClassify:
         [r] = knn_classify(corpus, queries, k=5).collect()
         assert r["predicted_label"] == 1
         assert r["n_votes"] == 3
+
+
+class TestQuantizeInt8:
+    def test_roundtrip_and_guards(self, spark):
+        from adb_south_caucasus_etl_spark.operators.similarity import (
+            quantize_embeddings_int8,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+        assert rows[1]["scale"] == 2.0
+        # 1.0*127/2 = 63.5 → half-away = 64; -2 → -127; 0.5*127/2 = 31.75 → 32
+        assert rows[1]["q"] == [64, -127, 32]
+        # all-zero vector: scale 0, q all 0 (no div-by-zero)
+        assert rows[2]["scale"] == 0.0 and rows[2]["q"] == [0, 0, 0]
+
+    def test_balanced_ragged_batch_fails_loudly(self, spark):
+        from adb_south_caucasus_etl_spark.operators.similarity import (
+            quantize_embeddings_int8,
+        )
+
+        # dims 4 and 2: total 6 elements / 2 rows divides evenly — a
+        # total-count check would reshape silently-misaligned vectors;
+        # the per-row offsets guard must raise instead
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0, 4.0]), (2, [5.0, 6.0])],
+            "vec_id long, embedding array<float>",
+        ).coalesce(1)
+        with pytest.raises(Exception, match="fixed-dim"):
+            quantize_embeddings_int8(df).collect()
+
+    def test_all_empty_batch_fails_loudly(self, spark):
+        from adb_south_caucasus_etl_spark.operators.similarity import (
+            quantize_embeddings_int8,
+        )
+
+        df = spark.createDataFrame(
+            [(1, []), (2, [])], "vec_id long, embedding array<float>"
+        ).coalesce(1)
+        with pytest.raises(Exception, match="fixed-dim"):
+            quantize_embeddings_int8(df).collect()

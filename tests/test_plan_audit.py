@@ -9,6 +9,15 @@ for the two unconditional 100 TB scale-killers —
   ``FlatMapGroupsInPandas`` / ``MapInPandas``) — a BatchEvalPython means
   someone added ``F.udf`` to a hot path.
 
+and for the driver-contract killer —
+
+- container-typed top-level output columns (Array/Map/Struct/Binary): the
+  driver canonicalizes results with a multi-column pandas ``sort_values``,
+  which hashes cells and raises ``TypeError: unhashable type`` on lists —
+  the query can then never be stamped, not even rows-only (r4's one red
+  row, ``agg_percentile_approx``, was exactly this). Vectors must be
+  emitted as canonical strings (``array_join``) or exploded to rows.
+
 Per-query plan-shape claims live in test_plan_shapes.py; this file is the
 backstop that newly added queries cannot dodge (it iterates WORKLOAD, so a
 query added without a shape test is still smell-checked).
@@ -21,6 +30,7 @@ seconds and keeps the audit honest end-to-end.
 """
 
 import pytest
+from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
 from adb_south_caucasus_etl_spark.workload import WORKLOAD
 
@@ -28,10 +38,25 @@ SF = "/root/testdata/sf0.001"
 
 SMELLS = ("CartesianProduct", "BatchEvalPython")
 
+CONTAINER_TYPES = (ArrayType, MapType, StructType, BinaryType)
+
 
 @pytest.mark.parametrize("name", sorted(WORKLOAD))
 def test_no_scale_smells(spark, name):
+    # one build per query: plan smells and the driver schema contract
+    # are both checked on the same DataFrame (side-effectful queries —
+    # sinks, rollup refreshes, streaming replays — run only once)
     df = WORKLOAD[name].fn(spark, SF)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, CONTAINER_TYPES)
+    ]
+    assert not bad, (
+        f"{name}: container-typed output columns {bad} — the driver "
+        "canonicalizer cannot hash Array/Map/Struct/Binary cells; emit "
+        "a canonical string (array_join/to_json) or explode to rows"
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     for smell in SMELLS:
         assert smell not in plan, f"{name}: {smell} in plan\n{plan}"

@@ -323,3 +323,22 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q18_semi_gate_broadcast_two_exchanges(spark):
+    """TPC-H q18 (the one headline query previously without a plan pin):
+    the HAVING subquery is reduced to order-grain keys BEFORE the gate, the
+    gate is a broadcast LEFT-SEMI applied directly on the orders scan (so
+    the 3-way join fans out only gated orders), the wide joins broadcast,
+    and limit+orderBy fuse to TakeOrderedAndProject. Exactly two shuffles
+    survive: the HAVING aggregation and the final re-aggregation."""
+    plan = _final_plan(WORKLOAD["q18_large_volume_customer"].fn(spark, SF))
+    assert "LeftSemi, BuildRight" in plan, plan
+    assert "TakeOrderedAndProject(limit=100" in plan, plan
+    assert _exchanges(plan) == 2, plan
+    # the semi gate streams the orders scan itself — its subtree must not
+    # contain either wide-join table
+    semi = plan.split("LeftSemi")[1]
+    gate_build = semi.split("BroadcastExchange")[1].split("BroadcastExchange")[0]
+    assert "customer.parquet" not in gate_build, plan
+    assert "HashAggregate" in gate_build, plan

@@ -60,6 +60,14 @@ def main() -> int:
     for wall in ("full_wall_batch", "full_wall_streaming"):
         if wall in old and wall in new:
             print(f"{wall}: {old[wall]:.1f}s -> {new[wall]:.1f}s")
+    # headline_value lands in BENCH_FULL.json from r5 on; older artifacts
+    # predate it, so report one-sided when only the new side has it
+    if "headline_value" in new:
+        if "headline_value" in old:
+            hv_o, hv_n = old["headline_value"], new["headline_value"]
+            print(f"headline: {hv_o:.2f}s -> {hv_n:.2f}s ({hv_n / hv_o:.2f}x)")
+        else:
+            print(f"headline: (absent in old) -> {new['headline_value']:.2f}s")
     if not regressions:
         print(f"no queries over {threshold}x")
     return 1 if fail else 0

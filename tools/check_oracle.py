@@ -33,6 +33,20 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Replica of the DRIVER's canonicalization: ``sort_values`` over all
+    columns on the raw frame — no stringify. A multi-column pandas sort
+    lexsorts via factorize, which HASHES cells, so container-typed cells
+    (list/ndarray/dict) raise ``TypeError: unhashable type`` exactly as
+    they do driver-side. Applied to every query, including rows-only
+    ones: r4's ``agg_percentile_approx`` red row was invisible locally
+    precisely because the rows-only path skipped this step (the local
+    ``canon`` below stringifies first, which swallows the crash).
+    """
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # stringify for a stable, engine-neutral sort (floats already rounded
@@ -86,6 +100,12 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: spark query raised")
             traceback.print_exc()
+            failed.append(name)
+            continue
+        try:
+            driver_canon(sdf)
+        except Exception as e:
+            print(f"FAIL {name}: driver canonicalizer would crash: {e!r}")
             failed.append(name)
             continue
         if name not in oracles:
