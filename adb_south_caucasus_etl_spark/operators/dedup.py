@@ -813,3 +813,112 @@ def jaccard_pairs_incremental(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
+
+
+def jaccard_pairs_ppjoin(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    unit: str = "word",
+) -> DataFrame:
+    """Exact Jaccard-threshold set-similarity join via PREFIX FILTERING
+    (the PPJoin family, Xiao et al., WWW'08): identical output to the
+    brute-force / full-inverted-index formulation — ``(id_a, id_b,
+    jaccard)`` with ``jaccard >= threshold`` — but the candidate join
+    touches only each document's PREFIX postings instead of all of them.
+
+    Under a global token order by ascending document frequency (rarest
+    first), a document with ``m`` shingles keeps a prefix of
+    ``m - ceil(t*m) + 1`` shingles; any pair with ``J >= t`` must share a
+    prefix token (J >= t implies overlap >= ceil(t*m) for both sides, and
+    an empty prefix intersection would cap the overlap at
+    ``ceil(t*m) - 1``) — so pruning the rest loses nothing. Candidates
+    are then verified exactly with one ``array_intersect`` over the two
+    full sorted shingle arrays.
+
+    The scale contrast with :func:`jaccard_pairs` is the point: the full
+    inverted index shuffles EVERY posting into the self-join and needs
+    ``max_df`` as an explicit guard against stop-shingle blowup; here a
+    shingle occurring in p documents lands in almost no prefixes
+    precisely BECAUSE its df is high (it sorts last), so the join input
+    shrinks to ~(1-t) of the postings and the stop-shingle quadratic
+    never happens — no cap, no changed semantics, exact answer. At t=0.8
+    that is a 5x smaller shuffle before any data-dependent pruning.
+
+    Shuffle plan: df-count window on the shingle key, position window on
+    the doc key (also yields the full sorted array as join payload), the
+    prefix-posting self-join, and the pair verification join — all
+    equi-joins on 8-byte keys, nothing pairwise outside matched buckets.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n, unit)
+    # document frequency per shingle — the global order key (rarest first)
+    with_df = sh.select(
+        "__id",
+        "__s",
+        F.count(F.lit(1)).over(Window.partitionBy("__s")).alias("__df"),
+    )
+    # per-doc: position under the global (df, shingle) order, set size,
+    # and the full ordered shingle array (verification payload) in ONE
+    # doc-key window pass
+    w_doc = Window.partitionBy("__id").orderBy("__df", "__s")
+    w_all = Window.partitionBy("__id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    positioned = with_df.select(
+        "__id",
+        "__s",
+        F.row_number().over(w_doc).alias("__pos"),
+        F.count(F.lit(1)).over(w_all).alias("__m"),
+        F.collect_list("__s").over(w_all.orderBy("__df", "__s")).alias("__toks"),
+    )
+    prefix_len = F.col("__m") - F.ceil(F.col("__m") * F.lit(threshold)) + 1
+    prefix = positioned.filter(F.col("__pos") <= prefix_len)
+    docs = positioned.filter(F.col("__pos") == 1).select(
+        "__id", "__m", "__toks"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            docs.select(
+                F.col("__id").alias("id_a"),
+                F.col("__m").alias("__ma"),
+                F.col("__toks").alias("__ta"),
+            ),
+            "id_a",
+        )
+        .join(
+            docs.select(
+                F.col("__id").alias("id_b"),
+                F.col("__m").alias("__mb"),
+                F.col("__toks").alias("__tb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "__inter", F.size(F.array_intersect("__ta", "__tb"))
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.col("__ma") + F.col("__mb") - F.col("__inter")),
+                4,
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )

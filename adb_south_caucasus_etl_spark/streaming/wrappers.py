@@ -469,3 +469,43 @@ def session_summaries_timeout_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def chained_hourly_daily_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Two CHAINED event-time window aggregations in one streaming query
+    (multiple stateful operators, Spark 3.4+): an hourly tumbling count per
+    event_type feeds a daily rollup that re-aggregates the finalized hourly
+    windows — ``window(col("window"), "1 day")`` groups on the upstream
+    window struct directly. The daily output also carries ``n_hours``, the
+    number of distinct finalized hourly windows it merged, which is only
+    observable if the intermediate hourly aggregation really ran.
+
+    Emission composes: the hourly op finalizes windows whose end ≤ global
+    watermark, the daily op finalizes days whose end ≤ the same watermark —
+    and a finalized day implies all its hours were already finalized, so
+    the chain needs no extra delay. State is bounded by (open hourly
+    windows + open daily windows) per event_type, both evicted by the one
+    global watermark. At 100 TB this is the streaming rollup-pyramid shape:
+    fine-grain state stays small because it drains into the coarse grain
+    instead of being re-scanned from the source.
+    """
+    hourly = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        hourly.groupBy(F.window(F.col("window"), "1 day"), "event_type")
+        .agg(F.sum("n").alias("n"), F.count(F.lit(1)).alias("n_hours"))
+        .select(
+            F.unix_micros("window.start").alias("day_start_us"),
+            F.unix_micros("window.end").alias("day_end_us"),
+            "event_type",
+            "n",
+            "n_hours",
+        )
+    )

@@ -6609,3 +6609,443 @@ def rollup_pctl_exact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95_totalprice"),
         F.max("tot").alias("n_orders"),
     )
+
+
+@register(
+    "streaming_chained_agg_live",
+    """
+    WITH wm AS (
+      -- global watermark in ms: floor the max event time to ms (Spark
+      -- tracks watermarks in epoch ms), minus the 10-minute delay
+      SELECT MAX(epoch_us(ts)) // 1000 - 600000 AS w_ms FROM events
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT date_trunc('day', h) AS d, event_type,
+             CAST(SUM(n) AS BIGINT) AS n,
+             COUNT(*) AS n_hours
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT epoch_us(d) AS day_start_us,
+           epoch_us(d + INTERVAL 1 DAY) AS day_end_us,
+           event_type, n, n_hours
+    FROM daily CROSS JOIN wm
+    -- emission: a daily window finalizes iff its end (ms) <= watermark
+    -- (NON-strict: a day ending exactly on the watermark emits — pinned
+    -- by tests/test_streaming_semantics.py boundary fixtures)
+    WHERE epoch_us(d + INTERVAL 1 DAY) // 1000 <= w_ms
+    """,
+    doc="two CHAINED event-time aggregations in ONE streaming query "
+        "(multiple stateful operators): hourly tumbling counts per "
+        "event_type re-aggregated into daily windows by grouping on the "
+        "upstream window struct. n_hours (distinct finalized hourly "
+        "windows merged per day) proves the intermediate grain really "
+        "ran. The oracle encodes the append-mode emission rule — daily "
+        "windows whose end <= the ms-floored global watermark — so the "
+        "driver hash-checks the multi-stateful-operator semantics, not "
+        "just the arithmetic. The streaming rollup-pyramid shape: "
+        "fine-grain state drains into the coarse grain instead of the "
+        "source being re-scanned",
+)
+def streaming_chained_agg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import (
+        chained_hourly_daily_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = chained_hourly_daily_stream(stream, "ts", watermark="10 minutes")
+    return run_to_memory(spark, out, "chained_agg_live", mode="append")
+
+
+@register(
+    "neardup_ppjoin_prefix",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 2, 1) + 1),
+               i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) t WHERE jaccard >= 0.5
+    """,
+    doc="L2 prefix-filtered set-similarity join (PPJoin family): EXACT "
+        "Jaccard >= 0.5 pairs — same answer as the uncapped brute-force "
+        "oracle — but the candidate self-join reads only each document's "
+        "prefix postings under a rarest-first global token order. The "
+        "high-df stop shingles that force neardup_jaccard_pairs to carry "
+        "an explicit max_df cap sort LAST here and fall out of every "
+        "prefix, so the quadratic posting blowup structurally cannot "
+        "happen and the semantics stay exact (the cap variant changes "
+        "denominators). The oracle is the full uncapped pair join — "
+        "DuckDB at sf scale can afford it; the Spark side never could "
+        "at 100 TB, which is the point",
+)
+def neardup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pairs_ppjoin
+
+    docs = Catalog(spark, sf_dir).documents
+    return jaccard_pairs_ppjoin(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "text_bigram_logprob",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, bg['prev'] AS prev, bg['cur'] AS cur FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(ts)),
+                 i -> struct_pack(prev := ts[i], cur := ts[i+1]))) AS bg
+        FROM t WHERE len(ts) >= 2
+      )
+    ),
+    bc AS (SELECT prev, cur, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+    cc AS (SELECT prev, COUNT(*) AS c1 FROM b GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT cur) AS vs FROM b)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln((c2 + 0.5) / (c1 + 0.5 * vs))), 4) AS avg_logprob
+    FROM b JOIN bc USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v
+    GROUP BY 1
+    """,
+    doc="bigram-LM quality scoring with add-k smoothing (k=0.5): the "
+        "KenLM-filter shuffle shape one order up from "
+        "text_unigram_logprob — P(w|v) = (c(v,w)+k)/(c(v)+k|V|) trained "
+        "on the corpus itself, per-doc mean log-prob over bigram "
+        "positions. Bigrams form JVM-side via one window lead over the "
+        "doc-partitioned token stream (no Python); two model aggregates "
+        "(bigram counts, context counts) plus the scalar vocab size "
+        "join back onto the bigram stream — at 100 TB both model tables "
+        "are the small side and AQE broadcasts them. Smoothing keeps "
+        "unseen-pair mass nonzero so the score is defined for any "
+        "held-out doc scored against a frozen model; docs with < 2 "
+        "tokens have no bigrams and drop out on both engines",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "__p", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("__p")
+    big = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("prev"),
+            F.lead("tok").over(w).alias("cur"),
+        )
+        .filter(F.col("cur").isNotNull())
+    )
+    bc = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    cc = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    v = big.agg(F.countDistinct("cur").alias("vs"))
+    p = (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("vs"))
+    return (
+        big.join(bc, ["prev", "cur"])
+        .join(cc, "prev")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "sql_udf_revenue_tiers",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount))
+                           AS DECIMAL(18,6)), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY 1
+    """,
+    doc="Spark 4 SQL-defined UDFs (CREATE TEMPORARY FUNCTION ... RETURN "
+        "expr): disc_price(price, discount) and is_high_priority(p) are "
+        "declared in SQL and INLINED by Catalyst — unlike Python/JVM "
+        "UDFs they are transparent to the optimizer, so the "
+        "is_high_priority predicate still reaches the orders parquet "
+        "scan as an In pushdown and disc_price participates in "
+        "whole-stage codegen (plan-asserted in test_plan_shapes.py). "
+        "The abstraction-without-penalty path for shared business "
+        "logic at 100 TB; contrast with functions/vectors.py where "
+        "Python is genuinely needed",
+)
+def sql_udf_revenue_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.lineitem.createOrReplaceTempView("__sqludf_lineitem")
+    cat.orders.createOrReplaceTempView("__sqludf_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_high_priority(p STRING) "
+        "RETURNS BOOLEAN RETURN p IN ('1-URGENT', '2-HIGH')"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(ROUND(CAST(SUM(disc_price(l_extendedprice, l_discount))
+                               AS DECIMAL(18,6)), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM __sqludf_lineitem JOIN __sqludf_orders
+          ON l_orderkey = o_orderkey
+        WHERE is_high_priority(o_orderpriority)
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "agg_median_mode",
+    """
+    WITH m AS (
+      SELECT o_orderpriority, CAST(month(o_orderdate) AS INT) AS mo,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT o_orderpriority, mo, c,
+             MAX(c) OVER (PARTITION BY o_orderpriority) AS mx
+      FROM m
+    ),
+    md AS (
+      SELECT o_orderpriority, MIN(mo) AS modal_month
+      FROM r WHERE c = mx GROUP BY 1
+    ),
+    stats AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(CAST(median(o_totalprice) AS DECIMAL(18,6)), 2)
+                  AS DOUBLE) AS med_price,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT s.o_orderpriority, med_price, modal_month, n
+    FROM stats s JOIN md USING (o_orderpriority)
+    """,
+    doc="A3 completion: the median() and mode() builtin aggregates "
+        "(Spark 3.4+). median is the exact interpolated percentile(0.5) "
+        "— single expression, partial-aggregable; mode uses the "
+        "DETERMINISTIC variant mode(col, true) which breaks frequency "
+        "ties toward the lowest value, making a cross-engine oracle "
+        "possible at all (the default arbitrary-tie mode cannot be "
+        "value-checked) — the oracle reproduces the tie rule explicitly "
+        "as min-over-argmax. Modal order month per priority: 12 dense "
+        "buckets, ties plausible, so the rule is actually exercised",
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("median(o_totalprice)").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("med_price"),
+        F.expr("mode(month(o_orderdate), true)").alias("modal_month"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "sample_universe_coordinated",
+    """
+    WITH o_s AS (
+      SELECT * FROM orders
+      WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                 AS BIGINT) / 4294967296.0 < 0.1
+    ),
+    l_s AS (
+      SELECT * FROM lineitem
+      WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
+                 AS BIGINT) / 4294967296.0 < 0.1
+    )
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           COUNT(DISTINCT o_orderkey) AS n_orders_sampled,
+           CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) * 10.0
+                           AS DECIMAL(18,6)), 2) AS DOUBLE) AS est_revenue
+    FROM o_s JOIN l_s ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+    doc="UNIVERSE (coordinated) sampling: both fact tables keep a row iff "
+        "the md5-derandomized uniform of the SHARED join key (orderkey) "
+        "falls under p=0.1 — so a sampled order retains ALL its line "
+        "items and the join of the samples is an unbiased 10% sample of "
+        "the JOIN (independent per-table Bernoulli would retain p^2 of "
+        "pairs and bias every ratio). The estimator rescales by 1/p. "
+        "Hash-based membership means zero coordination state between "
+        "tables, stability under reruns/partitioning, and an exact "
+        "DuckDB oracle. The standard trick (Quickr/BlinkDB lineage) for "
+        "consistent cross-table samples in 100 TB pipeline dev loops",
+)
+def sample_universe_coordinated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+
+    def keep(c):
+        u = F.conv(
+            F.substring(F.md5(c.cast("string")), 1, 8), 16, 10
+        ).cast("bigint") / F.lit(4294967296.0)
+        return u < 0.1
+
+    o_s = cat.orders.filter(keep(F.col("o_orderkey")))
+    l_s = cat.lineitem.filter(keep(F.col("l_orderkey")))
+    return (
+        o_s.join(l_s, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders_sampled"),
+            F.round(
+                (
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * 10.0
+                ).cast("decimal(18,6)"),
+                2,
+            )
+            .cast("double")
+            .alias("est_revenue"),
+        )
+    )
+
+
+@register(
+    "events_rolling_zscore",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, epoch_us(h) AS hour_us, n,
+             AVG(n) OVER w AS mu,
+             STDDEV_SAMP(n) OVER w AS sd,
+             COUNT(*) OVER w AS w_size
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hour_us, n,
+           CAST(ROUND(CAST((n - mu) / sd AS DECIMAL(18,8)), 4) AS DOUBLE)
+             AS z
+    FROM scored
+    WHERE w_size >= 12 AND sd > 0
+      AND ABS((n - mu) / sd) >= 2.0
+    """,
+    doc="rolling z-score anomaly detection on the event stream: hourly "
+        "counts per event_type, trailing 24-bucket mean/stddev via a "
+        "rows-frame window, emit buckets deviating >= 2 sigma (with a "
+        "12-bucket warm-up so early windows don't fire on noise). The "
+        "monitoring-pipeline shape: one aggregate plus one ordered "
+        "window, both partitioned by event_type — at 100 TB the hourly "
+        "pre-aggregation shrinks the window input by orders of "
+        "magnitude, so the sort is over buckets, never raw events",
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    scored = hourly.select(
+        "event_type",
+        F.unix_micros("h").alias("hour_us"),
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("w_size"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(
+            (F.col("w_size") >= 12) & (F.col("sd") > 0) & (F.abs(z) >= 2.0)
+        )
+        .select(
+            "event_type",
+            "hour_us",
+            "n",
+            F.round(z.cast("decimal(18,8)"), 4).cast("double").alias("z"),
+        )
+    )
+
+
+@register(
+    "join_dpp_partitioned",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS total
+    FROM orders
+    WHERE CAST(year(o_orderdate) AS INT) >= 1996
+    GROUP BY 1, 2
+    """,
+    doc="dynamic partition pruning: orders materialized hive-partitioned "
+        "by year, then joined to a year-dim filtered to recent years — "
+        "Catalyst turns the dim's filter result into a runtime IN "
+        "predicate on the fact scan's PARTITION column "
+        "(dynamicpruningexpression, reusing the join's broadcast), so "
+        "only the matching year directories are read at all. THE "
+        "mechanism that makes dim-filtered scans of date-partitioned "
+        "100 TB facts touch days, not history; plan-asserted in "
+        "test_plan_shapes.py. Oracle is the equivalent static filter",
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    out = _os.path.join(_scratch_dir("dpp", sf_dir), "orders_by_year")
+    orders = Catalog(spark, sf_dir).orders
+    orders.withColumn(
+        "yr", F.year("o_orderdate").cast("int")
+    ).write.mode("overwrite").partitionBy("yr").parquet(out)
+
+    fact = spark.read.parquet(out)
+    dim = (
+        orders.select(F.year("o_orderdate").cast("int").alias("yr"))
+        .distinct()
+        .filter(F.col("yr") >= 1996)
+    )
+    return (
+        fact.join(dim, "yr")
+        .groupBy("yr", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice").cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -643,3 +643,47 @@ class TestQuantizeInt8:
         ).coalesce(1)
         with pytest.raises(Exception, match="fixed-dim"):
             quantize_embeddings_int8(df).collect()
+
+
+class TestPPJoin:
+    def test_matches_full_inverted_index(self, spark, docs):
+        from adb_south_caucasus_etl_spark.operators.dedup import (
+            jaccard_pairs,
+            jaccard_pairs_ppjoin,
+        )
+
+        full = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+        }
+        pp = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs_ppjoin(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+        }
+        assert pp == full
+
+    def test_stop_shingle_corpus_no_cap_needed(self, spark, stopword_corpus):
+        # every doc shares the same boilerplate shingle; the full join
+        # needs max_df to avoid p*(p-1)/2 candidates, PPJoin's
+        # rarest-first prefixes exclude it structurally — and the answer
+        # must still be the exact uncapped one
+        from adb_south_caucasus_etl_spark.operators.dedup import (
+            jaccard_pairs,
+            jaccard_pairs_ppjoin,
+        )
+
+        _rows, df = stopword_corpus
+        full = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.3
+            ).collect()
+        }
+        pp = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs_ppjoin(
+                df, "doc_id", "text", n=3, threshold=0.3
+            ).collect()
+        }
+        assert pp == full
+        assert (100, 101) in pp  # the planted near-dup pair

@@ -342,3 +342,22 @@ def test_q18_semi_gate_broadcast_two_exchanges(spark):
     gate_build = semi.split("BroadcastExchange")[1].split("BroadcastExchange")[0]
     assert "customer.parquet" not in gate_build, plan
     assert "HashAggregate" in gate_build, plan
+
+
+def test_sql_udf_inlined_predicate_pushdown(spark):
+    """SQL-defined UDFs must be INLINED by Catalyst: the is_high_priority
+    wrapper's IN-list reaches the orders parquet scan as a pushed filter
+    (an opaque UDF would block pushdown entirely), and no Python/JVM UDF
+    node appears anywhere — disc_price is plain codegen arithmetic."""
+    plan = _final_plan(WORKLOAD["sql_udf_revenue_tiers"].fn(spark, SF))
+    assert "In(o_orderpriority, [1-URGENT,2-HIGH])" in plan, plan
+    for smell in ("BatchEvalPython", "ArrowEvalPython", "ScalaUDF"):
+        assert smell not in plan, plan
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    """The year-dim filter must reach the hive-partitioned fact scan as a
+    dynamicpruningexpression partition filter (reusing the join's
+    broadcast) — i.e. unmatched year directories are never read."""
+    plan = _final_plan(WORKLOAD["join_dpp_partitioned"].fn(spark, SF))
+    assert "dynamicpruning" in plan.lower(), plan

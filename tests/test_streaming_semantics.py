@@ -222,3 +222,44 @@ def test_outer_join_boundary_exact(spark, tmp_path):
     null_buy = {r["buy_id"] for r in out.filter("err_id is null").collect()}
     assert 101 in null_err and 102 not in null_err, null_err
     assert 201 in null_buy and 202 not in null_buy, null_buy
+
+
+def test_chained_agg_daily_emission_boundary(spark, tmp_path):
+    """Chained hourly→daily aggregation: a daily window emits iff its end
+    (epoch ms) <= floor_ms(max ts) - delay_ms — NON-strict at equality.
+    Pinned with three fixtures: watermark exactly on the day end, 1 ms
+    past it, and 1 ms short of it. Also asserts n_hours counts the
+    distinct finalized hourly windows (the chain's intermediate grain)."""
+    from adb_south_caucasus_etl_spark.streaming.wrappers import (
+        chained_hourly_daily_stream,
+        run_to_memory,
+    )
+
+    day = datetime.datetime(2024, 1, 2)
+    cases = {
+        # max ts = day end + 10 min → wm == day end exactly → emits
+        "exact": (datetime.datetime(2024, 1, 3, 0, 10, 0), True),
+        "past": (datetime.datetime(2024, 1, 3, 0, 10, 0, 1000), True),
+        "short": (datetime.datetime(2024, 1, 3, 0, 9, 59, 999000), False),
+    }
+    for tag, (max_ts, emits) in cases.items():
+        rows = [
+            (1, day + datetime.timedelta(hours=5), "a"),
+            (2, day + datetime.timedelta(hours=7), "a"),
+            (3, max_ts, "a"),
+        ]
+        df = spark.createDataFrame(rows, "id long, ts timestamp, event_type string")
+        path = str(tmp_path / f"chain_{tag}")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        out = run_to_memory(
+            spark,
+            chained_hourly_daily_stream(_stream(spark, path), "ts", "10 minutes"),
+            f"chain_{tag}",
+            mode="append",
+        ).collect()
+        target = [r for r in out if r["day_start_us"] == int(day.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000]
+        if emits:
+            assert len(target) == 1, (tag, out)
+            assert target[0]["n"] == 2 and target[0]["n_hours"] == 2, (tag, target)
+        else:
+            assert not target, (tag, out)
