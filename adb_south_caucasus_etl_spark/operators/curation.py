@@ -272,3 +272,131 @@ def weighted_sample_per_group(
     return cap_per_group(
         df, group_cols, [key.desc(), F.col(id_col).asc()], k
     )
+
+
+def negative_sample_per_anchor(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int = 3,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Derandomized contrastive negative sampling (SURVEY §2.P P8): for
+    each anchor row, pick ``k`` "negatives" — rows whose ``group_col``
+    differs (a different language/source/label) — without ever forming the
+    anchors × candidates cross product.
+
+    Blocking makes it linear-ish: both sides get ``md5_bucket(id,
+    n_buckets)`` and only same-bucket pairs are considered, so the join
+    emits ~n²/B pairs instead of n². Within a bucket, each anchor's
+    candidates are ranked by ``md5(anchor_id:candidate_id)`` — a pairwise
+    uniform draw both engines reproduce bit-for-bit — and the top ``k``
+    survive via the same WindowGroupLimit path as every cap in this
+    module. The sample is therefore stable under retries, partitioning,
+    and engine (the DuckDB oracle runs the identical arithmetic), and
+    each anchor's negatives are an unbiased uniform draw from its bucket's
+    opposite-group rows.
+
+    At 100 TB: ``n_buckets`` is the knob — pairs-per-bucket is
+    (n/B)² x B = n²/B, so B scales quadratically with corpus growth to
+    hold per-bucket work constant; anchors in a bucket with fewer than
+    ``k`` opposite-group rows simply emit fewer negatives (re-bucket with
+    a second hash seed to top up, same shape again). The md5 pair-rank
+    means NO coordination state — no RNG seed distribution problem across
+    1000 executors.
+    """
+    a = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(group_col).alias("anchor_group"),
+        md5_bucket(id_col, n_buckets).alias("__bucket"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(group_col).alias("neg_group"),
+        md5_bucket(id_col, n_buckets).alias("__bucket"),
+    )
+    pairs = a.join(c, "__bucket").filter(
+        F.col("anchor_group") != F.col("neg_group")
+    )
+    pair_key = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("anchor_id").cast("string"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    ranked = cap_per_group(
+        pairs.withColumn("__pk", pair_key),
+        ["anchor_id"],
+        [F.col("__pk").asc(), F.col("neg_id").asc()],
+        k,
+    )
+    return ranked.select("anchor_id", "anchor_group", "neg_id", "neg_group")
+
+
+def global_ordinal(
+    df: DataFrame,
+    order_cols: list,
+    ordinal_col: str = "position",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Global 1-based rank over a TOTAL order without the single-partition
+    window (SURVEY §2.P P10). ``ROW_NUMBER() OVER (ORDER BY ...)`` with no
+    PARTITION BY funnels every row through ONE task — the canonical
+    100 TB anti-pattern (the fleet plan audit would flag the empty
+    partition spec). The scalable spelling is two-phase:
+
+    1. ``repartitionByRange`` on the order key — Spark range-samples the
+       key and assigns contiguous key ranges to partitions, so partition
+       ``i`` holds keys strictly below partition ``i+1``'s.
+    2. A per-partition ``row_number`` window PARTITIONED BY the physical
+       partition id (parallel — p independent sorts of n/p rows), plus a
+       p-row offset manifest (count per partition, cumulated on the
+       driver — bounded control-plane collect, p rows regardless of data
+       size) broadcast back. ``position = offset[pid] + local_rank``.
+
+    Because the range partitions are key-ordered and ``order_cols`` must
+    form a total order (include a unique tiebreak!), the result equals the
+    global row_number exactly — the sampled partition BOUNDARIES vary run
+    to run, the assigned ordinals never do. This is how training-data
+    curricula get a global position column at corpus scale.
+    """
+    from pyspark.sql import Window
+
+    parted = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parted = parted.persist()
+    try:
+        # bounded driver manifest: one row per partition
+        sizes = {
+            r["__pid"]: r["n"]
+            for r in parted.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(sizes):
+            offsets[pid] = acc
+            acc += sizes[pid]
+        off = F.create_map(
+            *[
+                F.lit(x)
+                for kv in sorted(offsets.items())
+                for x in kv
+            ]
+        )
+        w = Window.partitionBy("__pid").orderBy(*order_cols)
+        out = parted.withColumn(
+            ordinal_col,
+            (
+                off[F.col("__pid")].cast("bigint")
+                + F.row_number().over(w).cast("bigint")
+            ),
+        ).drop("__pid")
+        # materialize before unpersist so the lineage is satisfied lazily
+        return out
+    finally:
+        # deferred unpersist: blocking=False lets the returned plan still
+        # read cached blocks this action; eviction is safe either way
+        parted.unpersist(blocking=False)

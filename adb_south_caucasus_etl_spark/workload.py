@@ -7049,3 +7049,659 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 5, batch 2 (SURVEY §2.P): skew-explicit aggregation, per-group OLS,
+# co-occurrence mining, snapshot reconciliation, binned interval joins,
+# analysis-time-polymorphic UDTFs, codec-free image metadata, contrastive
+# negative sampling, exact weighted percentiles, scalable global ordinals.
+
+
+@register(
+    "agg_salted_twophase",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="explicit two-phase SALTED aggregation for hot keys: phase 1 "
+        "groups on (key, md5_bucket(l_orderkey, 16)) so a skewed key's "
+        "rows spread over 16 reducers; phase 2 re-aggregates the 16 "
+        "partials per key. l_returnflag has 3 values — at 100 TB each is "
+        "a guaranteed hot key, and while partial aggregation (map-side "
+        "combine) already bounds the shuffle at one partial per (mapper, "
+        "key), the REDUCE side still lands each key on one task; salting "
+        "bounds that too (16 partials per key per mapper is the price — "
+        "worth it when per-key reduce state is heavy, e.g. large "
+        "sketches). Decompositions must be algebraic: count/sum commute "
+        "with re-aggregation, avg is computed only at phase 2 from "
+        "sum/count (avg-of-avgs is the classic salting bug). Sums are "
+        "decimal-cast before summing, so both phases are exact and "
+        "order-independent — the oracle (plain one-phase GROUP BY) "
+        "hash-matches bit-for-bit, proving the decomposition",
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import md5_bucket
+
+    li = Catalog(spark, sf_dir).lineitem
+    partial = li.groupBy(
+        "l_returnflag", md5_bucket("l_orderkey", 16).alias("__salt")
+    ).agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_part"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "price_part"
+        ),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("n_part").cast("bigint").alias("n_rows"),
+        F.sum("qty_part").cast("double").alias("sum_qty"),
+        F.round(
+            F.sum("price_part").cast("double") / F.sum("n_part"), 4
+        ).alias("avg_price"),
+    )
+
+
+@register(
+    "agg_group_ols_regression",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      FROM lineitem GROUP BY 1
+    ),
+    d AS (
+      SELECT l_returnflag, CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+             CAST(syy AS DOUBLE) AS syyd
+      FROM s
+    )
+    SELECT l_returnflag,
+           CAST(nd AS BIGINT) AS n,
+           ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+             AS slope,
+           ROUND((syd - (nd * sxyd - sxd * syd)
+                        / (nd * sxxd - sxd * sxd) * sxd) / nd, 6)
+             AS intercept,
+           ROUND(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+                 / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+             AS r2
+    FROM d
+    """,
+    doc="per-group OLS regression (price on quantity per return flag) "
+        "from the five sufficient statistics — one map-side-combining "
+        "aggregate pass, no per-group iteration. The moment sums are "
+        "DECIMAL (exact, order-independent — double sums would differ "
+        "between engines by summation order), converted to double only "
+        "for the closed-form slope/intercept/r2 arithmetic, where both "
+        "engines perform identical IEEE operations on identical operands "
+        "— so the oracle hash-matches despite the statistics being "
+        "floating-point. Spark's regr_slope/regr_intercept/regr_r2 "
+        "builtins compute the same estimates (asserted within 1e-9 in "
+        "tests/test_llm_ops.py) but sum in engine-order doubles, which "
+        "no cross-engine hash can stamp. Same shape at 100 TB: sufficient "
+        "statistics are the distributable form of every linear model",
+)
+def agg_group_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    syyd = F.col("syy").cast("double")
+    cov_n = nd * sxyd - sxd * syd
+    var_x = nd * sxxd - sxd * sxd
+    var_y = nd * syyd - syd * syd
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+@register(
+    "basket_copurchase_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders_total FROM items),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           ROUND(n_orders * 1.0 / n_orders_total, 5) AS support
+    FROM pairs CROSS JOIN tot
+    WHERE n_orders >= 0.005 * n_orders_total
+    """,
+    doc="market-basket co-occurrence mining: brand pairs bought together "
+        "in one order, kept above 0.5% support. The pair generation is a "
+        "SELF-JOIN ON THE BASKET KEY — work is sum(|basket|^2) which is "
+        "linear in orders when basket size is bounded (TPC-H ~4 distinct "
+        "brands/order), never corpus-quadratic; the a.brand < b.brand "
+        "predicate halves it and canonicalizes the pair. At 100 TB add "
+        "apriori pruning: drop items below support FIRST (a pair can't "
+        "beat support if either member doesn't), and cap pathological "
+        "baskets (a 10k-item basket contributes 50M pairs — cap or "
+        "sample it, C4-style). The support threshold is relative (scalar "
+        "broadcast cross-join), so the query is scale-invariant",
+)
+def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    items = (
+        cat.lineitem.join(
+            cat.part, F.col("l_partkey") == F.col("p_partkey")
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders_total")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_orders") >= 0.005 * F.col("n_orders_total"))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round(
+                F.col("n_orders") * 1.0 / F.col("n_orders_total"), 5
+            ).alias("support"),
+        )
+    )
+
+
+@register(
+    "table_diff_reconcile",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderkey + 900000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, 'X-NEW'
+      FROM orders WHERE o_orderkey % 103 = 0
+    ),
+    ah AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                 o_orderpriority, CAST(o_custkey AS VARCHAR))) AS h,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders
+    ),
+    bh AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                 o_orderpriority, CAST(o_custkey AS VARCHAR))) AS h,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM b
+    )
+    SELECT CASE WHEN ah.h IS NULL THEN 'added'
+                WHEN bh.h IS NULL THEN 'removed'
+                WHEN ah.h <> bh.h THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(COALESCE(bh.p, 0) - COALESCE(ah.p, 0)) AS DOUBLE)
+             AS price_delta
+    FROM ah FULL OUTER JOIN bh ON ah.k = bh.k
+    GROUP BY 1
+    """,
+    doc="snapshot reconciliation (data-diff): rows classified "
+        "added/removed/changed/unchanged by ONE full-outer hash join on "
+        "the key comparing per-row md5 digests of the value columns — "
+        "never column-by-column row comparisons in the join condition. "
+        "Snapshot B is derived deterministically in-query (price bump on "
+        "keys %97, deletes on %101, inserts on %103) so both engines "
+        "build the identical pair of tables. The digest only needs to be "
+        "INJECTIVE per engine (it classifies within one engine's own "
+        "rendering; the decimal/date casts make the rendering canonical); "
+        "classification then agrees across engines because the underlying "
+        "field edits do. At 100 TB: co-partition both snapshots on the "
+        "key (bucketed layout, see join_bucketed_colocate) and the diff "
+        "runs with ZERO shuffle; digests reduce 20-column rows to 32 "
+        "bytes of comparison traffic",
+)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    key = F.col("o_orderkey")
+
+    mod = o.filter(F.pmod(key, 101) != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.pmod(key, 97) == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = (
+        o.filter(F.pmod(key, 103) == 0)
+        .withColumn("o_orderkey", key + F.lit(900000000))
+        .withColumn("o_orderpriority", F.lit("X-NEW"))
+    )
+    b = mod.unionByName(added)
+
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice")
+                    .cast("decimal(18,2)")
+                    .cast("string"),
+                    F.col("o_orderdate").cast("date").cast("string"),
+                    F.col("o_orderpriority"),
+                    F.col("o_custkey").cast("string"),
+                )
+            ).alias(f"h_{tag}"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias(f"p_{tag}"),
+        )
+
+    j = digest(o, "a").join(digest(b, "b"), "k", "full_outer")
+    change_type = (
+        F.when(F.col("h_a").isNull(), "added")
+        .when(F.col("h_b").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+        .otherwise("unchanged")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        j.groupBy(change_type.alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.coalesce(F.col("p_b"), zero)
+                - F.coalesce(F.col("p_a"), zero)
+            )
+            .cast("double")
+            .alias("price_delta"),
+        )
+    )
+
+
+@register(
+    "join_interval_overlap_binned",
+    """
+    WITH iv AS (
+      SELECT o_orderkey, o_orderpriority, o_orderdate AS s,
+             o_orderdate
+               + to_days(CAST(substr(o_orderpriority, 1, 1) AS INT) + 1)
+               AS e
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders_hit,
+           ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT o_orderkey), 3)
+             AS avg_hits
+    FROM iv JOIN lineitem ON l_shipdate BETWEEN s AND e
+    GROUP BY 1
+    """,
+    doc="interval-overlap join via BINNING (operators/interval.py): each "
+        "order opens a priority-dependent 2-6 day window and we count all "
+        "corpus shipments falling inside it. The naive spelling is a "
+        "non-equi theta join -> BroadcastNestedLoop, O(orders x "
+        "lineitems). The binned rewrite quantizes time to 1-day buckets, "
+        "explodes each interval into its <=7 covered buckets (Generate, "
+        "bounded fan-out), tags each point with its ONE bucket, and "
+        "equi-joins on the bucket + residual bounds filter - a plain "
+        "shuffled hash join, O(points + intervals x 7 + matches), AQE "
+        "skew-splittable. A point matches at most one exploded bucket "
+        "per interval, so no dedup pass is needed. The oracle is the "
+        "literal BETWEEN join (DuckDB plans IEJoin), so the rewrite's "
+        "exactness is hash-checked; plan-asserted BNLJ-free in "
+        "test_plan_shapes.py",
+)
+def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.interval import interval_overlap_join
+
+    cat = Catalog(spark, sf_dir)
+    iv = cat.orders.select(
+        F.col("o_orderkey").alias("iv_key"),
+        "o_orderpriority",
+        "o_orderdate",
+        F.expr(
+            "timestampadd(DAY, cast(substr(o_orderpriority, 1, 1) as int)"
+            " + 1, o_orderdate)"
+        ).alias("o_end"),
+    )
+    pts = cat.lineitem.select("l_orderkey", "l_linenumber", "l_shipdate")
+    hits = interval_overlap_join(
+        pts, iv, "l_shipdate", "o_orderdate", "o_end", bucket_seconds=86400
+    )
+    return hits.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("iv_key").cast("bigint").alias("n_orders_hit"),
+        F.round(
+            F.count(F.lit(1)) * 1.0 / F.countDistinct("iv_key"), 3
+        ).alias("avg_hits"),
+    )
+
+
+@register(
+    "udtf_polymorphic_props",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CAST(props->>'k' AS DOUBLE)) AS BIGINT) AS n_with_k,
+           SUM(CAST(props->>'k' AS DOUBLE)) AS sum_k
+    FROM events GROUP BY 1
+    """,
+    doc="ANALYSIS-TIME polymorphic Python UDTF (SPARK-44503, "
+        "functions/polymorphic.py): extract_json_fields(props, "
+        "'k:double') has no fixed returnType — Catalyst calls the UDTF's "
+        "analyze() with the constant spec and the UDTF declares its own "
+        "typed output schema per call site (schema-on-call field "
+        "extraction with no MapType escape hatch). Arrow transport "
+        "(ArrowEvalPythonUDTF; fleet audit rejects BatchEvalPython). "
+        "sum_k is exact despite double typing: the k values are small "
+        "integers, exactly representable, so summation order cannot "
+        "change the result. For a FIXED hot field set prefer the pure-JVM "
+        "get_json_object path (scalar_map_json_funcs) — the polymorphic "
+        "UDTF earns its Python crossing when the field list arrives at "
+        "call time (per-tenant extraction configs)",
+)
+def udtf_polymorphic_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.polymorphic import ExtractJsonFields
+
+    spark.udtf.register("extract_json_fields", ExtractJsonFields)
+    Catalog(spark, sf_dir).events.createOrReplaceTempView("__poly_events")
+    rows = spark.sql(
+        """
+        SELECT e.event_type, p.k
+        FROM __poly_events e,
+             LATERAL extract_json_fields(e.props, 'k:double') p
+        """
+    )
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+@register(
+    "multimodal_png_metadata",
+    """
+    SELECT vec_id,
+           'png' AS format,
+           CAST(2 + vec_id % 7 AS INT) AS width,
+           CAST(1 + vec_id % 5 AS INT) AS height,
+           8 AS bit_depth,
+           0 AS color_type,
+           3 AS n_chunks,
+           TRUE AS valid
+    FROM embeddings
+    """,
+    doc="REAL image decode without an imaging library (operators/"
+        "multimodal.py): spec-conformant grayscale PNGs are encoded from "
+        "deterministic pixel ramps (stdlib zlib + CRC32 chunks — "
+        "verifiable by any external PNG tool), then parse_image_header "
+        "reads IHDR width/height/bit-depth/color-type and walks the chunk "
+        "list, all inside mapInPandas over Arrow batches. Header-grain "
+        "metadata is what an image-curation pipeline filters on FIRST at "
+        "100 TB ('drop <64px, drop non-RGB') — it reads a few dozen "
+        "fixed-offset bytes per blob, no pixel decode; corrupt blobs "
+        "classify as valid=false rows instead of killing tasks. The "
+        "oracle recomputes the dimensions from their vec_id definition, "
+        "so the stamp certifies the full encode->parse roundtrip; "
+        "hand-built PNG/JPEG byte vectors (incl. a Pillow cross-check "
+        "when available) are pytest-pinned in tests/test_llm_ops.py",
+)
+def multimodal_png_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    from .operators.multimodal import encode_png_gray8, extract_image_metadata
+
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        (F.lit(2) + F.pmod(F.col("vec_id"), F.lit(7)))
+        .cast("int")
+        .alias("w"),
+        (F.lit(1) + F.pmod(F.col("vec_id"), F.lit(5)))
+        .cast("int")
+        .alias("h"),
+    )
+
+    def pack(batches):
+        # the codec boundary: per-image Python work is the encoder itself
+        # (tiny ramps here; a real pipeline decodes, it doesn't encode)
+        for pdf in batches:
+            payloads = [
+                encode_png_gray8(
+                    int(w), int(h),
+                    bytes((int(v) * 31 + i) % 256 for i in range(int(w) * int(h))),
+                )
+                for v, w, h in zip(pdf["vec_id"], pdf["w"], pdf["h"])
+            ]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "payload": payloads}
+            )
+
+    packed = emb.mapInPandas(pack, schema="vec_id bigint, payload binary")
+    meta = extract_image_metadata(packed, id_col="vec_id")
+    return meta.select(
+        F.col("doc_id").alias("vec_id"),
+        "format",
+        "width",
+        "height",
+        "bit_depth",
+        "color_type",
+        "n_chunks",
+        "valid",
+    )
+
+
+@register(
+    "curation_negative_sampling",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8 AS b
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS anchor_id, a.lang AS anchor_group,
+             c.doc_id AS neg_id, c.lang AS neg_group,
+             md5(CAST(a.doc_id AS VARCHAR) || ':'
+                 || CAST(c.doc_id AS VARCHAR)) AS pk
+      FROM d a JOIN d c ON a.b = c.b AND a.lang <> c.lang
+    )
+    SELECT anchor_id, anchor_group, neg_id, neg_group FROM (
+      SELECT anchor_id, anchor_group, neg_id, neg_group,
+             ROW_NUMBER() OVER (
+               PARTITION BY anchor_id ORDER BY pk, neg_id) AS rn
+      FROM pairs) t
+    WHERE rn <= 3
+    """,
+    doc="derandomized contrastive negative sampling (operators/"
+        "curation.py): 3 opposite-language negatives per anchor document "
+        "for embedding training, WITHOUT the anchors x candidates cross "
+        "product — both sides hash into 8 md5 buckets and only "
+        "same-bucket pairs exist (n^2/B join output; B scales with the "
+        "corpus to hold per-bucket work constant). Candidate rank is "
+        "md5(anchor:candidate) — a pairwise uniform draw both engines "
+        "reproduce bit-for-bit, so the 'random' sample is hash-stamped "
+        "exact, stable under retries/partitioning, and needs zero "
+        "RNG-seed coordination across 1000 executors. WindowGroupLimit "
+        "prunes each anchor's candidates to k before the filter",
+)
+def curation_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import negative_sample_per_anchor
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    return negative_sample_per_anchor(
+        docs, id_col="doc_id", group_col="lang", k=3, n_buckets=8
+    )
+
+
+@register(
+    "agg_weighted_percentile_exact",
+    """
+    WITH cells AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, price,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price)
+                  AS DOUBLE) AS cumw,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+               AS totw
+      FROM cells
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN cumw >= 0.5 * totw THEN price END) AS wp50,
+           MIN(CASE WHEN cumw >= 0.9 * totw THEN price END) AS wp90,
+           MAX(totw) AS total_weight
+    FROM cum GROUP BY 1
+    """,
+    doc="EXACT weighted percentiles (price weighted by shipped quantity): "
+        "collapse to (group, value) cells with exact decimal weight sums, "
+        "then one cumulative-weight window walk picks the first value "
+        "whose cumulative weight reaches q*W — the weighted counterpart "
+        "of rollup_pctl_exact_serve's discrete quantile. No Spark builtin "
+        "computes weighted percentiles; this composition is the "
+        "distributed-exact path (approx: expand-free weighted t-digest "
+        "via percentile_approx on banded values). Cell collapse is "
+        "map-side combining; the window sorts CELLS (bounded by distinct "
+        "values, band at 100 TB), never raw rows. Weight sums are "
+        "decimal (order-independent), the q*W comparison is double-vs-"
+        "double identical in both engines -> bit-exact oracle",
+)
+def agg_weighted_percentile_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = Catalog(spark, sf_dir).lineitem
+    cells = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = cells.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(w_cum).cast("double").alias("cumw"),
+        F.sum("w").over(w_tot).cast("double").alias("totw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cumw") >= 0.5 * F.col("totw"), F.col("price"))
+        ).alias("wp50"),
+        F.min(
+            F.when(F.col("cumw") >= 0.9 * F.col("totw"), F.col("price"))
+        ).alias("wp90"),
+        F.max("totw").alias("total_weight"),
+    )
+
+
+@register(
+    "curation_global_ordinal",
+    """
+    WITH tiered AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 420 THEN 1
+                  WHEN n_chars >= 300 THEN 2
+                  WHEN n_chars >= 175 THEN 3
+                  ELSE 4 END AS tier,
+             md5(CAST(doc_id AS VARCHAR)) AS shuf
+      FROM documents
+    )
+    SELECT doc_id, tier,
+           ROW_NUMBER() OVER (ORDER BY tier, shuf, doc_id) AS position
+    FROM tiered
+    """,
+    doc="curriculum ordering with a SCALABLE global ordinal (operators/"
+        "curation.py global_ordinal): docs tiered by quality proxy, "
+        "shuffled within tier by md5, then assigned a global 1-based "
+        "position. ROW_NUMBER() OVER (ORDER BY ...) with no PARTITION BY "
+        "— the oracle's spelling — funnels 100 TB through ONE task; the "
+        "engine instead range-partitions on the sort key, runs p "
+        "independent per-partition row_numbers, and adds a p-row offset "
+        "manifest (bounded driver collect, one row per partition) — the "
+        "sampled partition boundaries vary, the ordinals never do, "
+        "because the key is a total order. Hash-stamped equal to the "
+        "single-window oracle; the plan shows RangePartitioning + "
+        "pid-partitioned Window, asserted in test_plan_shapes.py",
+)
+def curation_global_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import global_ordinal
+
+    docs = Catalog(spark, sf_dir).documents
+    keyed = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 420, 1)
+        .when(F.col("n_chars") >= 300, 2)
+        .when(F.col("n_chars") >= 175, 3)
+        .otherwise(4)
+        .alias("tier"),
+        F.md5(F.col("doc_id").cast("string")).alias("__shuf"),
+    )
+    ranked = global_ordinal(
+        keyed,
+        [F.col("tier"), F.col("__shuf"), F.col("doc_id")],
+        ordinal_col="position",
+        n_partitions=32,
+    )
+    return ranked.select("doc_id", "tier", "position")

@@ -361,3 +361,43 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark):
     broadcast) — i.e. unmatched year directories are never read."""
     plan = _final_plan(WORKLOAD["join_dpp_partitioned"].fn(spark, SF))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_salted_twophase_two_hash_aggregation_stages(spark):
+    """The salted aggregate must actually be TWO phases: a (key, salt)
+    hash aggregation feeding a key-only re-aggregation — two hash
+    exchanges, no window, no extra scan."""
+    plan = _final_plan(WORKLOAD["agg_salted_twophase"].fn(spark, SF))
+    assert _exchanges(plan) == 2, plan
+    assert plan.count("lineitem.parquet") <= 2, plan  # one scan (AQE may echo)
+    assert "Window" not in plan, plan
+
+
+def test_interval_binned_join_is_hash_not_nested_loop(spark):
+    """The binned interval-overlap join must plan as an equi hash join on
+    the bucket (Generate for the interval explode, residual filter after)
+    — never BroadcastNestedLoop/CartesianProduct, which is what the naive
+    BETWEEN spelling degenerates to."""
+    plan = _final_plan(WORKLOAD["join_interval_overlap_binned"].fn(spark, SF))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate explode" in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_global_ordinal_range_partitioned_window(spark):
+    """curation_global_ordinal's scalable rank: the plan must contain a
+    RANGE exchange on the sort key and a row_number window PARTITIONED by
+    the physical partition id — never the single-partition global window
+    (which would show 'Window [row_number() ...]' with an empty partition
+    spec over an Exchange SinglePartition)."""
+    plan = _final_plan(WORKLOAD["curation_global_ordinal"].fn(spark, SF))
+    assert "Exchange rangepartitioning" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # the window's partition spec carries __pid
+    import re as _re
+
+    win = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert win and all("__pid" in ln for ln in win), plan
