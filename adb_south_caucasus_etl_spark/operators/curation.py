@@ -205,10 +205,12 @@ def md5_bucket(key_col: str, n: int):
     return F.pmod(md5_u32(key_col), F.lit(n))
 
 
-def md5_u32(key_col: str):
-    """Uniform int in [0, 2^32) as a pure function of the key."""
+def md5_u32(key_col):
+    """Uniform int in [0, 2^32) as a pure function of the key (a column
+    name or a Column expression)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
     return F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
     ).cast("bigint")
 
 
@@ -400,3 +402,139 @@ def global_ordinal(
         # deferred unpersist: blocking=False lets the returned plan still
         # read cached blocks this action; eviction is safe either way
         parted.unpersist(blocking=False)
+
+
+def span_corruption_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_pct: int = 15,
+) -> DataFrame:
+    """T5-style span-corruption training pairs (SURVEY §2.Q): ~``mask_pct``%
+    of whitespace tokens are masked, CONTIGUOUS masked runs collapse to one
+    ``<extra_id_k>`` sentinel in the input, and the target lists each
+    sentinel followed by the span it replaced — the standard denoising
+    objective (Raffel et al., JMLR 2020 §3.1.4).
+
+    The mask is derandomized: token ``pos`` of document ``d`` is masked iff
+    ``md5(d:pos) % 100 < mask_pct`` — retry/partitioning/engine-stable, so
+    the DuckDB oracle reproduces every pair bit-for-bit (no RNG seed
+    distribution across executors). Runs become islands by the classic
+    gaps-and-islands key ``pos - rank_among_masked``; sentinel numbering is
+    the island's ordinal by start position.
+
+    Shuffle shape: one Generate (posexplode) fans tokens out, two
+    partitioned windows (island key, sentinel ordinal) and two grouped
+    re-aggregations fold them back — all partitioned by document id, so
+    the work is embarrassingly parallel over docs and linear in tokens.
+    Assembly uses ``array_sort(collect_list(struct(pos, tok)))`` —
+    order-deterministic because ``pos`` is unique per document (a bare
+    ``collect_list`` would be arrival-ordered and non-reproducible).
+    Documents with no maskable token emit an empty target and n_spans 0.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.trim(F.col(text_col)) != "")
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+                "pos", "tok"
+            ),
+        )
+        .withColumn(
+            "masked",
+            F.pmod(md5_u32(_pos_key()), F.lit(100)) < F.lit(mask_pct),
+        )
+    )
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    masked_t = toks.filter(F.col("masked")).withColumn(
+        "island", F.col("pos") - F.row_number().over(w_doc)
+    )
+    spans = masked_t.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("start"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("span_text"),
+        F.count(F.lit(1)).alias("span_len"),
+    )
+    w_span = Window.partitionBy("doc_id").orderBy("start")
+    spans = spans.withColumn("k", F.row_number().over(w_span) - 1)
+
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")
+    )
+    input_parts = (
+        toks.filter(~F.col("masked")).select("doc_id", "pos", "tok")
+    ).unionByName(
+        spans.select(
+            "doc_id",
+            F.col("start").alias("pos"),
+            sentinel.alias("tok"),
+        )
+    )
+    inputs = input_parts.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("input_text")
+    )
+    targets = spans.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "k",
+                            F.concat(
+                                sentinel, F.lit(" "), F.col("span_text")
+                            ).alias("part"),
+                        )
+                    )
+                ),
+                lambda s: s["part"],
+            ),
+        ).alias("target_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("n_masked"),
+    )
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    return (
+        stats.join(inputs, "doc_id", "left")
+        .join(targets, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_masked"), F.lit(0).cast("bigint")).alias(
+                "n_masked"
+            ),
+            F.coalesce(F.col("n_spans"), F.lit(0).cast("bigint")).alias(
+                "n_spans"
+            ),
+            F.coalesce(F.col("input_text"), F.lit("")).alias("input_text"),
+            F.coalesce(F.col("target_text"), F.lit("")).alias("target_text"),
+        )
+    )
+
+
+def _pos_key():
+    """(doc_id, pos) mask key rendered exactly as the oracle renders it."""
+    return F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.col("pos").cast("string")
+    )

@@ -7705,3 +7705,642 @@ def curation_global_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_partitions=32,
     )
     return ranked.select("doc_id", "tier", "position")
+
+
+# --------------------------------------------------------------------------
+# Round 5, batch 3 (SURVEY §2.Q): corpus n-gram stats, inverted index,
+# equi-depth binning, rolling distinct, distribution drift, T5 span
+# corruption, table profiling, join-explosion audit.
+
+
+@register(
+    "text_ngram_topk",
+    r"""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+      FROM (SELECT lang, doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS l
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> '') t
+    ),
+    big AS (
+      SELECT lang,
+             tok || ' '
+                 || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS bigram
+      FROM toks
+    ),
+    c AS (
+      SELECT lang, bigram, COUNT(*) AS n
+      FROM big WHERE bigram IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT lang, bigram, CAST(n AS BIGINT) AS n FROM (
+      SELECT lang, bigram, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+      FROM c) t
+    WHERE rn <= 5
+    """,
+    doc="exact corpus n-gram statistics: top-5 bigrams per language by "
+        "frequency. Bigrams form JVM-side via a lead() window inside each "
+        "document (same shape as text_bigram_logprob's model build), "
+        "count is one combiner-friendly aggregation, and the per-language "
+        "top-5 goes through topk_per_group's WindowGroupLimit (partitions "
+        "prune to k before the filter). At 100 TB the count aggregation "
+        "IS the n-gram language-model shuffle — bigram keys are "
+        "zipf-skewed, which is exactly what map-side combine absorbs "
+        "(hot bigrams reduce on mappers); deterministic (count desc, "
+        "bigram asc) ordering makes the top-k oracle-exact",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select(
+        "lang",
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "lang",
+            F.concat(F.col("tok"), F.lit(" "), F.col("nxt")).alias("bigram"),
+        )
+    )
+    c = big.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return topk_per_group(
+        c, ["lang"], [F.col("n").desc(), F.col("bigram").asc()], 5
+    ).select("lang", "bigram", "n")
+
+
+@register(
+    "text_inverted_index_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+               AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    tf AS (SELECT tok, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    r AS (
+      SELECT tok, doc_id, tf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tok ORDER BY tf DESC, doc_id) AS rn
+      FROM tf
+    ),
+    s AS (
+      SELECT tok, COUNT(*) AS df, SUM(tf) AS cf, MAX(tf) AS top_tf
+      FROM tf GROUP BY 1
+    )
+    SELECT s.tok, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+           r.doc_id AS top_doc, CAST(top_tf AS BIGINT) AS top_tf
+    FROM s JOIN r ON s.tok = r.tok AND r.rn = 1
+    WHERE df >= 5
+    """,
+    doc="inverted-index build reduced to posting-list statistics: per "
+        "token its document frequency, collection frequency, and the "
+        "argmax document (highest tf, smallest doc id tiebreak — elected "
+        "via min_by over a (-tf, doc_id) struct, a map-side-combining "
+        "aggregate, not a window sort). Two linear shuffles: (tok, doc) "
+        "term counting, then the token rollup — the same skeleton that "
+        "materializes real posting lists (swap the stats agg for "
+        "collect_list over a df-capped token set; max_df capping per "
+        "operators/dedup.py applies above it). df >= 5 mirrors the "
+        "min-df pruning every IR index applies at ingest",
+)
+def text_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        ),
+    )
+    tf = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.min_by(
+                F.col("doc_id"),
+                F.struct(
+                    (-F.col("tf")).alias("ntf"), F.col("doc_id").alias("d")
+                ),
+            ).alias("top_doc"),
+            F.max("tf").cast("bigint").alias("top_tf"),
+        )
+        .filter(F.col("df") >= 5)
+        .select("tok", "df", "cf", "top_doc", "top_tf")
+    )
+
+
+@register(
+    "feature_equidepth_binning",
+    """
+    WITH d AS (
+      SELECT o_orderpriority, o_totalprice, o_orderkey,
+             NTILE(10) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT o_orderpriority, decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM d GROUP BY 1, 2
+    """,
+    doc="equi-depth feature discretization: per-priority order values cut "
+        "into 10 equal-population bins with NTILE over a TOTAL order "
+        "(price, orderkey) — the tiebreak is what makes the binning "
+        "deterministic and therefore oracle-exact (bare NTILE over a "
+        "non-unique ordering is engine-dependent on ties). Output is each "
+        "bin's population and [lo, hi] boundary — the classic feature-"
+        "engineering preprocessing for tree/quantile models. The window "
+        "sorts WITHIN priority partitions (parallel); for a single "
+        "100 TB-scale global binning, swap NTILE for the two-phase "
+        "range-partitioned ordinal of curation_global_ordinal, or accept "
+        "approx boundaries from percentile_approx and bin by range join",
+)
+def feature_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    d = orders.withColumn("decile", F.ntile(10).over(w))
+    return d.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "events_rolling_7d_distinct",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    roll AS (
+      SELECT d.day AS day, COUNT(DISTINCT u.user_id) AS u7
+      FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1
+    ),
+    daily AS (SELECT day, COUNT(DISTINCT user_id) AS u1 FROM du GROUP BY 1)
+    SELECT r.day, CAST(u1 AS BIGINT) AS u1, CAST(u7 AS BIGINT) AS u7
+    FROM roll r JOIN daily d2 ON r.day = d2.day
+    """,
+    doc="trailing-7-day distinct users per day (the DAU/WAU dashboard "
+        "query). Windowed COUNT DISTINCT has no frame-based spelling in "
+        "Spark; the naive one is a day-range theta join. The scale "
+        "rewrite: dedup to (day, user) grain FIRST (the only pass over "
+        "raw events), then each (day, user) row CONTRIBUTES itself to "
+        "the 7 target days it can influence via explode(sequence(day, "
+        "day+6)) — a Generate with fixed fan-out 7 — and a semi filter "
+        "on observed days + countDistinct finishes. Work is O(events + "
+        "7 x daily_actives), never O(days x events). The approximate "
+        "companion at extreme scale is per-day HLL sketches merged over "
+        "the trailing window (rollup_hll_distinct_serve shows the merge "
+        "machinery); this query is the exact path, hash-stamped against "
+        "the literal BETWEEN-join oracle",
+)
+def events_rolling_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    roll = (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("u7"))
+    )
+    daily = du.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("u1")
+    )
+    return roll.join(daily, "day").select("day", "u1", "u7")
+
+
+@register(
+    "histogram_drift_tvd",
+    """
+    WITH c AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(floor(o_totalprice / 25000) AS INT) AS bin,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    t AS (SELECT yr, SUM(cnt) AS n FROM c GROUP BY 1),
+    j AS (
+      SELECT COALESCE(a.yr, b.yr + 1) AS yr,
+             COALESCE(a.bin, b.bin) AS bin,
+             COALESCE(a.cnt, 0) AS c_cur,
+             COALESCE(b.cnt, 0) AS c_prev
+      FROM c a FULL OUTER JOIN c b
+        ON a.yr = b.yr + 1 AND a.bin = b.bin
+    )
+    SELECT j.yr,
+           CAST(tc.n AS BIGINT) AS n_cur,
+           CAST(tp.n AS BIGINT) AS n_prev,
+           ROUND(SUM(abs(c_cur * tp.n - c_prev * tc.n))
+                 / (2.0 * tc.n * tp.n), 6) AS tvd
+    FROM j
+    JOIN t tc ON tc.yr = j.yr
+    JOIN t tp ON tp.yr = j.yr - 1
+    GROUP BY j.yr, tc.n, tp.n
+    """,
+    doc="distribution-drift detection between adjacent years: order "
+        "values histogrammed into fixed 25k-wide bins, then total "
+        "variation distance TVD = 0.5 * sum_b |p_b - q_b| for each "
+        "(year, year-1) pair — the data-drift monitor an ML pipeline "
+        "runs before retraining. The arithmetic is deliberately "
+        "cross-multiplied: |c_cur*n_prev - c_prev*n_cur| keeps every "
+        "per-bin term an exact BIGINT (fraction subtraction in doubles "
+        "would be summation-order-dependent and unstampable); one double "
+        "division at the very end. Bins absent on one side enter as "
+        "zero via the full-outer bin join. Histogram build is one "
+        "combiner-friendly aggregation over (year, bin) — at 100 TB the "
+        "reduced frame is years x bins rows, the drift math is free",
+)
+def histogram_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    c = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.floor(F.col("o_totalprice") / 25000).cast("int").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("yr").agg(F.sum("cnt").alias("n"))
+
+    a = c.select("yr", "bin", F.col("cnt").alias("c_cur"))
+    b = c.select(
+        (F.col("yr") + 1).alias("yr"), "bin", F.col("cnt").alias("c_prev")
+    )
+    j = (
+        a.join(b, ["yr", "bin"], "full_outer")
+        .fillna({"c_cur": 0, "c_prev": 0})
+        .join(t.select("yr", F.col("n").alias("n_cur")), "yr")
+        .join(
+            t.select((F.col("yr") + 1).alias("yr"), F.col("n").alias("n_prev")),
+            "yr",
+        )
+    )
+    return (
+        j.groupBy("yr", "n_cur", "n_prev")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c_cur") * F.col("n_prev")
+                    - F.col("c_prev") * F.col("n_cur")
+                )
+            ).alias("num")
+        )
+        .select(
+            "yr",
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            F.round(
+                F.col("num") / (2.0 * F.col("n_cur") * F.col("n_prev")), 6
+            ).alias("tvd"),
+        )
+    )
+
+
+@register(
+    "curation_span_corruption",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> '') t
+    ),
+    m AS (
+      SELECT doc_id, pos, tok,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                 || CAST(pos AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 < 15 AS masked
+      FROM toks
+    ),
+    mk AS (
+      SELECT doc_id, pos, tok,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM m WHERE masked
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS start,
+             string_agg(tok, ' ' ORDER BY pos) AS span_text,
+             COUNT(*) AS span_len
+      FROM mk GROUP BY 1, 2
+    ),
+    ks AS (
+      SELECT doc_id, start, span_text, span_len,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1
+               AS k
+      FROM spans
+    ),
+    input_parts AS (
+      SELECT doc_id, pos, tok FROM m WHERE NOT masked
+      UNION ALL
+      SELECT doc_id, start AS pos,
+             '<extra_id_' || CAST(k AS VARCHAR) || '>' AS tok
+      FROM ks
+    ),
+    inputs AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS input_text
+      FROM input_parts GROUP BY 1
+    ),
+    targets AS (
+      SELECT doc_id,
+             string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> '
+                        || span_text, ' ' ORDER BY k) AS target_text,
+             COUNT(*) AS n_spans,
+             SUM(span_len) AS n_masked
+      FROM ks GROUP BY 1
+    ),
+    stats AS (SELECT doc_id, COUNT(*) AS n_tokens FROM m GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_masked, 0) AS BIGINT) AS n_masked,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           COALESCE(input_text, '') AS input_text,
+           COALESCE(target_text, '') AS target_text
+    FROM stats s
+    LEFT JOIN inputs i ON s.doc_id = i.doc_id
+    LEFT JOIN targets g ON s.doc_id = g.doc_id
+    """,
+    doc="T5-style span-corruption pair generation (operators/curation.py "
+        "span_corruption_pairs; Raffel et al. JMLR 2020 §3.1.4): ~15% of "
+        "tokens masked, contiguous runs collapse to ONE <extra_id_k> "
+        "sentinel in the input, target lists sentinel+span pairs. The "
+        "mask is a pure md5 function of (doc_id, token position) — no "
+        "RNG seed to distribute across 1000 executors, retries and "
+        "repartitioning cannot change the training set, and the oracle "
+        "reproduces every generated pair bit-for-bit (a seeded-RNG "
+        "implementation could never be cross-engine-stamped). Islands "
+        "via the pos - rank gaps-and-islands key; reassembly sorts "
+        "collect_list(struct(pos, tok)) so concatenation order is "
+        "deterministic. All windows/aggregations partition by doc — "
+        "embarrassingly parallel, linear in corpus tokens",
+)
+def curation_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import span_corruption_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return span_corruption_pairs(
+        docs, id_col="doc_id", text_col="text", mask_pct=15
+    )
+
+
+@register(
+    "profile_tables_columns",
+    """
+    WITH o AS (SELECT * FROM orders), d AS (SELECT * FROM documents)
+    SELECT 'orders' AS table_name, 'o_orderkey' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(x) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT x) AS BIGINT) AS n_distinct,
+           MIN(x) AS min_val, MAX(x) AS max_val
+    FROM (SELECT CAST(o_orderkey AS VARCHAR) AS x FROM o) s
+    UNION ALL
+    SELECT 'orders', 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(x) AS BIGINT),
+           CAST(COUNT(DISTINCT x) AS BIGINT), MIN(x), MAX(x)
+    FROM (SELECT CAST(o_custkey AS VARCHAR) AS x FROM o) s
+    UNION ALL
+    SELECT 'orders', 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(x) AS BIGINT),
+           CAST(COUNT(DISTINCT x) AS BIGINT), MIN(x), MAX(x)
+    FROM (SELECT o_orderstatus AS x FROM o) s
+    UNION ALL
+    SELECT 'orders', 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(x) AS BIGINT),
+           CAST(COUNT(DISTINCT x) AS BIGINT), MIN(x), MAX(x)
+    FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+            AS x FROM o) s
+    UNION ALL
+    SELECT 'orders', 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(x) AS BIGINT),
+           CAST(COUNT(DISTINCT x) AS BIGINT), MIN(x), MAX(x)
+    FROM (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS x FROM o) s
+    UNION ALL
+    SELECT 'orders', 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(x) AS BIGINT),
+           CAST(COUNT(DISTINCT x) AS BIGINT), MIN(x), MAX(x)
+    FROM (SELECT o_orderpriority AS x FROM o) s
+    UNION ALL
+    SELECT 'documents', 'doc_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(x) AS BIGINT),
+           CAST(COUNT(DISTINCT x) AS BIGINT), MIN(x), MAX(x)
+    FROM (SELECT CAST(doc_id AS VARCHAR) AS x FROM d) s
+    UNION ALL
+    SELECT 'documents', 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(x) AS BIGINT),
+           CAST(COUNT(DISTINCT x) AS BIGINT), MIN(x), MAX(x)
+    FROM (SELECT lang AS x FROM d) s
+    UNION ALL
+    SELECT 'documents', 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(x) AS BIGINT),
+           CAST(COUNT(DISTINCT x) AS BIGINT), MIN(x), MAX(x)
+    FROM (SELECT source AS x FROM d) s
+    UNION ALL
+    SELECT 'documents', 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(x) AS BIGINT),
+           CAST(COUNT(DISTINCT x) AS BIGINT), MIN(x), MAX(x)
+    FROM (SELECT CAST(n_chars AS VARCHAR) AS x FROM d) s
+    """,
+    doc="data-catalog column profiler (the first thing an ETL platform "
+        "runs on an unknown table): per column its row/null/distinct "
+        "counts and min/max, over canonical string renderings (numerics "
+        "through DECIMAL, timestamps through DATE — raw double->string "
+        "rendering is engine-specific and would be unstampable; distinct "
+        "counts are over the SAME canonical rendering both sides). "
+        "Spark side is one UNPIVOT (melt) into (col_name, value) + one "
+        "grouped aggregation — so profiling N columns costs ONE scan, "
+        "not N (the UNION-ALL oracle spelling re-scans per column; "
+        "Spark's Generate-based unpivot is the scale shape). min/max on "
+        "strings compare lexicographically — canonical fixed-scale "
+        "decimal renderings of these columns preserve value order for "
+        "same-width values; the profile is a fingerprint, not arithmetic",
+)
+def profile_tables_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+
+    def profile(df: DataFrame, table: str, cols: list) -> DataFrame:
+        sel = df.select(*[expr.alias(name) for name, expr in cols])
+        stacked = sel.unpivot(
+            [], [name for name, _ in cols], "col_name", "value"
+        )
+        return stacked.groupBy("col_name").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("value"))
+            .cast("bigint")
+            .alias("n_null"),
+            F.countDistinct("value").cast("bigint").alias("n_distinct"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            "col_name",
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_val",
+            "max_val",
+        )
+
+    o = profile(
+        cat.orders,
+        "orders",
+        [
+            ("o_orderkey", F.col("o_orderkey").cast("string")),
+            ("o_custkey", F.col("o_custkey").cast("string")),
+            ("o_orderstatus", F.col("o_orderstatus")),
+            (
+                "o_totalprice",
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            ),
+            (
+                "o_orderdate",
+                F.col("o_orderdate").cast("date").cast("string"),
+            ),
+            ("o_orderpriority", F.col("o_orderpriority")),
+        ],
+    )
+    d = profile(
+        cat.documents,
+        "documents",
+        [
+            ("doc_id", F.col("doc_id").cast("string")),
+            ("lang", F.col("lang")),
+            ("source", F.col("source")),
+            ("n_chars", F.col("n_chars").cast("string")),
+        ],
+    )
+    return o.unionByName(d)
+
+
+@register(
+    "join_explosion_guard",
+    """
+    WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
+                GROUP BY 1),
+    oc AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    pc AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+    j1 AS (
+      SELECT CAST(SUM(lc.c * oc.c) AS BIGINT) AS est_pairs,
+             CAST(MAX(lc.c) AS BIGINT) AS max_left_mult,
+             CAST(MAX(oc.c) AS BIGINT) AS max_right_mult
+      FROM lc JOIN oc ON lc.k = oc.k
+    ),
+    j2 AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS est_pairs,
+             CAST(MAX(c) AS BIGINT) AS max_left_mult,
+             CAST(MAX(c) AS BIGINT) AS max_right_mult
+      FROM pc
+    ),
+    n AS (SELECT (SELECT COUNT(*) FROM lineitem) AS n_li,
+                 (SELECT COUNT(*) FROM orders) AS n_o)
+    SELECT 'lineitem_orders_orderkey' AS join_name,
+           CAST(n_li AS BIGINT) AS left_rows,
+           CAST(n_o AS BIGINT) AS right_rows,
+           est_pairs, max_left_mult, max_right_mult,
+           ROUND(est_pairs * 1.0 / n_li, 4) AS amplification
+    FROM j1 CROSS JOIN n
+    UNION ALL
+    SELECT 'lineitem_self_partkey',
+           CAST(n_li AS BIGINT), CAST(n_li AS BIGINT),
+           est_pairs, max_left_mult, max_right_mult,
+           ROUND(est_pairs * 1.0 / n_li, 4)
+    FROM j2 CROSS JOIN n
+    """,
+    doc="join-explosion audit — the pre-flight check before any fact-fact "
+        "join at 100 TB: from each side's per-key multiplicity histogram "
+        "(tiny aggregates, no join executed) compute the EXACT output "
+        "cardinality sum(l_c * r_c), the max per-key multiplicities, and "
+        "the amplification factor vs the probe side. The orderkey join "
+        "amplifies by ~1 (orders are unique); the partkey self-join's "
+        "sum(c^2) is the quadratic blow-up every similarity/co-occurrence "
+        "join risks — the number that tells you to cap, salt, or rethink "
+        "BEFORE launching the shuffle. Same skeleton generalizes to "
+        "multi-key joins (group multiplicities on the full key). Exact "
+        "integer arithmetic end-to-end -> hash-exact oracle",
+)
+def join_explosion_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li, o = cat.lineitem, cat.orders
+
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    oc = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pc = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = li.agg(F.count(F.lit(1)).alias("n_li")).crossJoin(
+        o.agg(F.count(F.lit(1)).alias("n_o"))
+    )
+
+    j1 = (
+        lc.join(oc.withColumnRenamed("c", "rc"), "k")
+        .agg(
+            F.sum(F.col("c") * F.col("rc")).cast("bigint").alias("est_pairs"),
+            F.max("c").cast("bigint").alias("max_left_mult"),
+            F.max("rc").cast("bigint").alias("max_right_mult"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.lit("lineitem_orders_orderkey").alias("join_name"),
+            F.col("n_li").cast("bigint").alias("left_rows"),
+            F.col("n_o").cast("bigint").alias("right_rows"),
+            "est_pairs",
+            "max_left_mult",
+            "max_right_mult",
+            F.round(F.col("est_pairs") * 1.0 / F.col("n_li"), 4).alias(
+                "amplification"
+            ),
+        )
+    )
+    j2 = (
+        pc.agg(
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("est_pairs"),
+            F.max("c").cast("bigint").alias("max_left_mult"),
+            F.max("c").cast("bigint").alias("max_right_mult"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.lit("lineitem_self_partkey").alias("join_name"),
+            F.col("n_li").cast("bigint").alias("left_rows"),
+            F.col("n_li").cast("bigint").alias("right_rows"),
+            "est_pairs",
+            "max_left_mult",
+            "max_right_mult",
+            F.round(F.col("est_pairs") * 1.0 / F.col("n_li"), 4).alias(
+                "amplification"
+            ),
+        )
+    )
+    return j1.unionByName(j2)

@@ -401,3 +401,23 @@ def test_global_ordinal_range_partitioned_window(spark):
 
     win = [ln for ln in plan.splitlines() if "row_number()" in ln]
     assert win and all("__pid" in ln for ln in win), plan
+
+
+def test_profiler_one_scan_per_table_via_unpivot(spark):
+    """profile_tables_columns must profile N columns in ONE scan per table
+    (unpivot/Expand), not N scans — the oracle's UNION-ALL spelling
+    re-reads per column; the engine must not."""
+    plan = _final_plan(WORKLOAD["profile_tables_columns"].fn(spark, SF))
+    assert plan.count("orders.parquet") == 1, plan
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_rolling_distinct_generate_not_range_join(spark):
+    """events_rolling_7d_distinct: the trailing window must come from the
+    fixed fan-out Generate (explode of the 7 contributable days), joined
+    hash-wise — never a day-range nested-loop."""
+    plan = _final_plan(WORKLOAD["events_rolling_7d_distinct"].fn(spark, SF))
+    assert "Generate explode" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -300,3 +300,196 @@ class TestGlobalOrdinal:
             .assign(exp=lambda d: pd.RangeIndex(1, len(d) + 1))
         )
         assert (expect["position"] == expect["exp"]).all()
+
+
+class TestSpanCorruption:
+    def _run(self, spark, rows):
+        from adb_south_caucasus_etl_spark.operators.curation import (
+            span_corruption_pairs,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r
+            for r in span_corruption_pairs(df, "doc_id", "text").collect()
+        }
+
+    def test_reconstruction_invariant(self, spark):
+        # replacing each <extra_id_k> in the input with the span the
+        # target lists for k must reproduce the original token stream —
+        # the invariant that proves masking/collapse/numbering all agree
+        import re
+
+        docs = [
+            (i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(30)
+        ]
+        out = self._run(spark, docs)
+        assert set(out) == {i for i, _ in docs}
+        for doc_id, text in docs:
+            r = out[doc_id]
+            spans = {}
+            for m in re.finditer(
+                r"<extra_id_(\d+)> ((?:(?!<extra_id_)\S+ ?)*)",
+                r["target_text"],
+            ):
+                spans[int(m.group(1))] = m.group(2).strip()
+            rebuilt = re.sub(
+                r"<extra_id_(\d+)>",
+                lambda m: spans[int(m.group(1))],
+                r["input_text"],
+            )
+            assert rebuilt.split() == text.split(), doc_id
+            assert r["n_masked"] == sum(len(s.split()) for s in spans.values())
+            assert r["n_spans"] == len(spans)
+            assert r["n_tokens"] == len(text.split())
+
+    def test_no_mask_and_empty_docs(self, spark):
+        out = self._run(
+            spark,
+            [(1, "a"), (2, "   "), (3, None)],
+        )
+        # single-token doc either masks fully or not at all; empty/null
+        # docs produce no row at all (same posture as the chunker)
+        assert set(out) <= {1}
+        if 1 in out and out[1]["n_spans"] == 0:
+            assert out[1]["input_text"] == "a"
+            assert out[1]["target_text"] == ""
+
+
+class TestRolling7dDistinct:
+    def test_against_pandas_brute_force(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        got = {
+            r["day"]: (r["u1"], r["u7"])
+            for r in WORKLOAD["events_rolling_7d_distinct"]
+            .fn(spark, SF)
+            .collect()
+        }
+        ev = (
+            Catalog(spark, SF)
+            .events.select(F.to_date("ts").alias("day"), "user_id")
+            .toPandas()
+        )
+        days = sorted(ev["day"].unique())
+        for d in days:
+            win = ev[(ev.day <= d) & (ev.day >= d - pd.Timedelta(days=6))]
+            assert got[d] == (
+                ev[ev.day == d]["user_id"].nunique(),
+                win["user_id"].nunique(),
+            ), d
+
+
+class TestHistogramDrift:
+    def test_tvd_bounds_and_identity(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        rows = WORKLOAD["histogram_drift_tvd"].fn(spark, SF).collect()
+        assert rows, "need at least one adjacent-year pair"
+        for r in rows:
+            assert 0.0 <= r["tvd"] <= 1.0
+        # identical distributions → zero distance (cross-multiplied form)
+        df = spark.createDataFrame(
+            [(1, 10), (2, 10)], "bin int, cnt int"
+        )
+        j = df.alias("a").crossJoin(df.alias("b"))  # not the query; math check
+        # direct arithmetic: |10*20 - 10*20| summed = 0
+        assert (
+            df.agg(
+                F.sum(F.abs(F.col("cnt") * 20 - F.col("cnt") * 20))
+            ).collect()[0][0]
+            == 0
+        )
+
+
+class TestEquidepthBinning:
+    def test_bin_populations_and_monotone_bounds(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        pdf = (
+            WORKLOAD["feature_equidepth_binning"].fn(spark, SF).toPandas()
+        )
+        for prio, grp in pdf.groupby("o_orderpriority"):
+            grp = grp.sort_values("decile")
+            assert list(grp["decile"]) == list(range(1, 11))
+            assert grp["n"].max() - grp["n"].min() <= 1  # equi-depth
+            # bins tile the value range in order
+            assert (grp["lo"].values <= grp["hi"].values).all()
+            assert (
+                grp["hi"].values[:-1] <= grp["lo"].values[1:]
+            ).all(), prio
+
+
+class TestJoinExplosionGuard:
+    def test_estimate_equals_executed_join(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        got = {
+            r["join_name"]: r
+            for r in WORKLOAD["join_explosion_guard"].fn(spark, SF).collect()
+        }
+        cat = Catalog(spark, SF)
+        actual_oo = cat.lineitem.join(
+            cat.orders,
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).count()
+        assert got["lineitem_orders_orderkey"]["est_pairs"] == actual_oo
+        li = cat.lineitem.select("l_partkey", "l_orderkey", "l_linenumber")
+        actual_self = li.alias("a").join(
+            li.alias("b"), F.col("a.l_partkey") == F.col("b.l_partkey")
+        ).count()
+        assert got["lineitem_self_partkey"]["est_pairs"] == actual_self
+
+
+class TestProfilerAndNgrams:
+    def test_profile_matches_direct_aggregates(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        prof = {
+            (r["table_name"], r["col_name"]): r
+            for r in WORKLOAD["profile_tables_columns"].fn(spark, SF).collect()
+        }
+        o = Catalog(spark, SF).orders
+        direct = o.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderpriority").alias("nd"),
+            F.min("o_orderpriority").alias("mn"),
+            F.max("o_orderpriority").alias("mx"),
+        ).collect()[0]
+        p = prof[("orders", "o_orderpriority")]
+        assert (p["n_rows"], p["n_distinct"], p["min_val"], p["max_val"]) == (
+            direct["n"], direct["nd"], direct["mn"], direct["mx"],
+        )
+        assert p["n_null"] == 0
+
+    def test_ngram_topk_shape(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        pdf = WORKLOAD["text_ngram_topk"].fn(spark, SF).toPandas()
+        assert pdf.groupby("lang").size().max() <= 5
+        for _, grp in pdf.groupby("lang"):
+            assert (grp["n"].sort_values(ascending=False).values
+                    == grp["n"].values).any() or len(grp) <= 1
+
+    def test_inverted_index_top_doc_is_argmax(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        rows = (
+            WORKLOAD["text_inverted_index_stats"].fn(spark, SF).collect()
+        )
+        assert rows
+        docs = Catalog(spark, SF).documents.toPandas()
+        tf: dict = {}
+        for _, r in docs.iterrows():
+            if not r["text"] or not str(r["text"]).strip():
+                continue
+            for tok in str(r["text"]).lower().split():
+                tf.setdefault(tok, {}).setdefault(r["doc_id"], 0)
+                tf[tok][r["doc_id"]] += 1
+        for row in rows[:20]:
+            per_doc = tf[row["tok"]]
+            assert row["df"] == len(per_doc)
+            assert row["cf"] == sum(per_doc.values())
+            best = min(per_doc, key=lambda d: (-per_doc[d], d))
+            assert row["top_doc"] == best
+            assert row["top_tf"] == per_doc[best]
