@@ -7381,6 +7381,8 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                + to_days(CAST(substr(o_orderpriority, 1, 1) AS INT) + 1)
                AS e
       FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
     )
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -7392,7 +7394,9 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="interval-overlap join via BINNING (operators/interval.py): each "
         "order opens a priority-dependent 2-6 day window and we count all "
-        "corpus shipments falling inside it. The naive spelling is a "
+        "corpus shipments falling inside it (one month of intervals: "
+        "output is sum of per-window matches, inherently interval-count x "
+        "window-density — bound the interval set, not the operator). The naive spelling is a "
         "non-equi theta join -> BroadcastNestedLoop, O(orders x "
         "lineitems). The binned rewrite quantizes time to 1-day buckets, "
         "explodes each interval into its <=7 covered buckets (Generate, "
@@ -7409,7 +7413,10 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.interval import interval_overlap_join
 
     cat = Catalog(spark, sf_dir)
-    iv = cat.orders.select(
+    iv = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select(
         F.col("o_orderkey").alias("iv_key"),
         "o_orderpriority",
         "o_orderdate",
@@ -8344,3 +8351,635 @@ def join_explosion_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j1.unionByName(j2)
+
+
+# --------------------------------------------------------------------------
+# Round 5, batch 4 (SURVEY §2.R): iterative ML (Lloyd k-means), exact CUSUM
+# changepoints, join-strategy hints, incremental session-state maintenance,
+# multi-stream union dedup.
+
+
+@register(
+    "ml_kmeans_lloyd",
+    None,  # no oracle CAN exist: per-component centroid means are double
+           # sums whose order the engine controls — the numpy replica in
+           # tests/test_round5_ops.py matches centroids to 1e-9 and
+           # asserts identical assignments; everything else (init,
+           # tie-breaks, iteration order) is derandomized
+    doc="distributed Lloyd k-means (operators/clustering.py): k=8 over the "
+        "64-dim embeddings, 5 fixed iterations. Centroids are driver "
+        "state (k x dim doubles) broadcast into the plan as literals; "
+        "distance + argmin run in pure JVM codegen (zip_with/aggregate "
+        "over the array column, array_min over (dist, cid) structs — ties "
+        "to the smallest cid); new means are one combiner-friendly "
+        "aggregation. Init is the k smallest md5_u32(id) vectors — "
+        "derandomized, so retries/partitioning cannot change the "
+        "clustering. The canonical iterative-ML shape at 100 TB: one "
+        "pass per iteration, k x dim driver traffic, ANN pre-assignment "
+        "(ivf_topk) when k grows beyond literal comfort",
+)
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import kmeans_lloyd
+
+    emb = Catalog(spark, sf_dir).embeddings
+    assigned = kmeans_lloyd(emb, "vec_id", "embedding", k=8, iterations=5)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.sum("dist2"), 2).alias("inertia"),
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH x AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, hr, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS t,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY hr) AS cum,
+             COUNT(*) OVER (PARTITION BY event_type) AS tt,
+             SUM(cnt) OVER (PARTITION BY event_type) AS s
+      FROM x
+    ),
+    d AS (
+      SELECT event_type, hr, tt, s,
+             tt * cum - t * s AS dev
+      FROM w
+    )
+    SELECT event_type,
+           CAST(epoch_us(MIN(CASE WHEN abs(dev) = mx THEN hr END))
+                AS BIGINT) AS cp_hour_us,
+           CAST(mx AS BIGINT) AS max_dev,
+           ROUND(mx * 1.0 / (MAX(tt) * MAX(s)), 6) AS dev_frac
+    FROM (SELECT *, MAX(abs(dev)) OVER (PARTITION BY event_type) AS mx
+          FROM d) t
+    GROUP BY event_type, mx
+    """,
+    doc="CUSUM changepoint detection over hourly event rates, in EXACT "
+        "integer arithmetic: the classic AMOC estimator argmax_t "
+        "|S_t - t/T * S| is cross-multiplied to |T*S_t - t*S| so every "
+        "deviation is a BIGINT — no float drift, hash-exact oracle "
+        "(fraction CUSUMs in doubles are summation-order-dependent). "
+        "Pre-aggregate to (type, hour) buckets FIRST: the windows sort "
+        "buckets (8760/year/type), never raw events — same discipline as "
+        "events_rolling_zscore. Emits each type's changepoint hour, the "
+        "max absolute deviation, and its normalized fraction; ties break "
+        "to the earliest hour so the answer is deterministic",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    x = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_ord = Window.partitionBy("event_type").orderBy("hr")
+    w_all = Window.partitionBy("event_type")
+    d = x.select(
+        "event_type",
+        "hr",
+        (
+            F.count(F.lit(1)).over(w_all)
+            * F.sum("cnt").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.row_number().over(w_ord) * F.sum("cnt").over(w_all)
+        ).alias("dev"),
+        F.count(F.lit(1)).over(w_all).alias("tt"),
+        F.sum("cnt").over(w_all).alias("s"),
+    )
+    d = d.withColumn("mx", F.max(F.abs(F.col("dev"))).over(w_all))
+    return d.groupBy("event_type", "mx").agg(
+        F.unix_micros(
+            F.min(F.when(F.abs(F.col("dev")) == F.col("mx"), F.col("hr")))
+        )
+        .cast("bigint")
+        .alias("cp_hour_us"),
+        F.max("tt").alias("_tt"),
+        F.max("s").alias("_s"),
+    ).select(
+        "event_type",
+        "cp_hour_us",
+        F.col("mx").cast("bigint").alias("max_dev"),
+        F.round(
+            F.col("mx") * 1.0 / (F.col("_tt") * F.col("_s")), 6
+        ).alias("dev_frac"),
+    )
+
+
+@register(
+    "join_strategy_hints",
+    """
+    WITH base AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_items,
+             CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * CAST(1 - l_discount AS DECIMAL(18,6)))
+                             AS DECIMAL(38,6)), 2) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    )
+    SELECT 'broadcast' AS strategy, o_orderpriority,
+           CAST(n_items AS BIGINT) AS n_items, revenue FROM base
+    UNION ALL
+    SELECT 'merge', o_orderpriority, CAST(n_items AS BIGINT), revenue
+    FROM base
+    UNION ALL
+    SELECT 'shuffle_hash', o_orderpriority, CAST(n_items AS BIGINT), revenue
+    FROM base
+    """,
+    doc="join strategy HINT surface: the same fact-dim aggregation forced "
+        "through BROADCAST, MERGE (sort-merge), and SHUFFLE_HASH hints — "
+        "identical results by construction (the oracle repeats one plain "
+        "join three times), different physical operators by assertion "
+        "(test_plan_shapes.py finds all three join nodes in the one "
+        "union plan). Hints are the manual override when the optimizer's "
+        "size estimates are wrong at 100 TB — e.g. forcing shuffle_hash "
+        "when a sort of the larger side is the known bottleneck, or "
+        "forcing broadcast for a dim that stats undercount. Decimal "
+        "revenue arithmetic keeps all three branches (and the oracle) "
+        "bit-identical",
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+
+    def branch(hint: str) -> DataFrame:
+        j = cat.lineitem.join(
+            cat.orders.hint(hint),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        return (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,2)")
+                        * (1 - F.col("l_discount")).cast("decimal(18,6)")
+                    ).cast("decimal(38,6)"),
+                    2,
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .select(
+                F.lit(hint).alias("strategy"),
+                "o_orderpriority",
+                "n_items",
+                "revenue",
+            )
+        )
+
+    return (
+        branch("broadcast")
+        .unionByName(branch("merge"))
+        .unionByName(branch("shuffle_hash"))
+    )
+
+
+@register(
+    "session_incremental_merge",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    s AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    g AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+    doc="INCREMENTAL sessionization — the production pattern where "
+        "yesterday's session table is STATE and only today's events are "
+        "new: history (all days but the last) is sessionized once; each "
+        "user's final history session becomes a carried state row "
+        "(start, end, count); today's events union the state rows and "
+        "re-sessionize, so a state session either extends with today's "
+        "early events or stands closed by the 30-min gap — no special-"
+        "casing, the gap rule itself decides. The oracle is the FULL "
+        "from-scratch sessionization of all events: hash-equality proves "
+        "the incremental merge is lossless (closed sessions untouched, "
+        "boundary sessions merged exactly). At 100 TB this is the "
+        "difference between re-scanning the lake daily and scanning one "
+        "day + a user-grain state table; all arithmetic is exact "
+        "microsecond integers",
+)
+def session_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    gap = 1_800_000_000  # 30 min in microseconds
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    # split horizon: midnight of the max event date (broadcast scalar —
+    # the incremental boundary a daily pipeline gets from its scheduler)
+    horizon = ev.agg(
+        F.unix_micros(
+            F.date_trunc("day", F.timestamp_micros(F.max("us")))
+        ).alias("h_us")
+    )
+    ev_h = ev.crossJoin(F.broadcast(horizon))
+    hist = ev_h.filter(F.col("us") < F.col("h_us")).select("user_id", "us")
+    today = ev_h.filter(F.col("us") >= F.col("h_us")).select(
+        "user_id", "us"
+    )
+
+    w = Window.partitionBy("user_id").orderBy("us")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def sessionize(df: DataFrame) -> DataFrame:
+        brk = (
+            F.when(
+                F.lag("us").over(w).isNull()
+                | ((F.col("us") - F.lag("us").over(w)) > gap),
+                1,
+            )
+            .otherwise(0)
+        )
+        return df.withColumn("sid", F.sum(brk).over(w_run))
+
+    sess_h = (
+        sessionize(hist)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w_user = Window.partitionBy("user_id")
+    sess_h = sess_h.withColumn("last_sid", F.max("sid").over(w_user))
+    closed = sess_h.filter(F.col("sid") != F.col("last_sid")).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+    state = sess_h.filter(F.col("sid") == F.col("last_sid")).select(
+        "user_id",
+        F.col("end_us").alias("us"),
+        F.col("start_us").alias("c_start"),
+        F.col("n_events").alias("c_n"),
+    )
+    merged_in = state.unionByName(
+        today.select(
+            "user_id",
+            "us",
+            F.lit(None).cast("bigint").alias("c_start"),
+            F.lit(1).cast("bigint").alias("c_n"),
+        )
+    )
+    merged = (
+        sessionize(merged_in)
+        .groupBy("user_id", "sid")
+        .agg(
+            # a state row is always earliest in its merged session, so
+            # min(coalesce(c_start, us)) recovers the carried start
+            F.min(F.coalesce(F.col("c_start"), F.col("us"))).alias(
+                "start_us"
+            ),
+            F.max("us").alias("end_us"),
+            F.sum("c_n").alias("n_events"),
+        )
+        .select("user_id", "start_us", "end_us", "n_events")
+    )
+    out = closed.unionByName(merged)
+    return out.select(
+        "user_id",
+        F.col("start_us").cast("bigint").alias("start_us"),
+        F.col("end_us").cast("bigint").alias("end_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "streaming_union_dedup_live",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="multi-stream union + stateful dedup: the full event stream "
+        "unioned with a second stream re-delivering every 'purchase' "
+        "(the at-least-once overlap two ingest paths produce), then "
+        "dropDuplicatesWithinWatermark on event_id collapses the "
+        "duplicates — per-type counts equal the batch COUNT(DISTINCT "
+        "event_id) oracle exactly, BECAUSE duplicate rows are identical "
+        "payloads (which copy survives cannot matter — that is what "
+        "makes this one of the few stateful-streaming queries with an "
+        "exact oracle, unlike streaming_dedup_users where survivor "
+        "content is arrival-order-dependent). Dedup state is bounded by "
+        "the watermark horizon; union of N sources is the standard "
+        "multi-region ingest merge",
+)
+def streaming_union_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import (
+        dedup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    u = s1.unionByName(s2)
+    d = dedup_stream(u, ["event_id"], "ts", watermark="10 minutes")
+    out = run_to_memory(spark, d, "union_dedup_live", mode="append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 5, batch 5 (SURVEY §2.S): unicode normalization, tolerant scalar
+# surface, ordered-set aggregates + modern SQL sugar, CBO join reordering.
+
+
+@register(
+    "text_unicode_normalize",
+    """
+    WITH synth AS (
+      -- decompose: every 'a' becomes 'a' + U+0301 combining acute, so the
+      -- ASCII corpus gains real decomposed unicode for NFC to recompose
+      SELECT lang, doc_id,
+             replace(text, 'a', 'a' || chr(769)) AS raw
+      FROM documents WHERE text IS NOT NULL
+    ),
+    norm AS (
+      SELECT lang, doc_id, raw,
+             nfc_normalize(raw) AS nfc,
+             strip_accents(nfc_normalize(raw)) AS folded
+      FROM synth
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(raw)) AS BIGINT) AS chars_raw,
+           CAST(SUM(length(nfc)) AS BIGINT) AS chars_nfc,
+           CAST(SUM(CASE WHEN nfc <> raw THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recomposed,
+           CAST(SUM(CAST('0x' || substr(md5(nfc), 1, 8) AS BIGINT))
+                AS BIGINT) AS nfc_checksum,
+           CAST(SUM(CAST('0x' || substr(md5(folded), 1, 8) AS BIGINT))
+                AS BIGINT) AS folded_checksum
+    FROM norm GROUP BY 1
+    """,
+    doc="unicode NFC normalization + accent folding (functions/"
+        "unicode_norm.py): the corpus is synthetically decomposed "
+        "in-engine (every 'a' -> 'a'+U+0301) so the operator performs "
+        "REAL recomposition work; per-language metrics compare "
+        "char counts before/after and order-independent md5-u32 SUMS of "
+        "the normalized and accent-folded strings — so the oracle "
+        "(DuckDB nfc_normalize / strip_accents vs Python unicodedata, "
+        "two independent UAX#15 implementations) hash-stamps the exact "
+        "normalized BYTES of every document, not just counts. Mixed "
+        "composed/decomposed forms are why dedup pipelines normalize at "
+        "ingest: without NFC, 'cafe\\u0301' and 'caf\\u00e9' shingle "
+        "differently and near-dup recall silently drops. Linear, "
+        "embarrassingly parallel, Arrow-batched",
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.unicode_norm import nfc_normalize, strip_accents
+    from .operators.curation import md5_u32
+
+    docs = Catalog(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull()
+    )
+    synth = docs.select(
+        "lang",
+        "doc_id",
+        # NOTE: Spark's chr() is ASCII mod 256 (chr(769) -> \x01), unlike
+        # DuckDB's codepoint chr — the combining acute must be a Python
+        # unicode literal on this side; the oracle uses chr(769)
+        F.replace(
+            F.col("text"), F.lit("a"), F.lit("a\u0301")
+        ).alias("raw"),
+    )
+    norm = synth.select(
+        "lang",
+        "raw",
+        nfc_normalize(F.col("raw")).alias("nfc"),
+    ).withColumn("folded", strip_accents(F.col("nfc")))
+    return norm.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("raw")).cast("bigint").alias("chars_raw"),
+        F.sum(F.length("nfc")).cast("bigint").alias("chars_nfc"),
+        F.sum(
+            F.when(F.col("nfc") != F.col("raw"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_recomposed"),
+        F.sum(md5_u32(F.col("nfc"))).cast("bigint").alias("nfc_checksum"),
+        F.sum(md5_u32(F.col("folded")))
+        .cast("bigint")
+        .alias("folded_checksum"),
+    )
+
+
+@register(
+    "scalar_try_funcs",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0
+                  THEN 'x' || CAST(value AS VARCHAR)
+                  ELSE CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)
+             END AS num_str,
+             event_id % 5 AS denom,
+             value,
+             CASE WHEN event_id % 3 = 0 THEN 'not-a-timestamp'
+                  ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_str
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN TRY_CAST(num_str AS DOUBLE) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_num,
+           CAST(ROUND(CAST(SUM(TRY_CAST(num_str AS DECIMAL(18,6)))
+                           AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_parsed,
+           CAST(SUM(CASE WHEN value / NULLIF(denom, 0) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+           CAST(SUM(CASE WHEN TRY_CAST(ts_str AS TIMESTAMP) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_ts
+    FROM v GROUP BY 1
+    """,
+    doc="the tolerant scalar surface (try_cast / try_divide / "
+        "try_to_timestamp): scraped feeds carry unparseable numerics, "
+        "zero denominators, and garbage timestamps — ANSI mode makes "
+        "plain casts THROW (one bad row kills a 100 TB job), the try_* "
+        "family degrades them to NULL so the pipeline quantifies "
+        "badness instead of dying (same posture as the PERMISSIVE "
+        "source and the corrupt-blob image path). Malformed inputs are "
+        "synthesized deterministically (id mod); parsed sums go "
+        "through DECIMAL for the exact oracle; DuckDB mirrors with "
+        "TRY_CAST and NULLIF-division",
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    v = ev.select(
+        "event_type",
+        F.when(
+            F.pmod(F.col("event_id"), 7) == 0,
+            F.concat(F.lit("x"), F.col("value").cast("string")),
+        )
+        .otherwise(F.col("value").cast("decimal(18,6)").cast("string"))
+        .alias("num_str"),
+        F.pmod(F.col("event_id"), 5).alias("denom"),
+        "value",
+        F.when(
+            F.pmod(F.col("event_id"), 3) == 0, F.lit("not-a-timestamp")
+        )
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("ts_str"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("num_str").try_cast("double").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_bad_num"),
+        F.round(
+            F.sum(F.col("num_str").try_cast("decimal(18,6)")).cast(
+                "decimal(38,6)"
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("sum_parsed"),
+        F.sum(
+            F.when(F.try_divide(F.col("value"), F.col("denom")).isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_div_null"),
+        F.sum(
+            F.when(
+                F.try_to_timestamp(F.col("ts_str")).isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_bad_ts"),
+    )
+
+
+@register(
+    "sql_ordered_set_aggs",
+    """
+    SELECT l_returnflag, l_linestatus,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_disc(l_quantity, 0.9) AS p90_qty_disc,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ALL
+    """,
+    doc="ordered-set aggregate surface: percentile_cont / "
+        "percentile_disc WITHIN GROUP (ORDER BY ...) — the ANSI "
+        "spelling analysts port from warehouses — plus GROUP BY ALL "
+        "sugar on the Spark side. percentile_cont interpolates "
+        "(deterministic double arithmetic on the two bracketing order "
+        "statistics), percentile_disc is the type-1 lower quantile "
+        "(first value with cumulative probability >= q — the same "
+        "definition rollup_pctl_exact_serve computes distributively; "
+        "this is the single-node-window spelling). The oracle uses "
+        "DuckDB's quantile_cont/quantile_disc — independent "
+        "implementations agreeing on the exact order statistics. "
+        "Quantities are integers, so the only float op is the midpoint "
+        "interpolation — identical in both engines",
+)
+def sql_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).lineitem.createOrReplaceTempView("__osa_li")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                 AS median_qty,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)
+                 AS p90_qty_disc,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM __osa_li
+        GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "cbo_join_reorder",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS DECIMAL(38,2)) , 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 1
+    GROUP BY 1
+    """,
+    doc="cost-based join reordering: lineitem joined to orders and to a "
+        "p_size=1 part slice, WRITTEN in the bad order (wide orders join "
+        "first). Tables are registered with ANALYZE TABLE ... COMPUTE "
+        "STATISTICS FOR ALL COLUMNS and spark.sql.cbo.enabled + "
+        "joinReorder.enabled scoped on; Catalyst's DP-based reorderer "
+        "uses the column stats (NDV, min/max) to apply the selective "
+        "part join FIRST, shrinking the intermediate ~25x before the "
+        "orders join — the plan text is pinned inside the conf scope "
+        "(queryExecution caches it) and test_plan_shapes.py asserts the "
+        "reorder actually happened vs the stats-less plan. RBO-era "
+        "Spark only reorders by syntax; at 100 TB choosing the join "
+        "ORDER from statistics is routinely a bigger win than choosing "
+        "the join ALGORITHM. The oracle is order-independent SQL",
+)
+def cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from .sources.registry import _scoped_conf
+
+    cat = Catalog(spark, sf_dir)
+    base = _scratch_dir("cbo", sf_dir)
+    for name, df in (
+        ("cbo_fact", cat.lineitem.select(
+            "l_orderkey", "l_partkey", "l_extendedprice"
+        )),
+        ("cbo_mid", cat.orders.select("o_orderkey", "o_orderpriority")),
+        ("cbo_dim", cat.part.select("p_partkey", "p_size")),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        df.write.mode("overwrite").option(
+            "path", _os.path.join(base, name)
+        ).saveAsTable(name)
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+
+    sql = """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                               AS DECIMAL(38,2)), 2) AS DOUBLE) AS revenue
+        FROM cbo_fact
+        JOIN cbo_mid ON l_orderkey = o_orderkey
+        JOIN cbo_dim ON l_partkey = p_partkey
+        WHERE p_size = 1
+        GROUP BY 1
+    """
+    with _scoped_conf(spark, "spark.sql.cbo.enabled", "true"):
+        with _scoped_conf(spark, "spark.sql.cbo.joinReorder.enabled", "true"):
+            df = spark.sql(sql)
+            # materialize the optimized plan INSIDE the conf scope:
+            # queryExecution caches it, so the later action executes the
+            # CBO-reordered plan even after the confs are restored
+            df._jdf.queryExecution().optimizedPlan()
+    return df

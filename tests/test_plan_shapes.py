@@ -421,3 +421,44 @@ def test_rolling_distinct_generate_not_range_join(spark):
     assert "Generate explode" in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_join_strategy_hints_force_three_physical_joins(spark):
+    """join_strategy_hints: one union plan must contain all three forced
+    join operators — hints must win over both the cost model and AQE's
+    broadcast conversion (a hint that silently degrades to the default
+    strategy would make the query pointless)."""
+    plan = _final_plan(WORKLOAD["join_strategy_hints"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_cbo_statistics_reorder_joins(spark):
+    """cbo_join_reorder: with ANALYZE stats + CBO on, Catalyst must apply
+    the selective part join FIRST (innermost), overriding the written
+    syntax order — the stats-less plan keeps syntax order. In optimized-
+    plan text the OUTER join prints first, so CBO puts the orderkey join
+    on the first Join line and the partkey join nested under it; default
+    is the reverse."""
+    df = WORKLOAD["cbo_join_reorder"].fn(spark, SF)
+    cbo_plan = df._jdf.queryExecution().optimizedPlan().toString()
+    i_ord = cbo_plan.find("Join Inner, (l_orderkey")
+    i_part = cbo_plan.find("Join Inner, (l_partkey")
+    assert i_ord >= 0 and i_part >= 0, cbo_plan
+    assert i_ord < i_part, f"CBO did not reorder:\n{cbo_plan}"
+
+    # same SQL without CBO (tables + stats still registered): syntax order
+    base = spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM cbo_fact JOIN cbo_mid ON l_orderkey = o_orderkey
+        JOIN cbo_dim ON l_partkey = p_partkey
+        WHERE p_size = 1 GROUP BY 1
+        """
+    )
+    plain = base._jdf.queryExecution().optimizedPlan().toString()
+    j_ord = plain.find("Join Inner, (l_orderkey")
+    j_part = plain.find("Join Inner, (l_partkey")
+    assert j_part >= 0 and j_ord >= 0, plain
+    assert j_part < j_ord, f"baseline unexpectedly reordered:\n{plain}"

@@ -493,3 +493,209 @@ class TestProfilerAndNgrams:
             best = min(per_doc, key=lambda d: (-per_doc[d], d))
             assert row["top_doc"] == best
             assert row["top_tf"] == per_doc[best]
+
+
+class TestKmeansLloyd:
+    def test_matches_numpy_replica(self, spark):
+        import hashlib
+
+        from adb_south_caucasus_etl_spark.operators.clustering import (
+            kmeans_lloyd,
+        )
+
+        emb = Catalog(spark, SF).embeddings
+        got = {
+            r["vec_id"]: (r["cluster_id"], r["dist2"])
+            for r in kmeans_lloyd(
+                emb, "vec_id", "embedding", k=4, iterations=3
+            ).collect()
+        }
+        pdf = emb.toPandas()
+        ids = pdf["vec_id"].to_numpy()
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+
+        def u32(i):
+            return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+        seed_order = sorted(range(len(ids)), key=lambda j: (u32(ids[j]), ids[j]))
+        C = X[seed_order[:4]].copy()
+        assign = None
+        for _ in range(3):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties to smallest cid, same as argmin
+            best = d2[np.arange(len(X)), assign]
+            for c in range(4):
+                if (assign == c).any():
+                    C[c] = X[assign == c].mean(axis=0)
+        for j, vid in enumerate(ids):
+            gc, gd = got[vid]
+            assert gc == assign[j], vid
+            assert gd == pytest.approx(best[j], rel=1e-9)
+
+
+class TestCusumChangepoint:
+    def test_against_pandas_brute_force(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        got = {
+            r["event_type"]: r
+            for r in WORKLOAD["events_cusum_changepoint"].fn(spark, SF).collect()
+        }
+        ev = Catalog(spark, SF).events.select("event_type", "ts").toPandas()
+        ev["hr"] = ev["ts"].dt.floor("h")
+        for etype, grp in ev.groupby("event_type"):
+            x = grp.groupby("hr").size().sort_index()
+            T, S = len(x), int(x.sum())
+            cum = x.cumsum().to_numpy()
+            dev = T * cum - np.arange(1, T + 1) * S
+            mx = int(np.abs(dev).max())
+            cp = x.index[int(np.abs(dev).argmax())]  # argmax → earliest tie
+            r = got[etype]
+            assert r["max_dev"] == mx
+            assert r["cp_hour_us"] == int(cp.value // 1000)
+            assert r["dev_frac"] == pytest.approx(
+                round(mx / (T * S), 6), abs=1e-9
+            )
+
+
+class TestSessionIncrementalMerge:
+    def test_equals_full_sessionization(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        got = sorted(
+            map(
+                tuple,
+                WORKLOAD["session_incremental_merge"]
+                .fn(spark, SF)
+                .collect(),
+            )
+        )
+        ev = (
+            Catalog(spark, SF)
+            .events.select(
+                "user_id", F.unix_micros("ts").alias("us")
+            )
+            .toPandas()
+            .sort_values(["user_id", "us"])
+        )
+        gap = 1_800_000_000
+        expect = []
+        for uid, grp in ev.groupby("user_id"):
+            us = grp["us"].to_numpy()
+            brk = np.concatenate(([True], np.diff(us) > gap))
+            sid = np.cumsum(brk)
+            for s in np.unique(sid):
+                seg = us[sid == s]
+                expect.append((uid, int(seg.min()), int(seg.max()), len(seg)))
+        assert got == sorted(expect)
+
+    def test_merged_sessions_span_the_horizon(self, spark):
+        # at least sanity: output covers every event exactly once
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        pdf = WORKLOAD["session_incremental_merge"].fn(spark, SF).toPandas()
+        n_events = Catalog(spark, SF).events.count()
+        assert int(pdf["n_events"].sum()) == n_events
+
+
+class TestJoinStrategyHints:
+    def test_three_strategies_same_answer(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        pdf = WORKLOAD["join_strategy_hints"].fn(spark, SF).toPandas()
+        pivot = pdf.pivot(
+            index="o_orderpriority", columns="strategy", values="revenue"
+        )
+        assert (pivot["broadcast"] == pivot["merge"]).all()
+        assert (pivot["broadcast"] == pivot["shuffle_hash"]).all()
+
+
+class TestStreamingUnionDedup:
+    def test_event_ids_unique_so_oracle_is_meaningful(self, spark):
+        ev = Catalog(spark, SF).events
+        assert ev.count() == ev.select("event_id").distinct().count()
+
+
+class TestUnicodeNormalize:
+    def test_nfc_and_fold_vectors(self, spark):
+        import unicodedata
+
+        from adb_south_caucasus_etl_spark.functions.unicode_norm import (
+            nfc_normalize,
+            strip_accents,
+        )
+
+        cases = [
+            "café",            # decomposed acute → café
+            "café",             # already composed
+            "Ångström",  # Å + ö decomposed
+            "plain ascii",
+            "Über straße",  # Ü, ß (ß has no accent to strip)
+        ]
+        df = spark.createDataFrame([(c,) for c in cases], "s string")
+        got = {
+            r["s"]: (r["n"], r["f"])
+            for r in df.select(
+                "s",
+                nfc_normalize(F.col("s")).alias("n"),
+                strip_accents(nfc_normalize(F.col("s"))).alias("f"),
+            ).collect()
+        }
+        for c in cases:
+            nfc = unicodedata.normalize("NFC", c)
+            nfd = unicodedata.normalize("NFD", c)
+            fold = unicodedata.normalize(
+                "NFC",
+                "".join(
+                    ch for ch in nfd if unicodedata.category(ch) != "Mn"
+                ),
+            )
+            assert got[c] == (nfc, fold), c
+        assert got["café"][0] == "café"
+        assert got["café"][1] == "cafe"
+
+    def test_duckdb_agrees_on_vectors(self):
+        import unicodedata
+
+        import duckdb
+
+        con = duckdb.connect()
+        for c in ("café", "Ångström", "élève"):
+            d_nfc, d_fold = con.execute(
+                "SELECT nfc_normalize(?), strip_accents(nfc_normalize(?))",
+                [c, c],
+            ).fetchone()
+            assert d_nfc == unicodedata.normalize("NFC", c)
+            nfd = unicodedata.normalize("NFD", c)
+            fold = unicodedata.normalize(
+                "NFC",
+                "".join(
+                    ch for ch in nfd if unicodedata.category(ch) != "Mn"
+                ),
+            )
+            assert d_fold == fold, c
+
+
+class TestOrderedSetAggs:
+    def test_percentiles_match_numpy_order_statistics(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        got = {
+            (r["l_returnflag"], r["l_linestatus"]): r
+            for r in WORKLOAD["sql_ordered_set_aggs"].fn(spark, SF).collect()
+        }
+        pdf = (
+            Catalog(spark, SF)
+            .lineitem.select("l_returnflag", "l_linestatus", "l_quantity")
+            .toPandas()
+        )
+        for key, grp in pdf.groupby(["l_returnflag", "l_linestatus"]):
+            q = np.sort(grp["l_quantity"].to_numpy())
+            r = got[key]
+            assert r["median_qty"] == pytest.approx(
+                np.percentile(q, 50, method="linear")
+            )
+            # percentile_disc(0.9): first value with cum prob >= 0.9
+            disc = q[int(np.ceil(0.9 * len(q))) - 1]
+            assert r["p90_qty_disc"] == disc, key
+            assert r["n"] == len(q)
