@@ -8983,3 +8983,314 @@ def cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             # CBO-reordered plan even after the confs are restored
             df._jdf.queryExecution().optimizedPlan()
     return df
+
+
+# --------------------------------------------------------------------------
+# Round 5, batch 6 (SURVEY §2.T): BM25 ranking, event-pattern matching,
+# time-range window frames, schema-drift union.
+
+
+@register(
+    "text_bm25_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+               AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.tok, tf.doc_id,
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN df ON tf.tok = df.tok
+      CROSS JOIN stats
+      WHERE tf.tok IN ('data', 'spark', 'query')
+    )
+    SELECT tok, rank, doc_id, ROUND(score, 5) AS score FROM (
+      SELECT tok, doc_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tok ORDER BY score DESC, doc_id) AS rank
+      FROM scored) t
+    WHERE rank <= 3
+    """,
+    doc="BM25 ranking (Robertson-Sparck Jones) over the corpus: the "
+        "standard IR relevance scorer, k1=1.2 b=0.75, composed from the "
+        "same linear shuffles as text_inverted_index_stats (tf, dl, df "
+        "aggregations; avgdl is a 1-row broadcast scalar) plus one "
+        "WindowGroupLimit top-3 per query term. All float operands "
+        "reach ln/divide identically in both engines; ln itself may "
+        "differ by 1 ulp cross-engine (same caveat as the A-ES sampler "
+        "log), which round-5 absorbs except at astronomically unlikely "
+        ".000005 boundaries — a flake here is precision, not logic. At "
+        "100 TB, scores attach to posting lists at index-build time; "
+        "query-time top-k reads precomputed per-term postings sorted by "
+        "impact (this query IS that build for three terms)",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.filter(F.col("tok").isin("data", "spark", "query"))
+        .join(dl, "doc_id")
+        .join(df_t, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            "doc_id",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score"),
+        )
+    )
+    return topk_per_group(
+        scored, ["tok"], [F.col("score").desc(), F.col("doc_id").asc()], 3,
+        rank_col="rank",
+    ).select("tok", "rank", "doc_id", F.round("score", 5).alias("score"))
+
+
+@register(
+    "events_pattern_match",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             substr(event_type, 1, 1) AS letter
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, us, letter,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    g AS (
+      SELECT user_id, us, event_id, letter,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+      FROM s
+    ),
+    seqs AS (
+      SELECT user_id, sid,
+             string_agg(letter, '' ORDER BY us, event_id) AS seq
+      FROM g GROUP BY 1, 2
+    ),
+    pats(pattern) AS (VALUES ('%s%p%'), ('%e%'), ('%pp%'))
+    SELECT pattern,
+           CAST(SUM(CASE WHEN seq LIKE pattern THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(SUM(CASE WHEN seq LIKE pattern THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 5) AS match_rate
+    FROM seqs CROSS JOIN pats
+    GROUP BY 1
+    """,
+    doc="complex-event-processing lite: gap-sessionized event streams "
+        "reduced to per-session SYMBOL STRINGS (one letter per event, "
+        "(ts, event_id)-ordered via sorted-struct reassembly — bare "
+        "collect_list would be arrival-ordered), then behavior patterns "
+        "become plain string matching: 'signup then later purchase' is "
+        "seq LIKE '%s%p%', consecutive repeat purchases '%pp%'. The "
+        "MATCH_RECOGNIZE use case without the engine extension — "
+        "pattern evaluation is embarrassingly parallel over sessions, "
+        "and adding a pattern costs zero extra shuffles (patterns are a "
+        "VALUES cross join). Exact oracle: sessionization is integer "
+        "arithmetic, LIKE semantics are engine-identical",
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    gap = 1_800_000_000
+    e = Catalog(spark, sf_dir).events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.substring("event_type", 1, 1).alias("letter"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    brk = (
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > gap),
+            1,
+        ).otherwise(0)
+    )
+    g = e.withColumn("sid", F.sum(brk).over(w_run))
+    seqs = g.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("us", "event_id", "letter"))
+                ),
+                lambda s: s["letter"],
+            ),
+        ).alias("seq")
+    )
+    pats = spark.createDataFrame(
+        [("%s%p%",), ("%e%",), ("%pp%",)], "pattern string"
+    )
+    return (
+        seqs.crossJoin(F.broadcast(pats))
+        .groupBy("pattern")
+        .agg(
+            F.sum(
+                F.when(F.expr("seq LIKE pattern"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matched"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        )
+        .select(
+            "pattern",
+            "n_matched",
+            "n_sessions",
+            F.round(
+                F.col("n_matched") * 1.0 / F.col("n_sessions"), 5
+            ).alias("match_rate"),
+        )
+    )
+
+
+@register(
+    "window_time_range_frame",
+    """
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,6)), 2) AS DOUBLE) AS roll_3d
+    FROM events
+    """,
+    doc="time-RANGE window frame: per-user trailing-72h value sum via "
+        "RANGE BETWEEN 259200 PRECEDING on epoch seconds — the frame is "
+        "defined by VALUE distance, not row count (rows frames answer "
+        "'last N events', range frames answer 'last N hours'; peers at "
+        "the same timestamp enter together by definition, which is why "
+        "no tiebreak is needed for determinism here, unlike every "
+        "row_number in this file). Decimal sums keep the oracle exact. "
+        "One shuffle on user_id; the frame scan is linear per partition "
+        "(Spark maintains a sliding aggregate over the sorted run). "
+        "Contrast events_rolling_7d_distinct, where COUNT DISTINCT "
+        "cannot slide and needs the Generate rewrite",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    # frame distance in exact MICROSECONDS on both sides: DuckDB's
+    # epoch() floors to whole seconds while unix_micros/1e6 keeps the
+    # fraction — mixing the two shifts frame membership at sub-second
+    # boundaries; epoch_us vs unix_micros agree exactly
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-259_200_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        F.unix_micros("ts").cast("bigint").alias("ts_us"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast(
+                "decimal(38,6)"
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("roll_3d"),
+    )
+
+
+@register(
+    "union_schema_drift",
+    """
+    WITH v1 AS (
+      SELECT 'v1' AS src, o_orderkey, o_orderpriority,
+             CAST(NULL AS VARCHAR) AS channel
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT 'v2' AS src, o_orderkey, CAST(NULL AS VARCHAR) AS
+             o_orderpriority,
+             CASE o_orderkey % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'app'
+                  ELSE 'store' END AS channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT src,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_priority,
+           CAST(SUM(CASE WHEN channel IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_channel,
+           CAST(COUNT(DISTINCT channel) AS BIGINT) AS n_channels
+    FROM u GROUP BY 1
+    """,
+    doc="schema-drift union (unionByName allowMissingColumns=True): two "
+        "pipeline versions of the same feed — v2 dropped a column and "
+        "added one — merge by NAME with NULL back/forward-fill, the "
+        "ingest-time reality of any long-lived 100 TB lake (positional "
+        "UNION would silently misalign columns; the by-name merge plus "
+        "the null-count audit quantifies the drift instead). Pure "
+        "Generate-free projection + one aggregation; the oracle spells "
+        "the aligned union explicitly",
+)
+def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    v1 = o.filter(F.pmod(F.col("o_orderkey"), 2) == 0).select(
+        F.lit("v1").alias("src"), "o_orderkey", "o_orderpriority"
+    )
+    v2 = o.filter(F.pmod(F.col("o_orderkey"), 2) == 1).select(
+        F.lit("v2").alias("src"),
+        "o_orderkey",
+        F.when(F.pmod(F.col("o_orderkey"), 3) == 0, "web")
+        .when(F.pmod(F.col("o_orderkey"), 3) == 1, "app")
+        .otherwise("store")
+        .alias("channel"),
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_priority"),
+        F.sum(F.when(F.col("channel").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_channel"),
+        F.countDistinct("channel").cast("bigint").alias("n_channels"),
+    )

@@ -699,3 +699,34 @@ class TestOrderedSetAggs:
             disc = q[int(np.ceil(0.9 * len(q))) - 1]
             assert r["p90_qty_disc"] == disc, key
             assert r["n"] == len(q)
+
+
+class TestBatch6Shapes:
+    def test_bm25_ranked_descending_positive(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        pdf = WORKLOAD["text_bm25_topk"].fn(spark, SF).toPandas()
+        assert set(pdf["tok"]) <= {"data", "spark", "query"}
+        for _, grp in pdf.groupby("tok"):
+            grp = grp.sort_values("rank")
+            assert (grp["score"] > 0).all()
+            assert (grp["score"].diff().dropna() <= 1e-9).all()
+
+    def test_pattern_sessions_consistent(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        pdf = WORKLOAD["events_pattern_match"].fn(spark, SF).toPandas()
+        assert pdf["n_sessions"].nunique() == 1  # same denominator per pattern
+        assert (pdf["n_matched"] <= pdf["n_sessions"]).all()
+
+    def test_union_drift_nulls_partition_cleanly(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        got = {
+            r["src"]: r
+            for r in WORKLOAD["union_schema_drift"].fn(spark, SF).collect()
+        }
+        assert got["v1"]["n_null_channel"] == got["v1"]["n"]
+        assert got["v1"]["n_null_priority"] == 0
+        assert got["v2"]["n_null_priority"] == got["v2"]["n"]
+        assert got["v2"]["n_channels"] == 3
