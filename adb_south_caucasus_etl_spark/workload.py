@@ -9294,3 +9294,269 @@ def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_channel"),
         F.countDistinct("channel").cast("bigint").alias("n_channels"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 5, batch 7 (SURVEY §2.U): sequential recurrences via fold, keyset
+# pagination, robust MAD outliers, foreachBatch multi-sink fan-out.
+
+
+@register(
+    "events_ewma_fold",
+    """
+    WITH ordered AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE)
+                  ORDER BY epoch_us(ts), event_id) AS xs
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_events,
+           ROUND(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
+             AS ewma
+    FROM ordered
+    """,
+    doc="per-key EWMA (alpha=0.25) — a SEQUENTIAL recurrence, the class "
+        "of computation windows cannot express (each state depends on "
+        "the previous state, not on a frame aggregate) and the reason "
+        "people reach for slow per-row UDFs. The scalable spelling: "
+        "collect each key's series time-ordered (deterministic: ORDER "
+        "BY inside the list aggregate / array_sort on a (ts, id, x) "
+        "struct) and FOLD it with a JVM lambda — F.aggregate in Spark, "
+        "list_reduce in DuckDB. Both engines fold left over the "
+        "identical array with identical IEEE ops, so a floating-point "
+        "recurrence becomes hash-exact. State per key is its own "
+        "series: fine for bounded per-key cardinality (user sessions, "
+        "sensor days); for unbounded series, chunk by day and carry "
+        "the boundary EWMA forward (same state-merge shape as "
+        "session_incremental_merge)",
+)
+def events_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    ordered = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("value").cast("double").alias("x"),
+                    )
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("xs")
+    )
+    # fold: acc0 = first element, combine = 0.25*x + 0.75*acc — matches
+    # DuckDB's no-initializer list_reduce exactly
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: 0.25 * x + 0.75 * acc,
+    )
+    return ordered.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
+@register(
+    "page_keyset_pagination",
+    """
+    WITH p1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    ),
+    cursor AS (
+      SELECT o_totalprice AS c_price, o_orderkey AS c_key FROM p1
+      ORDER BY o_totalprice, o_orderkey DESC LIMIT 1
+    )
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders CROSS JOIN cursor
+    WHERE o_totalprice < c_price
+       OR (o_totalprice = c_price AND o_orderkey > c_key)
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    doc="KEYSET pagination (page 2 of the price-ranked order list): the "
+        "cursor is page 1's last (price, key) and page 2 is a pushed-"
+        "down predicate + TakeOrderedAndProject — per-page cost is one "
+        "filtered top-k scan, CONSTANT in page depth. The spelling every "
+        "API layer should use against a 100 TB table: OFFSET pagination "
+        "re-sorts and discards offset+k rows (page 10_000 costs 10_000x "
+        "page 1, and a global ROW_NUMBER spelling is the single-"
+        "partition window the fleet audit bans). The (price, key) "
+        "tiebreak makes the total order unique, so pages are stable "
+        "under concurrent re-runs; plan-asserted TakeOrderedAndProject "
+        "x2 with no SinglePartition exchange... the cursor itself is a "
+        "1-row broadcast",
+)
+def page_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    p1 = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+    cursor = (
+        p1.orderBy(F.col("o_totalprice"), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("c_price"),
+            F.col("o_orderkey").alias("c_key"),
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("o_totalprice") < F.col("c_price"))
+            | (
+                (F.col("o_totalprice") == F.col("c_price"))
+                & (F.col("o_orderkey") > F.col("c_key"))
+            )
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "agg_mad_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY 1
+    ),
+    dev AS (
+      SELECT l.l_returnflag, l_extendedprice, med,
+             abs(l_extendedprice - med) AS ad
+      FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+    ),
+    mad AS (
+      SELECT l_returnflag, quantile_disc(ad, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.l_returnflag,
+           MAX(d.med) AS median_price,
+           MAX(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+    GROUP BY 1
+    """,
+    doc="robust outlier detection via median absolute deviation: "
+        "median and MAD use the TYPE-1 (discrete) quantile, so both "
+        "statistics are exact data values — the whole pipeline stays "
+        "bit-exact and oracle-stampable, which mean/stddev z-scores "
+        "(events_rolling_zscore's approach) cannot be cross-engine and "
+        "interpolated medians would compromise. MAD tolerates 50% "
+        "contamination vs the ~0% of stddev (one 1e9 corrupt price "
+        "moves every z-score; it moves MAD not at all) — the robust "
+        "default for data-quality gates on scraped feeds. Two grouped "
+        "quantiles + two broadcast joins of 3-row frames; the scan "
+        "dominates, as it should",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    li.createOrReplaceTempView("__mad_li")
+    med = spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                 AS med
+        FROM __mad_li GROUP BY 1
+        """
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("ad"),
+    )
+    dev.createOrReplaceTempView("__mad_dev")
+    mad = spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+        FROM __mad_dev GROUP BY 1
+        """
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("med").alias("median_price"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "sink_foreachbatch_fanout",
+    """
+    SELECT 'all' AS sink, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT 'errors', event_type, CAST(COUNT(*) AS BIGINT)
+    FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    """,
+    doc="foreachBatch MULTI-SINK fan-out: one streaming aggregation "
+        "feeding two sinks (the full per-type counts, and an error-only "
+        "slice) from a single pass over the stream — the production "
+        "shape for 'dashboard table + alert table' without running the "
+        "pipeline twice. Each batch OVERWRITES both parquet sinks "
+        "(idempotent: a replayed batch rewrites identical rows, so "
+        "end-to-end exactly-once needs no transactional sink; the "
+        "checkpoint tracks the committed batch). With the availableNow "
+        "one-batch replay the sinks equal the batch aggregates — the "
+        "oracle; both sinks are read back and tagged",
+)
+def sink_foreachbatch_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from .streaming.wrappers import read_events_stream
+
+    base = _scratch_dir("fanout", sf_dir)
+    p_all = _os.path.join(base, "all")
+    p_err = _os.path.join(base, "errors")
+    ckpt = _os.path.join(base, "ckpt")
+
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+    def fanout(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("overwrite").parquet(p_all)
+            batch_df.filter(F.col("event_type") == "error").write.mode(
+                "overwrite"
+            ).parquet(p_err)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(fanout)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    a = spark.read.parquet(p_all).select(
+        F.lit("all").alias("sink"), "event_type", "n"
+    )
+    e = spark.read.parquet(p_err).select(
+        F.lit("errors").alias("sink"), "event_type", "n"
+    )
+    return a.unionByName(e)

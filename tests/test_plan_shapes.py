@@ -462,3 +462,13 @@ def test_cbo_statistics_reorder_joins(spark):
     j_part = plain.find("Join Inner, (l_partkey")
     assert j_part >= 0 and j_ord >= 0, plain
     assert j_part < j_ord, f"baseline unexpectedly reordered:\n{plain}"
+
+
+def test_keyset_pagination_take_ordered_no_global_window(spark):
+    """page_keyset_pagination: both pages must plan as
+    TakeOrderedAndProject with the cursor as a broadcast — never a
+    global ROW_NUMBER (single-partition window) or a full sort."""
+    plan = _final_plan(WORKLOAD["page_keyset_pagination"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan

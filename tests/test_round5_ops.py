@@ -730,3 +730,72 @@ class TestBatch6Shapes:
         assert got["v1"]["n_null_priority"] == 0
         assert got["v2"]["n_null_priority"] == got["v2"]["n"]
         assert got["v2"]["n_channels"] == 3
+
+
+class TestBatch7:
+    def test_ewma_matches_python_fold(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        got = {
+            r["user_id"]: r["ewma"]
+            for r in WORKLOAD["events_ewma_fold"].fn(spark, SF).collect()
+        }
+        ev = (
+            Catalog(spark, SF)
+            .events.select(
+                "user_id",
+                F.unix_micros("ts").alias("us"),
+                "event_id",
+                F.col("value").cast("double").alias("x"),
+            )
+            .toPandas()
+            .sort_values(["user_id", "us", "event_id"])
+        )
+        for uid, grp in ev.groupby("user_id"):
+            xs = grp["x"].tolist()
+            acc = xs[0]
+            for x in xs[1:]:
+                acc = 0.25 * x + 0.75 * acc
+            assert got[uid] == round(acc, 6), uid
+
+    def test_keyset_page2_is_rows_21_to_40(self, spark):
+        from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+        page2 = [
+            (r["o_orderkey"], r["o_totalprice"])
+            for r in WORKLOAD["page_keyset_pagination"].fn(spark, SF).collect()
+        ]
+        full = (
+            Catalog(spark, SF)
+            .orders.select("o_orderkey", "o_totalprice")
+            .toPandas()
+            .sort_values(
+                ["o_totalprice", "o_orderkey"], ascending=[False, True]
+            )
+        )
+        expect = list(
+            map(tuple, full.iloc[20:40][["o_orderkey", "o_totalprice"]].values)
+        )
+        assert [(int(k), v) for k, v in page2] == [
+            (int(k), v) for k, v in expect
+        ]
+
+    def test_mad_robust_to_planted_outlier(self, spark):
+        from adb_south_caucasus_etl_spark.operators import curation  # noqa: F401
+        import pandas as pd  # noqa: F811
+
+        base = [(1, float(v)) for v in range(100, 200)]
+        spiked = base + [(1, 1e9)]
+        df = spark.createDataFrame(spiked, "g int, x double")
+        df.createOrReplaceTempView("__mad_t")
+        med, mad = spark.sql(
+            """
+            SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x),
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(x - m))
+            FROM __mad_t CROSS JOIN (
+              SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS m
+              FROM __mad_t) s
+            """
+        ).collect()[0]
+        assert med == 150.0  # unmoved by the 1e9 spike
+        assert mad <= 26  # stddev would be ~1e8
