@@ -9560,3 +9560,249 @@ def sink_foreachbatch_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("errors").alias("sink"), "event_type", "n"
     )
     return a.unionByName(e)
+
+
+# --------------------------------------------------------------------------
+# Round 5, batch 8 (SURVEY §2.V): operator composition — entity
+# canonicalization (fuzzy ER -> connected components) and exact
+# distributed Kaplan-Meier survival curves.
+
+
+@register(
+    "er_entity_canonicalize",
+    """
+    WITH messy AS (
+      SELECT s_suppkey + 1000000 AS mkey,
+             substr(s_name, 1, 9 + s_suppkey % 4)
+               || substr(s_name, 11 + s_suppkey % 4) AS typo
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey + 2000000,
+             substr(s_name, 1, 10 + s_suppkey % 3)
+               || substr(s_name, 12 + s_suppkey % 3)
+      FROM supplier
+    ),
+    blocked AS (
+      SELECT m.mkey, c.s_suppkey AS ckey, c.s_name AS cand,
+             levenshtein(m.typo, c.s_name) AS d
+      FROM messy m JOIN supplier c
+        ON substr(m.typo, -3, 3) = substr(c.s_name, -3, 3)
+      WHERE levenshtein(m.typo, c.s_name) <= 2
+    ),
+    best AS (
+      SELECT mkey, ckey, d,
+             ROW_NUMBER() OVER (PARTITION BY mkey ORDER BY d, cand) AS rn
+      FROM blocked
+    )
+    SELECT CAST(ckey AS BIGINT) AS entity_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_members,
+           CAST(MIN(mkey) AS BIGINT) AS min_variant_key
+    FROM best WHERE rn = 1
+    GROUP BY ckey
+    """,
+    doc="entity canonicalization PIPELINE — the composition pattern: two "
+        "deterministic typo variants per supplier are resolved against "
+        "the canonical list with fuzzy_match (suffix blocking + "
+        "levenshtein + best-match), the (variant, match) pairs become "
+        "edges, connected_components_star assigns every node its "
+        "component-minimum label, and entities report their member "
+        "counts. On this star-shaped edge set the oracle can close "
+        "components directly (each variant has exactly one best match, "
+        "so components are stars around canonicals and min-label = "
+        "canonical key); the ENGINE runs the general CC — the same "
+        "composition handles variant-variant chains, multi-source "
+        "record linkage, and cross-feed merges where no closed form "
+        "exists. Blocking keeps ER linear; star contraction keeps CC "
+        "diameter-free — the two scale disciplines compose untouched",
+)
+def er_entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components_star
+    from .operators.fuzzy import fuzzy_match
+
+    supp = Catalog(spark, sf_dir).supplier
+
+    def variants(offset: int, base: int, span: int) -> DataFrame:
+        p = F.lit(base + 1) + F.col("s_suppkey") % span
+        return supp.select(
+            (F.col("s_suppkey") + offset).alias("mkey"),
+            F.concat(
+                F.substring(
+                    F.col("s_name"),
+                    1,
+                    (F.lit(base) + (F.col("s_suppkey") % span)).cast("int"),
+                ),
+                F.col("s_name").substr(p + 1, F.length("s_name")),
+            ).alias("typo"),
+        )
+
+    messy = variants(1_000_000, 9, 4).unionByName(variants(2_000_000, 10, 3))
+    matched = fuzzy_match(
+        messy, supp, messy_id="mkey", messy_col="typo",
+        canon_col="s_name", max_dist=2,
+    )
+    name_to_key = supp.select(
+        F.col("s_name").alias("matched"), F.col("s_suppkey").alias("ckey")
+    )
+    edges = matched.join(F.broadcast(name_to_key), "matched").select(
+        F.col("mkey").alias("id_a"), F.col("ckey").alias("id_b")
+    )
+    cc = connected_components_star(edges, "id_a", "id_b")
+    return (
+        cc.groupBy(F.col("label").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min(F.when(F.col("node") >= 1_000_000, F.col("node")))
+            .cast("bigint")
+            .alias("min_variant_key"),
+        )
+        .select(
+            F.col("entity_id").cast("bigint").alias("entity_id"),
+            "n_members",
+            "min_variant_key",
+        )
+    )
+
+
+@register(
+    "events_kaplan_meier",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    h AS (SELECT MAX(us) AS horizon FROM e),
+    s AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    g AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             CAST(floor((MAX(us) - MIN(us)) / 60000000) AS INT) AS t_min,
+             MAX(us) AS end_us
+      FROM g GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT t_min,
+             CASE WHEN end_us < horizon - 1800000000 THEN 1 ELSE 0 END
+               AS closed
+      FROM sess CROSS JOIN h
+    ),
+    agg AS (
+      SELECT t_min, SUM(closed) AS d, COUNT(*) AS c FROM obs GROUP BY 1
+    ),
+    km AS (
+      SELECT t_min, d,
+             SUM(c) OVER (ORDER BY t_min DESC) AS n_at_risk
+      FROM agg
+    ),
+    factors AS (
+      SELECT list(CAST(n_at_risk - d AS DOUBLE) / n_at_risk
+                  ORDER BY t_min) AS fs
+      FROM km WHERE d > 0
+    ),
+    curve AS (
+      SELECT t_min, d, n_at_risk,
+             ROW_NUMBER() OVER (ORDER BY t_min) AS didx
+      FROM km WHERE d > 0
+    )
+    SELECT CAST(t_min AS INT) AS t_min,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d,
+           list_reduce(list_slice(fs, 1, didx), (a, b) -> a * b)
+             AS survival
+    FROM curve CROSS JOIN factors
+    """,
+    doc="EXACT distributed Kaplan-Meier survival curve over SESSION "
+        "durations (a session whose end is within one gap of the "
+        "horizon is right-censored — it could still grow): "
+        "S(t) = prod over event times <= t of (1 - d_i/n_i). The "
+        "cumulative PRODUCT is the trap — exp(sum(ln)) drifts "
+        "cross-engine, so the curve uses the prefix-FOLD trick from "
+        "events_ewma_fold: the ordered factor array has one entry per "
+        "distinct closed-session duration, each curve point left-folds "
+        "its prefix, and both engines multiply identical doubles in "
+        "identical order — survival probabilities hash-match to the "
+        "last bit. n_at_risk is a DESCENDING cumulative count "
+        "(sessions lasting >= t), the one place a reversed window is "
+        "exactly right; these curve-grain windows are single-partition "
+        "by construction and bounded by distinct durations, not data "
+        "size. Heavy lifting is sessionization — linear, per-user "
+        "partitioned",
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    gap = 1_800_000_000
+    e = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    brk = (
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > gap),
+            1,
+        ).otherwise(0)
+    )
+    sess = (
+        e.withColumn("sid", F.sum(brk).over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.floor((F.max("us") - F.min("us")) / F.lit(60_000_000))
+            .cast("int")
+            .alias("t_min"),
+            F.max("us").alias("end_us"),
+        )
+    )
+    h = e.agg(F.max("us").alias("horizon"))
+    obs = sess.crossJoin(F.broadcast(h)).select(
+        "t_min",
+        F.when(F.col("end_us") < F.col("horizon") - gap, 1)
+        .otherwise(0)
+        .alias("closed"),
+    )
+    agg = obs.groupBy("t_min").agg(
+        F.sum("closed").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_desc = (
+        Window.orderBy(F.col("t_min").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    km = agg.select(
+        "t_min", "d", F.sum("c").over(w_desc).alias("n_at_risk")
+    ).filter(F.col("d") > 0)
+    curve = km.withColumn(
+        "didx", F.row_number().over(Window.orderBy("t_min"))
+    )
+    # deterministic factor order: collect (t, f) structs, array_sort by t
+    # (bare collect_list is arrival-ordered)
+    factors = curve.agg(
+        F.collect_list(F.struct("t_min", (
+            (F.col("n_at_risk") - F.col("d")).cast("double")
+            / F.col("n_at_risk")
+        ).alias("f"))).alias("tf"),
+    ).select(
+        F.transform(F.array_sort("tf"), lambda s: s["f"]).alias("fs")
+    )
+    return curve.crossJoin(F.broadcast(factors)).select(
+        F.col("t_min").cast("int").alias("t_min"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("d"),
+        F.aggregate(
+            F.slice(F.col("fs"), 1, F.col("didx")),
+            F.lit(1.0),
+            lambda a, b: a * b,
+        ).alias("survival"),
+    )
