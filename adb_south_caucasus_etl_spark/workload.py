@@ -9806,3 +9806,87 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a * b,
         ).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 5, batch 9 (SURVEY §2.W): update-mode streaming semantics and
+# nested-struct schema pruning.
+
+
+@register(
+    "streaming_update_mode_live",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="UPDATE output mode — the third and last streaming output "
+        "semantics (append emits finalized rows once, complete rewrites "
+        "everything, UPDATE emits only the keys whose aggregate CHANGED "
+        "in each micro-batch — the mode for high-cardinality live "
+        "dashboards where complete-mode rewrite is unaffordable). The "
+        "memory sink accumulates one row per (key, change); the final "
+        "value per key is the row with the maximal count — counts only "
+        "grow, so max(n) per key equals the batch aggregate, which is "
+        "the oracle. With the availableNow one-batch replay each key "
+        "updates exactly once; the semantics generalize unchanged to "
+        "multi-batch live runs (tests/test_streaming.py exercises "
+        "multi-batch update sequences elsewhere)",
+)
+def streaming_update_mode_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wrappers import read_events_stream, run_to_memory
+
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    out = run_to_memory(spark, agg, "update_mode_live", mode="update")
+    return out.groupBy("event_type").agg(F.max("n").alias("n"))
+
+
+@register(
+    "nested_schema_pruning",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM (
+      SELECT lang, octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents
+    ) GROUP BY 1
+    """,
+    doc="NESTED schema pruning: documents are rewritten as parquet with "
+        "payload and a meta STRUCT (mime, n_bytes, lang); the query "
+        "touches only meta.lang and meta.n_bytes, and Catalyst prunes "
+        "the scan to exactly those two struct FIELDS — the ReadSchema "
+        "shows struct<meta:struct<lang,n_bytes>> with neither the blob "
+        "payload nor meta.mime read from disk (plan-asserted in "
+        "test_plan_shapes.py). Column pruning inside nested types is "
+        "what makes wide multimodal schemas (payload blobs + metadata "
+        "structs, operators/multimodal.py) cheap to query at 100 TB: "
+        "metadata-only scans never pay for the blobs they skip. Oracle "
+        "recomputes the struct fields from their source columns",
+)
+def nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    out = _os.path.join(_scratch_dir("nested", sf_dir), "docs_nested")
+    docs = Catalog(spark, sf_dir).documents
+    nested = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.encode(F.col("text"), "utf-8")).alias(
+                "n_bytes"
+            ),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+    nested.write.mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("meta.lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("meta.n_bytes").cast("bigint").alias("total_bytes"),
+    )

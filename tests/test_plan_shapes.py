@@ -472,3 +472,17 @@ def test_keyset_pagination_take_ordered_no_global_window(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_nested_schema_pruning_reads_only_touched_fields(spark):
+    """nested_schema_pruning: the parquet scan's ReadSchema must contain
+    ONLY meta.lang and meta.n_bytes — not the payload blob, not
+    meta.mime. Nested pruning is what makes metadata-only scans of
+    multimodal tables cheap."""
+    plan = _final_plan(WORKLOAD["nested_schema_pruning"].fn(spark, SF))
+    scan = [ln for ln in plan.splitlines() if "docs_nested" in ln and "ReadSchema" in ln]
+    assert scan, plan
+    rs = scan[0].split("ReadSchema:")[1]
+    assert "lang" in rs and "n_bytes" in rs, rs
+    assert "payload" not in rs, rs
+    assert "mime" not in rs, rs
