@@ -9890,3 +9890,214 @@ def nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("meta.n_bytes").cast("bigint").alias("total_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 5, batch 10 (SURVEY §2.X): Arrow grouped-map, pandas API on Spark,
+# SQL scripting, explicit cache reuse.
+
+
+@register(
+    "arrow_grouped_lang_stats",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="applyInArrow grouped-map (SPARK-40307): the function receives "
+        "each group as a raw pyarrow Table and returns a pyarrow Table — "
+        "no pandas materialization on either side, completing the "
+        "GROUPED half of the Arrow-native surface the way mapInArrow "
+        "completed the ungrouped half (embedding_quantize_int8). "
+        "pyarrow.compute kernels (sum/max) run vectorized C++ over the "
+        "group's columnar buffers; integer aggregates make the oracle "
+        "exact. Use over applyInPandas when the group logic is "
+        "expressible in Arrow kernels — it skips the Arrow->pandas copy "
+        "that dominates small-group workloads; the plan shows "
+        "FlatMapGroupsInArrow, Arrow-audit-clean",
+)
+def arrow_grouped_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa  # noqa: PLC0415
+
+    docs = Catalog(spark, sf_dir).documents.select("lang", "n_chars")
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": pa.array(
+                    [table.column("lang")[0].as_py()], type=pa.string()
+                ),
+                "n_docs": pa.array([table.num_rows], type=pa.int64()),
+                "total_chars": pa.array(
+                    [pc.sum(table.column("n_chars")).as_py()],
+                    type=pa.int64(),
+                ),
+                "max_chars": pa.array(
+                    [pc.max(table.column("n_chars")).as_py()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return docs.groupBy("lang").applyInArrow(
+        stats,
+        schema="lang string, n_docs bigint, total_chars bigint, "
+        "max_chars bigint",
+    )
+
+
+@register(
+    "ps_pandas_api_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY 1
+    """,
+    doc="pandas API on Spark (pyspark.pandas): the same engine driven "
+        "through the pandas idiom — groupby/agg on a ps.DataFrame plans "
+        "the identical Catalyst aggregation (pandas users keep their "
+        "muscle memory, the cluster keeps the optimizer). The decimal "
+        "cast happens in the Spark domain BEFORE entering the pandas "
+        "API, so the sum stays exact and order-independent through the "
+        "ps layer — the same discipline every native query here "
+        "follows; counts and max are exact by nature. The ps frame "
+        "converts back with to_spark(), so downstream operators "
+        "compose regardless of which API authored the frame",
+)
+def ps_pandas_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pandas as pps  # noqa: PLC0415
+
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        "o_totalprice",
+    )
+    pdf = o.pandas_api()
+    agg = pdf.groupby("o_orderpriority").agg(
+        n_orders=("o_totalprice", "count"),
+        total_price=("price_dec", "sum"),
+        max_price=("o_totalprice", "max"),
+    )
+    out = agg.reset_index().to_spark()
+    return out.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total_price").cast("double").alias("total_price"),
+        "max_price",
+    )
+
+
+@register(
+    "sql_scripting_threshold",
+    """
+    WITH p AS (
+      SELECT quantile_disc(o_totalprice, 0.9) AS thr FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_above,
+           MAX(thr) AS threshold,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_above
+    FROM orders CROSS JOIN p WHERE o_totalprice > thr
+    """,
+    doc="SQL scripting (Spark 4 BEGIN...END): DECLARE a session "
+        "variable, SET it from a query (the p90 price via "
+        "percentile_disc — exact type-1, so the script is oracle-"
+        "stampable), then use it in the final statement — the stored-"
+        "procedure idiom warehouse analysts port in, without a "
+        "procedure catalog. The variable is evaluated ONCE and "
+        "constant-folded into the consuming query's plan (vs the CTE "
+        "spelling, where Catalyst reuses the subquery result): "
+        "scripting is control flow, not a new execution engine — every "
+        "statement inside still plans through Catalyst unchanged",
+)
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).orders.createOrReplaceTempView("__script_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 0;
+          SET thr = (
+            SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+            FROM __script_orders
+          );
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_above,
+                 thr AS threshold,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_above
+          FROM __script_orders WHERE o_totalprice > thr;
+        END
+        """
+    )
+
+
+@register(
+    "sql_cache_table_reuse",
+    """
+    WITH f AS (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT 'by_priority' AS grain, o_orderpriority AS key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM f GROUP BY 2
+    UNION ALL
+    SELECT 'by_band', CAST(CAST(floor(o_totalprice / 100000) AS INT)
+                           AS VARCHAR),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM f GROUP BY 2
+    """,
+    doc="explicit CACHE TABLE reuse: a filtered slice is cached once and "
+        "aggregated twice at different grains — both branches plan 'Scan "
+        "In-memory table' (plan-asserted) instead of re-reading and "
+        "re-filtering parquet. Caching is the MANUAL sibling of AQE's "
+        "ReusedExchange (which only fires when the reused subtree is "
+        "byte-identical; here the two consumers differ, so only an "
+        "explicit cache deduplicates the scan). At 100 TB cache the "
+        "REDUCED slice, never the raw scan — memory-and-disk storage "
+        "level spills gracefully. The cache must OUTLIVE this function "
+        "(the returned plan reads it at execution time), so re-caching "
+        "the same named slice idempotently replaces it — bounded at "
+        "one small filtered slice per scale factor; UNCACHE belongs to "
+        "the session teardown in a long-lived service",
+)
+def sql_cache_table_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    sliced = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    sliced.createOrReplaceTempView("__cached_slice")
+    spark.sql("CACHE TABLE __cached_slice")
+
+    def agg(keyed: DataFrame, grain: str) -> DataFrame:
+        return keyed.groupBy("key").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        ).select(F.lit(grain).alias("grain"), "key", "n", "total")
+
+    base = spark.table("__cached_slice")
+    by_prio = agg(
+        base.select(F.col("o_orderpriority").alias("key"), "o_totalprice"),
+        "by_priority",
+    )
+    by_band = agg(
+        base.select(
+            F.floor(F.col("o_totalprice") / 100000)
+            .cast("int")
+            .cast("string")
+            .alias("key"),
+            "o_totalprice",
+        ),
+        "by_band",
+    )
+    return by_prio.unionByName(by_band)

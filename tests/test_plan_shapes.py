@@ -486,3 +486,15 @@ def test_nested_schema_pruning_reads_only_touched_fields(spark):
     assert "lang" in rs and "n_bytes" in rs, rs
     assert "payload" not in rs, rs
     assert "mime" not in rs, rs
+
+
+def test_cache_table_reuse_scans_memory_not_parquet_twice(spark):
+    """sql_cache_table_reuse: both aggregation branches must read the
+    cached slice ('Scan In-memory table'), and the orders parquet must
+    be scanned at most once (the cache fill) — explicit caching is the
+    manual ReusedExchange for non-identical consumers."""
+    plan = _final_plan(WORKLOAD["sql_cache_table_reuse"].fn(spark, SF))
+    assert plan.count("Scan In-memory table __cached_slice") >= 2, plan
+    # every parquet mention must sit inside an InMemoryRelation's echoed
+    # cache-definition plan — no LIVE FileScan outside a cache block
+    assert plan.count("orders.parquet") == plan.count("InMemoryRelation"), plan
