@@ -358,3 +358,76 @@ def extract_image_metadata(
             )
 
     return df.mapInPandas(op, schema=IMAGE_META_SCHEMA)
+
+
+#: output schema of extract_pcm_features
+PCM_FEATURE_SCHEMA = (
+    "vec_id bigint, n_samples int, rms double, n_zero_cross int, peak int"
+)
+
+
+def pack_pcm16(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Synthesize little-endian int16 PCM payloads from an embedding
+    column (sample_i = half-away-from-zero round of component_i * 1000 —
+    the same explicit rounding as the int8 quantizer, so SQL ROUND
+    reproduces every sample). Stands in for a real audio decode the way
+    encode_png_gray8 stands in for an image corpus: the BYTES are real
+    PCM any audio tool can read."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for v in pdf[vec_col]:
+                x = np.asarray(v, dtype=np.float64) * 1000.0
+                s = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("<i2")
+                payloads.append(s.tobytes())
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.mapInPandas(op, schema="vec_id bigint, payload binary")
+
+
+def extract_pcm_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "vec_id"
+) -> DataFrame:
+    """Audio feature extraction over raw PCM bytes via ``mapInPandas``:
+    ``np.frombuffer`` views each payload as int16 samples (zero-copy),
+    then vectorized numpy computes RMS energy, zero-crossing count, and
+    peak amplitude — the waveform-grain features an audio-curation
+    pipeline filters on (silence/clipping detection) before any codec or
+    model runs. Integer sums + IEEE-correctly-rounded sqrt make RMS
+    exactly reproducible cross-engine (unlike ln/exp, sqrt is exact per
+    IEEE 754 — the reason RMS can be hash-stamped while perplexities
+    cannot). Odd-length payloads classify as invalid (-1 features)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rms, zc, pk = [], [], [], [], []
+            for vid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(vid)
+                if payload is None or len(payload) % 2:
+                    ns.append(-1)
+                    rms.append(-1.0)
+                    zc.append(-1)
+                    pk.append(-1)
+                    continue
+                s = np.frombuffer(payload, dtype="<i2").astype(np.int64)
+                n = len(s)
+                ns.append(n)
+                rms.append(
+                    float(np.sqrt((s * s).sum() / n)) if n else 0.0
+                )
+                zc.append(int((s[:-1] * s[1:] < 0).sum()) if n > 1 else 0)
+                pk.append(int(np.abs(s).max()) if n else 0)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                    "n_zero_cross": pd.Series(zc, dtype="int32"),
+                    "peak": pd.Series(pk, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(op, schema=PCM_FEATURE_SCHEMA)

@@ -10101,3 +10101,206 @@ def sql_cache_table_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "by_band",
     )
     return by_prio.unionByName(by_band)
+
+
+# --------------------------------------------------------------------------
+# Round 5, batch 11 (SURVEY §2.Y): PCM audio features and BPE vocabulary
+# learning.
+
+
+@register(
+    "multimodal_pcm_features",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS s
+      FROM embeddings
+    ),
+    rows_ AS (
+      SELECT vec_id, generate_subscripts(s, 1) AS pos, unnest(s) AS v
+      FROM q
+    ),
+    z AS (
+      SELECT vec_id, v,
+             LAG(v) OVER (PARTITION BY vec_id ORDER BY pos) AS pv
+      FROM rows_
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                         THEN 1 ELSE 0 END) AS INT) AS n_zero_cross,
+           CAST(MAX(abs(v)) AS INT) AS peak
+    FROM z GROUP BY 1
+    """,
+    doc="audio-grain multimodal decode (operators/multimodal.py): "
+        "embeddings are packed into REAL little-endian int16 PCM "
+        "payloads (sample = half-away round of component x 1000 — any "
+        "audio tool can read the bytes), then extract_pcm_features "
+        "parses them back with a zero-copy np.frombuffer view and "
+        "computes RMS energy, zero-crossing count, and peak amplitude — "
+        "the silence/clipping features an audio-curation pipeline "
+        "filters on before any codec runs. The oracle recomputes every "
+        "sample from the embedding definition, so the stamp certifies "
+        "the full pack->parse roundtrip byte-for-byte; RMS is hash-"
+        "exact because integer square sums are exact and IEEE sqrt is "
+        "CORRECTLY ROUNDED (identical in both engines — the reason RMS "
+        "stamps while ln-based scores need rounding caveats). Odd-"
+        "length payloads classify as invalid rows, never task failures",
+)
+def multimodal_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_pcm_features, pack_pcm16
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return extract_pcm_features(pack_pcm16(emb))
+
+
+@register(
+    "text_bpe_learn_merges",
+    r"""
+    WITH s0 AS (
+      SELECT doc_id,
+             regexp_replace(replace(lower(text), ' ', '_'),
+                            '(.)', '·\1', 'g') AS seq
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    p0 AS (
+      SELECT t1, t2, COUNT(*) AS n FROM (
+        SELECT doc_id, tok AS t1,
+               LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM (SELECT doc_id, generate_subscripts(l, 1) AS pos,
+                     unnest(l) AS tok
+              FROM (SELECT doc_id,
+                           list_filter(string_split(seq, '·'),
+                                       x -> x <> '') AS l
+                    FROM s0) a) b
+      ) c WHERE t2 IS NOT NULL GROUP BY 1, 2
+    ),
+    b0 AS (SELECT t1, t2, n FROM p0 ORDER BY n DESC, t1, t2 LIMIT 1),
+    s1 AS (
+      SELECT doc_id,
+             replace(seq, '·' || b0.t1 || '·' || b0.t2,
+                     '·' || b0.t1 || b0.t2) AS seq
+      FROM s0 CROSS JOIN b0
+    ),
+    p1 AS (
+      SELECT t1, t2, COUNT(*) AS n FROM (
+        SELECT doc_id, tok AS t1,
+               LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM (SELECT doc_id, generate_subscripts(l, 1) AS pos,
+                     unnest(l) AS tok
+              FROM (SELECT doc_id,
+                           list_filter(string_split(seq, '·'),
+                                       x -> x <> '') AS l
+                    FROM s1) a) b
+      ) c WHERE t2 IS NOT NULL GROUP BY 1, 2
+    ),
+    b1 AS (SELECT t1, t2, n FROM p1 ORDER BY n DESC, t1, t2 LIMIT 1),
+    s2 AS (
+      SELECT doc_id,
+             replace(seq, '·' || b1.t1 || '·' || b1.t2,
+                     '·' || b1.t1 || b1.t2) AS seq
+      FROM s1 CROSS JOIN b1
+    ),
+    p2 AS (
+      SELECT t1, t2, COUNT(*) AS n FROM (
+        SELECT doc_id, tok AS t1,
+               LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM (SELECT doc_id, generate_subscripts(l, 1) AS pos,
+                     unnest(l) AS tok
+              FROM (SELECT doc_id,
+                           list_filter(string_split(seq, '·'),
+                                       x -> x <> '') AS l
+                    FROM s2) a) b
+      ) c WHERE t2 IS NOT NULL GROUP BY 1, 2
+    ),
+    b2 AS (SELECT t1, t2, n FROM p2 ORDER BY n DESC, t1, t2 LIMIT 1)
+    SELECT 1 AS step, t1 || '+' || t2 AS merge_pair, CAST(n AS BIGINT) AS n
+    FROM b0
+    UNION ALL
+    SELECT 2, t1 || '+' || t2, CAST(n AS BIGINT) FROM b1
+    UNION ALL
+    SELECT 3, t1 || '+' || t2, CAST(n AS BIGINT) FROM b2
+    """,
+    doc="BPE vocabulary LEARNING (Sennrich et al., ACL 2016), three "
+        "merge steps, fully distributed and exactly reproducible: the "
+        "corpus is char-tokenized with a prefix marker before every "
+        "token (prefix — not separator — markers make the literal "
+        "string replace boundary-safe: a pair pattern cannot match "
+        "inside a longer token, and consecutive occurrences share no "
+        "delimiter, so left-to-right replace semantics agree between "
+        "engines); each step counts adjacent pairs (lead window per "
+        "doc, combiner-friendly count), elects the most frequent pair "
+        "(count desc, pair asc — deterministic), and rewrites the "
+        "corpus in one JVM string replace. The elected merge is a "
+        "1-row broadcast, so the whole 3-step loop is ONE lazy plan — "
+        "no driver collect between iterations. The oracle unrolls the "
+        "identical three stages; at 100 TB this is the tokenizer-"
+        "training shuffle shape (pair counting dominates; the rewrite "
+        "is a linear map)",
+)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    cur = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.replace(F.lower(F.col("text")), F.lit(" "), F.lit("_")),
+            "(.)",
+            "·$1",
+        ).alias("seq"),
+    )
+
+    def best_pair(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split("seq", "·"), lambda x: x != "")
+            ).alias("pos", "tok"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        pairs = (
+            toks.withColumn("nxt", F.lead("tok").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("t1"), F.col("nxt").alias("t2"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return pairs.orderBy(
+            F.col("n").desc(), F.col("t1"), F.col("t2")
+        ).limit(1)
+
+    merges = []
+    for step in (1, 2, 3):
+        b = best_pair(cur)
+        merges.append(
+            b.select(
+                F.lit(step).alias("step"),
+                F.concat(F.col("t1"), F.lit("+"), F.col("t2")).alias(
+                    "merge_pair"
+                ),
+                F.col("n").cast("bigint").alias("n"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(b))
+            .withColumn(
+                "seq",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(
+                        F.lit("·"), F.col("t1"), F.lit("·"), F.col("t2")
+                    ),
+                    F.concat(F.lit("·"), F.col("t1"), F.col("t2")),
+                ),
+            )
+            .select("doc_id", "seq")
+        )
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
