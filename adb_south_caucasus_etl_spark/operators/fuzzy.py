@@ -57,3 +57,65 @@ def fuzzy_match(
             F.col("__d").alias("distance"),
         )
     )
+
+
+def editdist_self_join(
+    words: DataFrame,
+    word_col: str = "w",
+    max_dist: int = 1,
+    short_len: int = 3,
+) -> DataFrame:
+    """All UNORDERED pairs of distinct words within ``max_dist`` edits
+    (currently proven sound only for ``max_dist=1``), without a cross
+    join.
+
+    Blocking is a SOUND candidate filter for one edit: a single
+    substitution destroys at most 2 of a word's ``len-1`` bigrams, and a
+    single indel at most 1, so any pair of words of length >= 4 (or a
+    3/4-length indel pair) within one edit still SHARES at least one
+    character bigram — those pairs meet in a bigram block. The only pairs
+    the bigram argument cannot cover are both-short words (a substitution
+    on a length-3 word can destroy both its bigrams), so words of length
+    <= ``short_len`` additionally land in one dedicated SHORT block.
+    Candidates meet in >= 1 block, are deduped, and verified with the
+    exact ``levenshtein``.
+
+    Scale: an equi-join on block keys — candidate volume is sum of
+    squared block sizes, linear for natural vocabularies (bigram df is
+    zipfian but bounded); a stop-bigram cap like dedup.py's max_df
+    applies verbatim if a corpus has a degenerate hot bigram.
+
+    Returns ``(w1, w2, dist)`` with ``w1 < w2``.
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "bigram+short blocking is proven sound for max_dist=1 only"
+        )
+    w = (
+        words.select(F.col(word_col).alias("w"))
+        .filter(F.col("w").isNotNull() & (F.length("w") > 0))
+        .distinct()
+    )
+    bigram_blocks = w.select(
+        "w",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(w) - 1, 1)),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("blk"),
+    ).distinct()
+    short_blocks = w.filter(F.length("w") <= short_len).select(
+        "w", F.lit("#SHORT").alias("blk")
+    )
+    blocks = bigram_blocks.unionByName(short_blocks)
+    lhs = blocks.select(F.col("w").alias("w1"), "blk")
+    rhs = blocks.select(F.col("w").alias("w2"), "blk")
+    return (
+        lhs.join(rhs, "blk")
+        .filter(F.col("w1") < F.col("w2"))
+        .select("w1", "w2")
+        .distinct()
+        .withColumn("dist", F.levenshtein("w1", "w2").cast("int"))
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -1,0 +1,183 @@
+"""Distributed graph analytics on DataFrames (SURVEY §2.Z Z1–Z2).
+
+Two classic large-graph kernels re-expressed as pure equi-join/agg plans,
+both ENGINE-EXACT (bit-identical to an independent SQL oracle) by keeping
+every intermediate an integer:
+
+- :func:`pagerank_integer` — PageRank with INTEGER mass. Real PageRank is a
+  float fixpoint whose summation order no two engines share; here each node
+  starts with a large integer mass and every step sends ``mass div out_deg``
+  to each out-neighbor, damps with ``(d_num * in_mass) div d_den``, and adds
+  an integer teleport base. ``div`` (floor division on non-negative ints) is
+  deterministic in every engine, so a fixed-iteration run hash-matches an
+  external oracle EXACTLY — a property float PageRank cannot have. The
+  ranking it induces converges to float PageRank's as mass0 grows (mass0 =
+  1e12 ⇒ relative quantization error ~1e-9 per step). Dangling-node mass is
+  dropped (documented simplification, standard in MapReduce formulations).
+
+- :func:`triangle_count` — triangle counting via DEGREE ORDERING (the
+  MapReduce-compatible algorithm of Suri & Vassilvitskii, WWW'11 "Counting
+  triangles and the curse of the last reducer"): orient each undirected edge
+  from the endpoint of smaller (degree, id) to the larger, enumerate wedges
+  only at each edge's LOWER-degree endpoint, and close them with one more
+  equi-join. Wedge count is bounded by O(m^{3/2}) regardless of skew — a
+  celebrity node with 10M neighbors generates no wedges at itself because
+  every edge points INTO it. The naive triple self-join explodes exactly
+  there.
+
+Scale: both are shuffle-on-key joins and combiner-friendly counts — no
+cross products, no driver state beyond the plan. PageRank's per-iteration
+lineage is a straight chain; for many iterations checkpoint every ~5 like
+connected_components (operators/dedup.py) does.
+
+No counterpart in the reference (oec.py is an HTTP client); these are
+[NS] additions from the north-star pipeline suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 3,
+    mass0: int = 1_000_000_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration integer-mass PageRank.
+
+    ``edges`` must have columns ``src`` and ``dst`` (directed; pass both
+    directions for an undirected graph). Returns ``(node, mass)`` after
+    ``iterations`` steps. All arithmetic is bigint ``div`` — bit-exact
+    across engines. Teleport base is ``((d_den - d_num) * mass0) div
+    d_den`` per node (uniform), incoming mass is damped by
+    ``d_num/d_den``.
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    base = (damping_den - damping_num) * mass0 // damping_den
+
+    rank = nodes.withColumn("mass", F.lit(mass0).cast("bigint"))
+    for _ in range(iterations):
+        # share going to EACH out-neighbor; dangling nodes have no row in
+        # out_deg and simply send nothing (their damped mass evaporates).
+        sends = (
+            rank.join(out_deg, "node")
+            .select(
+                F.col("node").alias("src"),
+                F.expr("mass div out_deg").alias("share"),
+            )
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("in_mass"))
+        )
+        rank = (
+            nodes.join(sends, "node", "left")
+            .withColumn(
+                "mass",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(
+                        f"({damping_num} * coalesce(in_mass, 0L))"
+                        f" div {damping_den}"
+                    )
+                ).cast("bigint"),
+            )
+            .select("node", "mass")
+        )
+    return rank
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected simple graph.
+
+    ``edges`` needs columns ``a`` and ``b`` (one row per undirected edge,
+    any orientation; self-loops and duplicates are removed here). Returns
+    a single row ``(n_nodes, n_edges, n_wedges, n_triangles)``.
+
+    Degree-ordered orientation: edge {u,v} becomes u→v iff
+    (deg(u), u) < (deg(v), v). Every triangle then has exactly ONE node
+    with two out-edges (its minimum under the order), so counting closed
+    wedges counts each triangle exactly once.
+    """
+    und = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(
+        F.col("node").alias("u"), F.col("deg").alias("du")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("deg").alias("dv")
+    )
+    # orient low → high under (deg, id)
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            )
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    # wedges at the low node: s → {t1, t2} with t1 < t2 (dedup the pair)
+    wedges = (
+        e1.join(e2, F.col("e1.s") == F.col("e2.s"))
+        .filter(F.col("e1.t") < F.col("e2.t"))
+        .select(
+            F.col("e1.t").alias("w1"), F.col("e2.t").alias("w2")
+        )
+    )
+    # close the wedge: the third edge is oriented w1→w2 or w2→w1 — but
+    # under a total order it is exactly min→max of (deg,id); joining on
+    # BOTH endpoint sets via the canonical (least, greatest) form of the
+    # oriented edge covers either orientation.
+    closing = oriented.select(
+        F.least("s", "t").alias("w1"), F.greatest("s", "t").alias("w2")
+    )
+    wedges_canon = wedges.select(
+        F.least("w1", "w2").alias("w1"), F.greatest("w1", "w2").alias("w2")
+    )
+    tri = wedges_canon.join(closing, ["w1", "w2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    summary = (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tri)
+    )
+    return summary.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_wedges").cast("bigint").alias("n_wedges"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+    )

@@ -10304,3 +10304,529 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.Z — round-5 batch 12: graph kernels, spatial blocking, exact
+# financial allocation, forensic/privacy audits, CMS sketch, COO SpMM.
+# Everything here is engine-exact (integer or fold-deterministic) except
+# the COO Gram dot products, which follow the repo's round(6) float rule.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_pagerank_integer",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s, c FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    deg AS (SELECT src AS node, COUNT(*) AS od FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS mass FROM nodes),
+    in1 AS (SELECT e.dst AS node, SUM(r.mass // d.od) AS im
+            FROM r0 r JOIN deg d ON r.node = d.node JOIN e ON e.src = r.node
+            GROUP BY 1),
+    r1 AS (SELECT n.node,
+                  150000000000 + (85 * COALESCE(i.im, 0)) // 100 AS mass
+           FROM nodes n LEFT JOIN in1 i ON n.node = i.node),
+    in2 AS (SELECT e.dst AS node, SUM(r.mass // d.od) AS im
+            FROM r1 r JOIN deg d ON r.node = d.node JOIN e ON e.src = r.node
+            GROUP BY 1),
+    r2 AS (SELECT n.node,
+                  150000000000 + (85 * COALESCE(i.im, 0)) // 100 AS mass
+           FROM nodes n LEFT JOIN in2 i ON n.node = i.node),
+    in3 AS (SELECT e.dst AS node, SUM(r.mass // d.od) AS im
+            FROM r2 r JOIN deg d ON r.node = d.node JOIN e ON e.src = r.node
+            GROUP BY 1),
+    r3 AS (SELECT n.node,
+                  150000000000 + (85 * COALESCE(i.im, 0)) // 100 AS mass
+           FROM nodes n LEFT JOIN in3 i ON n.node = i.node)
+    SELECT node, CAST(mass AS BIGINT) AS mass
+    FROM r3 ORDER BY mass DESC, node LIMIT 20
+    """,
+    doc="Z1 integer-mass PageRank, 3 fixed iterations over the "
+        "customer<->supplier interaction graph (both directions of every "
+        "distinct trading pair). All arithmetic is bigint floor division "
+        "(mass div out_deg per neighbor, 85% damping via (85*in) div "
+        "100, integer teleport base), so the run is bit-exact across "
+        "engines — the property float PageRank can never have — while "
+        "converging to float PageRank's ranking as mass0 grows (1e12 => "
+        "~1e-9 relative quantization per step). Per iteration: one join "
+        "to out-degrees, one equi-join to edges, one combiner-friendly "
+        "sum — the 100 TB link-analysis shuffle shape; lineage is a "
+        "straight 3-chain (checkpoint every ~5 iterations beyond that, "
+        "as connected_components does)",
+)
+def graph_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_integer
+
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            cat.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    pr = pagerank_integer(edges, iterations=3, mass0=1_000_000_000_000)
+    return pr.orderBy(F.col("mass").desc(), "node").limit(20)
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+          FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+    nn AS (SELECT COUNT(DISTINCT x) AS n_nodes FROM
+           (SELECT a AS x FROM e UNION ALL SELECT b FROM e) t),
+    ne AS (SELECT COUNT(*) AS n_edges FROM e),
+    tri AS (SELECT COUNT(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM nn, ne, tri
+    """,
+    doc="Z2 global triangle count on the part co-purchase graph (edge = "
+        "two parts share an order) via DEGREE-ORDERED wedge closing "
+        "(Suri & Vassilvitskii, WWW'11): orient every edge from the "
+        "(deg, id)-smaller endpoint, enumerate wedges only at each "
+        "edge's low endpoint, close with one more equi-join. Wedge "
+        "volume is O(m^1.5) REGARDLESS of skew — a celebrity part with "
+        "millions of co-purchases generates no wedges at itself because "
+        "all its edges point inward; the naive triple self-join the "
+        "oracle runs dies exactly there. Engine and oracle count the "
+        "same exact integer",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import triangle_count
+
+    cat = Catalog(spark, sf_dir)
+    op = cat.lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    x = op.alias("x")
+    y = op.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.ok") == F.col("y.ok")) & (F.col("x.pk") < F.col("y.pk")),
+        )
+        .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
+        .distinct()
+    )
+    return triangle_count(e).select("n_nodes", "n_edges", "n_triangles")
+
+
+@register(
+    "geo_grid_distance_join",
+    """
+    WITH c AS (
+      SELECT c_custkey AS left_id,
+             CAST('0x' || substr(md5('cx:' || CAST(c_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000000 AS x,
+             CAST('0x' || substr(md5('cy:' || CAST(c_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000000 AS y
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey AS right_id,
+             CAST('0x' || substr(md5('sx:' || CAST(s_suppkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000000 AS x,
+             CAST('0x' || substr(md5('sy:' || CAST(s_suppkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000000 AS y
+      FROM supplier
+    )
+    SELECT left_id, right_id,
+           CAST((c.x - s.x) * (c.x - s.x)
+                + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS dist2
+    FROM c, s
+    WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+          <= 40000000000
+    """,
+    doc="Z3 radius join WITHOUT a cross join: every point snaps to a "
+        "grid cell of side >= R (micro-degree integers, md5-derived "
+        "deterministic coordinates), the right side replicates into its "
+        "3x3 neighbor cells (bounded 9x fan-out on the SMALL side), and "
+        "an equi-join on cell id + exact residual distance filter "
+        "returns precisely the pairs within R. Soundness: cell >= R "
+        "means qualifying pairs differ by <= 1 cell per axis. All "
+        "arithmetic bigint => bit-exact vs the oracle's brute-force "
+        "quadratic scan. At 100 TB the join is shuffle-on-cell; dense "
+        "urban cells are ordinary AQE-splittable hot keys "
+        "(operators/geo.py)",
+)
+def geo_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import md5_u32
+    from .operators.geo import grid_distance_join
+
+    cat = Catalog(spark, sf_dir)
+
+    def coords(df: DataFrame, key: str, px: str, py: str) -> DataFrame:
+        ks = F.col(key).cast("string")
+        return df.select(
+            F.col(key).alias("id"),
+            (md5_u32(F.concat(F.lit(px), ks)) % 10_000_000).alias("x"),
+            (md5_u32(F.concat(F.lit(py), ks)) % 10_000_000).alias("y"),
+        )
+
+    left = coords(cat.customer, "c_custkey", "cx:", "cy:")
+    right = coords(cat.supplier, "s_suppkey", "sx:", "sy:")
+    return grid_distance_join(left, right, radius_micro=200_000)
+
+
+@register(
+    "alloc_largest_remainder",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_quantity) AS BIGINT) AS q
+      FROM lineitem
+    ),
+    t AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    j AS (
+      SELECT l_orderkey, l_linenumber, q, cents,
+             SUM(q) OVER (PARTITION BY l_orderkey) AS qs
+      FROM li JOIN t ON l_orderkey = o_orderkey
+    ),
+    f AS (
+      SELECT *, (cents * q) // qs AS fl, (cents * q) % qs AS rem FROM j
+    ),
+    d AS (
+      SELECT *,
+             cents - SUM(fl) OVER (PARTITION BY l_orderkey) AS defc,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rk
+      FROM f
+    )
+    SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+           CAST(fl + CASE WHEN rk <= defc THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_cents
+    FROM d
+    """,
+    doc="Z4 largest-remainder proration: allocate each order's total "
+        "(integer cents) across its lineitems proportional to quantity, "
+        "with the rounding deficit going to the largest fractional "
+        "remainders (tie: line number) — the Hamilton apportionment rule "
+        "finance systems use because per-order allocations MUST sum "
+        "exactly to the invoice total (floor alone under-allocates, "
+        "round() over/under-allocates nondeterministically). Pure "
+        "integer arithmetic end-to-end => hash-exact. Two windows over "
+        "the order key, no extra shuffle beyond the fact-to-order join; "
+        "1-in-10 order sample keeps the stamped output bounded",
+)
+def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity").cast("bigint").alias("q"),
+    )
+    t = (
+        cat.orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    j = (
+        li.join(t, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("qs", F.sum("q").over(w))
+        .withColumn("fl", F.expr("(cents * q) div qs"))
+        .withColumn("rem", F.expr("(cents * q) % qs"))
+    )
+    d = j.withColumn("defc", F.col("cents") - F.sum("fl").over(w)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy(
+                F.col("rem").desc(), F.col("l_linenumber")
+            )
+        ),
+    )
+    return d.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        (
+            F.col("fl")
+            + F.when(F.col("rk") <= F.col("defc"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("alloc_cents"),
+    )
+
+
+_BENFORD_E12 = {
+    1: 301029995664, 2: 176091259056, 3: 124938736608, 4: 96910013008,
+    5: 79181246048, 6: 66946789631, 7: 57991946978, 8: 51152522447,
+    9: 45757490561,
+}  # round(log10(1 + 1/d) * 1e12): SHARED literals, so no engine ever
+#    evaluates a transcendental — the audit is pure integer arithmetic
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {c}" for d, c in _BENFORD_E12.items()
+) + " END"
+
+
+@register(
+    "dq_benford_audit",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM lineitem
+    ),
+    g AS (SELECT digit, COUNT(*) AS obs FROM d GROUP BY 1),
+    t AS (SELECT SUM(obs) AS n FROM g)
+    SELECT digit, CAST(obs AS BIGINT) AS obs,
+           CAST((n * {_BENFORD_CASE_SQL}) // 1000000000 AS BIGINT)
+             AS exp_milli,
+           CAST(obs * 1000 - (n * {_BENFORD_CASE_SQL}) // 1000000000
+                AS BIGINT) AS dev_milli
+    FROM g, t
+    """,
+    doc="Z5 Benford first-digit forensic audit of the price column: "
+        "observed counts per leading digit vs the Benford expectation "
+        "n*log10(1+1/d), with the log constants baked in as SHARED "
+        "integer literals (x1e12) so neither engine evaluates a "
+        "transcendental — expected counts come out in exact milli-units "
+        "via bigint floor division and the deviation column is exact "
+        "integer. The leading digit is taken from the DECIMAL STRING of "
+        "integer cents (never floor(log10(x)) — a price exactly 1000.00 "
+        "sits on a float log boundary). One combiner-friendly 9-group "
+        "aggregate + a 1-row broadcast total: free at any scale",
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    g = (
+        cat.lineitem.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    const = F.when(F.col("digit") == 1, F.lit(_BENFORD_E12[1]))
+    for dd in range(2, 10):
+        const = const.when(F.col("digit") == dd, F.lit(_BENFORD_E12[dd]))
+    n = F.sum("obs").over(Window.partitionBy())
+    g = g.withColumn("n", n).withColumn("c", const)
+    return g.select(
+        "digit",
+        F.col("obs").cast("bigint").alias("obs"),
+        F.expr("(n * c) div 1000000000").cast("bigint").alias("exp_milli"),
+        (F.col("obs") * 1000 - F.expr("(n * c) div 1000000000"))
+        .cast("bigint")
+        .alias("dev_milli"),
+    )
+
+
+@register(
+    "neardup_editdist_vocab",
+    """
+    WITH vocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(lower(p_name), ' ')) AS w FROM part
+        UNION ALL
+        SELECT lower(s_name) FROM supplier
+      ) t WHERE w IS NOT NULL AND length(w) > 0
+    )
+    SELECT a.w AS w1, b.w AS w2,
+           CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+    FROM vocab a JOIN vocab b ON a.w < b.w
+    WHERE levenshtein(a.w, b.w) <= 1
+    """,
+    doc="Z6 edit-distance<=1 vocabulary self-join (typo clustering for "
+        "spell-normalization) WITHOUT the quadratic scan the oracle "
+        "runs: candidates must share a character bigram (a substitution "
+        "kills at most 2 of len-1 bigrams, an indel at most 1, so every "
+        "1-edit pair with len >= 4 — or a 3/4 indel pair — survives), "
+        "plus one dedicated block for words of length <= 3 where the "
+        "bigram bound fails; exact levenshtein verifies candidates "
+        "only. Pigeonhole soundness is PROVEN for k=1 (the operator "
+        "refuses other budgets rather than silently losing pairs). "
+        "Block-join volume is sum of squared bigram-block sizes — "
+        "linear on natural vocabularies, and dedup.py's max_df "
+        "stop-shingle cap applies verbatim if a corpus has a "
+        "degenerate hot bigram (operators/fuzzy.py)",
+)
+def neardup_editdist_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fuzzy import editdist_self_join
+
+    cat = Catalog(spark, sf_dir)
+    words = cat.part.select(
+        F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("w")
+    ).unionByName(cat.supplier.select(F.lower(F.col("s_name")).alias("w")))
+    return editdist_self_join(words, "w", max_dist=1)
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    """
+    WITH base AS (SELECT l_partkey AS pk FROM lineitem),
+    tru AS (SELECT pk, COUNT(*) AS true_n FROM base GROUP BY 1),
+    rows3 AS (SELECT * FROM (VALUES (0), (1), (2)) t(r)),
+    cms AS (
+      SELECT r,
+             CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                                     || CAST(pk AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 256 AS bucket,
+             COUNT(*) AS n
+      FROM base, rows3 GROUP BY 1, 2
+    ),
+    top10 AS (SELECT pk, true_n FROM tru
+              ORDER BY true_n DESC, pk LIMIT 10),
+    probe AS (
+      SELECT t.pk, t.true_n, r.r,
+             CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                                     || CAST(t.pk AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 256 AS bucket
+      FROM top10 t, rows3 r
+    )
+    SELECT p.pk, CAST(p.true_n AS BIGINT) AS true_n,
+           CAST(MIN(c.n) AS BIGINT) AS est_n
+    FROM probe p JOIN cms c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY 1, 2
+    """,
+    doc="Z7 count-min sketch (Cormode & Muthukrishnan '05), d=3 rows x "
+        "w=256 buckets, md5-derived row hashes: build is ONE "
+        "combiner-friendly (row, bucket) count over a 3x exploded scan "
+        "— 768 cells total regardless of input size, the mergeable "
+        "heavy-hitter state a 1000-executor topology ships instead of "
+        "per-key counts; estimates (min over rows, always >= truth) "
+        "are served for the true top-10 keys next to their exact "
+        "counts so the stamp verifies BOTH the sketch arithmetic and "
+        "the one-sided error guarantee. Deterministic hashing => "
+        "hash-exact oracle, same discipline as the theta-sketch "
+        "exact-mode stamp",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import md5_u32
+
+    cat = Catalog(spark, sf_dir)
+    base = cat.lineitem.select(F.col("l_partkey").alias("pk"))
+    rows3 = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r")
+
+    def bucket(r_col, pk_col):
+        return (
+            md5_u32(
+                F.concat(
+                    r_col.cast("string"), F.lit(":"), pk_col.cast("string")
+                )
+            )
+            % 256
+        )
+
+    cms = (
+        base.select("pk", rows3)
+        .select("r", bucket(F.col("r"), F.col("pk")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tru = base.groupBy("pk").agg(F.count(F.lit(1)).alias("true_n"))
+    top10 = tru.orderBy(F.col("true_n").desc(), "pk").limit(10)
+    probe = top10.select("pk", "true_n", rows3).withColumn(
+        "bucket", bucket(F.col("r"), F.col("pk"))
+    )
+    return (
+        probe.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("pk", "true_n")
+        .agg(F.min("n").alias("est_n"))
+        .select(
+            "pk",
+            F.col("true_n").cast("bigint").alias("true_n"),
+            F.col("est_n").cast("bigint").alias("est_n"),
+        )
+    )
+
+
+@register(
+    "spmm_gram_coo",
+    """
+    WITH coo AS (
+      SELECT vec_id AS i, generate_subscripts(embedding, 1) AS k,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE vec_id < 16
+    )
+    SELECT a.i AS i, b.i AS j, ROUND(SUM(a.v * b.v), 6) + 0.0 AS dot
+    FROM coo a JOIN coo b ON a.k = b.k AND a.i < b.i
+    GROUP BY 1, 2
+    """,
+    doc="Z8 sparse-COO matrix multiply (upper-triangle Gram of 16 "
+        "embedding rows): vectors explode to (row, dim, value) triples "
+        "and A*A^T is ONE equi-join on the inner dimension + one "
+        "combiner-friendly sum — the canonical MapReduce matmul, "
+        "shuffle proportional to nnz, never materializing dense "
+        "blocks. Complements the dense blocked-GEMM operator "
+        "(operators/similarity.py cosine_pairs_blocked): COO wins when "
+        "matrices are sparse or banded, GEMM when dense. Dot products "
+        "follow the repo's round(6) float rule (sum order differs "
+        "across engines by design)",
+)
+def spmm_gram_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    coo = (
+        cat.embeddings.filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("i"),
+            F.posexplode(F.col("embedding")).alias("k", "v"),
+        )
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    a = coo.alias("a")
+    b = coo.alias("b")
+    return (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.round(F.sum(F.col("a.v") * F.col("b.v")), 6).alias("dot"))
+    )
+
+
+@register(
+    "dq_k_anonymity",
+    """
+    SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+           c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) < 10 AS at_risk
+    FROM customer GROUP BY 1, 2
+    """,
+    doc="Z9 k-anonymity audit over the quasi-identifier pair (nation, "
+        "market segment): every equivalence class with fewer than k=10 "
+        "members is a re-identification risk the export pipeline must "
+        "suppress or generalize before release (Sweeney '02). One "
+        "combiner-friendly aggregate — the privacy gate costs the same "
+        "as any group-count at 100 TB; generalization ladders just "
+        "re-run it at coarser grains",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat.customer.groupBy(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) < 10).alias("at_risk"),
+    )
