@@ -10830,3 +10830,587 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (F.count(F.lit(1)) < 10).alias("at_risk"),
     )
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AA — round-5 batch 13: resampling statistics, ledger folds,
+# attribution, distribution normalization/tests, contrastive mining,
+# growth accounting. Exactness discipline as batch 12: integer or
+# identical-fold arithmetic wherever a float would cross engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stats_bootstrap_ci",
+    """
+    WITH d AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS idx,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) + 1000000 AS cents_off
+      FROM customer
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM d),
+    draws AS (
+      SELECT b.range AS b,
+             CAST('0x' || substr(md5(CAST(b.range AS VARCHAR) || ':'
+                                     || CAST(d.idx AS VARCHAR)), 1, 8)
+                  AS BIGINT) % nn.n AS pick
+      FROM d, range(50) b, nn
+    ),
+    means AS (
+      SELECT b, (SUM(d2.cents_off) * 1000) // COUNT(*) AS mean_off_milli
+      FROM draws JOIN d d2 ON draws.pick = d2.idx
+      GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_off_milli,
+             ROW_NUMBER() OVER (ORDER BY mean_off_milli, b) AS rn
+      FROM means
+    ),
+    ci AS (
+      SELECT MIN(CASE WHEN rn = 2 THEN mean_off_milli END) - 1000000000
+               AS ci_lo_milli,
+             MIN(CASE WHEN rn = 49 THEN mean_off_milli END) - 1000000000
+               AS ci_hi_milli
+      FROM ranked
+    ),
+    base AS (
+      SELECT (SUM(cents_off) * 1000) // COUNT(*) - 1000000000 AS mean_milli,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM d
+    )
+    SELECT n, CAST(50 AS INTEGER) AS b_resamples,
+           CAST(mean_milli AS BIGINT) AS mean_milli,
+           CAST(ci_lo_milli AS BIGINT) AS ci_lo_milli,
+           CAST(ci_hi_milli AS BIGINT) AS ci_hi_milli
+    FROM base, ci
+    """,
+    doc="AA1 DERANDOMIZED bootstrap 95% CI for the mean account balance: "
+        "resample index b draws row md5(b:j) mod n — a pure function of "
+        "(resample, position), so the 50 resamples are identical across "
+        "engines, retries, and partitionings, and the whole Monte Carlo "
+        "procedure hash-stamps. Arithmetic never leaves integers: cents "
+        "are offset +$10k to keep floor division sign-free, means are "
+        "served in exact milli-units, and the percentile CI is an exact "
+        "order statistic (rows 2 and 49 of 50 sorted means). Shape: one "
+        "50x explode + one equi-join on the drawn index + a "
+        "combiner-friendly per-resample sum — the row_number global "
+        "ordinal is the only single-partition step and swaps for "
+        "curation_global_ordinal at the 100 TB tier",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.curation import md5_u32
+
+    cat = Catalog(spark, sf_dir)
+    d = cat.customer.select(
+        (
+            F.row_number().over(Window.orderBy("c_custkey")) - 1
+        ).alias("idx"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("bigint") + 1_000_000
+        ).alias("cents_off"),
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    draws = (
+        d.select("idx")
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(49))))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "b",
+            (
+                md5_u32(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("idx").cast("string"),
+                    )
+                )
+                % F.col("n")
+            ).alias("pick"),
+        )
+    )
+    means = (
+        draws.join(d.select("idx", "cents_off"), draws["pick"] == F.col("idx"))
+        .groupBy("b")
+        .agg(
+            F.expr("(sum(cents_off) * 1000) div count(*)").alias(
+                "mean_off_milli"
+            )
+        )
+    )
+    ranked = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("mean_off_milli", "b"))
+    )
+    ci = ranked.agg(
+        (
+            F.min(F.when(F.col("rn") == 2, F.col("mean_off_milli")))
+            - 1_000_000_000
+        ).alias("ci_lo_milli"),
+        (
+            F.min(F.when(F.col("rn") == 49, F.col("mean_off_milli")))
+            - 1_000_000_000
+        ).alias("ci_hi_milli"),
+    )
+    base = d.agg(
+        (
+            F.expr("(sum(cents_off) * 1000) div count(*)") - 1_000_000_000
+        ).alias("mean_milli"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return base.crossJoin(ci).select(
+        "n",
+        F.lit(50).cast("int").alias("b_resamples"),
+        F.col("mean_milli").cast("bigint").alias("mean_milli"),
+        F.col("ci_lo_milli").cast("bigint").alias("ci_lo_milli"),
+        F.col("ci_hi_milli").cast("bigint").alias("ci_hi_milli"),
+    )
+
+
+@register(
+    "events_clamped_balance_fold",
+    """
+    WITH ordered AS (
+      SELECT user_id,
+             list(CASE WHEN event_id % 2 = 0 THEN CAST(value AS DOUBLE)
+                       ELSE -CAST(value AS DOUBLE) END
+                  ORDER BY epoch_us(ts), event_id) AS deltas
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(len(deltas) AS BIGINT) AS n_events,
+           ROUND(list_reduce(list_prepend(0.0, deltas),
+                             (acc, x) -> greatest(acc + x, 0.0)), 6) + 0.0
+             AS final_balance
+    FROM ordered
+    """,
+    doc="AA2 clamped running balance (inventory / prepaid-ledger "
+        "semantics): balance_t = max(balance_{t-1} + delta_t, 0) — a "
+        "NONLINEAR sequential recurrence no window frame can express "
+        "(the clamp makes it non-algebraic; prefix sums don't "
+        "decompose). Same scalable spelling as events_ewma_fold: "
+        "time-ordered array + JVM fold, with 0.0 PREPENDED on both "
+        "sides so the first delta is clamped identically (DuckDB's "
+        "list_reduce has no initializer — seeding from the raw first "
+        "element would leave it unclamped). Identical IEEE op sequence "
+        "in both engines => a floating recurrence that hash-stamps. "
+        "Credits/debits alternate by event-id parity (synthetic ledger, "
+        "documented); chunk-and-carry handles unbounded series",
+)
+def events_clamped_balance_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    ordered = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.when(
+                            F.col("event_id") % 2 == 0,
+                            F.col("value").cast("double"),
+                        )
+                        .otherwise(-F.col("value").cast("double"))
+                        .alias("x"),
+                    )
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("deltas")
+    )
+    bal = F.aggregate(
+        F.col("deltas"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc + x, F.lit(0.0)),
+    )
+    return ordered.select(
+        "user_id",
+        F.size("deltas").cast("bigint").alias("n_events"),
+        (F.round(bal, 6) + 0.0).alias("final_balance"),
+    )
+
+
+@register(
+    "attribution_linear_credit",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS tid, user_id, ts AS tts
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT pid, cents, tid, tts
+      FROM p JOIN t USING (user_id)
+      WHERE tts < pts AND tts >= pts - INTERVAL 3 DAY
+    ),
+    k AS (
+      SELECT pid, cents, tid,
+             COUNT(*) OVER (PARTITION BY pid) AS kk,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY tts DESC, tid) AS rk
+      FROM pairs
+    )
+    SELECT pid, tid,
+           CAST(cents // kk + CASE WHEN rk <= cents % kk THEN 1 ELSE 0 END
+                AS BIGINT) AS credit_cents
+    FROM k
+    """,
+    doc="AA3 multi-touch attribution with LINEAR credit: every purchase "
+        "splits its integer cents equally across the user's click/view "
+        "touchpoints in the trailing 3 days, residual cents going to "
+        "the most recent touches (tie: event id) — largest-remainder "
+        "again, because attributed revenue must reconcile exactly to "
+        "booked revenue (marketing's version of the invoice-proration "
+        "constraint; zero-touch purchases are unattributed by design). "
+        "Join shape: equi-join on user_id with a residual time "
+        "predicate — never a time-range nested loop — plus two windows "
+        "per purchase. Pure integers => hash-exact",
+)
+def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id"),
+        F.col("ts").alias("tts"),
+    )
+    pairs = p.join(t, "user_id").filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 3 DAYS"))
+    )
+    k = pairs.select(
+        "pid",
+        "cents",
+        "tid",
+        F.count(F.lit(1)).over(Window.partitionBy("pid")).alias("kk"),
+        F.row_number()
+        .over(
+            Window.partitionBy("pid").orderBy(F.col("tts").desc(), "tid")
+        )
+        .alias("rk"),
+    )
+    return k.select(
+        "pid",
+        "tid",
+        (
+            F.expr("cents div kk")
+            + F.when(F.col("rk") <= F.col("cents") % F.col("kk"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("credit_cents"),
+    )
+
+
+@register(
+    "stats_quantile_normalize",
+    """
+    WITH d AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) + 1000000 AS cents_off,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rnk
+      FROM customer
+    ),
+    ref AS (
+      SELECT rnk, (SUM(cents_off) * 1000) // COUNT(*) AS norm_off_milli
+      FROM d GROUP BY rnk
+    )
+    SELECT c_custkey, segment, CAST(rnk AS INTEGER) AS rnk,
+           CAST(norm_off_milli - 1000000000 AS BIGINT) AS norm_milli
+    FROM d JOIN ref USING (rnk)
+    """,
+    doc="AA4 quantile normalization (the microarray/feature-scaling "
+        "standard): rank each value within its segment, replace it with "
+        "the cross-segment mean at that rank — after which every "
+        "segment has an identical distribution. Ranks are total-order "
+        "deterministic (value, key tiebreak), rank means are exact "
+        "integer milli-units (offset +$10k keeps floor division "
+        "sign-free), unequal segment sizes simply average fewer "
+        "contributors at deep ranks (documented standard behavior). "
+        "Shape: one window per segment + one combiner-friendly "
+        "rank-mean + one equi-join back on rank",
+)
+def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    d = cat.customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("bigint") + 1_000_000
+        ).alias("cents_off"),
+        F.row_number()
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                "c_acctbal", "c_custkey"
+            )
+        )
+        .alias("rnk"),
+    )
+    ref = d.groupBy("rnk").agg(
+        F.expr("(sum(cents_off) * 1000) div count(*)").alias("norm_off_milli")
+    )
+    return d.join(ref, "rnk").select(
+        "c_custkey",
+        "segment",
+        F.col("rnk").cast("int").alias("rnk"),
+        (F.col("norm_off_milli") - 1_000_000_000)
+        .cast("bigint")
+        .alias("norm_milli"),
+    )
+
+
+@register(
+    "dq_chi2_independence",
+    """
+    WITH cells AS (
+      SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+             c_mktsegment AS segment, COUNT(*) AS obs
+      FROM customer GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT nationkey, SUM(obs) AS row_tot FROM cells GROUP BY 1),
+    cols_t AS (SELECT segment, SUM(obs) AS col_tot FROM cells GROUP BY 1),
+    nn AS (SELECT SUM(obs) AS n FROM cells)
+    SELECT c.nationkey, c.segment, CAST(c.obs AS BIGINT) AS obs,
+           CAST(c.obs * nn.n - r.row_tot * s.col_tot AS BIGINT) AS dev_xn
+    FROM cells c
+    JOIN rows_t r ON c.nationkey = r.nationkey
+    JOIN cols_t s ON c.segment = s.segment
+    CROSS JOIN nn
+    """,
+    doc="AA5 chi-square-style independence audit of the (nation, "
+        "segment) contingency table, cross-multiplied: the per-cell "
+        "deviation obs*N - row_tot*col_tot is the exact-integer "
+        "numerator of (obs - expected) — zero iff the cell matches "
+        "independence — so the audit hash-stamps without a single "
+        "division or float (same trick as the TVD drift and CUSUM "
+        "queries; the chi-square statistic itself is one float fold "
+        "away offline). Three combiner-friendly aggregates over the "
+        "same cells + broadcast-sized marginal joins",
+)
+def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cells = cat.customer.groupBy(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rows_t = cells.groupBy("nationkey").agg(F.sum("obs").alias("row_tot"))
+    cols_t = cells.groupBy("segment").agg(F.sum("obs").alias("col_tot"))
+    nn = cells.agg(F.sum("obs").alias("n"))
+    return (
+        cells.join(rows_t, "nationkey")
+        .join(cols_t, "segment")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "nationkey",
+            "segment",
+            F.col("obs").cast("bigint").alias("obs"),
+            (F.col("obs") * F.col("n") - F.col("row_tot") * F.col("col_tot"))
+            .cast("bigint")
+            .alias("dev_xn"),
+        )
+    )
+
+
+@register(
+    "curation_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, label AS clab
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS dot,
+             sqrt(list_sum(list_transform(qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+             sqrt(list_sum(list_transform(cv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+      FROM c, q WHERE clab <> qlab
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, ROUND(dot / (nq * nc), 4) + 0.0 AS cosine,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(dot / (nq * nc), 4) DESC, neighbor_id
+             ) AS rn
+      FROM pairs
+    ) t WHERE rn <= 3
+    """,
+    doc="AA6 hard-negative mining for contrastive training: for each "
+        "anchor, the top-3 most-similar vectors with a DIFFERENT label "
+        "— the negatives that dominate the InfoNCE gradient (random "
+        "negatives are trivially far). Same plan family as "
+        "cosine_topk_exact (broadcast anchors, JVM zip_with dot, "
+        "WindowGroupLimit) with the label-mismatch predicate pushed "
+        "below the scoring; at corpus scale swap the exact scan for "
+        "the LSH-bucketed ivf_topk and keep this as the per-bucket "
+        "scorer. round(4) float rule on the served cosine",
+)
+def curation_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlab"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("clab"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = (
+        c.join(F.broadcast(q), F.col("clab") != F.col("qlab"))
+        .withColumn("dot", dot(F.col("qv"), F.col("cv")))
+        .withColumn("nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+        .withColumn("nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(F.col("dot") / (F.col("nq") * F.col("nc")), 4) + 0.0).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register(
+    "growth_accounting_daily",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS INTEGER)
+               AS dayx
+      FROM events
+    ),
+    cls AS (
+      SELECT user_id, dayx,
+             LAG(dayx) OVER (PARTITION BY user_id ORDER BY dayx) AS prev,
+             LEAD(dayx) OVER (PARTITION BY user_id ORDER BY dayx) AS nxt
+      FROM ud
+    ),
+    act AS (
+      SELECT dayx,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN prev = dayx - 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < dayx - 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM cls GROUP BY 1
+    ),
+    ch AS (
+      SELECT dayx + 1 AS dayx, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM cls WHERE nxt IS NULL OR nxt > dayx + 1
+      GROUP BY 1
+    )
+    SELECT a.dayx AS day_idx, n_active, n_new, n_retained, n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned
+    FROM act a LEFT JOIN ch c ON a.dayx = c.dayx
+    """,
+    doc="AA7 growth accounting (the new/retained/resurrected/churned "
+        "decomposition every DAU dashboard runs): activity collapses to "
+        "the (user, day) grain first — the window sorts DAYS PER USER, "
+        "never raw events — then lag/lead classify each active day and "
+        "date churn to the day after the streak breaks (churn rows "
+        "beyond the last active day anywhere join away, documented). "
+        "Days are integer epoch-day indices so no interval/timezone "
+        "semantics cross engines; identity n_active = n_new + "
+        "n_retained + n_resurrected holds by construction and is "
+        "pytest-pinned. Everything is a keyed window + "
+        "combiner-friendly count: DAU-scale free",
+)
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    ud = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("int")
+        .alias("dayx"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dayx")
+    cls = ud.select(
+        "user_id",
+        "dayx",
+        F.lag("dayx").over(w).alias("prev"),
+        F.lead("dayx").over(w).alias("nxt"),
+    )
+    act = cls.groupBy("dayx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev") == F.col("dayx") - 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("prev") < F.col("dayx") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    ch = (
+        cls.filter(F.col("nxt").isNull() | (F.col("nxt") > F.col("dayx") + 1))
+        .groupBy((F.col("dayx") + 1).alias("dayx"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return (
+        act.join(ch, "dayx", "left")
+        .select(
+            F.col("dayx").alias("day_idx"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0).cast("bigint")).alias(
+                "n_churned"
+            ),
+        )
+    )
