@@ -11414,3 +11414,387 @@ def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AB — round-5 batch 14: ML evaluation + encoding staples (exact
+# rank statistics, leakage-safe encodings, hashed features, confusion
+# matrices) and the binaryFile ingest surface.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_auc_exact",
+    """
+    WITH d AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+             CAST(embedding[1] AS DOUBLE) AS score
+      FROM embeddings
+    ),
+    r AS (
+      SELECT y,
+             RANK() OVER (ORDER BY score) AS rk,
+             COUNT(*) OVER (PARTITION BY score) AS tc
+      FROM d
+    ),
+    s AS (
+      SELECT SUM(CASE WHEN y = 1 THEN 2 * rk + tc - 1 ELSE 0 END) AS rs2,
+             SUM(y) AS np, SUM(1 - y) AS nn
+      FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CAST(rs2 - np * (np + 1) AS BIGINT) AS u_x2,
+           CAST(((rs2 - np * (np + 1)) * 1000000) // (2 * np * nn)
+                AS BIGINT) AS auc_micro
+    FROM s
+    """,
+    doc="AB1 EXACT ROC AUC via the Mann-Whitney U statistic: AUC = "
+        "(ranksum_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg) with AVERAGE "
+        "ranks on ties — kept integer throughout by working in doubled "
+        "rank units (2*avg_rank = 2*min_rank + ties - 1), so a "
+        "float-scored ranking metric hash-stamps exactly (served as "
+        "u_x2 and floor micro-units; no float division crosses "
+        "engines). The sort-based formulation is THE scalable AUC: one "
+        "global rank + one combiner sum, versus the n_pos*n_neg pair "
+        "count it equals. Global rank is single-partition here; "
+        "range-partitioned ordinal (curation_global_ordinal) is the "
+        "100 TB swap",
+)
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir).embeddings
+    d = emb.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.element_at("embedding", 1).cast("double").alias("score"),
+    )
+    r = d.select(
+        "y",
+        F.rank().over(Window.orderBy("score")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("score")).alias("tc"),
+    )
+    s = r.agg(
+        F.sum(
+            F.when(F.col("y") == 1, 2 * F.col("rk") + F.col("tc") - 1).otherwise(
+                0
+            )
+        ).alias("rs2"),
+        F.sum("y").alias("np"),
+        F.sum(1 - F.col("y")).alias("nn"),
+    )
+    return s.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        (F.col("rs2") - F.col("np") * (F.col("np") + 1))
+        .cast("bigint")
+        .alias("u_x2"),
+        F.expr("((rs2 - np * (np + 1)) * 1000000) div (2 * np * nn)")
+        .cast("bigint")
+        .alias("auc_micro"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    """
+    SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10) AS INTEGER)
+             AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos
+    FROM embeddings
+    GROUP BY 1
+    """,
+    doc="AB2 reliability-diagram binning (calibration audit): score "
+        "bins vs positive rates as exact integer counts — the "
+        "n_pos/n division that makes calibration curves float stays "
+        "offline. FLOOR of an identical parquet double is identical in "
+        "both engines (no rounding midpoints involved). One "
+        "combiner-friendly aggregate",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    return emb.groupBy(
+        F.floor(F.element_at("embedding", 1).cast("double") * 10)
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("label") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+
+
+@register(
+    "ml_target_encode_oof",
+    """
+    WITH d AS (
+      SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 5 AS fold,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) + 1000000 AS cents_off
+      FROM customer
+    ),
+    per_fold AS (
+      SELECT nationkey, fold, SUM(cents_off) AS s, COUNT(*) AS n
+      FROM d GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT nationkey, SUM(s) AS ts, SUM(n) AS tn FROM per_fold GROUP BY 1
+    )
+    SELECT p.nationkey, CAST(p.fold AS INTEGER) AS fold,
+           CAST(p.n AS BIGINT) AS n_rows,
+           CASE WHEN t.tn = p.n THEN NULL
+                ELSE CAST(((t.ts - p.s) * 1000) // (t.tn - p.n)
+                          - 1000000000 AS BIGINT) END AS enc_milli
+    FROM per_fold p JOIN tot t ON p.nationkey = t.nationkey
+    """,
+    doc="AB3 leakage-safe target encoding: each (category, fold) cell "
+        "is encoded with the target mean of the OTHER folds — the "
+        "standard out-of-fold scheme that stops a categorical feature "
+        "from memorizing its own labels. Folds are md5(key) mod 5 "
+        "(derandomized, identical across engines/retries); encodings "
+        "are exact integer milli-units via the subtract-own-fold "
+        "identity (total - fold)/(n_total - n_fold), NULL when a "
+        "category lives entirely in one fold (nothing out-of-fold to "
+        "learn from — made explicit rather than divide-by-zero). Two "
+        "combiner aggregates over the same cells, no second scan",
+)
+def ml_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import md5_bucket
+
+    cat = Catalog(spark, sf_dir)
+    d = cat.customer.select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        md5_bucket("c_custkey", 5).alias("fold"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("bigint") + 1_000_000
+        ).alias("cents_off"),
+    )
+    per_fold = d.groupBy("nationkey", "fold").agg(
+        F.sum("cents_off").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    tot = per_fold.groupBy("nationkey").agg(
+        F.sum("s").alias("ts"), F.sum("n").alias("tn")
+    )
+    return per_fold.join(tot, "nationkey").select(
+        "nationkey",
+        F.col("fold").cast("int").alias("fold"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.when(F.col("tn") == F.col("n"), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr("((ts - s) * 1000) div (tn - n)").cast("bigint")
+            - 1_000_000_000
+        )
+        .alias("enc_milli"),
+    )
+
+
+@register(
+    "text_feature_hashing",
+    """
+    SELECT doc_id,
+           CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+')))
+               AS tok
+      FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL
+    ) t
+    WHERE tok <> ''
+    GROUP BY 1, 2
+    """,
+    doc="AB4 the hashing trick (Weinberger et al., ICML'09): tokens "
+        "map straight to md5(token) mod 1024 feature buckets — no "
+        "vocabulary pass, no dictionary to broadcast, no OOV problem; "
+        "the fixed-width sparse features that feed linear/GBDT "
+        "baselines at corpus scale. One explode + one combiner count; "
+        "bucket collisions are the method's documented tradeoff (and "
+        "why the dimension is a power-of-two knob). md5 keeps the "
+        "bucketing engine-identical; 1-in-20 doc sample bounds the "
+        "stamped output",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import md5_u32
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = (
+        docs.filter((F.col("doc_id") % 20 == 0) & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok0"),
+        )
+        .select("doc_id", F.lower(F.col("tok0")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return toks.groupBy(
+        "doc_id", (md5_u32(F.col("tok")) % 1024).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@register(
+    "source_binaryfile_manifest",
+    None,  # the oracle runs over table VIEWS and cannot see the
+    # filesystem (DuckDB 1.0 has no md5(BLOB) either) → rows-only here;
+    # tests/test_batch14.py recomputes every size and md5 with plain
+    # Python file IO and asserts byte-for-byte equality
+    doc="AB5 binaryFile ingest (`spark.read.format('binaryFile')`): the "
+        "front door for multimodal corpora — each file lands as one row "
+        "(path, length, content bytes) with NO decode attempt, so "
+        "petabytes of images/audio enter the same DataFrame machinery "
+        "as tables; downstream Pandas-UDF feature extractors "
+        "(operators/multimodal.py) take over from there. The query "
+        "manifests the scale dir's parquet files themselves: basename, "
+        "size, content md5, magic-bytes validity ('PAR1'). "
+        "modificationTime is deliberately dropped (nondeterministic "
+        "metadata). At 100 TB pathGlobFilter + recursiveFileLookup "
+        "partition the listing; content rows stream through "
+        "maxPartitionBytes like any scan",
+)
+def source_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("fname"),
+        F.col("length").cast("bigint").alias("size_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+        (F.col("content").substr(1, 4).cast("string") == "PAR1").alias(
+            "is_parquet"
+        ),
+    )
+
+
+@register(
+    "ml_knn_confusion",
+    """
+    WITH test AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS true_label
+      FROM embeddings
+      WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 5 = 0
+    ),
+    train AS (
+      SELECT vec_id AS nid, embedding AS cv, label AS nlab
+      FROM embeddings
+      WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 5 <> 0
+    ),
+    scored AS (
+      SELECT qid, true_label, nid, nlab,
+             ROUND(
+               list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(cv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+               AS cos
+      FROM test, train
+    ),
+    top5 AS (
+      SELECT qid, true_label, nlab FROM (
+        SELECT qid, true_label, nlab,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nid) AS rn
+        FROM scored
+      ) t WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT qid, true_label, nlab AS pred_label, COUNT(*) AS v
+      FROM top5 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT qid, true_label, pred_label FROM (
+        SELECT qid, true_label, pred_label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY v DESC, pred_label) AS rn
+        FROM votes
+      ) t WHERE rn = 1
+    )
+    SELECT CAST(true_label AS INTEGER) AS true_label,
+           CAST(pred_label AS INTEGER) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    doc="AB6 end-to-end eval pipeline stamped as one query: md5-split "
+        "the labeled corpus 80/20, predict each held-out vector's label "
+        "by 5-NN majority vote over the train split (cosine ROUND(4) "
+        "before ranking — the float-tie discipline every ranked query "
+        "here uses; vote ties break to the smallest label like "
+        "knn_classify), and emit the confusion matrix as exact counts. "
+        "The plan composes broadcast queries + JVM dots + "
+        "WindowGroupLimit + min-vote argmax; precision/recall are one "
+        "offline division away from the stamped cells",
+)
+def ml_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.curation import md5_bucket
+
+    emb = Catalog(spark, sf_dir).embeddings
+    split = md5_bucket("vec_id", 5)
+    test = emb.filter(split == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    train = emb.filter(split != 0).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("nlab"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = train.crossJoin(F.broadcast(test)).select(
+        "qid",
+        "true_label",
+        "nid",
+        "nlab",
+        F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (
+                F.sqrt(dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(dot(F.col("cv"), F.col("cv")))
+            ),
+            4,
+        ).alias("cos"),
+    )
+    top5 = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("qid", "true_label", "nlab")
+    )
+    votes = top5.groupBy(
+        "qid", "true_label", F.col("nlab").alias("pred_label")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    pred = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("v").desc(), "pred_label"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("qid", "true_label", "pred_label")
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("pred_label").cast("int").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
