@@ -11798,3 +11798,315 @@ def ml_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_label").cast("int").alias("true_label"),
         F.col("pred_label").cast("int").alias("pred_label"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AC — round-5 batch 15: SQL DDL surface (DEFAULT columns),
+# forecast backtesting, interval analytics (peak concurrency, coverage),
+# computational geometry. Integer-exact end to end.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sql_ddl_defaults",
+    """
+    SELECT * FROM (VALUES
+      (1, 'new', CAST(0 AS BIGINT)),
+      (2, 'new', CAST(0 AS BIGINT)),
+      (3, 'expedited', CAST(0 AS BIGINT)),
+      (4, 'new', CAST(77 AS BIGINT))
+    ) t(id, status, score)
+    """,
+    doc="AC1 DDL DEFAULT columns (SPARK-38334): CREATE TABLE with "
+        "column DEFAULTs, partial-column INSERTs, and the engine fills "
+        "the gaps — the warehouse idiom that keeps wide-table loads "
+        "from enumerating every column. The query creates a parquet "
+        "table at a scratch LOCATION (recreated each run: DDL is "
+        "idempotent by drop+recreate, INSERT INTO would otherwise "
+        "append), inserts through two different column lists, and "
+        "reads back; the oracle is the literal expected relation, so "
+        "the stamp verifies Spark's DEFAULT resolution itself. Catalog "
+        "ops are control-plane: scale-free",
+)
+def sql_ddl_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    loc = _scratch_dir("ddl_defaults", sf_dir)
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS adb_sc_ddl_defaults")
+    spark.sql(
+        f"""
+        CREATE TABLE adb_sc_ddl_defaults (
+          id INT,
+          status STRING DEFAULT 'new',
+          score BIGINT DEFAULT 0
+        ) USING parquet LOCATION '{loc}'
+        """
+    )
+    spark.sql("INSERT INTO adb_sc_ddl_defaults (id) VALUES (1), (2)")
+    spark.sql(
+        "INSERT INTO adb_sc_ddl_defaults (id, status) VALUES (3, 'expedited')"
+    )
+    spark.sql("INSERT INTO adb_sc_ddl_defaults (id, score) VALUES (4, 77)")
+    return spark.table("adb_sc_ddl_defaults").select("id", "status", "score")
+
+
+@register(
+    "forecast_seasonal_naive_eval",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS INTEGER)
+               AS dayx,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT a.dayx AS day_idx,
+           CAST(a.cents AS BIGINT) AS actual_cents,
+           CAST(f.cents AS BIGINT) AS forecast_cents,
+           CAST(ABS(a.cents - f.cents) AS BIGINT) AS abs_err_cents
+    FROM daily a JOIN daily f ON f.dayx = a.dayx - 7
+    """,
+    doc="AC2 seasonal-naive forecast backtest: predict each day's "
+        "purchase revenue with the value 7 days earlier (THE baseline "
+        "every forecasting system must beat; its MAE is the "
+        "denominator of MASE) and emit per-day absolute errors in "
+        "exact integer cents. The 7-day lag is a calendar-correct "
+        "self-join on day index — not LAG(7) over observed rows, "
+        "which silently misaligns when a day is missing. Daily "
+        "pre-aggregation first: the join and errors run at day grain, "
+        "never on raw events",
+)
+def forecast_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("int")
+            .alias("dayx")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+        )
+    )
+    a = daily.alias("a")
+    f = daily.alias("f")
+    return a.join(f, F.col("f.dayx") == F.col("a.dayx") - 7).select(
+        F.col("a.dayx").alias("day_idx"),
+        F.col("a.cents").cast("bigint").alias("actual_cents"),
+        F.col("f.cents").cast("bigint").alias("forecast_cents"),
+        F.abs(F.col("a.cents") - F.col("f.cents"))
+        .cast("bigint")
+        .alias("abs_err_cents"),
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    """
+    WITH iv AS (
+      SELECT epoch_us(ts) AS s, epoch_us(ts) + 900000000 AS e FROM events
+    ),
+    bounds AS (
+      SELECT t, SUM(d) AS net FROM (
+        SELECT s AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT e AS t, -1 AS d FROM iv
+      ) b GROUP BY t
+    ),
+    sweep AS (
+      SELECT t, SUM(net) OVER (ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS conc
+      FROM bounds
+    )
+    SELECT CAST(t // 86400000000 AS INTEGER) AS day_idx,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM sweep GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="AC3 peak concurrency via the boundary sweep: every event "
+        "holds a 15-minute [start, end) interval; +1/-1 deltas are "
+        "NETTED PER EXACT TIMESTAMP first (half-open semantics fall "
+        "out: a start meeting an end at the same instant cancels "
+        "before the running sum is read, and netting makes tie order "
+        "irrelevant — the classic nondeterminism in sweep queries), "
+        "then one running sum gives concurrency at every boundary and "
+        "a day-grain max serves the peaks. The global-ordered window "
+        "is the textbook spelling at test scale; the 100 TB swap is "
+        "per-day partitioned sweeps + a midnight carry-in count "
+        "(bounded-span intervals make the carry a single aggregate), "
+        "same state-merge shape as session_incremental_merge",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    s = ev.select(F.unix_micros("ts").alias("t"), F.lit(1).alias("d"))
+    e = ev.select(
+        (F.unix_micros("ts") + 900_000_000).alias("t"), F.lit(-1).alias("d")
+    )
+    bounds = s.unionByName(e).groupBy("t").agg(F.sum("d").alias("net"))
+    sweep = bounds.withColumn(
+        "conc",
+        F.sum("net").over(
+            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sweep.groupBy(
+            F.expr("t div 86400000000").cast("int").alias("day_idx")
+        )
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+        .orderBy("day_idx")
+    )
+
+
+@register(
+    "events_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 900000000 AS e
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(SUM(GREATEST(e - GREATEST(COALESCE(prev_max_e, s), s), 0))
+                AS BIGINT) AS covered_us,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM w GROUP BY user_id
+    """,
+    doc="AC4 interval-union coverage (total engaged time with overlaps "
+        "deduplicated): sort each user's intervals by start and add "
+        "only the part of each interval beyond the RUNNING MAX of all "
+        "previous ends — the window formulation of the merge-overlaps "
+        "scan, no iterative merging, no explode-to-minutes blowup. "
+        "Per-user windows over event-grain rows, exact integer "
+        "microseconds. The same prev-running-max trick powers gap "
+        "detection (islands start where prev_max_e < s)",
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 900_000_000).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cov = iv.withColumn("prev_max_e", F.max("e").over(w))
+    inc = F.greatest(
+        F.col("e")
+        - F.greatest(F.coalesce(F.col("prev_max_e"), F.col("s")), F.col("s")),
+        F.lit(0),
+    )
+    return cov.groupBy("user_id").agg(
+        F.sum(inc).cast("bigint").alias("covered_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )
+
+
+@register(
+    "geo_point_in_polygon",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST('0x' || substr(md5('cx:' || CAST(c_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000000 AS px,
+             CAST('0x' || substr(md5('cy:' || CAST(c_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000000 AS py
+      FROM customer
+    ),
+    edges AS (
+      SELECT * FROM (VALUES
+        (CAST(2000000 AS BIGINT), CAST(1000000 AS BIGINT),
+         CAST(8000000 AS BIGINT), CAST(3000000 AS BIGINT)),
+        (CAST(8000000 AS BIGINT), CAST(3000000 AS BIGINT),
+         CAST(6000000 AS BIGINT), CAST(9000000 AS BIGINT)),
+        (CAST(6000000 AS BIGINT), CAST(9000000 AS BIGINT),
+         CAST(1000000 AS BIGINT), CAST(6000000 AS BIGINT)),
+        (CAST(1000000 AS BIGINT), CAST(6000000 AS BIGINT),
+         CAST(2000000 AS BIGINT), CAST(1000000 AS BIGINT))
+      ) t(x1, y1, x2, y2)
+    ),
+    crossings AS (
+      SELECT p.id,
+             SUM(CASE WHEN ((y1 <= py) <> (y2 <= py))
+                       AND ((x2 - x1) * (py - y1) - (px - x1) * (y2 - y1))
+                           * (CASE WHEN y2 > y1 THEN 1 ELSE -1 END) > 0
+                      THEN 1 ELSE 0 END) AS k
+      FROM pts p CROSS JOIN edges
+      GROUP BY p.id
+    )
+    SELECT id, k % 2 = 1 AS inside FROM crossings
+    """,
+    doc="AC5 point-in-polygon by integer ray casting: for each point, "
+        "count polygon edges crossed by the +x ray using the "
+        "DIVISION-FREE orientation test (cross-product sign instead of "
+        "computing the intersection x — keeps everything bigint, no "
+        "float epsilon, engine-exact); odd crossings = inside. The "
+        "4-edge polygon is a broadcast literal, so the plan is a scan "
+        "+ 4x fan-out + combiner sum — the geofencing shape; at many "
+        "polygons, pre-filter with the grid cells of "
+        "geo_grid_distance_join and ray-cast only candidate (point, "
+        "polygon) pairs",
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import md5_u32
+
+    cat = Catalog(spark, sf_dir)
+    ks = F.col("c_custkey").cast("string")
+    pts = cat.customer.select(
+        F.col("c_custkey").alias("id"),
+        (md5_u32(F.concat(F.lit("cx:"), ks)) % 10_000_000).alias("px"),
+        (md5_u32(F.concat(F.lit("cy:"), ks)) % 10_000_000).alias("py"),
+    )
+    poly = [
+        (2_000_000, 1_000_000, 8_000_000, 3_000_000),
+        (8_000_000, 3_000_000, 6_000_000, 9_000_000),
+        (6_000_000, 9_000_000, 1_000_000, 6_000_000),
+        (1_000_000, 6_000_000, 2_000_000, 1_000_000),
+    ]
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(x1).cast("bigint").alias("x1"),
+                F.lit(y1).cast("bigint").alias("y1"),
+                F.lit(x2).cast("bigint").alias("x2"),
+                F.lit(y2).cast("bigint").alias("y2"),
+            )
+            for x1, y1, x2, y2 in poly
+        ]
+    )
+    ex = pts.withColumn("edge", F.explode(edges)).select(
+        "id",
+        "px",
+        "py",
+        F.col("edge.x1").alias("x1"),
+        F.col("edge.y1").alias("y1"),
+        F.col("edge.x2").alias("x2"),
+        F.col("edge.y2").alias("y2"),
+    )
+    straddles = (F.col("y1") <= F.col("py")) != (F.col("y2") <= F.col("py"))
+    cross = (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1")) - (
+        F.col("px") - F.col("x1")
+    ) * (F.col("y2") - F.col("y1"))
+    sign = F.when(F.col("y2") > F.col("y1"), F.lit(1)).otherwise(F.lit(-1))
+    crossing = straddles & ((cross * sign) > 0)
+    k = ex.groupBy("id").agg(
+        F.sum(F.when(crossing, 1).otherwise(0)).alias("k")
+    )
+    return k.select("id", (F.col("k") % 2 == 1).alias("inside"))
