@@ -34,7 +34,12 @@ import json
 import urllib.request
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _fetch_records(url: str, data_key: str, timeout: float) -> list[dict]:
@@ -93,9 +98,58 @@ class JsonRecordsReader(DataSourceReader):
             yield tuple(rec.get(f) for f in fields)
 
 
+class JsonRecordsSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the jsonrecords format (SPARK-45023 Python
+    streaming data source): the record array is consumed in offset-ordered
+    micro-batches of ``batchSize``; the offset is simply the next record
+    INDEX, serialized as ``{"index": n}``. Replay is exact: Spark re-reads
+    a failed range via :meth:`readBetweenOffsets` and gets the identical
+    slice, because the payload is an immutable snapshot (same consistency
+    contract as the batch reader above — a mutating endpoint voids
+    exactly-once, documented there).
+
+    NOTE Spark 4.1 Python sources do not implement Trigger.AvailableNow
+    (the engine logs a fallback to single-batch execution) — callers that
+    want "drain everything" semantics run the query with the default
+    trigger and stop once the sink has absorbed ``len(records)`` rows;
+    ``workload.source_pyds_streaming`` shows the pattern."""
+
+    def __init__(self, schema, options):
+        self.url = options.get("url") or options.get("path")
+        if not self.url:
+            raise ValueError("jsonrecords stream needs .option('url', ...)")
+        self.data_key = options.get("dataKey", "data")
+        self.batch_size = int(options.get("batchSize", "256"))
+        if self.batch_size < 1:
+            raise ValueError(f"batchSize must be >= 1, got {self.batch_size}")
+        self.timeout = float(options.get("timeout", "60"))
+        self.fields = [f.name for f in schema.fields]
+
+    def _rows(self, records: list[dict]) -> list[tuple]:
+        return [tuple(r.get(f) for f in self.fields) for r in records]
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        records = _fetch_records(self.url, self.data_key, self.timeout)
+        i = int(start["index"])
+        batch = records[i : i + self.batch_size]
+        return iter(self._rows(batch)), {"index": i + len(batch)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        records = _fetch_records(self.url, self.data_key, self.timeout)
+        return iter(self._rows(records[int(start["index"]) : int(end["index"])]))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: offsets are indexes into a snapshot
+
+
 class JsonRecordsDataSource(DataSource):
     """``format("jsonrecords")`` — schema is caller-provided (the reference
-    also knows its payload shapes a priori; inference would re-fetch)."""
+    also knows its payload shapes a priori; inference would re-fetch).
+    Batch reads via :class:`JsonRecordsReader`; ``spark.readStream`` picks
+    up :class:`JsonRecordsSimpleStreamReader` for the same format name."""
 
     @classmethod
     def name(cls) -> str:
@@ -103,3 +157,6 @@ class JsonRecordsDataSource(DataSource):
 
     def reader(self, schema) -> JsonRecordsReader:
         return JsonRecordsReader(schema, self.options)
+
+    def simpleStreamReader(self, schema) -> JsonRecordsSimpleStreamReader:
+        return JsonRecordsSimpleStreamReader(schema, self.options)

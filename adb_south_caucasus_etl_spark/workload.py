@@ -12110,3 +12110,269 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(crossing, 1).otherwise(0)).alias("k")
     )
     return k.select("id", (F.col("k") % 2 == 1).alias("inside"))
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AD — round-5 batch 16: streaming Python data source, restart
+# exactly-once, scalable exact median, readability counting.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_pyds_streaming",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents WHERE doc_id % 10 = 0
+    GROUP BY 1
+    """,
+    doc="AD1 STREAMING Python data source (SPARK-45023): the jsonrecords "
+        "format's stream reader serves the record array in offset-ordered "
+        "micro-batches (offset = next record index; replay of a range via "
+        "readBetweenOffsets returns the identical slice, so exactly-once "
+        "holds over the immutable snapshot). The query stages a "
+        "deterministic jsonrecords payload from the documents table, "
+        "consumes it through readStream in 256-record batches into a "
+        "complete-mode language count, and stops once the sink has "
+        "absorbed every record — Python sources lack Trigger.AvailableNow "
+        "in Spark 4.1 (engine falls back to single-batch; the drain loop "
+        "here is the documented workaround), so the stop condition polls "
+        "the sink total. Final counts equal the batch aggregate => exact "
+        "oracle (sources/pyds.py)",
+)
+def source_pyds_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import re
+    import time
+
+    from .sources.pyds import JsonRecordsDataSource
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+        .collect()
+    )  # control-plane payload staging (bounded: 1-in-10 doc ids + lang)
+    records = [{"doc_id": r["doc_id"], "lang": r["lang"]} for r in docs]
+    stage = _scratch_dir("pyds_stream", sf_dir)
+    payload = os.path.join(stage, "payload.json")
+    with open(payload, "w") as fh:
+        json.dump({"data": records}, fh)
+
+    try:
+        spark.dataSource.register(JsonRecordsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("jsonrecords")
+        .schema("doc_id bigint, lang string")
+        .option("url", f"file://{payload}")
+        .option("batchSize", "256")
+        .load()
+    )
+    name = "pyds_stream_" + re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    agg = stream.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    expected = len(records)
+    deadline = time.time() + 300
+    try:
+        while time.time() < deadline:
+            got = spark.sql(
+                f"SELECT COALESCE(SUM(n_docs), 0) FROM {name}"
+            ).collect()[0][0]
+            if got >= expected:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"stream drained {got}/{expected} records before deadline"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.sql(
+        f"SELECT lang, CAST(n_docs AS BIGINT) AS n_docs FROM {name}"
+    )
+
+
+@register(
+    "streaming_restart_exactly_once",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY 1
+    """,
+    doc="AD2 checkpoint RESTART exactly-once, stamped end-to-end: the "
+        "same aggregation runs as TWO separate streaming query "
+        "lifecycles against a growing source directory — first over the "
+        "early half of events, then (new process-independent query, SAME "
+        "checkpoint) after the late half lands. The checkpoint's file "
+        "log makes run 2 process only the new files, and the "
+        "foreachBatch overwrite sink is idempotent per batch, so the "
+        "final parquet equals the one-shot batch aggregate over ALL "
+        "events — which is exactly what the oracle asserts. This is the "
+        "operational property (survive restarts without dupes or holes) "
+        "that distinguishes a production stream from a demo; scratch "
+        "source/checkpoint/sink are rebuilt from zero each run so the "
+        "stamp is rerun-deterministic",
+)
+def streaming_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from .streaming.wrappers import stream_to_parquet_refresh
+
+    ev = Catalog(spark, sf_dir).events
+    base = _scratch_dir("restart_eo", sf_dir)
+    src = os.path.join(base, "src")
+    chk = os.path.join(base, "chk")
+    out = os.path.join(base, "out")
+    for d in (src, chk, out):
+        shutil.rmtree(d, ignore_errors=True)
+
+    mid = ev.agg(
+        F.expr("timestamp_micros(CAST(avg(unix_micros(ts)) AS BIGINT))")
+    ).collect()[0][0]
+
+    def agg_of(stream_df: DataFrame) -> DataFrame:
+        return stream_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+
+    # phase 1: early half lands, first query lifecycle drains it
+    ev.filter(F.col("ts") <= F.lit(mid)).write.mode("append").parquet(src)
+    stream1 = spark.readStream.schema(ev.schema).parquet(src)
+    stream_to_parquet_refresh(spark, agg_of(stream1), out, chk)
+
+    # phase 2: late half lands; a NEW query on the SAME checkpoint picks
+    # up only the new files
+    ev.filter(F.col("ts") > F.lit(mid)).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(ev.schema).parquet(src)
+    stream_to_parquet_refresh(spark, agg_of(stream2), out, chk)
+
+    return (
+        spark.read.parquet(out)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("cents").cast("bigint").alias("cents"),
+        )
+    )
+
+
+@register(
+    "agg_exact_median_twopass",
+    """
+    WITH d AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    stats AS (SELECT COUNT(*) AS n, (COUNT(*) + 1) // 2 AS k FROM d)
+    SELECT CAST(stats.n AS BIGINT) AS n, CAST(stats.k AS BIGINT) AS k,
+           (SELECT cents FROM d ORDER BY cents
+            LIMIT 1 OFFSET (SELECT k - 1 FROM stats)) AS median_cents
+    FROM stats
+    """,
+    doc="AD3 EXACT global median WITHOUT a global sort — the two-pass "
+        "bucketed order-statistic select: pass 1 histograms values into "
+        "$1000 buckets (combiner-friendly; thousands of cells however "
+        "large the input) and a window over the BUCKET TABLE finds the "
+        "bucket holding the k-th value plus the residual rank; pass 2 "
+        "sorts ONLY that bucket's rows. Total shuffle = one aggregate + "
+        "one bucket's worth of rows, vs the all-rows exchange of ORDER "
+        "BY/percentile_disc. The oracle takes the k-th order statistic "
+        "by brute sort — same exact integer. This is how exact "
+        "percentiles get served at 100 TB when approx_percentile's "
+        "error bound isn't acceptable (financial/compliance medians)",
+)
+def agg_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = Catalog(spark, sf_dir).lineitem
+    d = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    buckets = d.groupBy(F.expr("cents div 100000").alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.withColumn("cum", F.sum("cnt").over(wb)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("(count(*) + 1) div 2").alias("k"),
+    )
+    target = (
+        cum.crossJoin(F.broadcast(stats))
+        .filter((F.col("cum") >= F.col("k")) & (F.col("cum_prev") < F.col("k")))
+        .select("b", (F.col("k") - F.col("cum_prev")).alias("offset"), "n", "k")
+    )
+    in_bucket = d.join(
+        F.broadcast(target), F.expr("cents div 100000") == F.col("b")
+    )
+    wr = Window.partitionBy("b").orderBy("cents")
+    median = (
+        in_bucket.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == F.col("offset"))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k").cast("bigint").alias("k"),
+            F.col("cents").alias("median_cents"),
+        )
+    )
+    return median
+
+
+@register(
+    "text_readability_counts",
+    """
+    SELECT doc_id,
+           CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)
+             AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables
+    FROM documents
+    WHERE doc_id % 20 = 0 AND text IS NOT NULL
+    """,
+    doc="AD4 readability feature extraction (the Flesch/FK inputs): "
+        "sentence terminators, whitespace tokens, and vowel-group "
+        "syllable estimates as EXACT integer counts per document — the "
+        "206.835-style float formulas stay offline where their "
+        "transcendental constants belong. All three counters are single "
+        "regexp_extract_all passes in JVM codegen (no Python, no "
+        "explode); the vowel-group heuristic is the standard "
+        "dictionary-free syllable proxy (documented bias: silent 'e'). "
+        "One scan, embarrassingly parallel",
+)
+def text_readability_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return docs.filter(
+        (F.col("doc_id") % 20 == 0) & F.col("text").isNotNull()
+    ).select(
+        "doc_id",
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.size(F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)"))
+        .cast("bigint")
+        .alias("n_words"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
