@@ -12376,3 +12376,268 @@ def text_readability_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_syllables"),
     )
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AE — round-5 batch 17: end-to-end ETL composition with staged
+# materialization, FIFO cost-basis matching, lateral column aliases,
+# tokenizer fertility.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_end_to_end",
+    """
+    WITH norm AS (
+      SELECT doc_id, lang, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             len(regexp_extract_all(trim(text), '\\S+')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    survivors AS (
+      SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM norm
+      GROUP BY fp
+    ),
+    kept AS (
+      SELECT n.doc_id, n.lang, n.source, n.n_tokens, s.n_copies
+      FROM norm n JOIN survivors s ON n.doc_id = s.doc_id AND n.fp = s.fp
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_removed,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY 1, 2
+    """,
+    doc="AE1 the reference's whole ETL lifecycle as ONE registered "
+        "pipeline with REAL materialization boundaries: stage 1 "
+        "normalizes + fingerprints the corpus and WRITES it to scratch "
+        "parquet; stage 2 reads that artifact back, elects min-id "
+        "survivors per fingerprint (map-side-combine min_by, the "
+        "dedup_exact_docs shape), and writes the survivor set; stage 3 "
+        "reads both artifacts and serves per-(lang, source) kept/removed/"
+        "token rollups. Each boundary is a restart point and an "
+        "independently consumable table — the Airflow-DAG shape ETL "
+        "actually deploys as, here with lineage stamped end-to-end "
+        "because the oracle recomputes the entire chain in one SQL "
+        "breath. Every stage is a linear scan or combiner aggregate",
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    base = _scratch_dir("pipeline_e2e", sf_dir)
+    norm_path = os.path.join(base, "norm")
+    surv_path = os.path.join(base, "survivors")
+
+    docs = Catalog(spark, sf_dir).documents
+    norm = docs.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+        F.size(F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)")).alias(
+            "n_tokens"
+        ),
+    )
+    norm.write.mode("overwrite").parquet(norm_path)
+
+    norm_t = spark.read.parquet(norm_path)
+    survivors = norm_t.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    survivors.write.mode("overwrite").parquet(surv_path)
+
+    surv_t = spark.read.parquet(surv_path)
+    kept = norm_t.join(surv_t, ["fp", "doc_id"])
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_dups_removed"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+    )
+
+
+@register(
+    "ledger_fifo_matching",
+    """
+    WITH tx AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             GREATEST(CAST(ROUND(value) AS BIGINT), 1) AS q,
+             event_id % 2 = 0 AS is_buy
+      FROM events
+    ),
+    buys AS (
+      SELECT user_id, event_id AS buy_eid, q,
+             SUM(q) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS off
+      FROM tx WHERE is_buy
+    ),
+    sells AS (
+      SELECT user_id, event_id AS sell_eid, q,
+             SUM(q) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS off
+      FROM tx WHERE NOT is_buy
+    )
+    SELECT b.user_id, b.buy_eid, s.sell_eid,
+           CAST(LEAST(COALESCE(b.off, 0) + b.q, COALESCE(s.off, 0) + s.q)
+                - GREATEST(COALESCE(b.off, 0), COALESCE(s.off, 0))
+                AS BIGINT) AS qty_matched
+    FROM buys b JOIN sells s ON b.user_id = s.user_id
+    WHERE LEAST(COALESCE(b.off, 0) + b.q, COALESCE(s.off, 0) + s.q)
+          > GREATEST(COALESCE(b.off, 0), COALESCE(s.off, 0))
+    """,
+    doc="AE2 FIFO cost-basis matching (tax-lot accounting): which buy "
+        "lots does each sell consume? The sequential pop-from-queue "
+        "algorithm becomes pure relational algebra via the CUMULATIVE-"
+        "QUANTITY AXIS: buys occupy [cum_prev, cum_prev+q) on the "
+        "per-user buy axis, sells the same on the sell axis, and FIFO "
+        "matching IS interval intersection of the two axes — matched "
+        "qty = overlap length, exact bigint, no iteration, no UDF. "
+        "Sells beyond total bought simply overlap nothing (short sales "
+        "excluded by construction, documented). Per-user windows + one "
+        "equi-join on user with the overlap residual; the 100 TB "
+        "refinement is the binned-interval equi-join on cum-axis "
+        "buckets (operators/interval.py) when single users hold "
+        "millions of lots. Buy/sell split is event-id parity (synthetic "
+        "ledger, as events_clamped_balance_fold)",
+)
+def ledger_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    tx = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.greatest(F.round("value").cast("bigint"), F.lit(1)).alias("q"),
+        (F.col("event_id") % 2 == 0).alias("is_buy"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def axis(df: DataFrame, eid_name: str) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.col("event_id").alias(eid_name),
+            "q",
+            F.coalesce(F.sum("q").over(w), F.lit(0)).alias("off"),
+        )
+
+    buys = axis(tx.filter(F.col("is_buy")), "buy_eid")
+    sells = axis(tx.filter(~F.col("is_buy")), "sell_eid")
+    b = buys.alias("b")
+    s = sells.alias("s")
+    lo = F.greatest(F.col("b.off"), F.col("s.off"))
+    hi = F.least(
+        F.col("b.off") + F.col("b.q"), F.col("s.off") + F.col("s.q")
+    )
+    return (
+        b.join(s, F.col("b.user_id") == F.col("s.user_id"))
+        .filter(hi > lo)
+        .select(
+            F.col("b.user_id").alias("user_id"),
+            F.col("b.buy_eid").alias("buy_eid"),
+            F.col("s.sell_eid").alias("sell_eid"),
+            (hi - lo).cast("bigint").alias("qty_matched"),
+        )
+    )
+
+
+@register(
+    "sql_lateral_column_alias",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(gross) AS BIGINT) AS gross_cents,
+           CAST(SUM(net) AS BIGINT) AS net_cents,
+           CAST(SUM(net_after_tax) AS BIGINT) AS net_after_tax_cents
+    FROM (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS gross,
+             gross - CAST(ROUND(l_extendedprice * l_discount * 100)
+                          AS BIGINT) AS net,
+             net - CAST(ROUND(l_extendedprice * (1 - l_discount) * l_tax
+                              * 100) AS BIGINT) AS net_after_tax
+      FROM lineitem
+    ) t GROUP BY 1
+    """,
+    doc="AE3 lateral column aliases (SPARK-27561, 3.4+): a projection "
+        "can reference ITS OWN earlier aliases (gross -> net -> "
+        "net_after_tax), replacing the nested-subquery ladder every "
+        "pricing calculation used to need — and Catalyst inlines the "
+        "chain, so the plan is identical to the hand-expanded "
+        "expressions (no materialization layers). Each derivation step "
+        "is integer cents; DuckDB shares the same alias-reuse "
+        "semantics, making the whole ladder hash-exact",
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views(("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(gross) AS BIGINT) AS gross_cents,
+               CAST(SUM(net) AS BIGINT) AS net_cents,
+               CAST(SUM(net_after_tax) AS BIGINT) AS net_after_tax_cents
+        FROM (
+          SELECT l_returnflag,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS gross,
+                 gross - CAST(ROUND(l_extendedprice * l_discount * 100)
+                              AS BIGINT) AS net,
+                 net - CAST(ROUND(l_extendedprice * (1 - l_discount) * l_tax
+                                  * 100) AS BIGINT) AS net_after_tax
+          FROM lineitem
+        ) t GROUP BY 1
+        """
+    )
+
+
+@register(
+    "text_tokenizer_fertility",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(regexp_extract_all(trim(text), '\\S+'))) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+                                           '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
+                AS BIGINT) AS n_subword_units
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY lang
+    """,
+    doc="AE4 tokenizer fertility audit: per language, characters, "
+        "whitespace tokens, and pre-tokenizer units (letter runs / "
+        "digit runs / isolated symbols — the GPT-2-style pre-token "
+        "classes) as exact integers; fertility ratios (chars per token "
+        "— the metric that decides whether a tokenizer taxes a "
+        "language) divide offline. Scripts outside [a-z] fall through "
+        "to the symbol class, so the audit EXPOSES the latin bias "
+        "rather than hiding it — exactly what a multilingual corpus "
+        "review needs to see. Three JVM regex passes, one "
+        "combiner-friendly aggregate",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return docs.filter(F.col("text").isNotNull()).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(F.size(F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)")))
+        .cast("bigint")
+        .alias("n_ws_tokens"),
+        F.sum(
+            F.size(
+                F.expr(
+                    r"regexp_extract_all(lower(text),"
+                    r" '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("n_subword_units"),
+    )
