@@ -12641,3 +12641,224 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_subword_units"),
     )
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AF — round-5 batch 18: multi-format federation, bitmap-index
+# retention, referential-integrity audit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_federated_formats",
+    """
+    WITH cpn AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_customers,
+             SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cents
+      FROM customer GROUP BY 1
+    ),
+    spn AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY 1
+    )
+    SELECT r_name AS region_name,
+           CAST(SUM(COALESCE(cpn.n_customers, 0)) AS BIGINT) AS n_customers,
+           CAST(SUM(COALESCE(spn.n_suppliers, 0)) AS BIGINT) AS n_suppliers,
+           CAST(SUM(COALESCE(cpn.cents, 0)) AS BIGINT) AS acctbal_cents
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    LEFT JOIN cpn ON cpn.nk = n_nationkey
+    LEFT JOIN spn ON spn.nk = n_nationkey
+    GROUP BY 1
+    """,
+    doc="AF2 federation across FOUR storage formats in one plan: nation "
+        "staged to CSV (header + explicit schema — never inferred), "
+        "region to JSON lines, supplier to ORC, customer read from "
+        "native parquet; each fact side pre-aggregates to nation grain "
+        "BEFORE the dimension joins (the aggregate-then-join shape that "
+        "kills the customer x supplier fan-out instead of patching it "
+        "with DISTINCT), then broadcast-joins the text-format dims. "
+        "Only int/string columns ride CSV/JSON — float text roundtrip "
+        "is the documented trap; money stays in binary formats as "
+        "integer cents. Catalyst pushes pruning into each reader "
+        "independently — format is per-table metadata, not an engine "
+        "property",
+)
+def source_federated_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    cat = Catalog(spark, sf_dir)
+    base = _scratch_dir("federated", sf_dir)
+    csv_p = os.path.join(base, "nation_csv")
+    json_p = os.path.join(base, "region_json")
+    orc_p = os.path.join(base, "supplier_orc")
+
+    cat.nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).option("header", True).csv(csv_p)
+    cat.region.select("r_regionkey", "r_name").write.mode("overwrite").json(
+        json_p
+    )
+    cat.supplier.select("s_suppkey", "s_nationkey").write.mode(
+        "overwrite"
+    ).orc(orc_p)
+
+    nation = (
+        spark.read.option("header", True)
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .csv(csv_p)
+    )
+    region = spark.read.schema("r_regionkey int, r_name string").json(json_p)
+    supplier = spark.read.orc(orc_p)
+
+    cpn = cat.customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("cents"),
+    )
+    spn = supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    j = (
+        F.broadcast(region)
+        .join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cpn, F.col("nk") == F.col("n_nationkey"), "left")
+        .join(
+            spn.withColumnRenamed("nk", "snk"),
+            F.col("snk") == F.col("n_nationkey"),
+            "left",
+        )
+    )
+    return j.groupBy(F.col("r_name").alias("region_name")).agg(
+        F.sum(F.coalesce(F.col("n_customers"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_customers"),
+        F.sum(F.coalesce(F.col("n_suppliers"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_suppliers"),
+        F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+        .cast("bigint")
+        .alias("acctbal_cents"),
+    )
+
+
+@register(
+    "events_day_bitmask_retention",
+    """
+    WITH md AS (
+      SELECT MIN(CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE))
+                      AS BIGINT)) AS d0
+      FROM events
+    ),
+    ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               - md.d0 AS bit
+      FROM events, md
+    ),
+    masks AS (
+      SELECT user_id, SUM(CAST(1 AS BIGINT) << bit) AS day_mask FROM ud
+      GROUP BY 1
+    )
+    SELECT user_id, day_mask,
+           CAST(bit_count(day_mask) AS BIGINT) AS n_active_days,
+           CAST(bit_count(day_mask & (day_mask >> 1)) AS BIGINT)
+             AS n_consecutive_pairs
+    FROM masks
+    """,
+    doc="AF3 activity as a BITMAP INDEX: each user's month collapses to "
+        "one bigint day mask (bit i = active on day d0+i), built with a "
+        "combiner-friendly sum of shifted ones over the (user, day) "
+        "grain. Retention analytics become BITWISE ALGEBRA: consecutive-"
+        "day pairs = popcount(mask & mask>>1) — no window, no self-join, "
+        "8 bytes per user however long the window (the roaring-bitmap "
+        "idea, exact within 63 days; longer horizons shard the mask by "
+        "period and OR-merge). Cross-checked in pytest against "
+        "growth_accounting_daily: sum of consecutive pairs == sum of "
+        "daily retained counts — two utterly different plans, one truth",
+)
+def events_day_bitmask_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    dayx = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    md = ev.agg(F.min(dayx).alias("d0"))
+    ud = (
+        ev.select("user_id", dayx.alias("dx"))
+        .crossJoin(F.broadcast(md))
+        .select("user_id", (F.col("dx") - F.col("d0")).alias("bit"))
+        .distinct()
+    )
+    masks = ud.groupBy("user_id").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).alias(
+            "day_mask"
+        )
+    )
+    return masks.select(
+        "user_id",
+        "day_mask",
+        F.expr("bit_count(day_mask)").cast("bigint").alias("n_active_days"),
+        F.expr("bit_count(day_mask & shiftright(day_mask, 1))")
+        .cast("bigint")
+        .alias("n_consecutive_pairs"),
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    SELECT
+      CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+           AS BIGINT) AS orphan_lineitems,
+      CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+           AS BIGINT) AS orphan_orders,
+      CAST((SELECT COUNT(*) FROM part p
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_partkey = p.p_partkey))
+           AS BIGINT) AS parts_never_sold,
+      CAST((SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_suppkey = s.s_suppkey))
+           AS BIGINT) AS suppliers_unused,
+      CAST((SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey))
+           AS BIGINT) AS customers_inactive
+    """,
+    doc="AF4 referential-integrity audit across the star schema: "
+        "orphaned facts (FK with no parent — the corruption class that "
+        "silently drops rows from inner-join reports) and unreferenced "
+        "dimensions, each an anti-join count. Parquet enforces no "
+        "constraints, so this audit IS the constraint layer a warehouse "
+        "runs after every load. Anti-joins against dimension keys "
+        "broadcast; the two fact-side EXISTS probes are "
+        "combiner-friendly semi-join counts. All-zero orphan columns "
+        "are the PASSING state (pinned in pytest: the audit must "
+        "return zero false positives on clean data)",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+
+    def n_anti(left: DataFrame, lk: str, right: DataFrame, rk: str):
+        return (
+            left.join(right, left[lk] == right[rk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    a = n_anti(cat.lineitem, "l_orderkey", cat.orders, "o_orderkey")
+    b = n_anti(cat.orders, "o_custkey", cat.customer, "c_custkey")
+    c = n_anti(cat.part, "p_partkey", cat.lineitem, "l_partkey")
+    d = n_anti(cat.supplier, "s_suppkey", cat.lineitem, "l_suppkey")
+    e = n_anti(cat.customer, "c_custkey", cat.orders, "o_custkey")
+    return (
+        a.select(F.col("n").alias("orphan_lineitems"))
+        .crossJoin(b.select(F.col("n").alias("orphan_orders")))
+        .crossJoin(c.select(F.col("n").alias("parts_never_sold")))
+        .crossJoin(d.select(F.col("n").alias("suppliers_unused")))
+        .crossJoin(e.select(F.col("n").alias("customers_inactive")))
+    )
