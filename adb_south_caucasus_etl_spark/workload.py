@@ -12862,3 +12862,209 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(d.select(F.col("n").alias("suppliers_unused")))
         .crossJoin(e.select(F.col("n").alias("customers_inactive")))
     )
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AG — round-5 batch 19: split-leakage audit, autocomplete
+# index, bounded-ingest streaming backpressure.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curation_split_leakage_audit",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 2, 1) + 1),
+               i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
+      FROM t
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0
+      ) c WHERE df <= 50
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, jaccard,
+           CASE WHEN CAST('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 10 = 0
+                THEN 'val' ELSE 'train' END AS split_a,
+           CASE WHEN CAST('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 10 = 0
+                THEN 'val' ELSE 'train' END AS split_b,
+           (CAST('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 10 = 0)
+           <> (CAST('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 10 = 0) AS leaks
+    FROM pairs WHERE jaccard >= 0.5
+    """,
+    doc="AG1 SPLIT LEAKAGE audit — the eval-integrity check every "
+        "training pipeline needs and few run: near-duplicate pairs "
+        "(exact shingle Jaccard >= 0.5, the inverted-index join of "
+        "neardup_jaccard_pairs) whose members land on OPPOSITE sides of "
+        "the md5 90/10 train/val split. A val doc with a train-side "
+        "near-twin inflates eval scores without touching the test set "
+        "— GPT-3's appendix-C problem at the split boundary rather "
+        "than the benchmark boundary. Composes two already-stamped "
+        "primitives (exact near-dup pairs x derandomized split), so "
+        "the audit itself hash-stamps; the production fix it feeds is "
+        "cluster-aware splitting (assign whole CC components to one "
+        "side — operators/dedup.py connected_components)",
+)
+def curation_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import md5_bucket
+    from .operators.dedup import jaccard_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=50)
+    sa = md5_bucket("id_a", 10) == 0
+    sb = md5_bucket("id_b", 10) == 0
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.when(sa, "val").otherwise("train").alias("split_a"),
+        F.when(sb, "val").otherwise("train").alias("split_b"),
+        (sa != sb).alias("leaks"),
+    )
+
+
+@register(
+    "search_prefix_completions",
+    """
+    WITH words AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(lower(p_name), ' ')) AS w FROM part
+      ) t WHERE w <> '' GROUP BY w
+    ),
+    pref AS (
+      SELECT substr(w, 1, p) AS prefix, w, cnt
+      FROM words, range(1, 5) r(p)
+      WHERE p <= length(w)
+    )
+    SELECT prefix, w AS completion, CAST(cnt AS BIGINT) AS n_uses,
+           CAST(n_words AS BIGINT) AS n_words
+    FROM (
+      SELECT prefix, w, cnt,
+             COUNT(*) OVER (PARTITION BY prefix) AS n_words,
+             ROW_NUMBER() OVER (PARTITION BY prefix
+                                ORDER BY cnt DESC, w) AS rn
+      FROM pref
+    ) t WHERE rn = 1
+    """,
+    doc="AG2 autocomplete index build: for every 1-4 char prefix of the "
+        "part-name vocabulary, the most frequent completion (count "
+        "desc, word asc — deterministic) plus the branching factor. "
+        "The explode is bounded (4 prefixes per word), the argmax is a "
+        "WindowGroupLimit over prefix groups, and the output is "
+        "exactly the key-value table a search box loads — the "
+        "materialize-the-answer pattern search infra uses instead of "
+        "LIKE 'p%' scans at query time. At corpus scale the same plan "
+        "shards by prefix hash; hot single-char prefixes are served "
+        "from the same rollup",
+)
+def search_prefix_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = Catalog(spark, sf_dir).part
+    words = (
+        part.select(
+            F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pref = (
+        words.withColumn("p", F.explode(F.sequence(F.lit(1), F.lit(4))))
+        .filter(F.col("p") <= F.length("w"))
+        .select(
+            F.expr("substring(w, 1, p)").alias("prefix"), "w", "cnt"
+        )
+    )
+    wn = Window.partitionBy("prefix")
+    wr = Window.partitionBy("prefix").orderBy(F.col("cnt").desc(), "w")
+    return (
+        pref.withColumn("n_words", F.count(F.lit(1)).over(wn))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "prefix",
+            F.col("w").alias("completion"),
+            F.col("cnt").cast("bigint").alias("n_uses"),
+            F.col("n_words").cast("bigint").alias("n_words"),
+        )
+    )
+
+
+@register(
+    "streaming_backpressure_max_files",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+    doc="AG3 bounded-ingest backpressure: the source is staged as 8 "
+        "parquet files and the stream consumes them with "
+        "maxFilesPerTrigger=2 under Trigger.AvailableNow — FOUR "
+        "micro-batches instead of one gulp, which is how a production "
+        "stream caps per-batch state/memory when catching up from a "
+        "backlog (unthrottled catch-up is the classic restart OOM). "
+        "The complete-mode aggregate's final state must equal the "
+        "one-shot batch answer regardless of batch boundaries — "
+        "exactly what the oracle asserts; the >= 4 batch count is "
+        "pinned in pytest via a foreachBatch counter",
+)
+def streaming_backpressure_max_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    ev = Catalog(spark, sf_dir).events
+    base = _scratch_dir("backpressure", sf_dir)
+    src = os.path.join(base, "src")
+    shutil.rmtree(src, ignore_errors=True)
+    ev.repartition(8).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    # the stream carries the additive count; exact COUNT(DISTINCT) is not
+    # incrementally maintainable without per-key user state, so the
+    # distinct-user column joins in from a batch read of the SAME staged
+    # files after the drain (bounded, deterministic)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from .streaming.wrappers import run_to_memory
+
+    import re as _re
+
+    name = "backpressure_" + _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    counts = run_to_memory(spark, agg, name, mode="complete")
+    users = (
+        spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+    return counts.join(users, "event_type").select(
+        "event_type", F.col("n").cast("bigint").alias("n"), "n_users"
+    )
