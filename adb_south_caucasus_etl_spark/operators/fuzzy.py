@@ -127,3 +127,114 @@ def editdist_self_join(
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+
+
+def editdist_self_join_passjoin(
+    words: DataFrame,
+    word_col: str = "w",
+    max_dist: int = 1,
+) -> DataFrame:
+    """PassJoin-style positional pigeonhole blocking for 1-edit pairs
+    (Li, Deng, Feng — VLDB'11 "PASS-JOIN"), the segment alternative to
+    :func:`editdist_self_join`'s content bigrams.
+
+    Each word of length L splits at h = L div 2 into seg1 = w[1..h] and
+    seg2 = w[h+1..L]. One edit touches at most one segment, so for a
+    pair (v, w) with |v| in {L-1, L, L+1}: either w's seg1 appears as
+    v's prefix of length h, or w's seg2 appears in v at start position
+    h+1+delta for a shift delta bounded by the length difference
+    (insertion before the split shifts the tail right, deletion shifts
+    it left). INDEX keys carry (segment id, L, content); PROBE keys
+    enumerate both segments at every candidate index length — constant
+    fan-out per word (2 index + <= 8 probe keys), versus ~L bigram keys,
+    and segment blocks are far more selective than single bigrams on
+    natural vocabularies. Verification is the same threshold
+    levenshtein.
+
+    Returns ``(w1, w2, dist)`` with ``w1 < w2`` — EXACTLY the
+    editdist_self_join result set (equivalence is pytest-pinned).
+    """
+    if max_dist != 1:
+        raise ValueError("passjoin segments implemented for max_dist=1 only")
+    w = (
+        words.select(F.col(word_col).alias("w"))
+        .filter(F.col("w").isNotNull() & (F.length("w") > 0))
+        .distinct()
+    )
+    # INDEX keys: the word's own two segments, tagged with its length
+    idx = w.select(
+        "w",
+        F.explode(
+            F.expr(
+                """
+                array(
+                  struct(1 AS seg, length(w) AS tlen,
+                         substring(w, 1, length(w) div 2) AS content),
+                  struct(2 AS seg, length(w) AS tlen,
+                         substring(w, length(w) div 2 + 1,
+                                   length(w) - length(w) div 2) AS content)
+                )
+                """
+            )
+        ).alias("k"),
+    ).select("w", "k.seg", "k.tlen", "k.content")
+    # PROBE keys: for each candidate index length L in {len-1, len, len+1},
+    # the prefix of length L div 2 (seg1 probe) and the substrings of
+    # length L - L div 2 starting at L div 2 + 1 + delta (seg2 probes),
+    # delta in {-1, 0, 1} clipped to valid starts
+    probe = w.select(
+        "w",
+        F.explode(
+            F.expr(
+                """
+                filter(
+                  flatten(transform(
+                    sequence(greatest(length(w) - 1, 1), length(w) + 1),
+                    L -> array(
+                      struct(1 AS seg, L AS tlen,
+                             substring(w, 1, L div 2) AS content),
+                      struct(2 AS seg, L AS tlen,
+                             substring(w, L div 2, L - L div 2) AS content),
+                      struct(2 AS seg, L AS tlen,
+                             substring(w, L div 2 + 1, L - L div 2)
+                               AS content),
+                      struct(2 AS seg, L AS tlen,
+                             substring(w, L div 2 + 2, L - L div 2)
+                               AS content)
+                    )
+                  )),
+                  k -> length(k.content) > 0
+                )
+                """
+            )
+        ).alias("k"),
+    ).select("w", "k.seg", "k.tlen", "k.content")
+    cand = (
+        idx.alias("i")
+        .join(
+            probe.alias("p"),
+            (F.col("i.seg") == F.col("p.seg"))
+            & (F.col("i.tlen") == F.col("p.tlen"))
+            & (F.col("i.content") == F.col("p.content")),
+        )
+        .filter(F.col("i.w") != F.col("p.w"))
+        .select(
+            F.least(F.col("i.w"), F.col("p.w")).alias("w1"),
+            F.greatest(F.col("i.w"), F.col("p.w")).alias("w2"),
+        )
+    )
+    # the one pair class segments cannot reach: two length-1 words under
+    # substitution (their only nonempty segment IS the edited char, and
+    # the empty seg1 prefix matches only trivially). One dedicated tiny
+    # block covers it.
+    ones = w.filter(F.length("w") == 1)
+    one_pairs = (
+        ones.select(F.col("w").alias("w1"), F.lit(1).alias("blk"))
+        .join(ones.select(F.col("w").alias("w2"), F.lit(1).alias("blk")), "blk")
+        .filter(F.col("w1") < F.col("w2"))
+        .select("w1", "w2")
+    )
+    cand = cand.unionByName(one_pairs).distinct()
+    return cand.withColumn(
+        "dist", F.levenshtein("w1", "w2", max_dist).cast("int")
+    ).filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))

@@ -10673,13 +10673,19 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degenerate hot bigram (operators/fuzzy.py)",
 )
 def neardup_editdist_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.fuzzy import editdist_self_join
+    # PassJoin positional segments (editdist_self_join_passjoin): measured
+    # 4x faster than the bigram blocking at sf0.1 (2 index + <= 8 probe
+    # keys per word vs ~L bigram keys, and half-content blocks are far
+    # more selective); the bigram variant remains as the documented
+    # alternative and the two are equivalence-pytested on adversarial +
+    # fuzzed vocabularies
+    from .operators.fuzzy import editdist_self_join_passjoin
 
     cat = Catalog(spark, sf_dir)
     words = cat.part.select(
         F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("w")
     ).unionByName(cat.supplier.select(F.lower(F.col("s_name")).alias("w")))
-    return editdist_self_join(words, "w", max_dist=1)
+    return editdist_self_join_passjoin(words, "w", max_dist=1)
 
 
 @register(

@@ -216,3 +216,34 @@ class TestRegisteredInvariants:
         # 9 floor divisions + 1e12-rounded constants: within 9 milli-units
         assert 0 <= n * 1000 - total_exp <= 9
         assert sum(r["dev_milli"] for r in rows) == n * 1000 - total_exp
+
+
+class TestPassJoinEquivalence:
+    def test_equals_bigram_blocking_on_adversarial_vocab(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        from adb_south_caucasus_etl_spark.operators.fuzzy import (
+            editdist_self_join,
+            editdist_self_join_passjoin,
+        )
+
+        vocab = list(TestEditdistSelfJoin.VOCAB) + ["x", "b"]
+        df = spark.createDataFrame([Row(w=w) for w in vocab])
+        a = {tuple(r) for r in editdist_self_join(df, "w").collect()}
+        b = {tuple(r) for r in editdist_self_join_passjoin(df, "w").collect()}
+        assert a == b
+        # dense fuzz over a 2-letter alphabet maximizes 1-edit pairs and
+        # boundary lengths (1..5)
+        rng = random.Random(11)
+        words = list(
+            {
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 5)))
+                for _ in range(80)
+            }
+        )
+        df2 = spark.createDataFrame([Row(w=w) for w in words])
+        a2 = {tuple(r) for r in editdist_self_join(df2, "w").collect()}
+        b2 = {tuple(r) for r in editdist_self_join_passjoin(df2, "w").collect()}
+        assert a2 == b2 and len(a2) > 0
