@@ -13074,3 +13074,143 @@ def streaming_backpressure_max_files(spark: SparkSession, sf_dir: str) -> DataFr
     return counts.join(users, "event_type").select(
         "event_type", F.col("n").cast("bigint").alias("n"), "n_users"
     )
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AH — round-5 batch 20: collation-aware grouping, column-level
+# snapshot drift. (PassJoin, also batch 20, lives in operators/fuzzy.py.)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sql_collation_groupby",
+    """
+    WITH d AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 2 = 0
+                  THEN upper(p_type) ELSE p_type END AS v
+      FROM part
+    )
+    SELECT lower(v) AS type_lc,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_spellings
+    FROM d GROUP BY 1
+    """,
+    doc="AH1 collation-aware grouping (SPARK-46830, Spark 4): the part "
+        "type column is deterministically case-scattered (md5-even rows "
+        "uppercased) and then grouped under the UTF8_LCASE collation — "
+        "the engine-native way to make comparisons/joins/aggregations "
+        "case-insensitive WITHOUT rewriting every expression in "
+        "lower(); collation is a type property the optimizer sees, so "
+        "pushdown and hash aggregation still apply. n_spellings counts "
+        "the distinct BINARY spellings inside each collated group "
+        "(proving the group genuinely merged case variants). The "
+        "oracle models the same semantics with lower() — exact on this "
+        "ASCII domain (non-ASCII case folding is exactly where "
+        "collations beat lower(); see functions/unicode_norm.py)",
+)
+def sql_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import md5_bucket
+
+    part = Catalog(spark, sf_dir).part
+    d = part.select(
+        F.when(md5_bucket("p_partkey", 2) == 0, F.upper("p_type"))
+        .otherwise(F.col("p_type"))
+        .alias("v")
+    )
+    g = d.groupBy(F.expr("collate(v, 'UTF8_LCASE')").alias("vc")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct(F.expr("collate(v, 'UTF8_BINARY')"))
+        .cast("bigint")
+        .alias("n_spellings"),
+    )
+    return g.select(
+        F.lower(F.col("vc")).cast("string").alias("type_lc"),
+        "n",
+        "n_spellings",
+    )
+
+
+@register(
+    "snapshot_column_drift",
+    """
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 10 = 0
+                  THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 10 = 0
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             END AS cents,
+             CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 10 = 1
+                  THEN '0-RUSH' ELSE o_orderpriority END AS o_orderpriority
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderstatus <> v2.o_orderstatus
+                         THEN 1 ELSE 0 END) AS BIGINT) AS changed_status,
+           CAST(SUM(CASE WHEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                              <> v2.cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS changed_price,
+           CAST(SUM(CASE WHEN o.o_orderpriority <> v2.o_orderpriority
+                         THEN 1 ELSE 0 END) AS BIGINT) AS changed_priority,
+           CAST(SUM(CASE WHEN o.o_orderstatus <> v2.o_orderstatus
+                          OR CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                             <> v2.cents
+                          OR o.o_orderpriority <> v2.o_orderpriority
+                         THEN 1 ELSE 0 END) AS BIGINT) AS changed_any
+    FROM orders o JOIN v2 USING (o_orderkey)
+    """,
+    doc="AH2 COLUMN-LEVEL snapshot drift: where snapshot_diff (§2.P P4) "
+        "classifies whole rows as added/removed/changed, migrations "
+        "need to know WHICH columns drifted — the per-column change "
+        "counts that catch a renamed enum or a price re-rounding "
+        "immediately. One key-equi join between versions with per-"
+        "column inequality sums (combiner-friendly); at 100 TB compare "
+        "per-column md5 digests instead of values so the join ships "
+        "32 B per column, and bucket both versions by key for a "
+        "zero-shuffle diff. The v2 snapshot is simulated in-query by "
+        "deterministic md5-selected mutations (documented; real use "
+        "reads two table versions)",
+)
+def snapshot_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import md5_bucket
+
+    orders = Catalog(spark, sf_dir).orders
+    b = md5_bucket("o_orderkey", 10)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    v2 = orders.select(
+        "o_orderkey",
+        F.when(b == 0, "X").otherwise(F.col("o_orderstatus")).alias("s2"),
+        F.when(b == 0, cents + 100).otherwise(cents).alias("c2"),
+        F.when(b == 1, "0-RUSH")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("p2"),
+    )
+    v1 = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("s1"),
+        cents.alias("c1"),
+        F.col("o_orderpriority").alias("p1"),
+    )
+    j = v1.join(v2, "o_orderkey")
+    chg = lambda a, bb: F.when(F.col(a) != F.col(bb), 1).otherwise(0)  # noqa: E731
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(chg("s1", "s2")).cast("bigint").alias("changed_status"),
+        F.sum(chg("c1", "c2")).cast("bigint").alias("changed_price"),
+        F.sum(chg("p1", "p2")).cast("bigint").alias("changed_priority"),
+        F.sum(
+            F.when(
+                (F.col("s1") != F.col("s2"))
+                | (F.col("c1") != F.col("c2"))
+                | (F.col("p1") != F.col("p2")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("changed_any"),
+    )
