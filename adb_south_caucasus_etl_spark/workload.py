@@ -13214,3 +13214,301 @@ def snapshot_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("changed_any"),
     )
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AI — round-5 batch 21: incremental view maintenance, Pareto
+# frontier, graph degree profile, unknown-member repair.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ivm_join_delta_propagation",
+    """
+    WITH base_o AS (
+      SELECT * FROM orders
+      WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 20 <> 0
+    ),
+    delta_o AS (
+      SELECT * FROM orders
+      WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 20 = 0
+    ),
+    base_c AS (
+      SELECT * FROM customer
+      WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 20 <> 1
+    ),
+    delta_c AS (
+      SELECT * FROM customer
+      WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 20 = 1
+    ),
+    -- ΔV = ΔO⋈C_old ∪ O_old⋈ΔC ∪ ΔO⋈ΔC: the standard join-delta rule
+    dv AS (
+      SELECT o_orderkey, c_custkey FROM delta_o JOIN base_c
+        ON o_custkey = c_custkey
+      UNION ALL
+      SELECT o_orderkey, c_custkey FROM base_o JOIN delta_c
+        ON o_custkey = c_custkey
+      UNION ALL
+      SELECT o_orderkey, c_custkey FROM delta_o JOIN delta_c
+        ON o_custkey = c_custkey
+    ),
+    v_old AS (
+      SELECT o_orderkey, c_custkey FROM base_o JOIN base_c
+        ON o_custkey = c_custkey
+    ),
+    maintained AS (
+      SELECT * FROM v_old UNION ALL SELECT * FROM dv
+    ),
+    recomputed AS (
+      SELECT o_orderkey, c_custkey FROM orders JOIN customer
+        ON o_custkey = c_custkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM maintained) AS BIGINT)
+             AS n_maintained,
+           CAST((SELECT COUNT(*) FROM recomputed) AS BIGINT)
+             AS n_recomputed,
+           CAST((SELECT COUNT(*) FROM dv) AS BIGINT) AS n_delta_rows,
+           CAST((SELECT COUNT(*) FROM
+                   (SELECT * FROM maintained EXCEPT ALL
+                    SELECT * FROM recomputed) x) AS BIGINT) AS n_extra,
+           CAST((SELECT COUNT(*) FROM
+                   (SELECT * FROM recomputed EXCEPT ALL
+                    SELECT * FROM maintained) x) AS BIGINT) AS n_missing
+    """,
+    doc="AI1 incremental view maintenance for a JOIN view, stamped as "
+        "an algebraic identity: with md5-selected deltas on BOTH sides "
+        "of orders ⋈ customer, the delta rule ΔV = ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC "
+        "must reproduce the full recompute EXACTLY — the query emits "
+        "maintained/recomputed/delta cardinalities plus EXCEPT ALL "
+        "discrepancy counts that the oracle (and a pytest) pin to "
+        "zero. This is the algebra behind every materialized-view "
+        "refresh that doesn't rescan the world: delta joins touch "
+        "|Δ| × matching keys, not |base|²; the base⋈base term is the "
+        "already-materialized view and never re-executes in "
+        "production (here it runs once to stand in for the stored "
+        "artifact)",
+)
+def ivm_join_delta_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import md5_bucket
+
+    cat = Catalog(spark, sf_dir)
+    ob = md5_bucket("o_orderkey", 20)
+    cb = md5_bucket("c_custkey", 20)
+    base_o = cat.orders.filter(ob != 0)
+    delta_o = cat.orders.filter(ob == 0)
+    base_c = cat.customer.filter(cb != 1)
+    delta_c = cat.customer.filter(cb == 1)
+
+    def j(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            "o_orderkey", "c_custkey"
+        )
+
+    dv = (
+        j(delta_o, base_c)
+        .unionAll(j(base_o, delta_c))
+        .unionAll(j(delta_o, delta_c))
+    )
+    v_old = j(base_o, base_c)
+    maintained = v_old.unionAll(dv)
+    recomputed = j(cat.orders, cat.customer)
+    extra = maintained.exceptAll(recomputed)
+    missing = recomputed.exceptAll(maintained)
+    return (
+        maintained.agg(F.count(F.lit(1)).cast("bigint").alias("n_maintained"))
+        .crossJoin(
+            recomputed.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_recomputed")
+            )
+        )
+        .crossJoin(dv.agg(F.count(F.lit(1)).cast("bigint").alias("n_delta_rows")))
+        .crossJoin(extra.agg(F.count(F.lit(1)).cast("bigint").alias("n_extra")))
+        .crossJoin(
+            missing.agg(F.count(F.lit(1)).cast("bigint").alias("n_missing"))
+        )
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    """
+    WITH d AS (
+      SELECT p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    ranked AS (
+      SELECT *,
+             MAX(size) OVER (ORDER BY price_cents, p_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS best_size_cheaper
+      FROM d
+    )
+    SELECT p_partkey, price_cents, size
+    FROM ranked
+    WHERE best_size_cheaper IS NULL OR size > best_size_cheaper
+    """,
+    doc="AI2 Pareto frontier (skyline query): parts where no other part "
+        "is both cheaper and larger — minimize price, maximize size. "
+        "The 2-D skyline needs NO pairwise dominance join: sort by "
+        "price and keep rows whose size beats the RUNNING MAX of all "
+        "cheaper rows — one window pass, exact integers. Tie handling "
+        "is explicit: equal-price rows compare against strictly "
+        "cheaper rows only (ROWS ... 1 PRECEDING with a deterministic "
+        "price, key order), so dominance requires STRICTLY cheaper — "
+        "the standard skyline definition. Higher dimensions fall back "
+        "to the block-nested dominance join the oracle could run; 2-D "
+        "is the common case and it's linear after the sort (global "
+        "sort swaps for range partitioning at scale)",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = Catalog(spark, sf_dir).part
+    d = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w = (
+        Window.orderBy("price_cents", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = d.withColumn("best_size_cheaper", F.max("size").over(w))
+    return ranked.filter(
+        F.col("best_size_cheaper").isNull()
+        | (F.col("size") > F.col("best_size_cheaper"))
+    ).select("p_partkey", "price_cents", "size")
+    # NOTE on ties: a part is kept iff its size strictly beats every
+    # part sorted before it (cheaper, or equal price with smaller key).
+    # Equal-price equal-size rows therefore keep only the smallest key —
+    # a deterministic representative per frontier point.
+
+
+@register(
+    "graph_degree_distribution",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+          FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) t GROUP BY 1
+    )
+    SELECT CAST(FLOOR(LOG2(d)) AS INTEGER) AS degree_bucket_log2,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+    doc="AI3 degree-distribution profile of the co-purchase graph in "
+        "log2 buckets — the 30-second skew diagnosis every graph job "
+        "should run BEFORE choosing a plan: a heavy tail here is what "
+        "makes naive wedge counting die (SCALE.md batch 12) and what "
+        "AQE skew-split / salting exist for. Two combiner aggregates; "
+        "LOG2 of a BIGINT degree is exact for the bucket boundaries "
+        "that matter (powers of two are exactly representable; "
+        "FLOOR(LOG2(2^k)) = k in both engines)",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    op = cat.lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    x = op.alias("x")
+    y = op.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.ok") == F.col("y.ok")) & (F.col("x.pk") < F.col("y.pk")),
+        )
+        .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(
+        F.floor(F.log2("d")).cast("int").alias("degree_bucket_log2")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("d").cast("bigint").alias("min_degree"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )
+
+
+@register(
+    "dim_unknown_member_repair",
+    """
+    WITH o2 AS (  -- simulate orphaned facts: md5-selected orders point
+                  -- at a customer key that no longer exists
+      SELECT o_orderkey,
+             CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 25 = 0
+                  THEN -o_custkey ELSE o_custkey END AS o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    repaired AS (
+      SELECT o2.o_orderkey, o2.cents,
+             COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+             c.c_custkey IS NULL AS is_unknown
+      FROM o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(CASE WHEN is_unknown THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unknown
+    FROM repaired GROUP BY 1
+    """,
+    doc="AI4 the Kimball UNKNOWN-member repair: facts whose dimension "
+        "key resolves to nothing (late-arriving dimensions, hard "
+        "deletes, corrupt keys — simulated here by md5-negating 1-in-25 "
+        "customer keys) must NOT silently vanish from inner-join "
+        "reports; the left join + COALESCE to the 'UNKNOWN' member "
+        "keeps every fact countable and makes the orphan volume a "
+        "visible, monitorable row. Totals therefore reconcile to the "
+        "full fact table by construction (pytest-pinned). One "
+        "broadcast-dim left join + combiner aggregate",
+)
+def dim_unknown_member_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import md5_bucket
+
+    cat = Catalog(spark, sf_dir)
+    o2 = cat.orders.select(
+        "o_orderkey",
+        F.when(
+            md5_bucket("o_orderkey", 25) == 0, -F.col("o_custkey")
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = cat.customer.select("c_custkey", "c_mktsegment")
+    repaired = o2.join(
+        F.broadcast(c), o2["o_custkey"] == c["c_custkey"], "left"
+    ).select(
+        "cents",
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.col("c_custkey").isNull().alias("is_unknown"),
+    )
+    return repaired.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.sum(F.when(F.col("is_unknown"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unknown"),
+    )
