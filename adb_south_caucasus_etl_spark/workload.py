@@ -13512,3 +13512,245 @@ def dim_unknown_member_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unknown"),
     )
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AJ — round-5 batch 22: personalized PageRank, greedy
+# max-coverage selection, dynamic SQL.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_ppr_integer",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s, c FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    seeds AS (
+      SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer WHERE c_nationkey = 0
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS od FROM e GROUP BY 1),
+    r0 AS (SELECT n.node,
+                  CASE WHEN s.node IS NOT NULL
+                       THEN CAST(1000000000000 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS mass
+           FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+    in1 AS (SELECT e.dst AS node, SUM(r.mass // d.od) AS im
+            FROM r0 r JOIN deg d ON r.node = d.node JOIN e ON e.src = r.node
+            GROUP BY 1),
+    r1 AS (SELECT n.node,
+                  CASE WHEN s.node IS NOT NULL THEN 150000000000 ELSE 0 END
+                    + (85 * COALESCE(i.im, 0)) // 100 AS mass
+           FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+           LEFT JOIN in1 i ON n.node = i.node),
+    in2 AS (SELECT e.dst AS node, SUM(r.mass // d.od) AS im
+            FROM r1 r JOIN deg d ON r.node = d.node JOIN e ON e.src = r.node
+            GROUP BY 1),
+    r2 AS (SELECT n.node,
+                  CASE WHEN s.node IS NOT NULL THEN 150000000000 ELSE 0 END
+                    + (85 * COALESCE(i.im, 0)) // 100 AS mass
+           FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+           LEFT JOIN in2 i ON n.node = i.node),
+    in3 AS (SELECT e.dst AS node, SUM(r.mass // d.od) AS im
+            FROM r2 r JOIN deg d ON r.node = d.node JOIN e ON e.src = r.node
+            GROUP BY 1),
+    r3 AS (SELECT n.node,
+                  CASE WHEN s.node IS NOT NULL THEN 150000000000 ELSE 0 END
+                    + (85 * COALESCE(i.im, 0)) // 100 AS mass
+           FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+           LEFT JOIN in3 i ON n.node = i.node)
+    SELECT node, CAST(mass AS BIGINT) AS mass
+    FROM r3 WHERE substr(node, 1, 2) = 's:' AND mass > 0
+    ORDER BY mass DESC, node LIMIT 20
+    """,
+    doc="AJ1 PERSONALIZED PageRank (seeded teleport): initial mass and "
+        "the teleport base go only to nation-0 customers, so after 3 "
+        "integer iterations a supplier's mass measures its proximity "
+        "to that market — 'suppliers most relevant to nation-0 "
+        "buyers', the similar-entities / recommendation workhorse "
+        "(Gupta et al., WWW'13 WTF). Identical bigint floor-division "
+        "machinery as graph_pagerank_integer (one operator, seeds "
+        "parameter) => still bit-exact vs the unrolled oracle; served "
+        "as the top-20 suppliers with nonzero mass. Per iteration: "
+        "the same two equi-joins + combiner sum; the seed flag rides "
+        "the node table as one boolean column",
+)
+def graph_ppr_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_integer
+
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            cat.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    seeds = cat.customer.filter(F.col("c_nationkey") == 0).select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    pr = pagerank_integer(
+        edges, iterations=3, mass0=1_000_000_000_000, seeds=seeds
+    )
+    return (
+        pr.filter(
+            (F.substring("node", 1, 2) == "s:") & (F.col("mass") > 0)
+        )
+        .orderBy(F.col("mass").desc(), "node")
+        .limit(20)
+    )
+
+
+@register(
+    "curation_greedy_coverage",
+    r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(ts) - 2, 1) + 1),
+                 i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+              FROM documents WHERE text IS NOT NULL) t
+      ) u
+    ),
+    p1 AS (
+      SELECT doc_id, COUNT(*) AS gain FROM sh GROUP BY 1
+      ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    cov1 AS (SELECT DISTINCT shingle FROM sh JOIN p1 USING (doc_id)),
+    p2 AS (
+      SELECT s.doc_id, COUNT(*) AS gain
+      FROM sh s LEFT JOIN cov1 c ON s.shingle = c.shingle
+      WHERE c.shingle IS NULL AND s.doc_id <> (SELECT doc_id FROM p1)
+      GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    cov2 AS (SELECT shingle FROM cov1
+             UNION SELECT shingle FROM sh JOIN p2 USING (doc_id)),
+    p3 AS (
+      SELECT s.doc_id, COUNT(*) AS gain
+      FROM sh s LEFT JOIN cov2 c ON s.shingle = c.shingle
+      WHERE c.shingle IS NULL
+        AND s.doc_id NOT IN (SELECT doc_id FROM p1
+                             UNION SELECT doc_id FROM p2)
+      GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1
+    )
+    SELECT 1 AS step, doc_id, CAST(gain AS BIGINT) AS gain FROM p1
+    UNION ALL SELECT 2, doc_id, CAST(gain AS BIGINT) FROM p2
+    UNION ALL SELECT 3, doc_id, CAST(gain AS BIGINT) FROM p3
+    """,
+    doc="AJ2 greedy max-coverage data selection (the submodular "
+        "facility-location heuristic behind coverage-driven corpus "
+        "subsetting): 3 greedy steps, each electing the document that "
+        "adds the most UNCOVERED 3-word shingles (count desc, doc "
+        "asc — deterministic), then folding its shingles into the "
+        "covered set. Greedy is (1-1/e)-optimal for submodular "
+        "coverage (Nemhauser '78) — the theory that justifies picking "
+        "documents one at a time at corpus scale. Like BPE learning, "
+        "each elected doc is a 1-row broadcast and the covered set an "
+        "anti-join probe, so all 3 steps remain ONE lazy plan with no "
+        "driver round-trips; per step: one anti-join + one "
+        "combiner-friendly count + a 1-row argmax",
+)
+def curation_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ts")
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(ts) - 2, 1)),"
+                        " i -> array_join(slice(ts, i, 3), ' '))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+    picked: list[DataFrame] = []
+    covered: DataFrame | None = None
+    chosen_ids: DataFrame | None = None
+    for step in (1, 2, 3):
+        cand = sh
+        if chosen_ids is not None:
+            cand = cand.join(chosen_ids, "doc_id", "left_anti")
+        if covered is not None:
+            cand = cand.join(covered, "shingle", "left_anti")
+        best = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+        )
+        picked.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "doc_id",
+                F.col("gain").cast("bigint").alias("gain"),
+            )
+        )
+        new_cov = sh.join(F.broadcast(best.select("doc_id")), "doc_id").select(
+            "shingle"
+        )
+        covered = (
+            new_cov if covered is None else covered.unionByName(new_cov)
+        ).distinct()
+        ids = best.select("doc_id")
+        chosen_ids = ids if chosen_ids is None else chosen_ids.unionByName(ids)
+
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "sql_execute_immediate",
+    """
+    SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM customer WHERE c_nationkey = 5 GROUP BY 1
+    """,
+    doc="AJ3 dynamic SQL via EXECUTE IMMEDIATE ... USING (SPARK-44840): "
+        "the query TEXT is a runtime value and parameters bind by "
+        "position — the stored-procedure idiom for cut templates the "
+        "reference's payload dict implies (a cube client assembling "
+        "cuts at runtime is exactly a dynamic-SQL generator). "
+        "Parameter binding, not string splicing: the USING clause "
+        "keeps the plan cacheable and injection-safe. Completes the "
+        "parameterized-SQL family (named params + IDENTIFIER in "
+        "sql_parameterized_cut; session variables in "
+        "sql_scripting_block)",
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views(("customer",))
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM customer WHERE c_nationkey = ? GROUP BY 1'
+          USING 5
+        """
+    )

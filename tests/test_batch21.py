@@ -62,3 +62,88 @@ class TestUnknownMember:
         for seg, r in {r["segment"]: r for r in out.collect()}.items():
             if seg != "UNKNOWN":
                 assert r["n_unknown"] == 0
+
+
+class TestPersonalizedPagerank:
+    def test_ppr_reference_on_random_graph(self, spark):
+        import random
+        from collections import Counter, defaultdict
+
+        from pyspark.sql import Row
+
+        from adb_south_caucasus_etl_spark.operators.graph import (
+            pagerank_integer,
+        )
+
+        rng = random.Random(5)
+        edges = [
+            (rng.randrange(20), rng.randrange(20)) for _ in range(120)
+        ]
+        edges = sorted({(s, d) for s, d in edges if s != d})
+        seeds = [0, 1, 2]
+        df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        sdf = spark.createDataFrame([Row(node=n) for n in seeds])
+        got = {
+            r["node"]: r["mass"]
+            for r in pagerank_integer(
+                df, iterations=3, mass0=10**12, seeds=sdf
+            ).collect()
+        }
+        # pure-python replica with seeded base/init
+        nodes = sorted({u for e in edges for u in e})
+        out = Counter(s for s, _ in edges)
+        base = 15 * 10**12 // 100
+        mass = {n: (10**12 if n in seeds else 0) for n in nodes}
+        for _ in range(3):
+            inm = defaultdict(int)
+            for s, d in edges:
+                inm[d] += mass[s] // out[s]
+            mass = {
+                n: (base if n in seeds else 0) + (85 * inm.get(n, 0)) // 100
+                for n in nodes
+            }
+        assert got == mass
+        # non-seed nodes with no path from seeds stay at exactly 0
+        assert all(m >= 0 for m in got.values())
+
+
+class TestGreedyCoverage:
+    def test_greedy_gains_monotone_and_match_simulation(self, spark):
+        from pyspark.sql import functions as FF
+
+        rows = sorted(
+            (r["step"], r["doc_id"], r["gain"])
+            for r in WORKLOAD["curation_greedy_coverage"].fn(spark, SF).collect()
+        )
+        # simulate greedy in python over the same shingle sets
+        docs = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(FF.col("text").isNotNull())
+            .select("doc_id", "text")
+            .collect()
+        )
+        shingles = {}
+        for r in docs:
+            ts = r["text"].strip().split()
+            n = max(len(ts) - 2, 1)
+            shingles[r["doc_id"]] = {
+                " ".join(ts[i : i + 3]) for i in range(n)
+            }
+        covered: set = set()
+        chosen: set = set()
+        want = []
+        for step in (1, 2, 3):
+            best = min(
+                (
+                    (-len(s - covered), did)
+                    for did, s in shingles.items()
+                    if did not in chosen
+                ),
+            )
+            gain, did = -best[0], best[1]
+            want.append((step, did, gain))
+            covered |= shingles[did]
+            chosen.add(did)
+        assert rows == sorted(want)
+        gains = [g for _, _, g in sorted(want)]
+        assert gains[0] >= gains[1] >= gains[2]  # submodularity
