@@ -13754,3 +13754,187 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING 5
         """
     )
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AK — round-5 batch 23: label-propagation communities, RFM
+# customer scoring.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_label_propagation",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+          FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+    bi AS (SELECT a AS src, b AS dst FROM e
+           UNION ALL SELECT b, a FROM e),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM bi),
+    v1 AS (
+      SELECT node, lab, COUNT(*) AS votes FROM (
+        SELECT b.dst AS node, l.lab FROM bi b JOIN l0 l ON b.src = l.node
+        UNION ALL
+        SELECT node, lab FROM l0
+      ) t GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY votes DESC, lab) AS rn
+        FROM v1
+      ) t WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT node, lab, COUNT(*) AS votes FROM (
+        SELECT b.dst AS node, l.lab FROM bi b JOIN l1 l ON b.src = l.node
+        UNION ALL
+        SELECT node, lab FROM l1
+      ) t GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY votes DESC, lab) AS rn
+        FROM v2
+      ) t WHERE rn = 1
+    ),
+    comm AS (SELECT lab, COUNT(*) AS sz FROM l2 GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS community_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM comm GROUP BY 1
+    """,
+    doc="AK1 synchronous label propagation (Raghavan '07), 2 fixed "
+        "iterations over the part co-purchase graph: every node adopts "
+        "the MAJORITY label among itself + neighbors (votes desc, "
+        "label asc — the tiebreak that makes async-nondeterministic "
+        "LPA exactly reproducible), initial label = own id. Differs "
+        "from connected components (min-label, finds connectivity) by "
+        "finding DENSE regions — the cheap community detector. Per "
+        "iteration: one edge join + one combiner vote count + one "
+        "argmax window at (node, label) grain; served as the "
+        "community-size histogram (the stable summary — label ids "
+        "themselves depend on iteration count)",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    op = cat.lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    x = op.alias("x")
+    y = op.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.ok") == F.col("y.ok")) & (F.col("x.pk") < F.col("y.pk")),
+        )
+        .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
+        .distinct()
+    )
+    bi = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = bi.select(F.col("src").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("votes").desc(), "lab")
+    for _ in range(2):
+        lsrc = labels.select(F.col("node").alias("src"), "lab")
+        votes = (
+            bi.join(lsrc, "src")
+            .select(F.col("dst").alias("node"), "lab")
+            .unionAll(labels.select("node", "lab"))
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    comm = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("sz"))
+    return comm.groupBy(
+        F.col("sz").cast("bigint").alias("community_size")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
+
+
+@register(
+    "customer_rfm_scores",
+    """
+    WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+    base AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', MAX(o_orderdate), MAX(anchor.a)) AS r_days,
+             COUNT(*) AS f_n,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m_cents
+      FROM orders, anchor GROUP BY 1
+    ),
+    scored AS (
+      SELECT c_custkey,
+             NTILE(5) OVER (ORDER BY r_days DESC, c_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY f_n, c_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY m_cents, c_custkey) AS m_score
+      FROM base
+    )
+    SELECT c_custkey, CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm
+    FROM scored
+    """,
+    doc="AK2 RFM customer scoring (the mar-tech segmentation staple): "
+        "recency (days since last order, anchored to the data's own "
+        "max date so the query is rerun-stable), frequency, and "
+        "monetary value, each quintiled 1-5 with higher = better. "
+        "NTILE is made deterministic by the total-order tiebreak "
+        "(metric, key) — the feature_equidepth_binning rule — so a "
+        "ranking-based segmentation hash-stamps. Three windows over "
+        "one customer-grain pre-aggregate, never over raw orders; at "
+        "scale the quintile boundaries come from the two-pass exact "
+        "percentile instead of a global NTILE sort",
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = Catalog(spark, sf_dir).orders
+    anchor = orders.agg(F.max("o_orderdate").alias("a"))
+    base = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(
+                F.max("a").cast("date"), F.max("o_orderdate").cast("date")
+            ).alias("r_days"),
+            F.count(F.lit(1)).alias("f_n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "m_cents"
+            ),
+        )
+    )
+    scored = base.select(
+        "c_custkey",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("r_days").desc(), "c_custkey"))
+        .alias("r_score"),
+        F.ntile(5).over(Window.orderBy("f_n", "c_custkey")).alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("m_cents", "c_custkey"))
+        .alias("m_score"),
+    )
+    return scored.select(
+        "c_custkey",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm"),
+    )

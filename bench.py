@@ -99,6 +99,19 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — bench must survive one bad query
             full[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        # isolate queries from each other's session debris: cached tables
+        # (sql_cache_table_reuse) and the memory-sink temp views that every
+        # *_live streaming query registers otherwise accumulate across the
+        # 260+ query sweep and the resulting JVM heap/GC pressure inflated
+        # the TAIL of the sweep up to ~3x (measured round 5; the driver
+        # runs each query in a fresh process and never sees that state)
+        try:
+            spark.catalog.clearCache()
+            for tv in spark.catalog.listTables():
+                if tv.isTemporary and tv.tableType == "TEMPORARY":
+                    spark.catalog.dropTempView(tv.name)
+        except Exception:  # noqa: BLE001 — cleanup must never fail the bench
+            pass
 
     # batch vs streaming split: the five streaming_*_live queries run real
     # Structured Streaming starts (availableNow replay) whose fixed start/stop

@@ -147,3 +147,42 @@ class TestGreedyCoverage:
         assert rows == sorted(want)
         gains = [g for _, _, g in sorted(want)]
         assert gains[0] >= gains[1] >= gains[2]  # submodularity
+
+
+class TestLabelPropagation:
+    def test_sizes_partition_the_node_set(self, spark):
+        rows = WORKLOAD["graph_label_propagation"].fn(spark, SF).collect()
+        total_nodes = sum(
+            r["community_size"] * r["n_communities"] for r in rows
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        a = op.alias("a")
+        b = op.alias("b")
+        import pyspark.sql.functions as FF
+
+        nodes = (
+            a.join(
+                b,
+                (FF.col("a.l_orderkey") == FF.col("b.l_orderkey"))
+                & (FF.col("a.l_partkey") != FF.col("b.l_partkey")),
+            )
+            .select(FF.col("a.l_partkey").alias("n"))
+            .distinct()
+            .count()
+        )
+        assert total_nodes == nodes  # every non-isolated part labeled once
+
+
+class TestRfmScores:
+    def test_quintiles_balanced_and_composed(self, spark):
+        rows = WORKLOAD["customer_rfm_scores"].fn(spark, SF).collect()
+        assert len(rows) > 0
+        from collections import Counter
+
+        for col in ("r_score", "f_score", "m_score"):
+            c = Counter(r[col] for r in rows)
+            assert set(c) == {1, 2, 3, 4, 5}
+            assert max(c.values()) - min(c.values()) <= 1  # NTILE balance
+        for r in rows:
+            assert r["rfm"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
