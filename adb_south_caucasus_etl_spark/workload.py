@@ -13938,3 +13938,121 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("rfm"),
     )
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AL — round-5 batch 24: behavioral recommendation counts,
+# exact time-decayed popularity.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rec_view_then_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, CAST(json_extract(props, '$.k') AS INTEGER) AS item,
+             ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, CAST(json_extract(props, '$.k') AS INTEGER) AS item,
+             ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.item AS viewed_item, p.item AS purchased_item,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_users
+    FROM v JOIN p ON v.user_id = p.user_id
+    WHERE p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 DAY
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    doc="AL1 behavioral co-occurrence counts — the 'viewed X then bought "
+        "Y within a day' table every item-to-item recommender starts "
+        "from (Amazon's classic): items come from the event props JSON, "
+        "pairs join on user with a residual time window (equi-join, "
+        "never a time nested-loop), and min-support 3 prunes the noise "
+        "tail the same way market-basket mining does. Exact integer "
+        "counts; conversion rates divide offline against view totals. "
+        "At 100 TB this is sessionize-then-count: the user equi-join is "
+        "the shuffle, support pruning keeps the output sparse",
+)
+def rec_view_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    item = F.get_json_object("props", "$.k").cast("int")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", item.alias("vitem"), F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", item.alias("pitem"), F.col("ts").alias("pts")
+    )
+    pairs = v.join(p, "user_id").filter(
+        (F.col("pts") > F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 DAY"))
+    )
+    return (
+        pairs.groupBy(
+            F.col("vitem").alias("viewed_item"),
+            F.col("pitem").alias("purchased_item"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .filter(F.col("n_pairs") >= 2)
+    )
+
+
+@register(
+    "events_decayed_popularity",
+    """
+    WITH anchor AS (
+      SELECT MAX(CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE))
+                      AS BIGINT)) AS d0
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(1 AS BIGINT)
+                    << CAST(30 - (anchor.d0
+                          - date_diff('day', DATE '1970-01-01',
+                                      CAST(date_trunc('day', ts) AS DATE)))
+                       AS INTEGER)) AS BIGINT) AS decayed_x2_30,
+           CAST(COUNT(*) AS BIGINT) AS n_raw
+    FROM events, anchor
+    GROUP BY event_type
+    """,
+    doc="AL2 EXACT exponential time decay: popularity with a 1-day "
+        "half-life is sum(2^-age_days) — a sum of DYADIC rationals, so "
+        "scaling by 2^30 turns every weight into an integer "
+        "(weight = 1 << (30 - age)) and the decayed score becomes a "
+        "combiner-friendly bigint sum that hash-stamps, where the "
+        "float spelling would drift by summation order. Serve "
+        "decayed_x2_30 / 2^30 offline. The trick generalizes to any "
+        "power-of-two half-life; non-dyadic half-lives fall back to "
+        "the fold-ordered EWMA (events_ewma_fold). Anchored to the "
+        "data's own max day => rerun-stable; ages beyond 30 days "
+        "would need a wider scale (documented; this corpus spans 30)",
+)
+def events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    dayx = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    anchor = ev.agg(F.max(dayx).alias("d0"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(30 - (d0 - datediff(CAST(ts AS DATE),"
+                " DATE '1970-01-01')) AS INT))"
+            ).alias("w"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("w").cast("bigint").alias("decayed_x2_30"),
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        )
+    )

@@ -498,3 +498,46 @@ def test_cache_table_reuse_scans_memory_not_parquet_twice(spark):
     # every parquet mention must sit inside an InMemoryRelation's echoed
     # cache-definition plan — no LIVE FileScan outside a cache block
     assert plan.count("orders.parquet") == plan.count("InMemoryRelation"), plan
+
+
+def test_triangle_wedges_never_shuffle_into_closing_join(spark):
+    """The O(m^1.5) wedge stream must probe a BROADCAST of the closing
+    edge list — a shuffled closing join was measured 2x slower and is the
+    shape that dies first at scale."""
+    plan = _final_plan(WORKLOAD["graph_triangle_count"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # the wedge self-join shares its exchange between both sides
+    assert "ReusedExchange" in plan, plan
+
+
+def test_exact_median_sorts_one_bucket_not_all_rows(spark):
+    """Two-pass median: the only Sort in the plan runs under the per-bucket
+    window AFTER the broadcast target-bucket filter — never a global sort
+    of the full relation (no rangepartitioning exchange, no
+    TakeOrderedAndProject over data rows)."""
+    plan = _final_plan(WORKLOAD["agg_exact_median_twopass"].fn(spark, SF))
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" not in plan, plan
+    # the in-bucket row_number runs after a broadcast join with the 1-row
+    # target-bucket frame
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_grid_join_is_equi_on_cells_with_bounded_fanout(spark):
+    """The radius join must be an equi-join on (cx, cy) with the 9x
+    neighbor explode on the small side — no BroadcastNestedLoopJoin, no
+    CartesianProduct (the theta-join fallbacks a naive distance predicate
+    would produce)."""
+    plan = _final_plan(WORKLOAD["geo_grid_distance_join"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_fifo_matching_joins_on_user_only(spark):
+    """FIFO lot matching is one equi-join on user_id with the overlap as a
+    RESIDUAL condition — a nested-loop over (buy, sell) pairs would be the
+    cursor simulation we replaced."""
+    plan = _final_plan(WORKLOAD["ledger_fifo_matching"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
