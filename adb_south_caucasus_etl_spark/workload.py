@@ -14056,3 +14056,107 @@ def events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_raw"),
         )
     )
+
+
+@register(
+    "forecast_holt_linear_fold",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS dayx,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    numbered AS (
+      SELECT user_id, x,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dayx) AS rn
+      FROM daily
+    ),
+    -- sequential recurrence as a recursive CTE (DuckDB 1.0's list_reduce
+    -- mis-evaluates struct accumulators, so the fold is unrolled row-wise
+    -- here; plain projections CSE safely and the op order matches Spark's
+    -- fold exactly)
+    holt AS (
+      SELECT user_id, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.rn,
+             0.5 * n.x + 0.5 * (h.l + h.b),
+             0.3 * ((0.5 * n.x + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+      FROM holt h JOIN numbered n
+        ON n.user_id = h.user_id AND n.rn = h.rn + 1
+    ),
+    last AS (SELECT user_id, MAX(rn) AS n_days FROM holt GROUP BY 1)
+    SELECT h.user_id, CAST(l.n_days AS BIGINT) AS n_days,
+           ROUND(h.l, 6) + 0.0 AS level,
+           ROUND(h.b, 6) + 0.0 AS trend,
+           ROUND(h.l + 7 * h.b, 6) + 0.0 AS forecast_7d
+    FROM holt h JOIN last l
+      ON h.user_id = l.user_id AND h.rn = l.n_days
+    """,
+    doc="AL3 Holt's linear trend (double exponential smoothing, "
+        "alpha=0.5 beta=0.3) per user over daily revenue — a TWO-STATE "
+        "sequential recurrence, folded with a STRUCT accumulator "
+        "{level, trend}: the fold family (EWMA, clamped balance) "
+        "extended beyond scalar state. Initialization is the standard "
+        "l0 = x1, b0 = 0, encoded by seeding the struct list so the "
+        "oracle and Spark's aggregate() see the IDENTICAL op sequence "
+        "=> the float recurrence hash-stamps (oracle unrolled as a "
+        "recursive CTE: DuckDB 1.0's list_reduce mis-evaluates "
+        "struct accumulators — found and documented while building "
+        "this query). "
+        "The level update is syntactically repeated inside the trend "
+        "update (lambdas bind no temporaries) — both engines recompute "
+        "the same expression, so determinism holds. Forecast = level + "
+        "h*trend serves the 7-day-ahead number a capacity planner "
+        "reads",
+)
+def forecast_holt_linear_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dayx"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("double")
+        .alias("x")
+    )
+    series = daily.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dayx").alias("d"), F.col("x")))
+            ),
+            lambda s: F.struct(s["x"].alias("l"), F.lit(0.0).alias("b")),
+        ).alias("st")
+    )
+
+    def step(acc, e):
+        new_l = 0.5 * e["l"] + 0.5 * (acc["l"] + acc["b"])
+        new_b = (
+            0.3 * ((0.5 * e["l"] + 0.5 * (acc["l"] + acc["b"])) - acc["l"])
+            + 0.7 * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    fitted = series.select(
+        "user_id",
+        F.size("st").cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.slice(F.col("st"), 2, F.greatest(F.size("st") - 1, F.lit(0))),
+            F.element_at(F.col("st"), 1),
+            step,
+        ).alias("s"),
+    )
+    return fitted.select(
+        "user_id",
+        "n_days",
+        (F.round(F.col("s.l"), 6) + 0.0).alias("level"),
+        (F.round(F.col("s.b"), 6) + 0.0).alias("trend"),
+        (F.round(F.col("s.l") + 7 * F.col("s.b"), 6) + 0.0).alias(
+            "forecast_7d"
+        ),
+    )
