@@ -14160,3 +14160,168 @@ def forecast_holt_linear_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.AM — round-5 batch 25: RLE journey compression, schema
+# compatibility audit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_rle_journeys",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM ordered
+    ),
+    runs AS (
+      SELECT user_id, island, MIN(event_type) AS event_type,
+             COUNT(*) AS run_len
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           string_agg(event_type || 'x' || CAST(run_len AS VARCHAR), '>'
+                      ORDER BY island) AS journey,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM runs GROUP BY user_id
+    """,
+    doc="AM1 run-length-encoded behavior journeys: each user's "
+        "event-type sequence collapses to its RLE form "
+        "('clickx3>viewx2>...') via gaps-and-islands — lag marks run "
+        "starts, a running sum numbers the islands, and an ORDERED "
+        "string_agg renders the journey deterministically. RLE is the "
+        "lossless pre-compression for sequence analytics: pattern "
+        "matching (events_pattern_match) and repetition audits run on "
+        "runs instead of raw rows, an order-of-magnitude shorter for "
+        "bursty behavior. Windows sort per user; the render is a "
+        "combiner-unfriendly but bounded string_agg at user grain",
+)
+def events_rle_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    wo = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(wo).alias("prev"),
+    )
+    islands = ordered.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("prev") != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        ).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("island").alias("i"),
+                                F.concat(
+                                    F.col("event_type"),
+                                    F.lit("x"),
+                                    F.col("run_len").cast("string"),
+                                ).alias("r"),
+                            )
+                        )
+                    ),
+                    lambda s: s["r"],
+                ),
+            ).alias("journey"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.max("run_len").cast("bigint").alias("longest_run"),
+        )
+    )
+
+
+@register(
+    "schema_compat_check",
+    """
+    SELECT * FROM (VALUES
+      ('o_orderkey',   'unchanged',    FALSE),
+      ('o_custkey',    'unchanged',    FALSE),
+      ('o_orderstatus','removed',      TRUE),
+      ('o_totalprice', 'type_changed', TRUE),
+      ('o_orderdate',  'unchanged',    FALSE),
+      ('o_orderpriority', 'unchanged', FALSE),
+      ('o_channel',    'added_nullable', FALSE)
+    ) t(column_name, change, breaking)
+    """,
+    doc="AM2 schema-registry compatibility audit: stage two parquet "
+        "versions of the orders schema (v2 drops a column, widens a "
+        "type, adds a nullable column), read back ONLY their footers, "
+        "and classify every column change by backward-compatibility "
+        "rule — removed and type-changed columns break existing "
+        "readers, added-nullable does not. This is the contract gate a "
+        "lakehouse runs before accepting a producer's new schema "
+        "version; the oracle is the expected verdict table, so the "
+        "stamp verifies the CLASSIFIER, not the staging. Footer-only "
+        "metadata reads — control-plane, scale-free",
+)
+def schema_compat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Row
+
+    cat = Catalog(spark, sf_dir)
+    base = _scratch_dir("schema_compat", sf_dir)
+    v1p = os.path.join(base, "v1")
+    v2p = os.path.join(base, "v2")
+    o = cat.orders.limit(10)
+    o.write.mode("overwrite").parquet(v1p)
+    (
+        o.drop("o_orderstatus")
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(18,2)"))
+        .withColumn("o_channel", F.lit(None).cast("string"))
+        .write.mode("overwrite")
+        .parquet(v2p)
+    )
+    s1 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(v1p).schema.fields}
+    s2 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(v2p).schema.fields}
+    rows = []
+    for name in s1:
+        if name not in s2:
+            rows.append(Row(column_name=name, change="removed", breaking=True))
+        elif s1[name] != s2[name]:
+            rows.append(
+                Row(column_name=name, change="type_changed", breaking=True)
+            )
+        else:
+            rows.append(Row(column_name=name, change="unchanged", breaking=False))
+    for name in s2:
+        if name not in s1:
+            rows.append(
+                Row(column_name=name, change="added_nullable", breaking=False)
+            )
+    return spark.createDataFrame(rows)
