@@ -14325,3 +14325,544 @@ def schema_compat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Row(column_name=name, change="added_nullable", breaking=False)
             )
     return spark.createDataFrame(rows)
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM t
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "journeys: lead() within (user, time) order pairs each event "
+        "with its successor, then one keyed aggregate counts "
+        "(prev, next) and a partition-window normalizes rows to "
+        "probabilities. Two shuffles total (user re-sort, pair "
+        "count); both keys are low-skew (users, 5x5 type pairs). At "
+        "100 TB the user window is the only sort and it partitions "
+        "perfectly by user_id; the transition matrix itself is "
+        "dimension-table sized, so downstream consumers (journey "
+        "simulation, next-event prediction) broadcast it. p is a "
+        "ratio of two exact counts rounded at 6dp - cross-engine "
+        "safe because both engines divide the same two integers",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(wo).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wp), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "events_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d
+                 ) AS INTEGER) AS grp
+      FROM days
+    ),
+    s AS (
+      SELECT user_id, grp, COUNT(*) AS len
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM s GROUP BY 1
+    """,
+    doc="Gaps-and-islands via the classic date-minus-row_number trick: "
+        "consecutive active days share (d - rn), so one window sort per "
+        "user plus two keyed aggregates yield per-user streak "
+        "statistics with no self-join and no iteration. The distinct "
+        "on (user, day) is the map-side-combinable first shuffle and "
+        "collapses event-grain data ~events-per-user-day-fold before "
+        "the window ever sorts; all later keys are user-grain. This "
+        "is the retention/engagement-streak primitive at any scale - "
+        "the window never holds more than one user's days",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    s = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )
+
+
+@register(
+    "stats_ab_ztest",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 200.0
+                      THEN 1 ELSE 0 END) AS conv,
+             CASE WHEN CAST('0x' || substr(
+                    md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+          AS conv_a,
+        CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+          AS conv_b
+      FROM u
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a
+                  - CAST(conv_b AS DOUBLE) / n_b)
+                 / NULLIF(sqrt(
+                     (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                              / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z
+    FROM s
+    """,
+    doc="Two-proportion z-test for an A/B experiment read: users are "
+        "assigned to arms by an md5 parity bit (the deterministic "
+        "stand-in for the experiment's bucketing hash - same recipe "
+        "as curation_shard_assign so both engines agree bit-for-bit), "
+        "conversion is 'ever made a purchase >= 200' (a fixed value "
+        "threshold; the raw 'ever purchased' rate saturates at 1.0 in "
+        "every arm and degenerates the pooled variance - the nullif "
+        "guard turns that residual edge into a NULL z, not an ANSI "
+        "divide-by-zero), and the pooled-variance "
+        "z statistic is computed in one pass: a user-grain aggregate "
+        "(map-side combinable) then a single global row. At 100 TB "
+        "the only shuffle is the user rollup; the final reduce is "
+        "4 integers. The z formula is evaluated as the identical "
+        "IEEE expression tree in both engines over the same 4 exact "
+        "counts, so 6dp rounding is deterministic",
+)
+def stats_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 200.0),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).withColumn(
+        "arm",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            "A",
+        ).otherwise("B"),
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(
+            (pa - pb)
+            / F.nullif(
+                F.sqrt(
+                    pp
+                    * (F.lit(1.0) - pp)
+                    * (
+                        F.lit(1.0) / F.col("n_a")
+                        + F.lit(1.0) / F.col("n_b")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+@register(
+    "basket_itemset_triples",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT b1.b AS brand1, b2.b AS brand2, b3.b AS brand3,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM basket b1
+    JOIN basket b2 ON b1.ok = b2.ok AND b1.b < b2.b
+    JOIN basket b3 ON b2.ok = b3.ok AND b2.b < b3.b
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 20
+    """,
+    doc="Apriori level-3 frequent itemsets at brand grain: baskets are "
+        "(order, distinct brand) rows, candidate triples come from "
+        "self-equi-joins on the order key with the b1<b2<b3 "
+        "lexicographic guard (each unordered triple generated exactly "
+        "once, never a cross product), counted and support-filtered. "
+        "The three basket legs hash-partition on the SAME key, so "
+        "Spark shuffles the basket once and ReusedExchange serves the "
+        "other two legs. By Apriori monotonicity the support filter "
+        "on triples subsumes pair-level pruning, so the oracle can "
+        "state the semantics as one 3-way join; at 100 TB with "
+        "high-cardinality items you would first broadcast the "
+        "frequent-pair set to prune candidates before the third join "
+        "- at brand grain (25 members) every pair is frequent and "
+        "the prune is a no-op. Per-order triple fan-out is bounded "
+        "by C(distinct brands per order, 3) - baskets are small",
+)
+def basket_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    basket = (
+        cat.lineitem.select(F.col("l_orderkey").alias("ok"), "l_partkey")
+        .join(
+            F.broadcast(
+                cat.part.select("p_partkey", F.col("p_brand").alias("b"))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("ok", "b")
+        .distinct()
+    )
+    b1 = basket.alias("b1")
+    b2 = basket.alias("b2")
+    b3 = basket.alias("b3")
+    triples = (
+        b1.join(
+            b2,
+            (F.col("b1.ok") == F.col("b2.ok"))
+            & (F.col("b1.b") < F.col("b2.b")),
+        )
+        .join(
+            b3,
+            (F.col("b2.ok") == F.col("b3.ok"))
+            & (F.col("b2.b") < F.col("b3.b")),
+        )
+        .groupBy(
+            F.col("b1.b").alias("brand1"),
+            F.col("b2.b").alias("brand2"),
+            F.col("b3.b").alias("brand3"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= 20)
+    )
+    return triples
+
+
+@register(
+    "text_zipf_slope",
+    """
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (
+      SELECT lang, t, COUNT(*) AS c
+      FROM tok WHERE t <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY c DESC, t
+             ) AS r
+      FROM cnt
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND(regr_slope(ln(CAST(c AS DOUBLE)),
+                            ln(CAST(r AS DOUBLE))), 6) AS zipf_slope
+    FROM ranked WHERE r <= 200
+    GROUP BY lang
+    """,
+    doc="Zipf's-law fit per language: tokenize, count terms, rank by "
+        "frequency (term tiebreak for determinism), and fit "
+        "ln(freq) ~ ln(rank) with the regr_slope aggregate over the "
+        "top-200 ranks - natural text lands near slope -1, so the "
+        "per-language slope is a corpus-quality signal (template/spam "
+        "shards flatten or steepen it). All heavy lifting is two "
+        "keyed aggregates plus one per-language window over at most "
+        "vocabulary-sized data; the token explode never leaves the "
+        "JVM (split + explode are codegen'd generators). regr_slope "
+        "is partial-aggregable, so at 100 TB the fit costs one "
+        "combiner pass over 200 rows per language",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        "lang",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t"),
+    ).filter(F.col("t") != "")
+    cnt = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("t"))
+    ranked = cnt.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= 200
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.round(
+            F.regr_slope(
+                F.log(F.col("c").cast("double")),
+                F.log(F.col("r").cast("double")),
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "agg_product_signed",
+    """
+    WITH f AS (
+      SELECT event_type, value - 10.0 AS x
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_factors,
+           CAST(COUNT(*) FILTER (WHERE x = 0.0) AS BIGINT) AS n_zeros,
+           CAST(CASE WHEN COUNT(*) FILTER (WHERE x = 0.0) > 0 THEN 0
+                WHEN COUNT(*) FILTER (WHERE x < 0.0) % 2 = 1 THEN -1
+                ELSE 1 END AS INTEGER) AS sign,
+           ROUND(SUM(log10(abs(x))) FILTER (WHERE x <> 0.0), 6)
+             AS log10_abs_product
+    FROM f GROUP BY event_type
+    """,
+    doc="Product aggregate in log space with explicit sign/zero "
+        "bookkeeping: Spark has no product() aggregate and a direct "
+        "fold would overflow doubles after a few thousand factors "
+        "anyway, so the scalable form is sum(log10|x|) plus a "
+        "negative-count parity for the sign and a zero count that "
+        "short-circuits the product to 0 - all three are ordinary "
+        "partial-aggregable sums, one map-side-combinable shuffle. "
+        "The oracle states the same decomposition (DuckDB's native "
+        "product() would overflow identically, which is the point). "
+        "Per-row log10 is IEEE-identical across engines; only the "
+        "summation order differs, bounded by n*eps well under the "
+        "6dp rounding",
+)
+def agg_product_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    f = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_type", (F.col("value") - F.lit(10.0)).alias("x")
+    )
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_factors"),
+        F.sum(F.when(F.col("x") == 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zeros"),
+        F.when(F.sum(F.when(F.col("x") == 0.0, 1).otherwise(0)) > 0, 0)
+        .when(
+            F.sum(F.when(F.col("x") < 0.0, 1).otherwise(0)) % 2 == 1, -1
+        )
+        .otherwise(1)
+        .cast("int")
+        .alias("sign"),
+        F.round(
+            F.sum(
+                F.when(F.col("x") != 0.0, F.log10(F.abs(F.col("x"))))
+            ),
+            6,
+        ).alias("log10_abs_product"),
+    )
+
+
+@register(
+    "dp_noisy_counts",
+    """
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS n,
+             (CAST(CAST('0x' || substr(md5(event_type), 1, 8) AS BIGINT)
+                   % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_true,
+           ROUND(CAST(n AS DOUBLE)
+                 + (-20.0) * sign(u - 0.5)
+                   * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS n_noisy,
+           20.0 AS laplace_scale
+    FROM c
+    """,
+    doc="Differentially-private-style noisy counts with DERANDOMIZED "
+        "Laplace noise: the uniform draw is an md5 hash of the group "
+        "key mapped into (0,1) (the repo's standard cross-engine "
+        "derandomization recipe), pushed through the Laplace inverse "
+        "CDF at scale b=20 (sensitivity 1 count / epsilon 0.05). In "
+        "production the draw comes from a seeded PRNG per release; "
+        "hash-derandomizing it keeps the oracle exact while the "
+        "plan - one combinable count shuffle plus per-group scalar "
+        "math - is identical. ln/abs/sign are per-row IEEE ops on "
+        "identical inputs; noise magnitude is <= b*ln(1e6) ~ 276, so "
+        "4dp rounding sits ~1e10 above the 1-ulp libm disagreement "
+        "floor",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        (
+            F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0
+    noise = (
+        F.lit(-20.0)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    )
+    return c.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_true"),
+        F.round(F.col("n").cast("double") + noise, 4).alias("n_noisy"),
+        F.lit(20.0).alias("laplace_scale"),
+    )
+
+
+@register(
+    "timeseries_crosscorr_lag",
+    """
+    WITH v AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    j AS (
+      SELECT l.k, v.n AS vn, p.n AS pn
+      FROM (SELECT unnest(range(0, 8)) AS k) l
+      JOIN v ON TRUE
+      JOIN p ON p.d = v.d + CAST(l.k AS INTEGER)
+    ),
+    c AS (
+      SELECT CAST(k AS INTEGER) AS lag_days,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             ROUND(corr(CAST(pn AS DOUBLE), CAST(vn AS DOUBLE)), 6)
+               AS xcorr
+      FROM j GROUP BY 1
+    )
+    SELECT lag_days, n_days, xcorr,
+           xcorr = MAX(xcorr) OVER () AS is_best
+    FROM c
+    """,
+    doc="Lead-lag cross-correlation scan between two daily series "
+        "(views leading purchases by k in 0..7 days): both series "
+        "reduce to day grain first (map-side combinable, the only "
+        "data-sized shuffles), then an 8-row lag dimension fans the "
+        "day join out and corr() per lag finds the best alignment - "
+        "the marketing/causality 'how many days does a view take to "
+        "convert' primitive. The lag fan-out multiplies only the "
+        "day-grain series (365 rows/year), never raw events, so at "
+        "100 TB the scan costs two aggregates regardless of lag "
+        "range; is_best compares ROUNDED values so both engines "
+        "elect the same argmax even at float ties",
+)
+def timeseries_crosscorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    v = daily.filter(F.col("event_type") == "view").select(
+        F.col("d").alias("vd"), F.col("n").alias("vn")
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("pd"), F.col("n").alias("pn")
+    )
+    lags = v.select(
+        "vd", "vn", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k")
+    )
+    j = lags.join(
+        p, F.col("pd") == F.date_add(F.col("vd"), F.col("k").cast("int"))
+    )
+    c = j.groupBy(F.col("k").cast("int").alias("lag_days")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.corr(
+                F.col("pn").cast("double"), F.col("vn").cast("double")
+            ),
+            6,
+        ).alias("xcorr"),
+    )
+    w = Window.partitionBy()
+    return c.withColumn(
+        "is_best", F.col("xcorr") == F.max("xcorr").over(w)
+    )
