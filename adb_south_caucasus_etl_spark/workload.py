@@ -14866,3 +14866,583 @@ def timeseries_crosscorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.withColumn(
         "is_best", F.col("xcorr") == F.max("xcorr").over(w)
     )
+
+
+@register(
+    "stat_crosstab_priority_status",
+    """
+    SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS "F",
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS "O",
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS "P"
+    FROM orders GROUP BY 1
+    """,
+    doc="DataFrame.stat surface: exact contingency table via "
+        "df.stat.crosstab(priority, status) - the pair-count pivot "
+        "every EDA pass starts with. Spark implements it as one "
+        "count aggregate on the (row, col) pair followed by a "
+        "driver-side pivot of the DISTINCT col values, so the shuffle "
+        "is a combinable pair-grain count and the pivot width is the "
+        "column cardinality (3 here) - at 100 TB the contract is "
+        "'col side must be low-cardinality', exactly like any pivot. "
+        "The oracle states the same table as CASE sums; crosstab's "
+        "generated first-column name (row_col) is reproduced so the "
+        "sorted-schema compare aligns",
+)
+def stat_crosstab_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    ct = o.stat.crosstab("o_orderpriority", "o_orderstatus")
+    cols = [c for c in ct.columns if c != "o_orderpriority_o_orderstatus"]
+    return ct.select(
+        "o_orderpriority_o_orderstatus",
+        *[F.col(f"`{c}`").cast("bigint").alias(c) for c in sorted(cols)],
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    d AS (
+      SELECT v.user_id,
+             CAST(epoch_us(MIN(p.ts)) - epoch_us(v.first_view)
+                  AS DOUBLE) / 3600000000.0 AS delay_h
+      FROM v JOIN events p
+        ON p.user_id = v.user_id AND p.event_type = 'purchase'
+       AND p.ts >= v.first_view
+      GROUP BY v.user_id, v.first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(ROUND(CAST(quantile_cont(delay_h, 0.25) AS DECIMAL(18,6)),
+                      4) AS DOUBLE) AS p25_h,
+           CAST(ROUND(CAST(quantile_cont(delay_h, 0.5) AS DECIMAL(18,6)),
+                      4) AS DOUBLE) AS p50_h,
+           CAST(ROUND(CAST(quantile_cont(delay_h, 0.75) AS DECIMAL(18,6)),
+                      4) AS DOUBLE) AS p75_h,
+           CAST(ROUND(CAST(quantile_cont(delay_h, 0.9) AS DECIMAL(18,6)),
+                      4) AS DOUBLE) AS p90_h
+    FROM d
+    """,
+    doc="Funnel latency distribution: per-user first view -> first "
+        "subsequent purchase delay, then exact linear-interpolated "
+        "percentiles of the delay (the 'how long does conversion "
+        "take' read that complements funnel_signup_to_purchase's "
+        "count funnel). Delay is computed in exact integer "
+        "microseconds (unix_micros / epoch_us agree) then divided to "
+        "hours by the same IEEE constant in both engines; percentile "
+        "midpoints go through the repo's decimal-mediated rounding. "
+        "Two user-grain aggregates (both map-side combinable) plus a "
+        "single-row exact percentile - at 100 TB swap the global "
+        "exact percentile for approx_percentile and keep the "
+        "user-grain shape",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    d = (
+        v.join(
+            p,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") >= F.col("first_view")),
+        )
+        .groupBy("user_id", "first_view")
+        .agg(
+            (
+                (
+                    F.unix_micros(F.min("pts"))
+                    - F.unix_micros(F.col("first_view"))
+                ).cast("double")
+                / 3600000000.0
+            ).alias("delay_h")
+        )
+    )
+
+    def pct(q: float, name: str):
+        return (
+            F.round(
+                F.percentile("delay_h", F.lit(q)).cast("decimal(18,6)"), 4
+            )
+            .cast("double")
+            .alias(name)
+        )
+
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        pct(0.25, "p25_h"),
+        pct(0.5, "p50_h"),
+        pct(0.75, "p75_h"),
+        pct(0.9, "p90_h"),
+    )
+
+
+@register(
+    "orders_seasonal_decompose",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT month, revenue,
+             CAST(SUM(revenue) OVER w AS DOUBLE) / 13.0 AS trend,
+             COUNT(*) OVER w AS n_win
+      FROM m
+      WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(revenue AS DOUBLE) AS revenue,
+           ROUND(trend, 2) AS trend,
+           ROUND(CAST(revenue AS DOUBLE) / trend, 4) AS seasonal_ratio
+    FROM t WHERE n_win = 13
+    """,
+    doc="Classical multiplicative seasonal decomposition (simplified "
+        "13-month centered moving average): monthly revenue -> trend "
+        "via a symmetric window mean over complete windows only -> "
+        "seasonal ratio actual/trend. One month-grain aggregate then "
+        "a single global window over month-count rows (dimension "
+        "sized - a 100 TB fact still yields one row per month, so "
+        "the window never sees data scale). Monthly sums are rounded "
+        "through DECIMAL(18,2) BEFORE the window, making the 13-term "
+        "window sum exact in both engines; the /13.0 and the ratio "
+        "are then identical IEEE ops - the decomposition is "
+        "cross-engine deterministic at 4dp",
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month").rowsBetween(-6, 6)
+    t = m.select(
+        "month",
+        "revenue",
+        (F.sum("revenue").over(w).cast("double") / 13.0).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    ).filter(F.col("n_win") == 13)
+    return t.select(
+        F.col("month").cast("date").alias("month"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round("trend", 2).alias("trend"),
+        F.round(F.col("revenue").cast("double") / F.col("trend"), 4).alias(
+            "seasonal_ratio"
+        ),
+    )
+
+
+@register(
+    "events_hour_entropy",
+    """
+    WITH h AS (
+      SELECT user_id, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT user_id, SUM(c) AS n FROM h GROUP BY 1
+    )
+    SELECT h.user_id,
+           CAST(MAX(n.n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(-SUM((CAST(c AS DOUBLE) / n.n)
+                      * log2(CAST(c AS DOUBLE) / n.n)), 6) AS entropy_bits
+    FROM h JOIN n ON h.user_id = n.user_id
+    GROUP BY h.user_id
+    """,
+    doc="Hour-of-day activity entropy per user (bits): the classic "
+        "bot/automation signal - humans concentrate activity in waking "
+        "hours (entropy well under log2(24) ~ 4.58), schedulers and "
+        "scrapers flatten toward the maximum. Two keyed aggregates "
+        "over (user, hour) then user grain, both map-side combinable; "
+        "the per-user total rides along via a self-join on the "
+        "hour-grain aggregate (24 rows per user, so the join is "
+        "user-local and collapses immediately). Probabilities are "
+        "exact integer ratios, log2 is per-row IEEE, and only the "
+        "<=24-term summation order differs - far inside 6dp rounding",
+)
+def events_hour_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    h = ev.groupBy("user_id", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = h.groupBy(F.col("user_id").alias("nu")).agg(
+        F.sum("c").alias("n")
+    )
+    j = h.join(n, F.col("user_id") == F.col("nu"))
+    p = F.col("c").cast("double") / F.col("n")
+    return j.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+    )
+
+
+@register(
+    "text_js_divergence_sources",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (
+      SELECT source, t, COUNT(*) AS c
+      FROM tok WHERE t <> '' GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT t FROM (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, t) AS r
+        FROM cnt GROUP BY t
+      ) WHERE r <= 100
+    ),
+    totals AS (
+      SELECT source, SUM(c) AS n FROM cnt GROUP BY 1
+    ),
+    known AS (
+      SELECT c.source, SUM(c.c) AS k
+      FROM cnt c JOIN top ON c.t = top.t GROUP BY 1
+    ),
+    dist AS (
+      SELECT s.source, u.t, CAST(COALESCE(c.c, 0) AS DOUBLE) / s.n AS p
+      FROM totals s
+      CROSS JOIN top u
+      LEFT JOIN cnt c ON c.source = s.source AND c.t = u.t
+      UNION ALL
+      SELECT s.source, '<rest>' AS t,
+             CAST(s.n - COALESCE(k.k, 0) AS DOUBLE) / s.n AS p
+      FROM totals s LEFT JOIN known k ON k.source = s.source
+    )
+    SELECT d1.source AS source_a, d2.source AS source_b,
+           ROUND(SUM(
+             CASE WHEN d1.p > 0
+                  THEN 0.5 * d1.p * log2(2.0 * d1.p / (d1.p + d2.p))
+                  ELSE 0.0 END
+           + CASE WHEN d2.p > 0
+                  THEN 0.5 * d2.p * log2(2.0 * d2.p / (d1.p + d2.p))
+                  ELSE 0.0 END), 6) AS js_bits
+    FROM dist d1 JOIN dist d2
+      ON d1.t = d2.t AND d1.source < d2.source
+    GROUP BY 1, 2
+    """,
+    doc="Pairwise Jensen-Shannon divergence between per-source unigram "
+        "distributions - the corpus-drift / source-contrast audit a "
+        "training-data pipeline runs before mixing shards. The "
+        "distribution is projected onto a FIXED basis: top-100 global "
+        "tokens plus an explicit '<rest>' bucket carrying the "
+        "remaining mass, so every source is a 101-dim histogram and "
+        "the pairwise stage is dimension-sized (pairs x 101) no "
+        "matter how large the corpus or vocabulary - the token-grain "
+        "aggregates are the only data-scale shuffles, both "
+        "combinable. JS is computed term-by-term on exact "
+        "count-ratio probabilities (0 < JS <= 1 bit, symmetric, "
+        "bounded, no KL infinities because zero-mass terms are "
+        "skipped); only the 101-term summation order differs across "
+        "engines, far below 6dp",
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    tok = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    wtop = Window.orderBy(F.desc("tot"), F.asc("t"))
+    top = (
+        cnt.groupBy("t")
+        .agg(F.sum("c").alias("tot"))
+        .withColumn("r", F.row_number().over(wtop))
+        .filter(F.col("r") <= 100)
+        .select("t")
+    )
+    totals = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    known = (
+        cnt.join(F.broadcast(top), "t")
+        .groupBy("source")
+        .agg(F.sum("c").alias("k"))
+    )
+    dist_top = (
+        totals.crossJoin(F.broadcast(top))
+        .join(
+            cnt.withColumnRenamed("source", "cs").withColumnRenamed(
+                "t", "ct"
+            ),
+            (F.col("cs") == F.col("source")) & (F.col("ct") == F.col("t")),
+            "left",
+        )
+        .select(
+            "source",
+            "t",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n"))
+            .alias("p"),
+        )
+    )
+    dist_rest = (
+        totals.join(
+            known.withColumnRenamed("source", "ks"),
+            F.col("ks") == F.col("source"),
+            "left",
+        )
+        .select(
+            "source",
+            F.lit("<rest>").alias("t"),
+            (
+                (F.col("n") - F.coalesce(F.col("k"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("n")
+            ).alias("p"),
+        )
+    )
+    dist = dist_top.unionByName(dist_rest)
+    d1 = dist.select(
+        F.col("source").alias("source_a"),
+        F.col("t").alias("t1"),
+        F.col("p").alias("pa"),
+    )
+    d2 = dist.select(
+        F.col("source").alias("source_b"),
+        F.col("t").alias("t2"),
+        F.col("p").alias("pb"),
+    )
+    j = d1.join(
+        d2,
+        (F.col("t1") == F.col("t2"))
+        & (F.col("source_a") < F.col("source_b")),
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    contrib = F.when(
+        pa > 0, 0.5 * pa * F.log2(2.0 * pa / (pa + pb))
+    ).otherwise(0.0) + F.when(
+        pb > 0, 0.5 * pb * F.log2(2.0 * pb / (pa + pb))
+    ).otherwise(0.0)
+    return j.groupBy("source_a", "source_b").agg(
+        F.round(F.sum(contrib), 6).alias("js_bits")
+    )
+
+
+@register(
+    "market_hhi_concentration",
+    """
+    WITH sr AS (
+      SELECT s_nationkey,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                  AS DECIMAL(18,2)) AS rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY l_suppkey, s_nationkey
+    ),
+    nt AS (
+      SELECT s_nationkey, SUM(rev) AS tot, COUNT(*) AS n_suppliers
+      FROM sr GROUP BY 1
+    )
+    SELECT n_name AS nation,
+           CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(POWER(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 2))
+                 * 10000.0, 4) AS hhi
+    FROM sr
+    JOIN nt ON sr.s_nationkey = nt.s_nationkey
+    JOIN nation ON sr.s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Herfindahl-Hirschman market-concentration index per supplier "
+        "nation: per-supplier revenue shares squared and summed, "
+        "scaled to the antitrust 0-10000 range (10000 = monopoly). "
+        "Supplier revenue is rounded through DECIMAL(18,2) so the "
+        "per-nation total is an exact decimal sum in both engines; "
+        "shares and squares are then identical IEEE doubles and only "
+        "the per-nation summation order differs (~1e-10 on a 1e4 "
+        "scale, far under 4dp). Shape: one supplier-grain aggregate "
+        "(combinable, the only data-scale shuffle), then "
+        "supplier-count-sized joins - nation and totals sides are "
+        "dimension tables",
+)
+def market_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    sr = (
+        cat.lineitem.join(
+            F.broadcast(
+                cat.supplier.select("s_suppkey", "s_nationkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_suppkey", "s_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            )
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    nt = sr.groupBy(F.col("s_nationkey").alias("tn")).agg(
+        F.sum("rev").alias("tot"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("rev").cast("double") / F.col("tot").cast("double")
+    return (
+        sr.join(F.broadcast(nt), F.col("s_nationkey") == F.col("tn"))
+        .join(
+            F.broadcast(Catalog(spark, sf_dir).nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(F.pow(share, 2)) * 10000.0, 4).alias("hhi"),
+        )
+    )
+
+
+@register(
+    "customer_gini_spend",
+    """
+    WITH x AS (
+      SELECT o_custkey,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS spend
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT spend,
+             ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS i
+      FROM x
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(spend) AS DOUBLE) AS total_spend,
+           ROUND(2.0 * CAST(SUM(i * spend) AS DOUBLE)
+                 / (COUNT(*) * CAST(SUM(spend) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM r
+    """,
+    doc="Gini coefficient of customer spend via the exact rank "
+        "formulation G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over "
+        "ascending-sorted spend (custkey tiebreak for a total order): "
+        "the revenue-inequality / whale-concentration read. Spend is "
+        "rounded through DECIMAL(18,2) first, so sum(x) and the "
+        "rank-weighted sum(i*x) are exact decimal arithmetic in both "
+        "engines and the final G is one identical IEEE expression - "
+        "deterministic at 6dp. The global sort is customer-grain "
+        "(already reduced), and at 100 TB the rank-weighted sum can "
+        "run as a distributed sort + per-partition offset pass; the "
+        "formula itself is a single reduce",
+)
+def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    x = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    r = x.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    s = F.sum("spend").cast("double")
+    return r.agg(
+        n.cast("bigint").alias("n_customers"),
+        s.alias("total_spend"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("spend")).cast("double") / (n * s)
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "parts_abc_classification",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                  AS DECIMAL(18,2)) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS tot
+      FROM pr
+    ),
+    k AS (
+      SELECT CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                  WHEN 20 * cum <= 19 * tot THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev, tot
+      FROM c
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 4)
+             AS revenue_share
+    FROM k GROUP BY 1
+    """,
+    doc="ABC (Pareto) inventory classification: parts sorted by revenue "
+        "descending, class A = first 80% of cumulative revenue, B = "
+        "next 15%, C = tail. The classification boundary is evaluated "
+        "as a CROSS-MULTIPLIED decimal comparison (5*cum <= 4*tot "
+        "instead of cum/tot <= 0.8) over DECIMAL(18,2)-rounded "
+        "per-part revenue, so the running sum, the grand total, and "
+        "every boundary decision are exact integer-scaled arithmetic "
+        "- no float division can flip a part's class between "
+        "engines. One part-grain aggregate, one part-grain sort "
+        "window, then a 3-row rollup; at 100 TB the cumulative sum "
+        "distributes as range-partitioned prefix sums",
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = Catalog(spark, sf_dir).lineitem
+    pr = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        )
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    wc = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    c = pr.select(
+        "rev",
+        F.sum("rev").over(wc).alias("cum"),
+        F.sum("rev").over(wt).alias("tot"),
+    )
+    k = c.select(
+        F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "tot",
+    )
+    return k.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(
+            F.sum("rev").cast("double") / F.max("tot").cast("double"), 4
+        ).alias("revenue_share"),
+    )
