@@ -47,10 +47,14 @@ def asof_join(
     with left column names. Unmatched left rows keep null payloads
     (left-join semantics).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
+    if direction == "nearest":
+        return _asof_nearest(left, right, keys, left_ts, right_ts)
 
     payload = [c for c in right.columns if c not in keys and c != right_ts]
     collisions = set(payload) & set(left.columns)
@@ -83,3 +87,94 @@ def asof_join(
         {c: F.last(c, ignorenulls=True).over(w) for c in payload}
     )
     return filled.filter(F.col(_TAG) == 1).drop(_TAG, _TS)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """direction="nearest": attach the right row whose timestamp is
+    CLOSEST to the left timestamp in either direction; exact-distance
+    ties resolve backward (the earlier right row), matching the
+    convention of ``pd.merge_asof(direction="nearest")``.
+
+    Same union-tag shape as backward/forward, but the single keyed
+    exchange feeds TWO window sorts (ascending carries the
+    last-at-or-before candidate, descending the first-at-or-after),
+    then a per-row CASE picks the nearer candidate. Still one shuffle
+    total — Spark reuses the hash partitioning for both sorts — so the
+    100 TB cost model is identical to the one-directional forms plus
+    one extra in-partition sort. Adds a ``__asof_dir`` column
+    ('backward' | 'forward' | null) reporting which side won.
+
+    Right-side duplicate ``(keys, ts)`` rows: which duplicate wins is
+    unspecified (same caveat as backward/forward) — dedupe first.
+    """
+    payload = [c for c in right.columns if c not in keys and c != right_ts]
+    collisions = set(payload) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right payload columns collide with left: {sorted(collisions)}; "
+            "rename before joining"
+        )
+
+    rts = "__asof_rts"
+    l_tagged = left.withColumns(
+        {_TS: F.col(left_ts), _TAG: F.lit(1), rts: F.lit(None).cast("timestamp")}
+        | {c: F.lit(None).cast(right.schema[c].dataType) for c in payload}
+    )
+    r_tagged = right.withColumns(
+        {_TS: F.col(right_ts), _TAG: F.lit(0), rts: F.col(right_ts)}
+    ).select(*keys, _TS, _TAG, rts, *payload)
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).desc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = unioned.withColumns(
+        {f"__bw_{c}": F.last(c, ignorenulls=True).over(wb) for c in payload}
+        | {f"__fw_{c}": F.last(c, ignorenulls=True).over(wf) for c in payload}
+        | {
+            "__bw_ts": F.last(rts, ignorenulls=True).over(wb),
+            "__fw_ts": F.last(rts, ignorenulls=True).over(wf),
+        }
+    ).filter(F.col(_TAG) == 1)
+
+    bw_gap = F.unix_micros(F.col(_TS)) - F.unix_micros(F.col("__bw_ts"))
+    fw_gap = F.unix_micros(F.col("__fw_ts")) - F.unix_micros(F.col(_TS))
+    # backward wins ties and wherever forward is absent
+    use_bw = F.col("__fw_ts").isNull() | (
+        F.col("__bw_ts").isNotNull() & (bw_gap <= fw_gap)
+    )
+    picked = both.withColumns(
+        {
+            c: F.when(use_bw, F.col(f"__bw_{c}")).otherwise(
+                F.col(f"__fw_{c}")
+            )
+            for c in payload
+        }
+        | {
+            "__asof_dir": F.when(
+                F.col("__bw_ts").isNull() & F.col("__fw_ts").isNull(),
+                F.lit(None).cast("string"),
+            )
+            .when(use_bw, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+        }
+    )
+    drop = (
+        [_TAG, _TS, rts, "__bw_ts", "__fw_ts"]
+        + [f"__bw_{c}" for c in payload]
+        + [f"__fw_{c}" for c in payload]
+    )
+    return picked.drop(*drop)

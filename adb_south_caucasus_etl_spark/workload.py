@@ -15446,3 +15446,439 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("double") / F.max("tot").cast("double"), 4
         ).alias("revenue_share"),
     )
+
+
+@register(
+    "asof_nearest_purchase",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+      SELECT user_id, ts, arg_min(value, event_id) AS p_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    cand AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             (SELECT max(p.ts) FROM p
+               WHERE p.user_id = e.user_id AND p.ts <= e.ts) AS bw_ts,
+             (SELECT min(p.ts) FROM p
+               WHERE p.user_id = e.user_id AND p.ts >= e.ts) AS fw_ts
+      FROM e
+    ),
+    pick AS (
+      SELECT event_id, user_id, ts,
+             CASE
+               WHEN bw_ts IS NULL AND fw_ts IS NULL THEN NULL
+               WHEN fw_ts IS NULL THEN 'backward'
+               WHEN bw_ts IS NULL THEN 'forward'
+               WHEN epoch_us(ts) - epoch_us(bw_ts)
+                    <= epoch_us(fw_ts) - epoch_us(ts) THEN 'backward'
+               ELSE 'forward'
+             END AS matched_dir,
+             CASE
+               WHEN bw_ts IS NULL AND fw_ts IS NULL THEN NULL
+               WHEN fw_ts IS NULL THEN bw_ts
+               WHEN bw_ts IS NULL THEN fw_ts
+               WHEN epoch_us(ts) - epoch_us(bw_ts)
+                    <= epoch_us(fw_ts) - epoch_us(ts) THEN bw_ts
+               ELSE fw_ts
+             END AS m_ts
+      FROM cand
+    )
+    SELECT k.event_id, k.user_id, k.matched_dir,
+           ROUND(CAST(abs(epoch_us(k.ts) - epoch_us(k.m_ts)) AS DOUBLE)
+                 / 1000000.0, 6) AS gap_s,
+           p.p_value AS nearest_purchase_value
+    FROM pick k
+    LEFT JOIN p ON p.user_id = k.user_id AND p.ts = k.m_ts
+    """,
+    doc="As-of join, direction='nearest' (operators/asof.py "
+        "_asof_nearest): every error event is matched to the CLOSEST "
+        "purchase by the same user in either time direction, "
+        "exact-distance ties resolving backward - completing the "
+        "backward/forward family (reference get_data has no temporal "
+        "join at all; this is the union-tag algorithm from J5 run "
+        "bidirectionally). One keyed exchange feeds two in-partition "
+        "window sorts; no per-row lateral probes, no broadcast "
+        "requirement. The right side is deduplicated per (user, ts) "
+        "with arg_min(event_id) first, making the match total-order "
+        "deterministic; the oracle states the same semantics with "
+        "correlated min/max subqueries and the identical tie rule. "
+        "Gap is exact integer microseconds scaled by one IEEE divide",
+)
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    e = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min_by("value", "event_id").alias("nearest_purchase_value"),
+        )
+        .withColumnRenamed("ts", "p_ts")
+    )
+    joined = asof_join(
+        e,
+        p.withColumn("p_ts_copy", F.col("p_ts")),
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("__asof_dir").alias("matched_dir"),
+        F.round(
+            F.abs(
+                F.unix_micros("ts") - F.unix_micros("p_ts_copy")
+            ).cast("double")
+            / 1000000.0,
+            6,
+        ).alias("gap_s"),
+        "nearest_purchase_value",
+    )
+
+
+@register(
+    "curation_c4_filter_reasons",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             COALESCE(text, '') AS text,
+             length(COALESCE(text, '')) AS len
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, len,
+             CASE WHEN len = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                            AS DOUBLE) / len END AS alpha_ratio,
+             CASE WHEN len = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                            AS DOUBLE) / len END AS digit_ratio,
+             COALESCE(list_max(list_transform(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''),
+               x -> length(x))), 0) AS max_word_len
+      FROM d
+    ),
+    labeled AS (
+      SELECT CASE
+               WHEN len < 200 THEN 'too_short'
+               WHEN alpha_ratio < 0.6 THEN 'low_alpha_ratio'
+               WHEN digit_ratio > 0.2 THEN 'digit_heavy'
+               WHEN max_word_len > 30 THEN 'unbroken_token'
+               ELSE 'kept'
+             END AS reason
+      FROM scored
+    )
+    SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 4) AS frac
+    FROM labeled GROUP BY reason
+    """,
+    doc="C4-style heuristic document filter with per-reason drop "
+        "accounting (the filtering report a corpus curation run "
+        "publishes): ordered rules - minimum length, alphabetic "
+        "ratio, digit ratio, longest unbroken token - each doc gets "
+        "its FIRST failing rule as the drop reason, survivors are "
+        "'kept'. Pure per-row JVM string expressions (regexp_replace "
+        "length arithmetic, split + array max - no Python, no "
+        "explode-to-rows for the word-length rule) followed by one "
+        "5-row aggregate: embarrassingly parallel at any corpus "
+        "size. Ratios are exact integer-length divisions; rule "
+        "thresholds compare those exact ratios so engines cannot "
+        "disagree at boundaries",
+)
+def curation_c4_filter_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    text = F.coalesce(F.col("text"), F.lit(""))
+    length = F.length(text)
+    alpha = F.when(length == 0, 0.0).otherwise(
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+        / length
+    )
+    digit = F.when(length == 0, 0.0).otherwise(
+        F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+        / length
+    )
+    words = F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    max_word = F.coalesce(
+        F.array_max(F.transform(words, F.length)), F.lit(0)
+    )
+    reason = (
+        F.when(length < 200, "too_short")
+        .when(alpha < 0.6, "low_alpha_ratio")
+        .when(digit > 0.2, "digit_heavy")
+        .when(max_word > 30, "unbroken_token")
+        .otherwise("kept")
+    )
+    labeled = docs.select(reason.alias("reason"))
+    w = Window.partitionBy()
+    return (
+        labeled.groupBy("reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn(
+            "frac",
+            F.round(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4
+            ),
+        )
+    )
+
+
+@register(
+    "stat_freq_items_verified",
+    """
+    SELECT o_orderpriority AS item,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1
+    HAVING COUNT(*) > (SELECT COUNT(*) / 6.0 FROM orders)
+    """,
+    doc="DataFrame.stat.freqItems with exact verification - the "
+        "candidate-then-verify pattern that turns an approximate "
+        "sketch into an exact answer: freqItems (Karp-Papadimitriou-"
+        "Shenker misra-gries variant, one pass, bounded memory) "
+        "GUARANTEES a superset of all items with frequency > n/k, so "
+        "the exact-count join afterwards only has to score the tiny "
+        "candidate set (<= k items, broadcast) instead of every "
+        "distinct value. Output = exactly the items above 1/6 "
+        "support, so the oracle is plain GROUP BY/HAVING and the "
+        "sketch's false positives are provably filtered out. At "
+        "100 TB this replaces a full-cardinality aggregate with one "
+        "scan + one broadcast-semi-joined count over k candidates",
+)
+def stat_freq_items_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    # one-pass candidate superset for support > 1/4
+    # support=0.16 < 1/6, so the sketch's superset guarantee covers the
+    # exact > n/6 cut below; candidate list is <= 1/support ~ 6 items
+    cand_row = o.stat.freqItems(["o_orderpriority"], support=0.16).collect()[0]
+    candidates = list(cand_row[0])
+    total = o.count()
+    return (
+        o.filter(F.col("o_orderpriority").isin(candidates))
+        .groupBy(F.col("o_orderpriority").alias("item"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") > total / 6.0)
+    )
+
+
+@register(
+    "embedding_norm_outliers",
+    """
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+      FROM embeddings
+    ),
+    s AS (
+      SELECT avg(l2) AS mu, stddev_pop(l2) AS sd, COUNT(*) AS n_total
+      FROM n
+    )
+    SELECT n.vec_id, n.label,
+           ROUND(n.l2, 6) AS l2_norm,
+           ROUND((n.l2 - s.mu) / s.sd, 4) AS z
+    FROM n CROSS JOIN s
+    WHERE abs((n.l2 - s.mu) / s.sd) > 2.5
+    """,
+    doc="Embedding-health audit: L2 norms per vector, population "
+        "z-scores, and the |z| > 2.5 outliers - the standard check "
+        "for broken/degenerate embeddings (all-zero rows, scale "
+        "drift between encoder versions) before any similarity or "
+        "dedup stage consumes them. The norm is a per-row "
+        "left-to-right fold over the list in BOTH engines "
+        "(F.aggregate / list_sum follow element order), so l2 is "
+        "bitwise identical; mu/sd accumulate in different orders but "
+        "sit ~1e-12 under the 4dp rounding, and the 2.5-sigma "
+        "threshold compares raw doubles whose cross-engine delta is "
+        "orders below any realistic margin. One scan + one global "
+        "2-number reduce, then a broadcast of (mu, sd) back across "
+        "the scan - linear at any scale",
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x.cast("double") * x.cast("double"),
+            )
+        ).alias("l2"),
+    )
+    s = n.agg(
+        F.avg("l2").alias("mu"),
+        F.stddev_pop("l2").alias("sd"),
+    )
+    z = (F.col("l2") - F.col("mu")) / F.col("sd")
+    return (
+        n.crossJoin(F.broadcast(s))
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "vec_id",
+            "label",
+            F.round("l2", 6).alias("l2_norm"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+@register(
+    "revenue_yoy_mom",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(revenue AS DOUBLE) AS revenue,
+           ROUND(CAST(revenue AS DOUBLE)
+                 / CAST(LAG(revenue, 1) OVER (ORDER BY month) AS DOUBLE)
+                 - 1.0, 4) AS mom_pct,
+           ROUND(CAST(revenue AS DOUBLE)
+                 / CAST(LAG(revenue, 12) OVER (ORDER BY month) AS DOUBLE)
+                 - 1.0, 4) AS yoy_pct
+    FROM m
+    """,
+    doc="Month-over-month and year-over-year growth: the KPI-dashboard "
+        "staple expressed as lag(1) / lag(12) offsets over the "
+        "month-grain rollup. The fact-scale work is one combinable "
+        "monthly aggregate; the growth window runs over "
+        "months-not-rows (dimension-sized forever). Monthly revenue "
+        "rounds through DECIMAL(18,2) before the ratio, so both "
+        "engines divide identical exact operands; first-year rows "
+        "yield NULL growth by construction (lag over the frame "
+        "edge), matching warehouse semantics",
+)
+def revenue_yoy_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    rev = F.col("revenue").cast("double")
+    return m.select(
+        F.col("month").cast("date").alias("month"),
+        rev.alias("revenue"),
+        F.round(
+            rev / F.lag("revenue", 1).over(w).cast("double") - 1.0, 4
+        ).alias("mom_pct"),
+        F.round(
+            rev / F.lag("revenue", 12).over(w).cast("double") - 1.0, 4
+        ).alias("yoy_pct"),
+    )
+
+
+@register(
+    "curation_doc_length_profile",
+    """
+    SELECT source,
+           CAST(floor(log2(n_chars)) AS INTEGER) AS len_bucket_log2,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY 1, 2
+    """,
+    doc="Per-source document-length profile in log2 buckets - the "
+        "shard-level size histogram a curation pipeline publishes to "
+        "catch truncation bugs, boilerplate floods, and source drift "
+        "(a source whose mass shifts a bucket between snapshots "
+        "changed its extraction). floor(log2(n)) on positive "
+        "INTEGERS is exact in both engines (n_chars <= ~1e9 sits "
+        "far inside double precision, so log2 cannot straddle an "
+        "integer boundary except AT powers of two, where log2 is "
+        "exact); one combinable aggregate, output is "
+        "sources x ~20 buckets regardless of corpus size",
+)
+def curation_doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy(
+            "source",
+            F.floor(F.log2("n_chars")).cast("int").alias("len_bucket_log2"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "pivot_multi_measure",
+    """
+    SELECT c_mktsegment AS segment,
+           ROUND(SUM(CASE WHEN year(o_orderdate) = 1995
+                          THEN o_totalprice END), 2) AS y1995_rev,
+           CAST(COUNT(CASE WHEN year(o_orderdate) = 1995
+                           THEN 1 END) AS BIGINT) AS y1995_cnt,
+           ROUND(SUM(CASE WHEN year(o_orderdate) = 1996
+                          THEN o_totalprice END), 2) AS y1996_rev,
+           CAST(COUNT(CASE WHEN year(o_orderdate) = 1996
+                           THEN 1 END) AS BIGINT) AS y1996_cnt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    doc="Pivot with MULTIPLE aggregates per pivot value (Spark "
+        "relational pivot API, two measures x two years): Spark "
+        "plans this as a single pass - one partial aggregate "
+        "computing every (segment, year, measure) cell map-side, "
+        "then the final pivot projection; no per-measure rescan. "
+        "Spark's generated '1995_rev'-style column names are "
+        "re-aliased to match the oracle's CASE-sum spelling so the "
+        "sorted-schema compare aligns. The explicit values list "
+        "(1995, 1996) skips the distinct-values discovery job the "
+        "implicit pivot would run - at 100 TB always pass values",
+)
+def pivot_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    j = cat.orders.join(
+        cat.customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    p = (
+        j.withColumn("yr", F.year("o_orderdate"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("yr", [1995, 1996])
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    # Spark names pivot columns "<value>_<agg alias>"
+    return p.select(
+        "segment",
+        F.col("`1995_rev`").alias("y1995_rev"),
+        F.col("`1995_cnt`").cast("bigint").alias("y1995_cnt"),
+        F.col("`1996_rev`").alias("y1996_rev"),
+        F.col("`1996_cnt`").cast("bigint").alias("y1996_cnt"),
+    )

@@ -63,4 +63,40 @@ def test_asof_column_collision_raises(spark, quotes_trades):
 def test_asof_bad_direction(spark, quotes_trades):
     trades, quotes = quotes_trades
     with pytest.raises(ValueError, match="backward|forward"):
-        asof_join(trades, quotes, on="sym", left_ts="ts", direction="nearest")
+        asof_join(trades, quotes, on="sym", left_ts="ts", direction="sideways")
+
+
+def test_asof_nearest(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    rows = asof_join(
+        trades, quotes, on="sym", left_ts="ts", direction="nearest"
+    ).collect()
+    out = {r["trade_id"]: (r["px"], r["__asof_dir"]) for r in rows}
+    # trade 1 at 10:00: backward 09:59 (1 min) beats forward 10:05 (5 min)
+    # trade 2 at 10:05: exact match, gap 0 both ways -> backward wins tie
+    # trade 3 at 10:01: only forward candidate exists (10:02)
+    # trade 4: no quotes at all -> null payload, null direction
+    assert out == {
+        1: (10.0, "backward"),
+        2: (11.0, "backward"),
+        3: (20.0, "forward"),
+        4: (None, None),
+    }
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T10:10:00"))],
+        "id long, sym string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:00"), 1.0),  # 10 min before
+            ("A", _ts("2024-01-01T10:20:00"), 2.0),  # 10 min after
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    [r] = asof_join(
+        left, right, on="sym", left_ts="ts", direction="nearest"
+    ).collect()
+    assert (r["px"], r["__asof_dir"]) == (1.0, "backward")
