@@ -541,3 +541,40 @@ def test_fifo_matching_joins_on_user_only(spark):
     plan = _final_plan(WORKLOAD["ledger_fifo_matching"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_itemset_triples_single_basket_exchange(spark):
+    """Apriori triples: the basket relation is shuffled ONCE — the second
+    and third self-join legs read the same exchange (ReusedExchange), and
+    the dimension side (part) broadcasts; only lineitem+part are scanned
+    once each."""
+    plan = _final_plan(WORKLOAD["basket_itemset_triples"].fn(spark, SF))
+    assert plan.count("ReusedExchange") >= 1, plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_nearest_one_keyed_exchange_two_sorts(spark):
+    """direction='nearest': ONE hash exchange on the join key feeds BOTH
+    window sorts (ascending backward-carry, descending forward-carry) —
+    bidirectional must not double the shuffle."""
+    plan = _final_plan(WORKLOAD["asof_nearest_purchase"].fn(spark, SF))
+    keyed = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
+    reused = len(
+        re.findall(r"ReusedExchange.*hashpartitioning\(user_id", plan)
+    )
+    assert keyed - reused <= 2, plan  # union legs may each exchange once
+    assert plan.count("Sort ") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_js_divergence_pairwise_stage_is_dimension_sized(spark):
+    """JS divergence: the pairwise stage joins two 101-dim histogram
+    relations — the document-grain scans happen once for the count
+    pipeline, and no cartesian product sneaks in through the
+    source_a < source_b predicate."""
+    plan = _final_plan(
+        WORKLOAD["text_js_divergence_sources"].fn(spark, SF)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
