@@ -15882,3 +15882,585 @@ def pivot_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`1996_rev`").alias("y1996_rev"),
         F.col("`1996_cnt`").cast("bigint").alias("y1996_cnt"),
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    """
+    WITH x AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 2 END AS g
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    pergroup AS (
+      SELECT v,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS c2
+      FROM x GROUP BY v
+    ),
+    tot AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM pergroup
+    ),
+    cdf AS (
+      SELECT v,
+             CAST(SUM(c1) OVER (ORDER BY v) AS DOUBLE) / tot.n1 AS f1,
+             CAST(SUM(c2) OVER (ORDER BY v) AS DOUBLE) / tot.n2 AS f2
+      FROM pergroup CROSS JOIN tot
+    )
+    SELECT CAST(MAX(tot.n1) AS BIGINT) AS n1,
+           CAST(MAX(tot.n2) AS BIGINT) AS n2,
+           ROUND(MAX(abs(f1 - f2)), 6) AS d_stat
+    FROM cdf CROSS JOIN tot
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between two customer "
+        "segments' order-value distributions: D = sup |F1 - F2| over "
+        "the pooled support, tie-correct because both empirical CDFs "
+        "are evaluated AFTER grouping by distinct value. One "
+        "value-grain aggregate then a cumulative window over distinct "
+        "values (already reduced); at 100 TB the CDF window "
+        "range-partitions by value with per-partition offset sums - "
+        "the same distributed-prefix-sum shape as Gini. Every F is an "
+        "exact integer ratio, |F1-F2| is one IEEE subtraction of "
+        "identical operands, so even the UNROUNDED max agrees "
+        "cross-engine; 6dp rounding is belt-and-braces",
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    x = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+            .otherwise(2)
+            .alias("g"),
+        )
+    )
+    pg = x.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cdf = pg.select(
+        (
+            F.sum("c1").over(w).cast("double") / F.sum("c1").over(wt)
+        ).alias("f1"),
+        (
+            F.sum("c2").over(w).cast("double") / F.sum("c2").over(wt)
+        ).alias("f2"),
+        F.sum("c1").over(wt).alias("tn1"),
+        F.sum("c2").over(wt).alias("tn2"),
+    )
+    return cdf.agg(
+        F.max("tn1").cast("bigint").alias("n1"),
+        F.max("tn2").cast("bigint").alias("n2"),
+        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias(
+            "d_stat"
+        ),
+    )
+
+
+@register(
+    "stats_mann_whitney_u",
+    """
+    WITH x AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 2 END AS g
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    pg AS (
+      SELECT v,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS c2,
+             COUNT(*) AS t
+      FROM x GROUP BY v
+    ),
+    rk AS (
+      SELECT c1, c2, t,
+             SUM(t) OVER (ORDER BY v) - t AS cum_before
+      FROM pg
+    ),
+    s AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+             SUM(c1 * (cum_before + (t + 1.0) / 2.0)) AS r1,
+             SUM(CAST(t AS DOUBLE) * t * t - t) AS tie_sum
+      FROM rk
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(r1 - n1 * (n1 + 1.0) / 2.0, 4) AS u1,
+           ROUND((r1 - n1 * (n1 + 1.0) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                        * ((n1 + n2 + 1.0)
+                           - tie_sum / (CAST(n1 + n2 AS DOUBLE)
+                                        * (n1 + n2 - 1.0)))), 6) AS z
+    FROM s
+    """,
+    doc="Mann-Whitney U rank-sum test between the same two segments: "
+        "tie-averaged ranks computed WITHOUT materializing per-row "
+        "ranks - group by distinct value, carry the cumulative count "
+        "before each group, and the average rank of a tie group is "
+        "cum_before + (t+1)/2, so the rank-sum reduces to a "
+        "value-grain weighted sum. Includes the tie-corrected normal "
+        "approximation. Same distributed-prefix-sum scale shape as "
+        "the KS statistic; all inputs to the final z are exact "
+        "integer-derived doubles combined in one identical "
+        "expression tree, rounded at 6dp",
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    x = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+            .otherwise(2)
+            .alias("g"),
+        )
+    )
+    pg = x.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("c2"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    rk = pg.select(
+        "c1",
+        "c2",
+        "t",
+        (F.sum("t").over(w) - F.col("t")).alias("cum_before"),
+    )
+    s = rk.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1") * (F.col("cum_before") + (F.col("t") + 1.0) / 2.0)
+        ).alias("r1"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie_sum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = F.col("r1") - n1 * (n1 + F.lit(1.0)) / 2.0
+    sigma = F.sqrt(
+        n1.cast("double")
+        * n2
+        / 12.0
+        * (
+            (n1 + n2 + F.lit(1.0))
+            - F.col("tie_sum")
+            / ((n1 + n2).cast("double") * (n1 + n2 - F.lit(1.0)))
+        )
+    )
+    return s.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round(u1, 4).alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z"),
+    )
+
+
+@register(
+    "sql_not_in_null_trap",
+    """
+    WITH probe AS (
+      SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL SELECT NULL
+    )
+    SELECT 'not_in' AS method, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe)
+    UNION ALL
+    SELECT 'not_exists', CAST(COUNT(*) AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+    """,
+    doc="The NOT IN null trap, stamped as a behavior contract: with a "
+        "NULL in the probe list, ANSI three-valued logic makes "
+        "`x NOT IN (...)` UNKNOWN for every row (the comparison to "
+        "NULL can never be TRUE-negated), so the NOT IN branch "
+        "returns 0 rows while the NOT EXISTS spelling - whose "
+        "correlated equality simply never matches NULL - returns the "
+        "real anti-join count. Both engines implement the standard, "
+        "so the oracle pins that this engine does too (Spark plans "
+        "NOT IN as NullAwareAntiJoin - a broadcast null-aware hash "
+        "join, the reason NOT IN on a possibly-null column is ALSO a "
+        "100 TB performance trap vs the plain LeftAnti of NOT "
+        "EXISTS). Run through spark.sql over registered views",
+)
+def sql_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views(("orders", "customer"))
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT o_custkey AS k FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+          UNION ALL SELECT NULL
+        )
+        SELECT 'not_in' AS method, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe)
+        UNION ALL
+        SELECT 'not_exists', CAST(COUNT(*) AS BIGINT)
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+        """
+    )
+
+
+@register(
+    "events_top_paths_trigram",
+    """
+    WITH seq AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+      FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, CAST(n AS BIGINT) AS n
+    FROM paths ORDER BY n DESC, path LIMIT 10
+    """,
+    doc="Top-10 three-step behavioral paths (the journey-analysis "
+        "upgrade of the first-order Markov matrix): two lead() "
+        "offsets over the same per-user window produce every "
+        "consecutive event trigram in ONE window pass - no "
+        "self-joins - then a combinable count and a deterministic "
+        "(count desc, path asc) top-10 that Spark executes as "
+        "TakeOrderedAndProject (no global sort materialized). Path "
+        "cardinality is |event_types|^3 = 125, so the count shuffle "
+        "is dimension-sized at any event volume",
+)
+def events_top_paths_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return paths.orderBy(F.desc("n"), F.asc("path")).limit(10)
+
+
+@register(
+    "scalar_na_functions",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 31 = 0 THEN NULL ELSE text END AS text,
+             CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS lang,
+             CASE WHEN source = 'src0' THEN 'legacy' ELSE source END
+               AS source
+      FROM documents
+    )
+    SELECT 'total' AS metric, CAST(COUNT(*) AS BIGINT) AS n FROM d
+    UNION ALL
+    SELECT 'after_drop_text_null', CAST(COUNT(*) AS BIGINT)
+    FROM d WHERE text IS NOT NULL
+    UNION ALL
+    SELECT 'lang_filled_und', CAST(COUNT(*) AS BIGINT)
+    FROM d WHERE COALESCE(lang, 'und') = 'und' AND lang IS NULL
+    UNION ALL
+    SELECT 'source_replaced_legacy', CAST(COUNT(*) AS BIGINT)
+    FROM d WHERE source = 'legacy'
+    """,
+    doc="DataFrameNaFunctions surface (na.drop / na.fill / na.replace) "
+        "run end-to-end: nulls are injected DETERMINISTICALLY (doc_id "
+        "modulus - this corpus ships null-free, so the demo "
+        "manufactures its own) then each na verb's effect is counted. "
+        "na.drop(subset) compiles to a plain IS NOT NULL filter, "
+        "na.fill to coalesce, na.replace to a CASE map - all "
+        "codegen'd row-local expressions with zero shuffle cost; the "
+        "oracle states those compiled forms directly. The audit "
+        "counts pin the verb semantics (drop removes exactly the "
+        "injected rows; fill touches only nulls; replace only the "
+        "target value)",
+)
+def scalar_na_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    d = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 31 == 0, None)
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 17 == 0, None)
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+    )
+    total = d.count()
+    dropped = d.na.drop(subset=["text"])
+    filled = d.na.fill({"lang": "und"})
+    replaced = d.na.replace({"src0": "legacy"}, subset=["source"])
+    rows = [
+        ("total", total),
+        ("after_drop_text_null", dropped.count()),
+        (
+            "lang_filled_und",
+            filled.filter(
+                (F.col("lang") == "und") & (F.col("doc_id") % 17 == 0)
+            ).count(),
+        ),
+        (
+            "source_replaced_legacy",
+            replaced.filter(F.col("source") == "legacy").count(),
+        ),
+    ]
+    return spark.createDataFrame(rows, "metric string, n bigint")
+
+
+@register(
+    "multimodal_vad_segments",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS s
+      FROM embeddings
+    ),
+    fr AS (
+      SELECT vec_id, generate_subscripts(s, 1) AS pos, unnest(s) AS v
+      FROM q
+    ),
+    act AS (
+      SELECT vec_id, pos,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY pos) AS grp
+      FROM fr WHERE v * v > 40000
+    ),
+    seg AS (
+      SELECT vec_id, grp, COUNT(*) AS seg_len
+      FROM act GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           CAST(SUM(seg_len) AS BIGINT) AS n_active_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(MAX(seg_len) AS BIGINT) AS longest_segment
+    FROM seg GROUP BY 1
+    """,
+    doc="Voice-activity-style segmentation over the synthetic PCM "
+        "signal (same integer-quantized embedding-derived samples as "
+        "multimodal_pcm_features, keeping the oracle exact): frames "
+        "whose energy v^2 exceeds the threshold (|v| > 200, ~the "
+        "signal's p90) are grouped into "
+        "maximal consecutive runs with the gaps-and-islands "
+        "pos - row_number key, yielding per-clip active-frame count, "
+        "segment count, and longest segment - the trim/segment "
+        "primitive an audio curation pipeline runs before ASR. The "
+        "explode is a Generate (no shuffle); the island window "
+        "partitions perfectly by clip; integer arithmetic end to end. "
+        "Real audio swaps the threshold for a per-clip noise floor "
+        "and the source for binary PCM via mapInArrow "
+        "(multimodal_pcm_features shows that plumbing)",
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir).embeddings
+    fr = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+            )
+        ).alias("pos0", "v"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    act = fr.filter(F.col("v") * F.col("v") > 40000).select(
+        "vec_id",
+        "pos",
+        (
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("pos")
+            )
+        ).alias("grp"),
+    )
+    seg = act.groupBy("vec_id", "grp").agg(
+        F.count(F.lit(1)).alias("seg_len")
+    )
+    return seg.groupBy("vec_id").agg(
+        F.sum("seg_len").cast("bigint").alias("n_active_frames"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.max("seg_len").cast("bigint").alias("longest_segment"),
+    )
+
+
+@register(
+    "curation_ngram_overlap_frac",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 7, 0) + 1),
+               i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      FROM t WHERE len(ts) >= 8
+    ),
+    bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
+    ),
+    scored AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(b.gram) AS n_hit
+      FROM g LEFT JOIN bench b ON g.gram = b.gram
+      WHERE g.doc_id % 20 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           ROUND(CAST(n_hit AS DOUBLE) / n_grams, 4) AS overlap_frac
+    FROM scored WHERE n_hit > 0
+    """,
+    doc="Graded contamination score (the fraction-overlap refinement "
+        "of curation_decontaminate's boolean hit): each training doc "
+        "reports what FRACTION of its distinct 8-grams appear "
+        "anywhere in the benchmark slice (doc_id % 20 = 0, same "
+        "eval-set convention), the quantity PaLM/Llama-style "
+        "contamination audits threshold on. Shape: distinct-gram "
+        "explode (Generate), benchmark gram set built once and "
+        "equi-joined (broadcast-size at test scale; at 100 TB the "
+        "gram join hash-partitions and the benchmark side is the "
+        "small relation), one doc-grain count. Exact integer ratio "
+        "at 4dp. DuckDB's 1-based INCLUSIVE list slicing ts[i:i+7] "
+        "yields the same 8 tokens as Spark's slice(ts, i, 8)",
+)
+def curation_ngram_overlap_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    ts = F.split(F.trim("text"), r"\s+")
+    t = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 8)
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("ts") - 7, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("ts", i, F.lit(8))
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    bench = (
+        g.filter(F.col("doc_id") % 20 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        g.filter(F.col("doc_id") % 20 != 0)
+        .join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > 0)
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_grams"), 4
+        ).alias("overlap_frac"),
+    )
+
+
+@register(
+    "dq_functional_dependency",
+    """
+    SELECT 'orders: o_orderkey -> o_custkey' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_determinants,
+           CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating,
+           COUNT(*) FILTER (WHERE nd > 1) = 0 AS holds
+    FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nd
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'lineitem: l_orderkey -> l_returnflag',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT),
+           COUNT(*) FILTER (WHERE nd > 1) = 0
+    FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS nd
+          FROM lineitem GROUP BY 1)
+    UNION ALL
+    SELECT 'customer: c_nationkey -> n_regionkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT),
+           COUNT(*) FILTER (WHERE nd > 1) = 0
+    FROM (SELECT c_nationkey, COUNT(DISTINCT n_regionkey) AS nd
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1)
+    """,
+    doc="Functional-dependency audit - the profiling check that "
+        "validates assumed key/attribute contracts before they are "
+        "baked into rollups: for each candidate FD X -> Y, count "
+        "determinant values carrying more than one distinct "
+        "dependent. o_orderkey -> o_custkey must hold (key), "
+        "l_orderkey -> l_returnflag is expected VIOLATED (an order's "
+        "lines return independently - the audit proves the checker detects "
+        "violations, not just confirms truths), and the snowflake "
+        "path c_nationkey -> n_regionkey must hold. Each check is "
+        "one combinable distinct-count aggregate; verdicts are "
+        "exact integers. Completes the DQ family (checks / RI / "
+        "k-anonymity / Benford / chi-squared) with the dependency "
+        "dimension",
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+
+    def check(df: DataFrame, det: str, dep: str, name: str) -> DataFrame:
+        per = df.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_determinants"),
+            F.count_if(F.col("nd") > 1).cast("bigint").alias("n_violating"),
+            (F.count_if(F.col("nd") > 1) == 0).alias("holds"),
+        )
+    a = check(
+        cat.orders, "o_orderkey", "o_custkey",
+        "orders: o_orderkey -> o_custkey",
+    )
+    b = check(
+        cat.lineitem, "l_orderkey", "l_returnflag",
+        "lineitem: l_orderkey -> l_returnflag",
+    )
+    c = check(
+        cat.customer.join(
+            F.broadcast(cat.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ),
+        "c_nationkey", "n_regionkey",
+        "customer: c_nationkey -> n_regionkey",
+    )
+    return a.unionByName(b).unionByName(c)
