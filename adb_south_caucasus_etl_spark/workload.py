@@ -16464,3 +16464,593 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer: c_nationkey -> n_regionkey",
     )
     return a.unionByName(b).unionByName(c)
+
+
+@register(
+    "ml_logreg_gd_epochs",
+    """
+    WITH d AS (
+      SELECT o_totalprice / 500000.0 AS x1,
+             c_acctbal / 10000.0 AS x2,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    g1 AS (
+      SELECT AVG((1.0 / (1.0 + exp(0.0)) - y) * x1) AS g1,
+             AVG((1.0 / (1.0 + exp(0.0)) - y) * x2) AS g2,
+             AVG(1.0 / (1.0 + exp(0.0)) - y) AS gb
+      FROM d
+    ),
+    w1 AS (
+      SELECT -1.0 * g1 AS w1, -1.0 * g2 AS w2, -1.0 * gb AS b FROM g1
+    ),
+    g2_ AS (
+      SELECT AVG((1.0 / (1.0 + exp(-(w1.w1 * x1 + w1.w2 * x2 + w1.b)))
+                  - y) * x1) AS g1,
+             AVG((1.0 / (1.0 + exp(-(w1.w1 * x1 + w1.w2 * x2 + w1.b)))
+                  - y) * x2) AS g2,
+             AVG(1.0 / (1.0 + exp(-(w1.w1 * x1 + w1.w2 * x2 + w1.b)))
+                 - y) AS gb,
+             MAX(w1.w1) AS pw1, MAX(w1.w2) AS pw2, MAX(w1.b) AS pb
+      FROM d CROSS JOIN w1
+    ),
+    w2 AS (
+      SELECT pw1 - g1 AS w1, pw2 - g2 AS w2, pb - gb AS b FROM g2_
+    )
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n,
+           ROUND(w1, 6) AS w1, ROUND(w2, 6) AS w2, ROUND(b, 6) AS b,
+           (SELECT ROUND(AVG(
+              -y * ln(1.0 / (1.0 + exp(-(w2.w1 * x1 + w2.w2 * x2 + w2.b))))
+              - (1.0 - y)
+                * ln(1.0 - 1.0 / (1.0
+                      + exp(-(w2.w1 * x1 + w2.w2 * x2 + w2.b))))), 6)
+            FROM d CROSS JOIN w2) AS log_loss
+    FROM w2
+    """,
+    doc="Distributed logistic-regression training, two full-batch "
+        "gradient-descent epochs (lr=1), predicting URGENT priority "
+        "from scaled price and account balance: each epoch is ONE "
+        "combinable aggregate (three avg-gradient sums) and the "
+        "weight update is a 1-row relation CROSS JOINed back over "
+        "the data - the iterate-without-collecting discipline (BPE, "
+        "greedy coverage) applied to model fitting, and exactly how "
+        "full-batch GD distributes at 100 TB (minibatch SGD trades "
+        "the barrier for more rounds; noted, not needed here). The "
+        "oracle unrolls both epochs as CTE stages. Per-row "
+        "sigmoid/ln are IEEE-identical; only sum order differs "
+        "(~1e-12), far under 6dp on O(0.1) weights. Final log-loss "
+        "stamps the whole trajectory",
+)
+def ml_logreg_gd_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    d = cat.orders.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_acctbal")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        (F.col("o_totalprice") / 500000.0).alias("x1"),
+        (F.col("c_acctbal") / 10000.0).alias("x2"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+
+    def sigma(z):
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    def epoch(df, w1c, w2c, bc):
+        z = w1c * F.col("x1") + w2c * F.col("x2") + bc
+        err = sigma(z) - F.col("y")
+        g = df.agg(
+            F.avg(err * F.col("x1")).alias("g1"),
+            F.avg(err * F.col("x2")).alias("g2"),
+            F.avg(err).alias("gb"),
+        )
+        return g
+
+    g1 = epoch(d, F.lit(0.0), F.lit(0.0), F.lit(0.0)).select(
+        (-F.col("g1")).alias("w1"),
+        (-F.col("g2")).alias("w2"),
+        (-F.col("gb")).alias("b"),
+    )
+    d1 = d.crossJoin(F.broadcast(g1))
+    z1 = (
+        F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("b")
+    )
+    err1 = sigma(z1) - F.col("y")
+    w2 = d1.agg(
+        (F.max("w1") - F.avg(err1 * F.col("x1"))).alias("w1"),
+        (F.max("w2") - F.avg(err1 * F.col("x2"))).alias("w2"),
+        (F.max("b") - F.avg(err1)).alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    d2 = d.crossJoin(F.broadcast(w2))
+    z2 = (
+        F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("b")
+    )
+    p2 = sigma(z2)
+    return d2.agg(
+        F.max("n").alias("n"),
+        F.round(F.max("w1"), 6).alias("w1"),
+        F.round(F.max("w2"), 6).alias("w2"),
+        F.round(F.max("b"), 6).alias("b"),
+        F.round(
+            F.avg(
+                -F.col("y") * F.log(p2)
+                - (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p2)
+            ),
+            6,
+        ).alias("log_loss"),
+    )
+
+
+@register(
+    "neardup_minhash_estimator_audit",
+    r"""
+    WITH sub AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 2, 0) + 1),
+               i -> array_to_string(ts[i:i+2], ' ')))) AS gram
+      FROM sub WHERE len(ts) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, s.salt,
+             MIN(md5(CAST(s.salt AS VARCHAR) || '|' || gram)) AS mh
+      FROM g CROSS JOIN (SELECT unnest(range(0, 16)) AS salt) s
+      GROUP BY doc_id, s.salt
+    ),
+    est AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             AVG(CASE WHEN a.mh = b.mh THEN 1.0 ELSE 0.0 END) AS est_j
+      FROM sig a JOIN sig b
+        ON a.salt = b.salt AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT est.doc_a, est.doc_b,
+           ROUND(est.est_j, 4) AS est_jaccard,
+           ROUND(CAST(COALESCE(inter.i, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(inter.i, 0)), 6)
+             AS exact_jaccard,
+           ROUND(abs(est.est_j
+                 - CAST(COALESCE(inter.i, 0) AS DOUBLE)
+                   / (sa.n + sb.n - COALESCE(inter.i, 0))), 6) AS abs_err
+    FROM est
+    JOIN sizes sa ON sa.doc_id = est.doc_a
+    JOIN sizes sb ON sb.doc_id = est.doc_b
+    LEFT JOIN inter ON inter.doc_a = est.doc_a
+                   AND inter.doc_b = est.doc_b
+    """,
+    doc="MinHash ESTIMATOR accuracy audit with an exact oracle - the "
+        "missing stamp for the LSH family (the production LSH "
+        "queries are rows-only because xxhash64 is engine-specific; "
+        "here the hash family is md5-with-salt, which BOTH engines "
+        "compute identically, so the signature, the collision "
+        "estimate, and the exact Jaccard are all hash-matched): "
+        "16-permutation signatures as (doc, salt, min-md5) rows, "
+        "pairwise estimate via the salt equi-join (every pair "
+        "appears exactly 16x - the join IS the pair generator, no "
+        "cross product), exact Jaccard from the posting-list "
+        "equi-join beside it. est_j is a multiple of 1/16 (exact); "
+        "exact_j is an integer ratio. Audited on the doc_id%25 "
+        "probe slice; the unsampled corpus runs the banded "
+        "production path (minhash_lsh_neardup)",
+)
+def neardup_minhash_estimator_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    ts = F.split(F.trim("text"), r"\s+")
+    sub = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") >= 3)
+    )
+    g = sub.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("ts") - 2, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice("ts", i, F.lit(3))),
+                )
+            )
+        ).alias("gram"),
+    )
+    salts = spark.range(0, 16).select(F.col("id").alias("salt"))
+    sig = (
+        g.crossJoin(F.broadcast(salts))
+        .groupBy("doc_id", "salt")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("salt").cast("string"), F.col("gram")
+                    )
+                )
+            ).alias("mh")
+        )
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("salt").alias("sa_salt"),
+        F.col("mh").alias("mh_a"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("salt").alias("sb_salt"),
+        F.col("mh").alias("mh_b"),
+    )
+    est = (
+        a.join(
+            b,
+            (F.col("sa_salt") == F.col("sb_salt"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.avg(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1.0).otherwise(0.0)
+            ).alias("est_j")
+        )
+    )
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = g.select(F.col("doc_id").alias("ia"), "gram")
+    gb = g.select(F.col("doc_id").alias("ib"), F.col("gram").alias("gram_b"))
+    inter = (
+        ga.join(
+            gb,
+            (F.col("gram") == F.col("gram_b"))
+            & (F.col("ia") < F.col("ib")),
+        )
+        .groupBy(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = (
+        est.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+            ),
+            "doc_b",
+        )
+        .join(inter, ["doc_a", "doc_b"], "left")
+    )
+    ex = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round("est_j", 4).alias("est_jaccard"),
+        F.round(ex, 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_j") - ex), 6).alias("abs_err"),
+    )
+
+
+@register(
+    "text_pmi_collocations",
+    """
+    WITH pt AS (
+      SELECT p_partkey,
+             unnest(list_distinct(list_filter(
+               string_split(lower(p_name), ' '), x -> x <> ''))) AS t
+      FROM part
+    ),
+    n_parts AS (SELECT COUNT(DISTINCT p_partkey) AS np FROM part),
+    tc AS (SELECT t, COUNT(*) AS nt FROM pt GROUP BY 1),
+    pairs AS (
+      SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n_pair
+      FROM pt a JOIN pt b
+        ON a.p_partkey = b.p_partkey AND a.t < b.t
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, CAST(n_pair AS BIGINT) AS n_pair,
+           ROUND(log2(CAST(n_pair AS DOUBLE) * np.np
+                      / (CAST(c1.nt AS DOUBLE) * c2.nt)), 6) AS pmi
+    FROM pairs
+    JOIN tc c1 ON c1.t = pairs.t1
+    JOIN tc c2 ON c2.t = pairs.t2
+    CROSS JOIN n_parts np
+    WHERE n_pair >= 20
+    """,
+    doc="Pointwise mutual information over co-occurring tokens in part "
+        "names (collocation extraction - the lexical-association "
+        "primitive behind phrase mining and compound-term "
+        "detection): per-part distinct tokens, pair counts via the "
+        "p_partkey self-equi-join with t1<t2 (ReusedExchange shares "
+        "the token relation; fan-out bounded by tokens-per-name "
+        "choose 2), PMI = log2(P(a,b)/(P(a)P(b))) with a min-support "
+        "cut that kills the unstable low-count tail. Counts are "
+        "exact integers, PMI is one IEEE log over their exact "
+        "ratio - deterministic at 6dp",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = Catalog(spark, sf_dir).part
+    pt = part.select(
+        "p_partkey",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("p_name"), " "), lambda x: x != ""
+                )
+            )
+        ).alias("t"),
+    )
+    np_ = part.agg(F.countDistinct("p_partkey").alias("np"))
+    tc = pt.groupBy("t").agg(F.count(F.lit(1)).alias("nt"))
+    a = pt.select(F.col("p_partkey").alias("ka"), F.col("t").alias("t1"))
+    b = pt.select(F.col("p_partkey").alias("kb"), F.col("t").alias("t2"))
+    pairs = (
+        a.join(
+            b, (F.col("ka") == F.col("kb")) & (F.col("t1") < F.col("t2"))
+        )
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 20)
+    )
+    j = (
+        pairs.join(
+            F.broadcast(tc.select(F.col("t").alias("t1"), F.col("nt").alias("n1"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(tc.select(F.col("t").alias("t2"), F.col("nt").alias("n2"))),
+            "t2",
+        )
+        .crossJoin(F.broadcast(np_))
+    )
+    return j.select(
+        "t1",
+        "t2",
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        F.round(
+            F.log2(
+                F.col("n_pair").cast("double")
+                * F.col("np")
+                / (F.col("n1").cast("double") * F.col("n2"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+
+
+@register(
+    "forecast_ar2_normal_equations",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS y
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT CAST(y AS BIGINT) AS y,
+             CAST(LAG(y, 1) OVER (ORDER BY d) AS BIGINT) AS y1,
+             CAST(LAG(y, 2) OVER (ORDER BY d) AS BIGINT) AS y2
+      FROM daily
+    ),
+    v AS (SELECT * FROM lagged WHERE y2 IS NOT NULL),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y1) AS BIGINT) AS s1,
+             CAST(SUM(y2) AS BIGINT) AS s2,
+             CAST(SUM(y1 * y1) AS BIGINT) AS s11,
+             CAST(SUM(y2 * y2) AS BIGINT) AS s22,
+             CAST(SUM(y1 * y2) AS BIGINT) AS s12,
+             CAST(SUM(y * y1) AS BIGINT) AS s1y,
+             CAST(SUM(y * y2) AS BIGINT) AS s2y
+      FROM v
+    )
+    SELECT n,
+           ROUND((CAST(n * s1y - s1 * sy AS DOUBLE)
+                    * CAST(n * s22 - s2 * s2 AS DOUBLE)
+                  - CAST(n * s2y - s2 * sy AS DOUBLE)
+                    * CAST(n * s12 - s1 * s2 AS DOUBLE))
+                 / (CAST(n * s11 - s1 * s1 AS DOUBLE)
+                      * CAST(n * s22 - s2 * s2 AS DOUBLE)
+                    - CAST(n * s12 - s1 * s2 AS DOUBLE)
+                      * CAST(n * s12 - s1 * s2 AS DOUBLE)), 6) AS phi1,
+           ROUND((CAST(n * s11 - s1 * s1 AS DOUBLE)
+                    * CAST(n * s2y - s2 * sy AS DOUBLE)
+                  - CAST(n * s12 - s1 * s2 AS DOUBLE)
+                    * CAST(n * s1y - s1 * sy AS DOUBLE))
+                 / (CAST(n * s11 - s1 * s1 AS DOUBLE)
+                      * CAST(n * s22 - s2 * s2 AS DOUBLE)
+                    - CAST(n * s12 - s1 * s2 AS DOUBLE)
+                      * CAST(n * s12 - s1 * s2 AS DOUBLE)), 6) AS phi2
+    FROM s
+    """,
+    doc="AR(2) autoregression fit via EXACT normal equations: daily "
+        "event counts are INTEGERS, so every moment sum "
+        "(sum y1*y2 etc.) and every centered cofactor (n*s11 - "
+        "s1^2, Cramer's rule numerators) is exact 64-bit integer "
+        "arithmetic well inside both bigint and double-mantissa "
+        "range; the only floating ops are the final two divisions "
+        "of identical exact operands - the coefficients are "
+        "cross-engine deterministic to the last bit before the 6dp "
+        "rounding even bites. Shape: one day-grain aggregate, a "
+        "2-lag window over the day series (dimension-sized), one "
+        "9-sum reduce. The same exact-moments trick generalizes to "
+        "any small-p AR/OLS fit on count data",
+)
+def forecast_ar2_normal_equations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        F.col("y").cast("bigint").alias("y"),
+        F.lag("y", 1).over(w).cast("bigint").alias("y1"),
+        F.lag("y", 2).over(w).cast("bigint").alias("y2"),
+    ).filter(F.col("y2").isNotNull())
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("y1").cast("bigint").alias("s1"),
+        F.sum("y2").cast("bigint").alias("s2"),
+        F.sum(F.col("y1") * F.col("y1")).cast("bigint").alias("s11"),
+        F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("s22"),
+        F.sum(F.col("y1") * F.col("y2")).cast("bigint").alias("s12"),
+        F.sum(F.col("y") * F.col("y1")).cast("bigint").alias("s1y"),
+        F.sum(F.col("y") * F.col("y2")).cast("bigint").alias("s2y"),
+    )
+    n = F.col("n")
+    c11 = (n * F.col("s11") - F.col("s1") * F.col("s1")).cast("double")
+    c22 = (n * F.col("s22") - F.col("s2") * F.col("s2")).cast("double")
+    c12 = (n * F.col("s12") - F.col("s1") * F.col("s2")).cast("double")
+    c1y = (n * F.col("s1y") - F.col("s1") * F.col("sy")).cast("double")
+    c2y = (n * F.col("s2y") - F.col("s2") * F.col("sy")).cast("double")
+    det = c11 * c22 - c12 * c12
+    return s.select(
+        "n",
+        F.round((c1y * c22 - c2y * c12) / det, 6).alias("phi1"),
+        F.round((c11 * c2y - c12 * c1y) / det, 6).alias("phi2"),
+    )
+
+
+@register(
+    "events_cumulative_distinct_users",
+    """
+    WITH fd AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY 1
+    ),
+    newby AS (
+      SELECT first_day AS d, COUNT(*) AS n_new FROM fd GROUP BY 1
+    ),
+    act AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS n_active
+      FROM events GROUP BY 1
+    )
+    SELECT act.d,
+           CAST(act.n_active AS BIGINT) AS n_active,
+           CAST(COALESCE(newby.n_new, 0) AS BIGINT) AS n_new,
+           CAST(SUM(COALESCE(newby.n_new, 0))
+                OVER (ORDER BY act.d) AS BIGINT) AS cum_distinct_users
+    FROM act LEFT JOIN newby ON newby.d = act.d
+    """,
+    doc="Exact cumulative distinct users per day WITHOUT the quadratic "
+        "trap: distinct-to-date(d) equals the running sum of "
+        "first-appearance counts, so one user-grain min, one "
+        "day-grain count, and a window cumsum replace the naive "
+        "per-day COUNT(DISTINCT user WHERE ts <= d) rescan (O(days "
+        "x events)). This first-touch decomposition is the standard "
+        "growth-accounting identity and the reason cumulative-"
+        "distinct dashboards can be incrementally maintained: "
+        "yesterday's cumsum plus today's new users. All exact "
+        "integer arithmetic; the cumulative window runs over the "
+        "day dimension",
+)
+def events_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    fd = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    newby = fd.groupBy(F.col("first_day").alias("nd")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    act = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        act.join(newby, F.col("nd") == F.col("d"), "left")
+        .select(
+            "d",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.coalesce(F.col("n_new"), F.lit(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .withColumn(
+            "cum_distinct_users",
+            F.sum("n_new").over(w).cast("bigint"),
+        )
+    )
+
+
+@register(
+    "setops_multiset_all",
+    """
+    WITH a AS (
+      SELECT o_custkey AS k, COUNT(*) AS c FROM orders
+      WHERE year(o_orderdate) = 1994 GROUP BY 1
+    ),
+    b AS (
+      SELECT o_custkey AS k, COUNT(*) AS c FROM orders
+      WHERE year(o_orderdate) = 1995 GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT 'intersect_all' AS op,
+           CAST(SUM(LEAST(ca, cb)) AS BIGINT) AS n_rows FROM j
+    UNION ALL
+    SELECT 'except_all', CAST(SUM(GREATEST(ca - cb, 0)) AS BIGINT) FROM j
+    UNION ALL
+    SELECT 'union_all', CAST(SUM(ca + cb) AS BIGINT) FROM j
+    """,
+    doc="Multiset (bag) set operations - INTERSECT ALL / EXCEPT ALL "
+        "run through spark.sql and stamped against their DEFINING "
+        "identities (intersect-all cardinality = sum of min "
+        "multiplicities, except-all = sum of clamped differences): "
+        "the 1994 vs 1995 customer order bags. The oracle states "
+        "the algebra rather than re-running the operator, so the "
+        "stamp verifies Spark's bag semantics - the distinction "
+        "DISTINCT-minded users trip over - not just engine "
+        "agreement. Spark plans both as a single aggregate with "
+        "count columns + generate (no sort-based de-dup), the same "
+        "linear shape as the identity formulation",
+)
+def setops_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views(("orders",))
+    return spark.sql(
+        """
+        WITH a AS (SELECT o_custkey FROM orders
+                   WHERE year(o_orderdate) = 1994),
+             b AS (SELECT o_custkey FROM orders
+                   WHERE year(o_orderdate) = 1995)
+        SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        UNION ALL
+        SELECT 'except_all', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        UNION ALL
+        SELECT 'union_all', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        """
+    )
