@@ -17054,3 +17054,431 @@ def setops_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
         """
     )
+
+
+@register(
+    "events_heartbeat_gaps",
+    """
+    WITH g AS (
+      SELECT event_type, ts,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) FILTER (WHERE gap_us > 1800000000) AS BIGINT)
+             AS n_outages,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           ROUND(CAST(SUM(gap_us) FILTER (WHERE gap_us > 1800000000)
+                      AS DOUBLE) / 1000000.0, 3) AS outage_seconds
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Heartbeat/outage detection per event stream: consecutive "
+        "inter-arrival gaps via one lag window per type, gaps over "
+        "the 30-minute threshold counted as outages with total "
+        "outage time - the pipeline-liveness audit run against every "
+        "ingested feed. The window partitions by stream (bounded "
+        "cardinality) and at 100 TB would instead partition by "
+        "(stream, day) with per-partition boundary stitching - the "
+        "standard trick for global-order windows over unbounded "
+        "partitions; flagged in the docstring because the naive "
+        "spelling here is the one that needs it. Gaps are exact "
+        "integer microseconds",
+)
+def events_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    out = F.col("gap_us") > 1800000000
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.count_if(out).cast("bigint").alias("n_outages"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.round(
+            F.sum(F.when(out, F.col("gap_us"))).cast("double")
+            / 1000000.0,
+            3,
+        ).alias("outage_seconds"),
+    )
+
+
+@register(
+    "dim_calendar_role_playing",
+    """
+    WITH cal AS (
+      SELECT CAST(d AS DATE) AS d,
+             year(d) AS yr,
+             CASE WHEN dayofweek(d) IN (0, 6) THEN TRUE ELSE FALSE END
+               AS is_weekend
+      FROM (SELECT unnest(generate_series(DATE '1992-01-01',
+                                          DATE '1998-12-31',
+                                          INTERVAL 1 DAY)) AS d)
+    )
+    SELECT co.yr AS order_year,
+           co.is_weekend AS ordered_on_weekend,
+           cs.is_weekend AS shipped_on_weekend,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN cal co ON co.d = CAST(o_orderdate AS DATE)
+    JOIN cal cs ON cs.d = CAST(l_shipdate AS DATE)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Role-playing date dimension (Kimball): ONE generated calendar "
+        "dimension joined twice under different roles - order date "
+        "and ship date - the star-schema pattern every warehouse "
+        "uses instead of duplicating date logic per fact column. The "
+        "calendar is generated in-engine (sequence + explode, ~2.5k "
+        "rows), broadcast for both role joins; weekend flags use "
+        "Spark's dayofweek (1=Sunday..7=Saturday) mapped to match "
+        "DuckDB's 0=Sunday..6 numbering explicitly. Fact-scale work "
+        "is the lineitem-orders equi-join; both calendar joins are "
+        "broadcasts - role-playing costs nothing extra at 100 TB",
+)
+def dim_calendar_role_playing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1992-01-01").cast("date"),
+                F.lit("1998-12-31").cast("date"),
+            )
+        ).alias("d")
+    ).select(
+        "d",
+        F.year("d").alias("yr"),
+        F.dayofweek("d").isin(1, 7).alias("is_weekend"),
+    )
+    cat = Catalog(spark, sf_dir)
+    j = (
+        cat.lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            cat.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                cal.select(
+                    F.col("d").alias("od"),
+                    F.col("yr").alias("order_year"),
+                    F.col("is_weekend").alias("ordered_on_weekend"),
+                )
+            ),
+            F.col("od") == F.to_date("o_orderdate"),
+        )
+        .join(
+            F.broadcast(
+                cal.select(
+                    F.col("d").alias("sd"),
+                    F.col("is_weekend").alias("shipped_on_weekend"),
+                )
+            ),
+            F.col("sd") == F.to_date("l_shipdate"),
+        )
+    )
+    return j.groupBy(
+        "order_year", "ordered_on_weekend", "shipped_on_weekend"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+
+
+@register(
+    "dedup_semdedup_cells",
+    """
+    WITH t AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM t WHERE vec_id < 8
+    ),
+    nrm AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+      FROM t
+    ),
+    cn AS (
+      SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnn
+      FROM cent
+    ),
+    assign AS (
+      SELECT vec_id, v, nrm.n AS n, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_sum(list_transform(
+                          list_zip(v, cv),
+                          p -> p[1] * p[2])) / (nrm.n * cnn) DESC,
+                        cid
+             ) AS rk
+      FROM nrm CROSS JOIN cn
+    ),
+    cells AS (
+      SELECT vec_id, v, n, cid FROM assign WHERE rk = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM cells a JOIN cells b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.v, b.v),
+                     p -> p[1] * p[2])) / (a.n * b.n) > 0.92
+    )
+    SELECT c.cid AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(d.dup_id) AS BIGINT) AS n_pruned
+    FROM cells c LEFT JOIN dups d ON d.dup_id = c.vec_id
+    GROUP BY 1
+    """,
+    doc="SemDeDup (Abbas et al., 2023) with derandomized cells: "
+        "vectors are assigned to their max-cosine cell over K=8 "
+        "FIXED centroids (the first 8 vectors - the deterministic "
+        "stand-in for a k-means codebook, which ml_kmeans_lloyd "
+        "already ships), then near-duplicate pruning (cosine > "
+        "0.92, higher id pruned) runs ONLY within cells - the "
+        "cell restriction is what turns the quadratic all-pairs "
+        "scan into K independent quadratics over n/K rows, the "
+        "entire scale point of semantic dedup at corpus size. "
+        "Centroid assignment is a broadcast of 8 rows; cosines are "
+        "ordered folds (bitwise identical cross-engine); the "
+        "argmax cell is elected on raw doubles with a cid "
+        "tiebreak. Output is the per-cell census: kept vs pruned",
+)
+def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir).embeddings
+    t = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    nrm = t.select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("n"),
+    )
+    cn = nrm.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("cid")
+    )
+    cells = (
+        nrm.crossJoin(F.broadcast(cn))
+        .select(
+            "vec_id",
+            "v",
+            "n",
+            "cid",
+            (dot / (F.col("n") * F.col("cn"))).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(wassign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "n", "cid")
+    )
+    a = cells.select(
+        F.col("cid").alias("ca"),
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = cells.select(
+        F.col("cid").alias("cb"),
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    pair_cos = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("na") * F.col("nb"))
+    dups = (
+        a.join(
+            b, (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib"))
+        )
+        .filter(pair_cos > 0.92)
+        .select(F.col("ib").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dups, F.col("dup_id") == F.col("vec_id"), "left")
+        .groupBy(F.col("cid").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.count("dup_id").cast("bigint").alias("n_pruned"),
+        )
+    )
+
+
+@register(
+    "window_rolling_median",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT d, rev,
+             COUNT(*) OVER w AS n_win,
+             CAST(ROUND(CAST(quantile_cont(rev, 0.5) OVER w
+                             AS DECIMAL(18,6)), 2) AS DOUBLE) AS med7
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, CAST(rev AS DOUBLE) AS rev, med7
+    FROM r WHERE n_win = 7
+    """,
+    doc="Rolling 7-day MEDIAN of daily revenue - the robust trend line "
+        "dashboards prefer over moving averages. Spark has no "
+        "windowed percentile, so the frame is materialized as a "
+        "collect_list over ROWS BETWEEN 6 PRECEDING, sorted, and "
+        "interpolated in-expression (exact linear interpolation, "
+        "identical to DuckDB's windowed quantile_cont); the frame is "
+        "BOUNDED (7 elements) so the materialization is O(1) per "
+        "row - the technique is only sane for small fixed frames, "
+        "which is exactly the dashboard case. Day-grain input means "
+        "the window is dimension-sized; decimal-mediated rounding "
+        "on midpoint-prone interpolated values",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    frame = F.array_sort(
+        F.collect_list(F.col("rev").cast("double")).over(w)
+    )
+    n = F.size(frame)
+    # exact linear-interpolated median of the sorted frame
+    lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, ((n + 2) / 2).cast("int"))
+    med = (lo + hi) / 2.0
+    r = daily.select(
+        "d",
+        F.col("rev").cast("double").alias("rev"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.round(med.cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("med7"),
+    )
+    return r.filter(F.col("n_win") == 7).drop("n_win")
+
+
+@register(
+    "stats_exponential_fit_ks",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id))
+               AS DOUBLE) / 1000000.0 AS gap_s
+      FROM events
+    ),
+    v AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+    lam AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(COUNT(*) AS DOUBLE) / SUM(gap_s) AS lambda
+      FROM v GROUP BY 1
+    ),
+    pg AS (
+      SELECT event_type, gap_s, COUNT(*) AS c
+      FROM v GROUP BY 1, 2
+    ),
+    cdf AS (
+      SELECT pg.event_type, pg.gap_s, lam.lambda, lam.n,
+             CAST(SUM(pg.c) OVER (
+               PARTITION BY pg.event_type ORDER BY pg.gap_s
+             ) AS DOUBLE) / lam.n AS f_emp
+      FROM pg JOIN lam ON pg.event_type = lam.event_type
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           ROUND(MAX(lambda), 6) AS lambda_per_s,
+           ROUND(MAX(abs(f_emp - (1.0 - exp(-lambda * gap_s)))), 6)
+             AS ks_d
+    FROM cdf GROUP BY event_type
+    """,
+    doc="Goodness-of-fit audit: are inter-arrival gaps exponential "
+        "(i.e. is the stream Poisson)? Per stream: MLE rate lambda "
+        "= n / sum(gaps), then the one-sample Kolmogorov-Smirnov "
+        "distance between the empirical gap CDF and "
+        "1 - exp(-lambda*x) - large D flags burstiness or "
+        "scheduling, the signal behind bot detection and capacity "
+        "modeling. Reuses the two-sample KS machinery (value-grain "
+        "group + cumulative window) against a THEORETICAL CDF "
+        "evaluated per distinct gap. lambda is a ratio of exact "
+        "count to a sum of exact-integer-derived doubles; exp is "
+        "per-row IEEE; 6dp rounding clears the summation-order "
+        "noise by ~8 digits",
+)
+def stats_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    wl = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    v = ev.select(
+        "event_type",
+        (
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wl))
+            ).cast("double")
+            / 1000000.0
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    lam = v.groupBy(F.col("event_type").alias("lt")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)).cast("double") / F.sum("gap_s")).alias(
+            "lambda"
+        ),
+    )
+    pg = v.groupBy("event_type", "gap_s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy("event_type").orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = pg.join(
+        F.broadcast(lam), F.col("lt") == F.col("event_type")
+    ).select(
+        "event_type",
+        "gap_s",
+        "lambda",
+        "n",
+        (F.sum("c").over(wc).cast("double") / F.col("n")).alias("f_emp"),
+    )
+    return cdf.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.round(F.max("lambda"), 6).alias("lambda_per_s"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("f_emp")
+                    - (
+                        F.lit(1.0)
+                        - F.exp(-F.col("lambda") * F.col("gap_s"))
+                    )
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+    )
