@@ -17482,3 +17482,382 @@ def stats_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_d"),
     )
+
+
+@register(
+    "ml_ranking_metrics",
+    """
+    WITH t AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM t
+    ),
+    q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+    c AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_sum(list_transform(list_zip(q.v, c.v),
+                                 p -> p[1] * p[2]))
+                        / (q.nrm * c.nrm) DESC,
+                        c.vec_id
+             ) AS rk
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    ),
+    per AS (
+      SELECT qid,
+             SUM(rel) AS n_relevant,
+             MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel_rank,
+             SUM(CASE WHEN rk <= 10 THEN rel ELSE 0 END) AS rel_at_10,
+             SUM(CASE WHEN rk <= 10 AND rel = 1
+                      THEN 1.0 / log2(rk + 1.0) ELSE 0.0 END) AS dcg10,
+             SUM(CASE WHEN rk <= 10 THEN 1.0 / log2(rk + 1.0)
+                      ELSE 0.0 END) AS maxdcg10,
+             LEAST(SUM(rel), 10) AS ideal_n
+      FROM scored GROUP BY qid
+    ),
+    ideal AS (
+      SELECT qid, SUM(1.0 / log2(i + 1.0)) AS idcg10
+      FROM per CROSS JOIN (SELECT unnest(range(1, 11)) AS i)
+      WHERE i <= ideal_n
+      GROUP BY qid
+    )
+    SELECT per.qid AS query_id,
+           CAST(per.n_relevant AS BIGINT) AS n_relevant,
+           CAST(per.first_rel_rank AS BIGINT) AS first_rel_rank,
+           ROUND(1.0 / per.first_rel_rank, 6) AS reciprocal_rank,
+           ROUND(CAST(per.rel_at_10 AS DOUBLE) / per.n_relevant, 4)
+             AS recall_at_10,
+           ROUND(per.dcg10 / ideal.idcg10, 6) AS ndcg_at_10
+    FROM per JOIN ideal ON per.qid = ideal.qid
+    WHERE per.n_relevant > 0
+    """,
+    doc="Retrieval evaluation stack - MRR, recall@10, nDCG@10 - over "
+        "the cosine ranker with label ground truth (the offline eval "
+        "every similarity-search/RAG index ships with): queries are "
+        "the vec_id%100 probe slice ranked against the vec_id%5 "
+        "candidate corpus, relevance = label match, ranking by "
+        "(cosine desc, id) so ranks are total-order deterministic. "
+        "nDCG's ideal DCG is computed from min(n_relevant, 10) via a "
+        "tiny rank dimension join - no per-query sort of an ideal "
+        "list. Cosines are ordered folds (bitwise identical); all "
+        "metrics are ratios of exact-rank-derived terms. At 100 TB "
+        "the scored CTE swaps to the IVF/LSH candidate path and the "
+        "metric layer is unchanged - which is the point: eval code "
+        "should not care how candidates were produced",
+)
+def ml_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir).embeddings
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    q = n.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("qn") * F.col("cn"))
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    scored = (
+        q.join(F.broadcast(c), F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.when(F.col("qlabel") == F.col("clabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(wr))
+    )
+    per = scored.groupBy("qid").agg(
+        F.sum("rel").alias("n_relevant"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias(
+            "first_rel_rank"
+        ),
+        F.sum(F.when(F.col("rk") <= 10, F.col("rel")).otherwise(0)).alias(
+            "rel_at_10"
+        ),
+        F.sum(
+            F.when(
+                (F.col("rk") <= 10) & (F.col("rel") == 1),
+                F.lit(1.0) / F.log2(F.col("rk") + 1.0),
+            ).otherwise(0.0)
+        ).alias("dcg10"),
+        F.least(F.sum("rel"), F.lit(10)).alias("ideal_n"),
+    ).filter(F.col("n_relevant") > 0)
+    ranks = spark.range(1, 11).select(F.col("id").alias("i"))
+    ideal = (
+        per.select("qid", "ideal_n")
+        .join(F.broadcast(ranks), F.col("i") <= F.col("ideal_n"))
+        .groupBy("qid")
+        .agg(
+            F.sum(F.lit(1.0) / F.log2(F.col("i") + 1.0)).alias("idcg10")
+        )
+        .withColumnRenamed("qid", "iqid")
+    )
+    return per.join(ideal, F.col("iqid") == F.col("qid")).select(
+        F.col("qid").alias("query_id"),
+        F.col("n_relevant").cast("bigint").alias("n_relevant"),
+        F.col("first_rel_rank").cast("bigint").alias("first_rel_rank"),
+        F.round(F.lit(1.0) / F.col("first_rel_rank"), 6).alias(
+            "reciprocal_rank"
+        ),
+        F.round(
+            F.col("rel_at_10").cast("double") / F.col("n_relevant"), 4
+        ).alias("recall_at_10"),
+        F.round(F.col("dcg10") / F.col("idcg10"), 6).alias("ndcg_at_10"),
+    )
+
+
+@register(
+    "embedding_dim_profile",
+    """
+    WITH d AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(AVG(x) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mu,
+           CAST(ROUND(CAST(stddev_pop(x) AS DECIMAL(18,8)), 6) AS DOUBLE)
+             AS sd,
+           CAST(ROUND(CAST(MIN(x) AS DECIMAL(18,8)), 6) AS DOUBLE)
+             AS min_x,
+           CAST(ROUND(CAST(MAX(x) AS DECIMAL(18,8)), 6) AS DOUBLE)
+             AS max_x,
+           ROUND(CAST(COUNT(*) FILTER (WHERE x = 0.0) AS DOUBLE)
+                 / COUNT(*), 6) AS frac_zero
+    FROM d GROUP BY dim
+    """,
+    doc="Per-dimension embedding profile (mu, sigma, range, zero "
+        "fraction) - the encoder-health audit that catches dead "
+        "dimensions (sd ~ 0), saturated dimensions, and "
+        "normalization drift between encoder versions before they "
+        "poison similarity search. posexplode to (dim, value) then "
+        "one combinable aggregate: 64 output rows regardless of "
+        "corpus size; the explode is a Generate (no shuffle, no "
+        "Python). Moments round through decimals (the repo's "
+        "standard float-aggregate discipline); min/max/frac_zero "
+        "are exact",
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    d = emb.select(
+        F.posexplode("embedding").alias("dim0", "x0")
+    ).select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("x").cast("decimal(18,8)"), 6)
+        .cast("double")
+        .alias("mu"),
+        F.round(F.stddev_pop("x").cast("decimal(18,8)"), 6)
+        .cast("double")
+        .alias("sd"),
+        F.round(F.min("x").cast("decimal(18,8)"), 6)
+        .cast("double")
+        .alias("min_x"),
+        F.round(F.max("x").cast("decimal(18,8)"), 6)
+        .cast("double")
+        .alias("max_x"),
+        F.round(
+            F.count_if(F.col("x") == 0.0).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_zero"),
+    )
+
+
+@register(
+    "events_ordered_funnel_steps",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    v AS (
+      SELECT s.user_id, MIN(e.ts) AS t1
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'view' AND e.ts > s.t0
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT v.user_id, MIN(e.ts) AS t2
+      FROM v JOIN events e ON e.user_id = v.user_id
+       AND e.event_type = 'purchase' AND e.ts > v.t1
+      GROUP BY 1
+    )
+    SELECT 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM s
+    UNION ALL
+    SELECT 'signup>view', CAST(COUNT(*) AS BIGINT) FROM v
+    UNION ALL
+    SELECT 'signup>view>purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+    doc="Strictly-ORDERED multi-step funnel (signup, then a view after "
+        "it, then a purchase after that): each stage is a first-"
+        "touch aggregate anchored on the previous stage's timestamp, "
+        "so the chain is three combinable user-grain aggregates "
+        "joined on user - no window over raw events, no per-user "
+        "sequence materialization. This ordered-anchor form is how "
+        "funnels with arbitrary step counts compose at 100 TB "
+        "(each step one hash join + min-agg on the user key, all "
+        "co-partitioned); contrast funnel_signup_to_purchase (one "
+        "step, time-bounded) and funnel_time_to_convert (latency "
+        "distribution)",
+)
+def events_ordered_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    v = (
+        s.join(
+            ev.filter(F.col("event_type") == "view").select(
+                F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+            ),
+            (F.col("vu") == F.col("user_id"))
+            & (F.col("vts") > F.col("t0")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("vts").alias("t1"))
+    )
+    p = (
+        v.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+            ),
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") > F.col("t1")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t2"))
+    )
+    counts = [
+        s.agg(F.lit("signup").alias("stage"),
+              F.count(F.lit(1)).cast("bigint").alias("users")),
+        v.agg(F.lit("signup>view").alias("stage"),
+              F.count(F.lit(1)).cast("bigint").alias("users")),
+        p.agg(F.lit("signup>view>purchase").alias("stage"),
+              F.count(F.lit(1)).cast("bigint").alias("users")),
+    ]
+    out = counts[0]
+    for x in counts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+@register(
+    "agg_multi_count_distinct",
+    """
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(DISTINCT date_trunc('month', o_orderdate))
+                AS BIGINT) AS n_months,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    """,
+    doc="Multiple exact COUNT(DISTINCT)s in one statement - the shape "
+        "Catalyst compiles with an Expand node (each input row "
+        "replicated once per distinct clause with a grouping-id "
+        "tag), turning k distinct aggregates into ONE pass whose "
+        "shuffle volume is k x rows. That multiplier is the 100 TB "
+        "lesson stamped here: two distincts double the exchange, so "
+        "wide dashboards should pre-aggregate or switch to HLL "
+        "sketches (agg_approx_distinct ships the comparison pair) "
+        "once exactness stops paying for the shuffle. Values are "
+        "exact integers",
+)
+def agg_multi_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.countDistinct("o_orderpriority")
+        .cast("bigint")
+        .alias("n_priorities"),
+        F.countDistinct(F.date_trunc("month", "o_orderdate"))
+        .cast("bigint")
+        .alias("n_months"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "sql_table_function_topn",
+    """
+    SELECT c_custkey, c_name,
+           CAST(ROUND(CAST(total AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
+    FROM (
+      SELECT c_custkey, c_name, SUM(o_totalprice) AS total
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY c_custkey, c_name
+      ORDER BY total DESC, c_custkey LIMIT 5
+    )
+    """,
+    doc="Spark 4 SQL TABLE function (CREATE TEMPORARY FUNCTION ... "
+        "RETURNS TABLE): top_customers(seg) encapsulates a "
+        "parameterized top-N query as a catalog object callable in "
+        "FROM position - the SQL-native analog of a parameterized "
+        "view, and like scalar SQL UDFs it is INLINED by Catalyst, "
+        "so the segment predicate still pushes to the customer scan "
+        "and the top-N still plans as TakeOrderedAndProject; an "
+        "opaque table UDTF would get neither. Completes the "
+        "function-surface matrix: scalar SQL UDF "
+        "(sql_udf_revenue_tiers), Python UDTF (udtf_*), and now "
+        "SQL-defined table functions",
+)
+def sql_table_function_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.customer.createOrReplaceTempView("__tf_customer")
+    cat.orders.createOrReplaceTempView("__tf_orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION top_customers(seg STRING)
+        RETURNS TABLE (c_custkey BIGINT, c_name STRING, total DOUBLE)
+        RETURN SELECT c_custkey, c_name, SUM(o_totalprice) AS total
+               FROM __tf_customer JOIN __tf_orders
+                 ON o_custkey = c_custkey
+               WHERE c_mktsegment = seg
+               GROUP BY c_custkey, c_name
+               ORDER BY total DESC, c_custkey LIMIT 5
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(ROUND(CAST(total AS DECIMAL(18,6)), 2) AS DOUBLE)
+                 AS total
+        FROM top_customers('BUILDING')
+        """
+    )
