@@ -38,10 +38,17 @@ def asof_join(
     left_ts: str,
     right_ts: str | None = None,
     direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the right row with the
     largest ``right_ts <= left_ts`` (direction="backward") or smallest
     ``right_ts >= left_ts`` ("forward") within the same key group.
+
+    ``tolerance_s`` (seconds, like ``pd.merge_asof(tolerance=...)``)
+    rejects matches farther than the bound: the row keeps null payloads
+    instead. For "nearest", the bound applies per direction BEFORE the
+    nearer candidate is chosen, so a too-far backward match cannot
+    shadow an in-range forward one.
 
     Right payload columns (everything except keys + ts) must not collide
     with left column names. Unmatched left rows keep null payloads
@@ -51,10 +58,12 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    if tolerance_s is not None and tolerance_s < 0:
+        raise ValueError(f"tolerance_s must be >= 0, got {tolerance_s}")
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     if direction == "nearest":
-        return _asof_nearest(left, right, keys, left_ts, right_ts)
+        return _asof_nearest(left, right, keys, left_ts, right_ts, tolerance_s)
 
     payload = [c for c in right.columns if c not in keys and c != right_ts]
     collisions = set(payload) & set(left.columns)
@@ -83,10 +92,19 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    mts = "__asof_mts"
+    rts_src = F.when(F.col(_TAG) == 0, F.col(_TS))
     filled = unioned.withColumns(
         {c: F.last(c, ignorenulls=True).over(w) for c in payload}
-    )
-    return filled.filter(F.col(_TAG) == 1).drop(_TAG, _TS)
+        | {mts: F.last(rts_src, ignorenulls=True).over(w)}
+    ).filter(F.col(_TAG) == 1)
+    if tolerance_s is not None:
+        gap = F.abs(F.unix_micros(F.col(_TS)) - F.unix_micros(F.col(mts)))
+        in_tol = gap <= int(tolerance_s * 1_000_000)
+        filled = filled.withColumns(
+            {c: F.when(in_tol, F.col(c)) for c in payload}
+        )
+    return filled.drop(_TAG, _TS, mts)
 
 
 def _asof_nearest(
@@ -95,6 +113,7 @@ def _asof_nearest(
     keys: list[str],
     left_ts: str,
     right_ts: str,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """direction="nearest": attach the right row whose timestamp is
     CLOSEST to the left timestamp in either direction; exact-distance
@@ -152,6 +171,24 @@ def _asof_nearest(
 
     bw_gap = F.unix_micros(F.col(_TS)) - F.unix_micros(F.col("__bw_ts"))
     fw_gap = F.unix_micros(F.col("__fw_ts")) - F.unix_micros(F.col(_TS))
+    if tolerance_s is not None:
+        tol = int(tolerance_s * 1_000_000)
+        both = both.withColumns(
+            # null the payload alongside the marker: an out-of-tolerance
+            # candidate must not leak its carried values into the pick
+            {
+                f"__bw_{c}": F.when(bw_gap <= tol, F.col(f"__bw_{c}"))
+                for c in payload
+            }
+            | {
+                f"__fw_{c}": F.when(fw_gap <= tol, F.col(f"__fw_{c}"))
+                for c in payload
+            }
+            | {
+                "__bw_ts": F.when(bw_gap <= tol, F.col("__bw_ts")),
+                "__fw_ts": F.when(fw_gap <= tol, F.col("__fw_ts")),
+            }
+        )
     # backward wins ties and wherever forward is absent
     use_bw = F.col("__fw_ts").isNull() | (
         F.col("__bw_ts").isNotNull() & (bw_gap <= fw_gap)

@@ -17861,3 +17861,430 @@ def sql_table_function_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM top_customers('BUILDING')
         """
     )
+
+
+@register(
+    "asof_tolerance_bounded",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+      SELECT user_id, ts, arg_min(value, event_id) AS p_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    m AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             (SELECT max(p.ts) FROM p
+               WHERE p.user_id = e.user_id AND p.ts <= e.ts) AS bw_ts
+      FROM e
+    )
+    SELECT m.event_id, m.user_id,
+           CASE WHEN m.bw_ts IS NOT NULL
+                 AND epoch_us(m.ts) - epoch_us(m.bw_ts) <= 3600000000
+                THEN p.p_value END AS last_purchase_1h,
+           m.bw_ts IS NOT NULL
+             AND epoch_us(m.ts) - epoch_us(m.bw_ts) <= 3600000000
+             AS matched
+    FROM m LEFT JOIN p
+      ON p.user_id = m.user_id AND p.ts = m.bw_ts
+    """,
+    doc="As-of join with a TOLERANCE bound (operators/asof.py "
+        "tolerance_s - the pd.merge_asof(tolerance=) parity knob): "
+        "each error event takes the last purchase by the same user "
+        "ONLY if it happened within the preceding hour; staler "
+        "matches are nulled, not returned - the semantics that stop "
+        "an attribution join from crediting a week-old touchpoint. "
+        "Implementation carries the matched right timestamp through "
+        "the same single-shuffle union-tag window and applies one "
+        "gap predicate; no extra join, no extra exchange. The "
+        "matched flag is stamped alongside the payload so the "
+        "tolerance cut itself is oracle-verified",
+)
+def asof_tolerance_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    e = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min_by("value", "event_id").alias("last_purchase_1h"))
+        .withColumnRenamed("ts", "p_ts")
+    )
+    j = asof_join(
+        e,
+        p,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        direction="backward",
+        tolerance_s=3600.0,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "last_purchase_1h",
+        F.col("last_purchase_1h").isNotNull().alias("matched"),
+    )
+
+
+@register(
+    "events_hysteresis_alerts",
+    """
+    WITH m AS (
+      SELECT event_type, ts, event_id, value,
+             CASE WHEN value >= 200.0 THEN 'on'
+                  WHEN value <= 50.0 THEN 'off' END AS marker
+      FROM events
+    ),
+    st AS (
+      SELECT event_type, ts, event_id,
+             COALESCE(LAST_VALUE(marker IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING), 'off') AS state
+      FROM m
+    ),
+    tr AS (
+      SELECT event_type, ts, state,
+             LAG(state) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS prev,
+             epoch_us(LEAD(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id))
+               - epoch_us(ts) AS hold_us
+      FROM st
+    )
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE state = 'on'
+                AND COALESCE(prev, 'off') = 'off') AS BIGINT)
+             AS n_alerts,
+           ROUND(CAST(SUM(CASE WHEN state = 'on' THEN hold_us END)
+                      AS DOUBLE) / 1000000.0, 3) AS on_seconds
+    FROM tr GROUP BY event_type
+    """,
+    doc="Two-threshold hysteresis alerting (on at >= 200, off at <= 50, "
+        "the dead band prevents flapping) as a pure window "
+        "computation: the state machine collapses to 'last definitive "
+        "marker wins' because only threshold crossings change state - "
+        "so last_value(ignore nulls) over the per-stream order IS the "
+        "state, no iterative fold needed. Alert count = off->on "
+        "transitions; on-time integrates the inter-event hold via "
+        "lead(). One window partition per stream; the "
+        "(stream, day)-stitch note from events_heartbeat_gaps "
+        "applies at scale. Threshold compares are exact against "
+        "2-decimal values; durations are exact integer micros",
+)
+def events_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    marker = F.when(F.col("value") >= 200.0, "on").when(
+        F.col("value") <= 50.0, "off"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    st = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.last(marker, ignorenulls=True).over(wcum), F.lit("off")
+        ).alias("state"),
+    )
+    tr = st.select(
+        "event_type",
+        "state",
+        F.lag("state").over(w).alias("prev"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("hold_us"),
+    )
+    return tr.groupBy("event_type").agg(
+        F.count_if(
+            (F.col("state") == "on")
+            & (F.coalesce(F.col("prev"), F.lit("off")) == "off")
+        )
+        .cast("bigint")
+        .alias("n_alerts"),
+        F.round(
+            F.sum(F.when(F.col("state") == "on", F.col("hold_us"))).cast(
+                "double"
+            )
+            / 1000000.0,
+            3,
+        ).alias("on_seconds"),
+    )
+
+
+@register(
+    "shard_consistent_hash_ring",
+    """
+    WITH keys AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS kpos
+      FROM documents
+    ),
+    nodes AS (
+      SELECT n,
+             CAST('0x' || substr(md5('node' || CAST(n AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS npos
+      FROM (SELECT unnest(range(0, 17)) AS n)
+    ),
+    ring16 AS (
+      SELECT k.doc_id,
+             COALESCE(
+               arg_min(n.n, n.npos) FILTER (WHERE n.npos >= k.kpos),
+               arg_min(n.n, n.npos)) AS shard
+      FROM keys k CROSS JOIN nodes n WHERE n.n < 16
+      GROUP BY k.doc_id
+    ),
+    ring17 AS (
+      SELECT k.doc_id,
+             COALESCE(
+               arg_min(n.n, n.npos) FILTER (WHERE n.npos >= k.kpos),
+               arg_min(n.n, n.npos)) AS shard
+      FROM keys k CROSS JOIN nodes n
+      GROUP BY k.doc_id
+    )
+    SELECT 'consistent_ring' AS method,
+           ROUND(AVG(CASE WHEN a.shard <> b.shard
+                          THEN 1.0 ELSE 0.0 END), 4) AS moved_frac
+    FROM ring16 a JOIN ring17 b ON a.doc_id = b.doc_id
+    UNION ALL
+    SELECT 'mod_hash',
+           ROUND(AVG(CASE WHEN kpos % 16 <> kpos % 17
+                          THEN 1.0 ELSE 0.0 END), 4)
+    FROM keys
+    """,
+    doc="Consistent-hash ring vs modulo sharding under a node ADD "
+        "(16 -> 17), the data-placement design decision stamped as "
+        "numbers: the ring remaps only keys whose arc the new node "
+        "splits (expected ~1/17 ~ 0.06) while mod-rehash moves "
+        "almost everything (~16/17 ~ 0.94). Ring successor lookup "
+        "is an aggregate over the broadcast 17-row node dimension "
+        "(min node position >= key position, wraparound via "
+        "coalesce to the ring minimum - DuckDB spells the "
+        "positional argmin as arg_min, Spark as min_by); positions are the repo's md5-prefix recipe so "
+        "both engines place every key identically. The moved "
+        "fractions are exact comparisons of deterministic shard "
+        "ids",
+)
+def shard_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    keys = docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("kpos"),
+    )
+    nodes = spark.range(0, 17).select(
+        F.col("id").alias("n"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("node"), F.col("id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("npos"),
+    )
+
+    def ring(nnodes: int) -> DataFrame:
+        nd = nodes.filter(F.col("n") < nnodes)
+        return (
+            keys.crossJoin(F.broadcast(nd))
+            .groupBy("doc_id")
+            .agg(
+                F.coalesce(
+                    F.min_by(
+                        "n",
+                        F.when(
+                            F.col("npos") >= F.col("kpos"), F.col("npos")
+                        ),
+                    ),
+                    F.min_by("n", "npos"),
+                ).alias("shard")
+            )
+        )
+
+    a = ring(16).withColumnRenamed("shard", "s16")
+    b = ring(17).withColumnRenamed("shard", "s17").withColumnRenamed(
+        "doc_id", "doc_id_b"
+    )
+    ring_row = (
+        a.join(b, F.col("doc_id") == F.col("doc_id_b"))
+        .agg(
+            F.lit("consistent_ring").alias("method"),
+            F.round(
+                F.avg(
+                    F.when(F.col("s16") != F.col("s17"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                4,
+            ).alias("moved_frac"),
+        )
+    )
+    mod_row = keys.agg(
+        F.lit("mod_hash").alias("method"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("kpos") % 16 != F.col("kpos") % 17, 1.0
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("moved_frac"),
+    )
+    return ring_row.unionByName(mod_row)
+
+
+@register(
+    "share_of_parent_hierarchy",
+    """
+    WITH nr AS (
+      SELECT r_name AS region, n_name AS nation,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_of_region,
+           ROUND(CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+             AS region_share_of_total
+    FROM nr
+    """,
+    doc="Ratio-to-parent at two hierarchy levels in one pass (nation "
+        "within region, region within grand total) - the OLAP "
+        "share-of-parent read that pairs with drilldowns; both "
+        "parent totals come from windows over the ALREADY-AGGREGATED "
+        "(region, nation) grain, so the fact-scale work is one "
+        "combinable aggregate and the windows touch 25 rows. "
+        "Revenue rounds through DECIMAL(18,2) first: parent sums "
+        "are exact, shares are single IEEE divisions - "
+        "deterministic at 6dp. Contrast share_of_total_revenue "
+        "(single level)",
+)
+def share_of_parent_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    nr = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    rev = F.col("rev").cast("double")
+    reg = F.sum("rev").over(wr).cast("double")
+    tot = F.sum("rev").over(wt).cast("double")
+    return nr.select(
+        "region",
+        "nation",
+        rev.alias("revenue"),
+        F.round(rev / reg, 6).alias("share_of_region"),
+        F.round(reg / tot, 6).alias("region_share_of_total"),
+    )
+
+
+@register(
+    "dq_skew_diagnostics",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+    ),
+    b AS (
+      SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey
+    ),
+    e AS (
+      SELECT COUNT(*) AS c FROM events GROUP BY user_id
+    )
+    SELECT 'lineitem.l_orderkey' AS key_col,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_rows,
+           ROUND(AVG(c), 4) AS avg_rows,
+           CAST(ROUND(CAST(quantile_cont(c, 0.99) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS p99_rows,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_key_share
+    FROM a
+    UNION ALL
+    SELECT 'orders.o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(MAX(c) AS BIGINT), ROUND(AVG(c), 4),
+           CAST(ROUND(CAST(quantile_cont(c, 0.99) AS DECIMAL(18,6)), 4)
+                AS DOUBLE),
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+    FROM b
+    UNION ALL
+    SELECT 'events.user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(MAX(c) AS BIGINT), ROUND(AVG(c), 4),
+           CAST(ROUND(CAST(quantile_cont(c, 0.99) AS DECIMAL(18,6)), 4)
+                AS DOUBLE),
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+    FROM e
+    """,
+    doc="Join-key skew diagnostics - the pre-flight audit that decides "
+        "whether a join needs salting or AQE skew handling BEFORE it "
+        "runs at 100 TB: per candidate key, the key count, max and "
+        "p99 per-key row counts, and the hottest key's share of all "
+        "rows. Each profile is one combinable count plus a "
+        "key-grain reduce; the exact p99 swaps to approx_percentile "
+        "at scale (the skew decision tolerates estimate error). "
+        "Companions: skew_salted_join/skew_salted_agg apply the "
+        "mitigation this audit recommends; avg/ratio divisions are "
+        "exact-count arithmetic",
+)
+def dq_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+
+    def profile(df: DataFrame, key: str, name: str) -> DataFrame:
+        per = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        return per.agg(
+            F.lit(name).alias("key_col"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_rows"),
+            F.round(F.avg("c"), 4).alias("avg_rows"),
+            F.round(
+                F.percentile("c", F.lit(0.99)).cast("decimal(18,6)"), 4
+            )
+            .cast("double")
+            .alias("p99_rows"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                "top_key_share"
+            ),
+        )
+
+    a = profile(cat.lineitem, "l_orderkey", "lineitem.l_orderkey")
+    b = profile(cat.orders, "o_custkey", "orders.o_custkey")
+    e = profile(cat.events, "user_id", "events.user_id")
+    return a.unionByName(b).unionByName(e)

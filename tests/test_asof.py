@@ -100,3 +100,51 @@ def test_asof_nearest_tie_prefers_backward(spark):
         left, right, on="sym", left_ts="ts", direction="nearest"
     ).collect()
     assert (r["px"], r["__asof_dir"]) == (1.0, "backward")
+
+
+def test_asof_backward_tolerance(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="sym", left_ts="ts", tolerance_s=90.0
+        ).collect()
+    }
+    # trade 1 at 10:00: backward quote 09:59 is 60s away -> in tolerance
+    # trade 2 at 10:05: exact match, 0s -> kept
+    # trades 3, 4: no backward quote at all -> null
+    assert out == {1: 10.0, 2: 11.0, 3: None, 4: None}
+    strict = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="sym", left_ts="ts", tolerance_s=30.0
+        ).collect()
+    }
+    # 60s gap now exceeds the 30s bound
+    assert strict == {1: None, 2: 11.0, 3: None, 4: None}
+
+
+def test_asof_nearest_tolerance_rejects_far_side(spark):
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T10:10:00"))],
+        "id long, sym string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:00"), 1.0),  # 10 min before
+            ("A", _ts("2024-01-01T10:13:00"), 2.0),  # 3 min after
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    # tolerance 5 min: backward (10 min) is out, forward (3 min) wins
+    [r] = asof_join(
+        left, right, on="sym", left_ts="ts",
+        direction="nearest", tolerance_s=300.0,
+    ).collect()
+    assert (r["px"], r["__asof_dir"]) == (2.0, "forward")
+    # tolerance 1 min: both out -> null payload, null direction
+    [r2] = asof_join(
+        left, right, on="sym", left_ts="ts",
+        direction="nearest", tolerance_s=60.0,
+    ).collect()
+    assert (r2["px"], r2["__asof_dir"]) == (None, None)
