@@ -18288,3 +18288,345 @@ def dq_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = profile(cat.orders, "o_custkey", "orders.o_custkey")
     e = profile(cat.events, "user_id", "events.user_id")
     return a.unionByName(b).unionByName(e)
+
+
+@register(
+    "stats_ab_cuped",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(
+                    md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                      THEN value ELSE 0.0 END) AS y,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN value ELSE 0.0 END) AS x
+      FROM events GROUP BY user_id
+    ),
+    theta AS (
+      SELECT covar_pop(x, y) / var_pop(x) AS th, AVG(x) AS mx FROM u
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(ROUND(CAST(AVG(y) AS DECIMAL(18,8)), 4) AS DOUBLE)
+             AS mean_y,
+           CAST(ROUND(CAST(AVG(y - theta.th * (x - theta.mx))
+                           AS DECIMAL(18,8)), 4) AS DOUBLE)
+             AS mean_y_cuped,
+           CAST(ROUND(CAST(var_pop(y) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS var_y,
+           CAST(ROUND(CAST(var_pop(y - theta.th * (x - theta.mx))
+                           AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS var_y_cuped
+    FROM u CROSS JOIN theta
+    GROUP BY arm
+    """,
+    doc="CUPED variance reduction (Deng et al., WSDM 2013) for the A/B "
+        "read: per-user experiment-period purchase value adjusted by "
+        "the pre-period covariate, theta = cov(x,y)/var(x) fitted "
+        "on the POOLED population (the standard all-arms fit - "
+        "theta is experiment-independent under randomization, so "
+        "fitting it pooled adds no bias), then per-arm means and "
+        "variances before/after adjustment - var_y_cuped < var_y is "
+        "the sensitivity win that shrinks required sample sizes. "
+        "Two passes: one user rollup, one 2-number theta broadcast "
+        "back over the user grain. The md5-parity arm matches "
+        "stats_ab_ztest; moments round through decimals",
+)
+def stats_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    cutoff = F.lit("2024-01-16").cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.to_date("ts") >= cutoff),
+                F.col("value"),
+            ).otherwise(0.0)
+        ).alias("y"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.to_date("ts") < cutoff),
+                F.col("value"),
+            ).otherwise(0.0)
+        ).alias("x"),
+    ).withColumn(
+        "arm",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            "A",
+        ).otherwise("B"),
+    )
+    theta = u.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("th"),
+        F.avg("x").alias("mx"),
+    )
+    adj = F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))
+    return (
+        u.crossJoin(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg("y").cast("decimal(18,8)"), 4)
+            .cast("double")
+            .alias("mean_y"),
+            F.round(F.avg(adj).cast("decimal(18,8)"), 4)
+            .cast("double")
+            .alias("mean_y_cuped"),
+            F.round(F.var_pop("y").cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("var_y"),
+            F.round(F.var_pop(adj).cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("var_y_cuped"),
+        )
+    )
+
+
+@register(
+    "sql_session_variables",
+    """
+    WITH t AS (SELECT AVG(o_totalprice) AS thr FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           CAST(ROUND(CAST(AVG(o_totalprice) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS avg_above
+    FROM orders CROSS JOIN t
+    WHERE o_totalprice > t.thr
+    GROUP BY 1
+    """,
+    doc="Spark 4 SQL session variables (DECLARE VARIABLE / SET VAR): "
+        "a threshold is computed into a session variable by one "
+        "statement and referenced by a second - the multi-statement "
+        "scripting idiom warehouse SQL relies on, complementing "
+        "EXECUTE IMMEDIATE (string dispatch) and parameterized SQL "
+        "(host-language binds). The variable is a scalar bound at "
+        "SET time, so the consuming query plans with a LITERAL "
+        "threshold (foldable, pushable to the scan) rather than an "
+        "uncorrelated subquery join - at 100 TB that is the "
+        "difference between a pushed filter and a broadcast "
+        "exchange. The oracle inlines the same threshold as a CTE",
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views(("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE price_thr DOUBLE")
+    spark.sql(
+        "SET VAR price_thr = (SELECT AVG(o_totalprice) FROM orders)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_above,
+               CAST(ROUND(CAST(AVG(o_totalprice) AS DECIMAL(18,6)), 2)
+                    AS DOUBLE) AS avg_above
+        FROM orders
+        WHERE o_totalprice > price_thr
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "source_file_metadata_columns",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_custkey FROM orders
+    )
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS file_min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS file_max_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (
+      SELECT o_orderkey,
+             ntile(4) OVER (ORDER BY o_orderkey) AS f
+      FROM src
+    ) GROUP BY f
+    """,
+    doc="Hidden _metadata columns on file sources: orders is "
+        "re-written as FOUR parquet files along exact ntile(4) key "
+        "quartiles (explicit assignment rather than "
+        "repartitionByRange, whose SAMPLED boundaries would drift "
+        "from the oracle's exact quantiles), then read back grouping "
+        "by _metadata.file_path to report per-FILE key ranges and "
+        "row counts - the zone-map / clustering audit a lakehouse "
+        "runs to verify layout quality before relying on file "
+        "skipping. File NAMES are uuid-random, so the stamped "
+        "output is the (min, max, count) per file, which the oracle "
+        "states with the same ntile(4). _metadata is projected "
+        "server-side from the scan - no extra I/O",
+)
+def source_file_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders.select("o_orderkey", "o_custkey")
+    path = os.path.join(_scratch_dir("file_meta", sf_dir), "orders4")
+    wf = Window.orderBy("o_orderkey")
+    (
+        o.withColumn("f", F.ntile(4).over(wf))
+        .repartition(4, "f")
+        .write.partitionBy("f")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "o_orderkey", F.col("_metadata.file_path").alias("fp")
+    )
+    return back.groupBy("fp").agg(
+        F.min("o_orderkey").cast("bigint").alias("file_min_key"),
+        F.max("o_orderkey").cast("bigint").alias("file_max_key"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    ).drop("fp")
+
+
+@register(
+    "topk_percent_per_group",
+    """
+    WITH r AS (
+      SELECT c_mktsegment AS segment, o_custkey, o_totalprice,
+             percent_rank() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey) AS pr
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_top,
+           CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS top_revenue,
+           CAST(ROUND(CAST(MIN(o_totalprice) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS cutoff_price
+    FROM r WHERE pr <= 0.01
+    GROUP BY segment
+    """,
+    doc="Top PERCENT per group (the 'top 1% of orders per segment' "
+        "read) via percent_rank with a total order (price desc, "
+        "orderkey tiebreak) - the fraction-based sibling of "
+        "fixed-k top-k: k scales with the group, which is what "
+        "percentile-based SLAs and whale analyses want. percent_rank "
+        "= (rank-1)/(n-1) is an exact integer ratio, so the 1% "
+        "boundary decision is deterministic cross-engine. Unlike "
+        "fixed-k, WindowGroupLimit cannot prune (the cut depends on "
+        "group size), so the window sorts each full partition - the "
+        "documented cost of fraction-based cuts at 100 TB; "
+        "pre-aggregation or a two-pass count-then-rank bound "
+        "mitigates",
+)
+def topk_percent_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    j = cat.orders.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    r = j.select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+    ).filter(F.col("pr") <= 0.01)
+    return r.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_top"),
+        F.round(F.sum("o_totalprice").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("top_revenue"),
+        F.round(F.min("o_totalprice").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("cutoff_price"),
+    )
+
+
+@register(
+    "graph_user_cf_jaccard",
+    """
+    WITH ub AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS b
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    sz AS (SELECT u, COUNT(*) AS n FROM ub GROUP BY 1),
+    inter AS (
+      SELECT a.u AS u1, b.u AS u2, COUNT(*) AS i
+      FROM ub a JOIN ub b ON a.b = b.b AND a.u < b.u
+      GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT u1, u2, i,
+             CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+      FROM inter
+      JOIN sz sa ON sa.u = inter.u1
+      JOIN sz sb ON sb.u = inter.u2
+    )
+    SELECT u1, u2, CAST(i AS BIGINT) AS n_shared_parts,
+           ROUND(jac, 6) AS jaccard
+    FROM sim
+    WHERE jac >= 0.04 AND i >= 3
+    """,
+    doc="User-user collaborative-filtering similarity on the "
+        "co-purchase bipartite graph (users x parts), exact "
+        "Jaccard over part sets via the posting-list equi-join on "
+        "the shared part - the neighborhood-CF seed table, "
+        "complementing the item-item view (rec_view_then_purchase). "
+        "Same inverted-index discipline as the dedup family: pairs "
+        "are generated ONLY where an item is shared (never u x u), "
+        "and at 100 TB hot items get the max_df cap treatment "
+        "(operators/dedup.py:144) exactly like stop-shingles. "
+        "Thresholds on exact integer intersection and exact-ratio "
+        "Jaccard keep the output deterministic and "
+        "neighborhood-sized",
+)
+def graph_user_cf_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ub = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    sz = ub.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    a = ub.select(F.col("u").alias("u1"), "b")
+    bb = ub.select(F.col("u").alias("u2"), F.col("b").alias("b2"))
+    inter = (
+        a.join(
+            bb, (F.col("b") == F.col("b2")) & (F.col("u1") < F.col("u2"))
+        )
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .filter(F.col("i") >= 3)
+    )
+    sim = inter.join(
+        sz.select(F.col("u").alias("u1"), F.col("n").alias("na")), "u1"
+    ).join(
+        sz.select(F.col("u").alias("u2"), F.col("n").alias("nb")), "u2"
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    )
+    return (
+        sim.withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.04)
+        .select(
+            "u1",
+            "u2",
+            F.col("i").cast("bigint").alias("n_shared_parts"),
+            F.round("jac", 6).alias("jaccard"),
+        )
+    )
