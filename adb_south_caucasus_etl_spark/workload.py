@@ -18630,3 +18630,332 @@ def graph_user_cf_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jac", 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "ml_point_in_time_features",
+    """
+    WITH feat AS (
+      SELECT user_id, CAST(ts AS DATE) AS eff_date,
+             CAST(COUNT(*) AS BIGINT) AS n_events_day,
+             CAST(ROUND(CAST(SUM(value) AS DECIMAL(18,6)), 2) AS DOUBLE)
+               AS value_day
+      FROM events GROUP BY 1, 2
+    ),
+    labels AS (
+      SELECT event_id AS label_id, user_id, ts AS label_ts,
+             CAST(ts AS DATE) AS label_date
+      FROM events
+      WHERE event_type = 'purchase' AND event_id % 50 = 0
+    ),
+    pit AS (
+      SELECT l.label_id, l.user_id,
+             (SELECT max(f.eff_date) FROM feat f
+               WHERE f.user_id = l.user_id
+                 AND f.eff_date < l.label_date) AS feat_date
+      FROM labels l
+    )
+    SELECT p.label_id, p.user_id,
+           f.n_events_day AS feat_n_events,
+           f.value_day AS feat_value,
+           p.feat_date IS NOT NULL AS has_features,
+           p.feat_date IS NULL
+             OR p.feat_date < (SELECT l2.label_date FROM labels l2
+                               WHERE l2.label_id = p.label_id)
+             AS leakage_safe
+    FROM pit p
+    LEFT JOIN feat f
+      ON f.user_id = p.user_id AND f.eff_date = p.feat_date
+    """,
+    doc="Point-in-time-correct feature join (the feature-store "
+        "contract, Feast/Tecton semantics): each training label "
+        "joins the most recent DAILY feature row that was effective "
+        "STRICTLY BEFORE the label's date - never same-day, never "
+        "future - eliminating label leakage by construction; the "
+        "leakage_safe audit column re-proves the invariant row by "
+        "row inside the stamped output. Implementation is the "
+        "backward as-of join (operators/asof.py) on (user, date) "
+        "with strict inequality via a one-day label-date shift; one "
+        "keyed window shuffle, no per-label probes. The oracle "
+        "states the same semantics with a correlated max subquery. "
+        "Features are day-grain aggregates (combinable); at 100 TB "
+        "the feature table is the persisted artifact and labels "
+        "stream against it incrementally",
+)
+def ml_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    feat = ev.groupBy(
+        "user_id", F.to_date("ts").alias("eff_date")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("feat_n_events"),
+        F.round(F.sum("value").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("feat_value"),
+    )
+    labels = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("event_id") % 50 == 0)
+        )
+        .select(
+            F.col("event_id").alias("label_id"),
+            "user_id",
+            # strict "before": as-of backward on (label_date - 1 day)
+            F.date_sub(F.to_date("ts"), 1).alias("cutoff_date"),
+        )
+    )
+    j = asof_join(
+        labels,
+        feat.withColumn("feat_date", F.col("eff_date")),
+        on="user_id",
+        left_ts="cutoff_date",
+        right_ts="eff_date",
+        direction="backward",
+    )
+    return j.select(
+        "label_id",
+        "user_id",
+        F.col("feat_n_events").alias("feat_n_events"),
+        F.col("feat_value").alias("feat_value"),
+        F.col("feat_date").isNotNull().alias("has_features"),
+        (
+            F.col("feat_date").isNull()
+            | (F.col("feat_date") <= F.col("cutoff_date"))
+        ).alias("leakage_safe"),
+    )
+
+
+@register(
+    "timeseries_linear_interpolate",
+    """
+    WITH f AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(ROUND(SUM(value), 2) AS DECIMAL(18,2)) AS total
+      FROM events WHERE event_type = 'purchase' AND value > 280
+      GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT MIN(d) FROM f),
+                                    (SELECT MAX(d) FROM f),
+                                    INTERVAL 1 DAY)) AS dts
+    ),
+    joined AS (
+      SELECT CAST(spine.dts AS DATE) AS d, f.total
+      FROM spine LEFT JOIN f ON f.d = CAST(spine.dts AS DATE)
+    ),
+    ctx AS (
+      SELECT d, total,
+             LAST_VALUE(total IGNORE NULLS) OVER
+               (ORDER BY d ROWS UNBOUNDED PRECEDING) AS prev_v,
+             LAST_VALUE(CASE WHEN total IS NOT NULL THEN d END
+                        IGNORE NULLS) OVER
+               (ORDER BY d ROWS UNBOUNDED PRECEDING) AS prev_d,
+             FIRST_VALUE(total IGNORE NULLS) OVER
+               (ORDER BY d ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS next_v,
+             FIRST_VALUE(CASE WHEN total IS NOT NULL THEN d END
+                         IGNORE NULLS) OVER
+               (ORDER BY d ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS next_d
+      FROM joined
+    )
+    SELECT d,
+           total IS NOT NULL AS observed,
+           CAST(ROUND(CAST(
+             CASE WHEN total IS NOT NULL THEN CAST(total AS DOUBLE)
+                  WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+                  WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+                  ELSE CAST(prev_v AS DOUBLE)
+                       + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                         * (d - prev_d) / (next_d - prev_d)
+             END AS DECIMAL(18,6)), 2) AS DOUBLE) AS value_interp
+    FROM ctx
+    """,
+    doc="Linear interpolation over a generated day spine - the "
+        "upgrade of timeseries_gap_fill's carry-forward: missing "
+        "days take prev + (next - prev) * elapsed/gap between their "
+        "nearest observed neighbors (edges fall back to the single "
+        "available neighbor). Both neighbors come from ONE sort: "
+        "ignore-nulls last_value backward and first_value forward "
+        "over the same day order - the bidirectional-carry idiom "
+        "shared with the nearest as-of join. Observed values round "
+        "through DECIMAL(18,2) first, so the interpolation inputs "
+        "are exact and the day-ratio weights are exact integer "
+        "ratios; the spine is dimension-sized at any fact scale",
+)
+def timeseries_linear_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    f = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 280)
+        )
+        .groupBy(F.to_date("ts").alias("fd"))
+        .agg(
+            F.round(F.sum("value"), 2)
+            .cast("decimal(18,2)")
+            .alias("total")
+        )
+    )
+    bounds = f.agg(
+        F.min("fd").alias("lo"), F.max("fd").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    joined = spine.join(f, F.col("fd") == F.col("d"), "left").select(
+        "d", "total"
+    )
+    wb = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    obs_d = F.when(F.col("total").isNotNull(), F.col("d"))
+    ctx = joined.select(
+        "d",
+        "total",
+        F.last("total", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(obs_d, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first("total", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_d, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    pv = F.col("prev_v").cast("double")
+    nv = F.col("next_v").cast("double")
+    interp = (
+        F.when(F.col("total").isNotNull(), F.col("total").cast("double"))
+        .when(F.col("prev_v").isNull(), nv)
+        .when(F.col("next_v").isNull(), pv)
+        .otherwise(
+            pv
+            + (nv - pv)
+            * F.datediff("d", "prev_d")
+            / F.datediff("next_d", "prev_d")
+        )
+    )
+    return ctx.select(
+        "d",
+        F.col("total").isNotNull().alias("observed"),
+        F.round(interp.cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("value_interp"),
+    )
+
+
+@register(
+    "text_term_dispersion",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> x <> ''))) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok_all AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    df_ AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY 1),
+    cf_ AS (SELECT t, COUNT(*) AS cf FROM tok_all GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+           WHERE text IS NOT NULL),
+    top AS (
+      SELECT cf_.t, cf_.cf, df_.df,
+             ROW_NUMBER() OVER (ORDER BY cf_.cf DESC, cf_.t) AS r
+      FROM cf_ JOIN df_ ON cf_.t = df_.t
+    )
+    SELECT t AS term, CAST(cf AS BIGINT) AS collection_freq,
+           CAST(df AS BIGINT) AS doc_freq,
+           ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness,
+           ROUND(CAST(df AS DOUBLE) / nd.n_docs, 6) AS doc_coverage
+    FROM top CROSS JOIN nd
+    WHERE r <= 50
+    """,
+    doc="Term dispersion / burstiness profile for the top-50 terms: "
+        "collection frequency vs document frequency, burstiness = "
+        "cf/df (how much a term clumps within the docs that contain "
+        "it) and coverage = df/N (how boilerplate-like it is) - the "
+        "two axes that separate topical vocabulary (bursty, low "
+        "coverage) from template boilerplate (flat, high coverage), "
+        "a standard corpus-quality signal next to tf-idf. Two "
+        "token-grain combinable aggregates (distinct-per-doc and "
+        "raw), one vocab-sized join, one top-50 window. Exact "
+        "integer ratios at 6dp",
+)
+def text_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+    )
+    tok_d = docs.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("t")
+    )
+    tok_a = docs.select("doc_id", F.explode(toks).alias("t"))
+    df_ = tok_d.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    cf_ = tok_a.groupBy(F.col("t").alias("t2")).agg(
+        F.count(F.lit(1)).alias("cf")
+    )
+    nd = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.orderBy(F.desc("cf"), F.asc("t"))
+    top = (
+        cf_.join(df_, F.col("t") == F.col("t2"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 50)
+    )
+    return top.crossJoin(F.broadcast(nd)).select(
+        F.col("t").alias("term"),
+        F.col("cf").cast("bigint").alias("collection_freq"),
+        F.col("df").cast("bigint").alias("doc_freq"),
+        F.round(F.col("cf").cast("double") / F.col("df"), 6).alias(
+            "burstiness"
+        ),
+        F.round(
+            F.col("df").cast("double") / F.col("n_docs"), 6
+        ).alias("doc_coverage"),
+    )
+
+
+@register(
+    "part_type_derived_hierarchy_rollup",
+    """
+    SELECT string_split(p_type, ' ')[1] AS category,
+           string_split(p_type, ' ')[2] AS finish,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(ROUND(CAST(AVG(p_retailprice) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS avg_price
+    FROM part
+    GROUP BY ROLLUP(string_split(p_type, ' ')[1],
+                    string_split(p_type, ' ')[2])
+    """,
+    doc="Derived hierarchy from an encoded attribute: TPC-H p_type "
+        "('STANDARD BRUSHED COPPER') is three positional levels in "
+        "one string, split into category > finish and rolled up "
+        "with ROLLUP - the pattern for sources whose hierarchies "
+        "live inside composite codes (SKUs, account numbers, NACE "
+        "codes) rather than dimension tables. The split expressions "
+        "appear in GROUP BY directly, so Catalyst evaluates them "
+        "once in the grouping key (no pre-projection needed); "
+        "rollup adds the subtotal grains map-side via Expand. "
+        "1-based array indexing on both engines; decimal-mediated "
+        "average rounding",
+)
+def part_type_derived_hierarchy_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    # F.get is null-on-out-of-range (ANSI-safe): single-word types have
+    # no finish level, mirroring DuckDB's NULL for list[2]
+    cat_col = F.get(F.split("p_type", " "), 0).alias("category")
+    fin_col = F.get(F.split("p_type", " "), 1).alias("finish")
+    return p.rollup(cat_col, fin_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(F.avg("p_retailprice").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("avg_price"),
+    )
