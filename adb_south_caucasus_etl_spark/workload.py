@@ -17116,7 +17116,7 @@ def events_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cal AS (
       SELECT CAST(d AS DATE) AS d,
-             year(d) AS yr,
+             CAST(year(d) AS INT) AS yr,
              CASE WHEN dayofweek(d) IN (0, 6) THEN TRUE ELSE FALSE END
                AS is_weekend
       FROM (SELECT unnest(generate_series(DATE '1992-01-01',
@@ -18958,4 +18958,359 @@ def part_type_derived_hierarchy_rollup(
         F.round(F.avg("p_retailprice").cast("decimal(18,6)"), 2)
         .cast("double")
         .alias("avg_price"),
+    )
+
+
+@register(
+    "ml_als_rank1",
+    """
+    WITH r AS (
+      SELECT o_custkey AS u, p_brand AS b, COUNT(*) AS cnt
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    uf AS (
+      SELECT u, CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS uv FROM r GROUP BY u
+    ),
+    bf AS (
+      SELECT b, SUM(cnt * uf.uv) / SUM(uf.uv * uf.uv) AS bv
+      FROM r JOIN uf ON r.u = uf.u GROUP BY b
+    ),
+    uf2 AS (
+      SELECT u, SUM(cnt * bf.bv) / SUM(bf.bv * bf.bv) AS uv
+      FROM r JOIN bf ON r.b = bf.b GROUP BY u
+    ),
+    pred AS (
+      SELECT r.cnt, uf2.uv * bf.bv AS p
+      FROM r JOIN uf2 ON r.u = uf2.u JOIN bf ON r.b = bf.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(sqrt(AVG((cnt - p) * (cnt - p))), 6) AS rmse,
+           ROUND(AVG(p), 6) AS mean_pred
+    FROM pred
+    """,
+    doc="Rank-1 alternating least squares on the user x brand purchase "
+        "count matrix - one and a half ALS sweeps from the all-ones "
+        "item-vector init (so the first user solve is the row mean), "
+        "each alternation an exact closed-form least squares per "
+        "side: u_i = sum(r_ij*v_j)/sum(v_j^2). Every solve is ONE "
+        "combinable aggregate keyed by the side being updated - the "
+        "distributed-ALS shuffle shape (key by user, then by item) "
+        "with no driver round-trips; higher ranks replace the scalar "
+        "division with a k x k normal-equation solve per key, same "
+        "shuffles. Fit quality stamped as global RMSE. All inputs "
+        "are integer counts; the factor chain is identical IEEE "
+        "arithmetic per row with only sum order varying, ~1e-12 "
+        "under the 6dp rounding",
+)
+def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    r = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("p_brand").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    uf = r.groupBy("u").agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("uv")
+    )
+    bf = (
+        r.join(uf, "u")
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("cnt") * F.col("uv"))
+                / F.sum(F.col("uv") * F.col("uv"))
+            ).alias("bv")
+        )
+    )
+    uf2 = (
+        r.join(F.broadcast(bf), "b")
+        .groupBy("u")
+        .agg(
+            (
+                F.sum(F.col("cnt") * F.col("bv"))
+                / F.sum(F.col("bv") * F.col("bv"))
+            ).alias("uv")
+        )
+    )
+    pred = r.join(uf2, "u").join(F.broadcast(bf), "b").select(
+        "cnt", (F.col("uv") * F.col("bv")).alias("p")
+    )
+    d = F.col("cnt") - F.col("p")
+    return pred.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.sqrt(F.avg(d * d)), 6).alias("rmse"),
+        F.round(F.avg("p"), 6).alias("mean_pred"),
+    )
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS t
+      FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    idf AS (
+      SELECT t, ln(CAST(nd.n AS DOUBLE) / COUNT(*)) AS idf
+      FROM tf CROSS JOIN nd GROUP BY t, nd.n
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.t, tf.tf * idf.idf AS w
+      FROM tf JOIN idf ON tf.t = idf.t
+      WHERE idf.idf > 0
+    ),
+    nrm AS (
+      SELECT doc_id, sqrt(SUM(w * w)) AS n FROM w GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(a.w * b.w) AS dot, COUNT(*) AS n_shared_terms
+      FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+           ROUND(dot / (na.n * nb.n), 6) AS cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = dots.doc_a
+    JOIN nrm nb ON nb.doc_id = dots.doc_b
+    WHERE dot / (na.n * nb.n) >= 0.25
+    """,
+    doc="SPARSE cosine similarity over tf-idf vectors via the weighted "
+        "inverted-index join - the third similarity representation "
+        "beside dense embeddings (dedup_embedding_cosine) and sets "
+        "(Jaccard): the dot product of two sparse vectors is a SUM "
+        "over the posting-list equi-join on shared terms, so pair "
+        "cost is proportional to actual term overlap, never to "
+        "dimension count or the doc cross product. idf>0 drops "
+        "corpus-universal terms (the weighted analog of the max_df "
+        "stop-shingle cap - they contribute nothing to cosine but "
+        "dominate posting lengths). Probe slice doc_id%10; weights "
+        "are products of exact counts under one ln; per-pair sums "
+        "are short (shared terms), keeping cross-engine drift "
+        "~1e-14 against the 0.25 threshold",
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    tok = (
+        docs.filter(
+            F.col("text").isNotNull() & (F.col("doc_id") % 10 == 0)
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z]+"),
+                    lambda x: x != "",
+                )
+            ).alias("t"),
+        )
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("n"))
+    idf = (
+        tf.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "t",
+            F.log(F.col("n").cast("double") / F.col("df")).alias("idf"),
+        )
+        .filter(F.col("idf") > 0)
+    )
+    w = tf.join(idf, "t").select(
+        "doc_id", "t", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "t", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("t").alias("t2"),
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("t") == F.col("t2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared_terms"),
+        )
+    )
+    j = dots.join(
+        nrm.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+        "doc_a",
+    ).join(
+        nrm.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+        "doc_b",
+    )
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return j.filter(cos >= 0.25).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared_terms").cast("bigint").alias("n_shared_terms"),
+        F.round(cos, 6).alias("cosine"),
+    )
+
+
+@register(
+    "dq_l_diversity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS group_size,
+             COUNT(DISTINCT CAST(c_acctbal < 0 AS INTEGER))
+               AS l_sensitive
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(group_size) AS BIGINT) AS min_group_size,
+           CAST(COUNT(*) FILTER (WHERE l_sensitive < 2) AS BIGINT)
+             AS groups_violating_l2,
+           ROUND(CAST(COUNT(*) FILTER (WHERE l_sensitive < 2) AS DOUBLE)
+                 / COUNT(*), 6) AS violation_rate
+    FROM g
+    """,
+    doc="l-diversity audit (the successor check to k-anonymity, which "
+        "dq_k_anonymity ships): for each quasi-identifier group "
+        "(nation x segment), the count of DISTINCT sensitive values "
+        "(account-in-debt flag) - a group where everyone shares one "
+        "sensitive value leaks that attribute even when k-anonymous, "
+        "the homogeneity attack l-diversity exists to catch. One "
+        "combinable distinct-count aggregate at QI grain plus a "
+        "4-number reduce; exact integers throughout. Together with "
+        "k-anonymity, PII scrubbing, and DP noisy counts this "
+        "completes the privacy-audit tier",
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(
+            (F.col("c_acctbal") < 0).cast("int")
+        ).alias("l_sensitive"),
+    )
+    viol = F.count_if(F.col("l_sensitive") < 2)
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("group_size").cast("bigint").alias("min_group_size"),
+        viol.cast("bigint").alias("groups_violating_l2"),
+        F.round(
+            viol.cast("double") / F.count(F.lit(1)), 6
+        ).alias("violation_rate"),
+    )
+
+
+@register(
+    "calendar_business_day_lag",
+    """
+    WITH cal AS (
+      SELECT CAST(d AS DATE) AS d,
+             SUM(CASE WHEN dayofweek(d) NOT IN (0, 6)
+                      THEN 1 ELSE 0 END)
+               OVER (ORDER BY CAST(d AS DATE)) AS bday_idx
+      FROM (SELECT unnest(generate_series(DATE '1992-01-01',
+                                          DATE '1998-12-31',
+                                          INTERVAL 1 DAY)) AS d)
+    )
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(cs.bday_idx - co.bday_idx), 4) AS avg_bday_lag,
+           CAST(MAX(cs.bday_idx - co.bday_idx) AS BIGINT) AS max_bday_lag
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN cal co ON co.d = CAST(o_orderdate AS DATE)
+    JOIN cal cs ON cs.d = CAST(l_shipdate AS DATE)
+    GROUP BY 1
+    """,
+    doc="Business-day lag (order -> ship, weekends excluded) via a "
+        "cumulative business-day INDEX on the generated calendar "
+        "dimension: lag = idx(ship) - idx(order), turning 'count "
+        "weekdays between two dates' - a per-row loop in naive "
+        "form - into two broadcast dim joins and a subtraction; "
+        "holidays would be one more flag in the same dim, which is "
+        "the entire point of owning a calendar dimension "
+        "(dim_calendar_role_playing builds the same spine). The "
+        "index is an exact integer prefix sum over ~2.5k rows; lags "
+        "are exact integer differences",
+)
+def calendar_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cal = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1992-01-01").cast("date"),
+                    F.lit("1998-12-31").cast("date"),
+                )
+            ).alias("d")
+        )
+        .select(
+            "d",
+            F.sum(
+                F.when(F.dayofweek("d").isin(1, 7), 0).otherwise(1)
+            )
+            .over(w)
+            .alias("bday_idx"),
+        )
+    )
+    cat = Catalog(spark, sf_dir)
+    j = (
+        cat.lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            cat.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                cal.select(
+                    F.col("d").alias("od"), F.col("bday_idx").alias("oi")
+                )
+            ),
+            F.col("od") == F.to_date("o_orderdate"),
+        )
+        .join(
+            F.broadcast(
+                cal.select(
+                    F.col("d").alias("sd"), F.col("bday_idx").alias("si")
+                )
+            ),
+            F.col("sd") == F.to_date("l_shipdate"),
+        )
+    )
+    lag = F.col("si") - F.col("oi")
+    return j.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.avg(lag), 4).alias("avg_bday_lag"),
+        F.max(lag).cast("bigint").alias("max_bday_lag"),
     )
