@@ -19314,3 +19314,340 @@ def calendar_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(lag), 4).alias("avg_bday_lag"),
         F.max(lag).cast("bigint").alias("max_bday_lag"),
     )
+
+
+@register(
+    "intervals_merge_overlapping",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s,
+             ts + INTERVAL 15 MINUTE AS e
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max_e
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m
+    ),
+    merged AS (
+      SELECT user_id, grp, MIN(s) AS ms, MAX(e) AS me, COUNT(*) AS n_iv
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(n_iv) AS BIGINT) AS n_source_intervals,
+           ROUND(CAST(SUM(epoch_us(me) - epoch_us(ms)) AS DOUBLE)
+                 / 1000000.0, 3) AS covered_seconds
+    FROM merged GROUP BY user_id
+    """,
+    doc="Merge overlapping intervals (each view/click opens a 15-minute "
+        "attention window) - the classic sweep: an interval starts a "
+        "new merged group iff its start exceeds the running max end "
+        "of all earlier intervals, computed with ONE window (max "
+        "over ROWS ... 1 PRECEDING) + the islands cumsum - no "
+        "self-join, no recursion, O(n log n) in the per-user sort. "
+        "Output: merged-interval count and exact covered time per "
+        "user (the union-length statistic that naive per-interval "
+        "sums double-count). Integer-microsecond arithmetic; the "
+        "same sweep powers events_interval_coverage at day grain - "
+        "this is the keyed, arbitrary-overlap general form",
+)
+def intervals_merge_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    iv = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("e"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "prev_max_e",
+        F.max("e").over(
+            wo.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    isl = m.withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("user_id", "grp").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.sum("n_iv").cast("bigint").alias("n_source_intervals"),
+        F.round(
+            F.sum(
+                F.unix_micros("me") - F.unix_micros("ms")
+            ).cast("double")
+            / 1000000.0,
+            3,
+        ).alias("covered_seconds"),
+    )
+
+
+@register(
+    "text_code_detect_heuristic",
+    """
+    WITH d AS (
+      SELECT doc_id, source, COALESCE(text, '') AS t,
+             length(COALESCE(text, '')) AS len
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source,
+             CASE WHEN len = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(t,
+                         '[^{}();=<>\\[\\]]', '', 'g')) AS DOUBLE) / len
+             END AS sym_ratio,
+             CAST(len(regexp_extract_all(t,
+               '\\b(def|class|return|import|function|var|const|if|else)\\b'))
+               AS BIGINT) AS kw_hits,
+             CASE WHEN len = 0 THEN 0.0
+                  ELSE CAST(length(t) - length(replace(t, ';', ''))
+                            AS DOUBLE)
+                       / greatest(len(string_split(t, chr(10))), 1)
+             END AS semis_per_line
+      FROM d
+    ),
+    scored AS (
+      SELECT source,
+             CASE WHEN sym_ratio > 0.04 AND kw_hits >= 3
+                    OR semis_per_line >= 1.0
+                  THEN 1 ELSE 0 END AS is_code
+      FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_code) AS BIGINT) AS n_code_docs,
+           ROUND(CAST(SUM(is_code) AS DOUBLE) / COUNT(*), 4)
+             AS code_frac
+    FROM scored GROUP BY source
+    """,
+    doc="Code-vs-prose detection (symbol-density + keyword + "
+        "semicolons-per-line heuristics) rolled up per source - the "
+        "corpus-composition signal an LLM data pipeline needs "
+        "before setting mixture weights, since code and prose want "
+        "different dedup, quality, and sampling treatment. All "
+        "signals are single-pass JVM regex/length arithmetic over "
+        "exact integer counts; thresholds compare exact ratios. "
+        "The real pipeline would route is_code docs to the "
+        "code-specific branch (different tokenizer fertility, "
+        "different repetition norms) - here the stamped artifact "
+        "is the per-source census those routing decisions read",
+)
+def text_code_detect_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    t = F.coalesce(F.col("text"), F.lit(""))
+    ln = F.length(t)
+    sym_ratio = F.when(ln == 0, 0.0).otherwise(
+        F.length(F.regexp_replace(t, r"[^{}();=<>\[\]]", "")).cast(
+            "double"
+        )
+        / ln
+    )
+    kw_hits = F.size(
+        F.regexp_extract_all(
+            t,
+            F.lit(
+                r"\b(def|class|return|import|function|var|const|if|else)\b"
+            ),
+            0,
+        )
+    ).cast("bigint")
+    n_lines = F.greatest(
+        F.size(F.split(t, "\n")), F.lit(1)
+    )
+    semis = (
+        (ln - F.length(F.regexp_replace(t, ";", ""))).cast("double")
+        / n_lines
+    )
+    is_code = F.when(
+        ((sym_ratio > 0.04) & (kw_hits >= 3)) | (semis >= 1.0), 1
+    ).otherwise(0)
+    return (
+        docs.select("source", is_code.alias("is_code"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_code").cast("bigint").alias("n_code_docs"),
+            F.round(
+                F.sum("is_code").cast("double") / F.count(F.lit(1)), 4
+            ).alias("code_frac"),
+        )
+    )
+
+
+@register(
+    "events_props_schema_infer",
+    """
+    SELECT '{"k":"bigint"}' AS inferred_fields,
+           CAST(COUNT(*) AS BIGINT) AS n_parsed,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events WHERE props IS NOT NULL
+    """,
+    doc="JSON schema INFERENCE as a pipeline step: schema_of_json "
+        "samples a representative props payload, the inferred struct "
+        "drives from_json, and the flattened field aggregates - the "
+        "schema-on-read bootstrap for semi-structured columns "
+        "(events_json_props / events_variant_props consume props "
+        "with a KNOWN schema; this stamps the inference path). The "
+        "inferred schema itself is emitted as a canonical field:type "
+        "string so the oracle pins WHAT was inferred, not just the "
+        "values that flowed through it. Inference reads one literal "
+        "sample row (constant-folded); the data pass is one "
+        "from_json projection + combinable sum",
+)
+def events_props_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.filter(F.col("props").isNotNull())
+    sample = ev.select("props").first()[0]
+    inferred = ev.limit(1).select(
+        F.schema_of_json(F.lit(sample)).alias("s")
+    ).first()[0]
+    # canonicalize "STRUCT<k: BIGINT>" -> {"k":"bigint"}
+    import re as _re
+
+    fields = _re.findall(r"(\w+): (\w+)", inferred)
+    canon = (
+        "{" + ",".join(f'"{n}":"{t.lower()}"' for n, t in fields) + "}"
+    )
+    parsed = ev.select(
+        F.from_json("props", inferred).alias("p")
+    )
+    return parsed.agg(
+        F.lit(canon).alias("inferred_fields"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parsed"),
+        F.sum(F.col("p.k")).cast("bigint").alias("sum_k"),
+    )
+
+
+@register(
+    "agg_trimmed_mean",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             percent_rank() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS pr
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(ROUND(CAST(AVG(o_totalprice) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS trimmed_mean
+    FROM r WHERE pr >= 0.1 AND pr <= 0.9
+    GROUP BY o_orderpriority
+    """,
+    doc="10% trimmed mean per priority - the robust-location "
+        "estimator that EXCLUDES the tails (contrast "
+        "agg_winsorized_mean, which CLAMPS them; the two react "
+        "differently to heavy tails and both belong in a robust "
+        "toolbox). Membership uses percent_rank with a total order "
+        "(price, orderkey), an exact integer ratio, so the trim "
+        "boundary is cross-engine deterministic - no interpolated "
+        "percentile threshold to disagree over. One window sort per "
+        "group then a combinable mean; at scale the exact trim "
+        "swaps to approx-percentile bounds with the same plan "
+        "minus the sort",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+    ).filter((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9))
+    return r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.round(F.avg("o_totalprice").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("trimmed_mean"),
+    )
+
+
+@register(
+    "stats_theil_index",
+    """
+    WITH x AS (
+      SELECT CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(spend) AS DOUBLE) / COUNT(*) AS mu
+      FROM x
+    )
+    SELECT s.n AS n_customers,
+           ROUND(SUM((CAST(spend AS DOUBLE) / s.mu)
+                     * ln(CAST(spend AS DOUBLE) / s.mu)) / s.n, 6)
+             AS theil_t,
+           ROUND(-SUM(ln(CAST(spend AS DOUBLE) / s.mu)) / s.n, 6)
+             AS theil_l
+    FROM x CROSS JOIN s
+    GROUP BY s.n
+    """,
+    doc="Theil T and L inequality indices over customer spend - the "
+        "decomposable complements to the Gini coefficient "
+        "(customer_gini_spend): unlike Gini, Theil splits exactly "
+        "into within-group + between-group terms, which is why "
+        "economists use it for regional decompositions (the natural "
+        "follow-on: group by nation and the two terms sum to these "
+        "totals). Computation is ONE pass over the customer grain - "
+        "no sort, no ranks (Gini's weakness at scale is its global "
+        "sort; Theil needs only mean-normalized logs), a genuinely "
+        "combinable aggregate. Spend is decimal-exact; mu division "
+        "and ln are identical IEEE per row; 6dp rounding absorbs "
+        "sum order",
+)
+def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    x = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("spend")
+    )
+    s = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("spend").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    r = F.col("spend").cast("double") / F.col("mu")
+    return (
+        x.crossJoin(F.broadcast(s))
+        .groupBy("n")
+        .agg(
+            F.round(F.sum(r * F.log(r)) / F.max("n"), 6).alias(
+                "theil_t"
+            ),
+            F.round(-F.sum(F.log(r)) / F.max("n"), 6).alias("theil_l"),
+        )
+        .select(
+            F.col("n").alias("n_customers"), "theil_t", "theil_l"
+        )
+    )
