@@ -19651,3 +19651,344 @@ def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_customers"), "theil_t", "theil_l"
         )
     )
+
+
+@register(
+    "graph_kcore_peel",
+    """
+    WITH ub AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a.u AS x, b.u AS y
+      FROM ub a JOIN ub b ON a.b = b.b AND a.u < b.u
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    ee0 AS MATERIALIZED (
+      SELECT x, y FROM e0 UNION ALL SELECT y, x FROM e0
+    ),
+    n1 AS MATERIALIZED (
+      SELECT x FROM ee0 GROUP BY x HAVING COUNT(*) >= 3
+    ),
+    ee1 AS MATERIALIZED (
+      SELECT ee0.x, ee0.y FROM ee0
+      JOIN n1 a ON ee0.x = a.x JOIN n1 b ON ee0.y = b.x
+    ),
+    n2 AS MATERIALIZED (
+      SELECT x FROM ee1 GROUP BY x HAVING COUNT(*) >= 3
+    ),
+    ee2 AS MATERIALIZED (
+      SELECT ee1.x, ee1.y FROM ee1
+      JOIN n2 a ON ee1.x = a.x JOIN n2 b ON ee1.y = b.x
+    ),
+    n3 AS MATERIALIZED (
+      SELECT x FROM ee2 GROUP BY x HAVING COUNT(*) >= 3
+    ),
+    ee3 AS MATERIALIZED (
+      SELECT ee2.x, ee2.y FROM ee2
+      JOIN n3 a ON ee2.x = a.x JOIN n3 b ON ee2.y = b.x
+    )
+    SELECT 1 AS peel, CAST(COUNT(DISTINCT x) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_edges FROM ee1
+    UNION ALL
+    SELECT 2, CAST(COUNT(DISTINCT x) AS BIGINT),
+           CAST(COUNT(*) / 2 AS BIGINT) FROM ee2
+    UNION ALL
+    SELECT 3, CAST(COUNT(DISTINCT x) AS BIGINT),
+           CAST(COUNT(*) / 2 AS BIGINT) FROM ee3
+    """,
+    doc="k-core decomposition (k=3, three bounded peel rounds) on the "
+        "user co-purchase similarity graph: each round drops nodes "
+        "with degree < k and restricts edges to survivors - the "
+        "degeneracy peel that isolates the dense engagement core "
+        "from the sparse periphery (community mining's standard "
+        "preprocessing; also the spam-farm signal). Each peel is "
+        "one combinable degree count + two semi-joins on the node "
+        "set - the same iterate-as-joins discipline as CC and "
+        "label propagation, unrolled to a fixed depth with the "
+        "shrinking census stamped per round (full peeling loops "
+        "until fixpoint with the same per-round plan + a "
+        "convergence checksum, as neardup_clusters does). "
+        "Completes the graph-kernel family: PageRank/PPR, "
+        "triangles, CC x2, label propagation, degrees, now cores",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ub = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    a = ub.select(F.col("u").alias("x"), "b")
+    bb = ub.select(F.col("u").alias("y"), F.col("b").alias("b2"))
+    e0 = (
+        a.join(
+            bb, (F.col("b") == F.col("b2")) & (F.col("x") < F.col("y"))
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+        .select("x", "y")
+    )
+    ee = e0.unionByName(
+        e0.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    out = None
+    for peel in (1, 2, 3):
+        keep = (
+            ee.groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 3)
+            .select("x")
+        )
+        ee = (
+            ee.join(keep.withColumnRenamed("x", "kx"),
+                    F.col("x") == F.col("kx"))
+            .drop("kx")
+            .join(keep.withColumnRenamed("x", "ky"),
+                  F.col("y") == F.col("ky"))
+            .drop("ky")
+        )
+        census = ee.agg(
+            F.lit(peel).alias("peel"),
+            F.countDistinct("x").cast("bigint").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        )
+        out = census if out is None else out.unionByName(census)
+    return out
+
+
+@register(
+    "events_ab_srm_check",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN CAST('0x' || substr(
+                    md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM u
+    )
+    SELECT n_a, n_b,
+           ROUND((CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
+                   * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+                 + (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0)
+                   * (n_b - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0), 6)
+             AS chi2,
+           (CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
+             * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+           + (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0)
+             * (n_b - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+           > 3.841 AS srm_detected
+    FROM c
+    """,
+    doc="Sample-ratio-mismatch check - the experiment-health gate that "
+        "runs BEFORE any A/B readout (stats_ab_ztest / "
+        "stats_ab_cuped): chi-squared goodness of fit of observed "
+        "arm sizes against the designed 50/50 split; chi2 above the "
+        "3.841 critical value (p<0.05, 1 dof) means the bucketing "
+        "or logging pipeline is broken and every downstream metric "
+        "is suspect. One distinct-user aggregate and a 2-cell "
+        "formula of exact counts; the verdict boolean compares the "
+        "same exact expression both engines evaluate identically. "
+        "With md5 bucketing the expected verdict is false - the "
+        "stamp proves the CHECK, wired to fire on real imbalance",
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    u = ev.select("user_id").distinct().withColumn(
+        "arm",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            "A",
+        ).otherwise("B"),
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    exp = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (F.col("n_a").cast("double") - exp) * (
+        F.col("n_a") - exp
+    ) / exp + (F.col("n_b").cast("double") - exp) * (
+        F.col("n_b") - exp
+    ) / exp
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
+@register(
+    "text_vocab_heaps_fit",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    doc_tokens AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY 1
+    ),
+    first_doc AS (
+      SELECT t, MIN(doc_id) AS fd FROM tok GROUP BY 1
+    ),
+    new_terms AS (
+      SELECT fd AS doc_id, COUNT(*) AS n_new FROM first_doc GROUP BY 1
+    ),
+    curve AS (
+      SELECT d.doc_id,
+             SUM(d.n_tok) OVER (ORDER BY d.doc_id) AS corpus_tokens,
+             SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY d.doc_id)
+               AS vocab_size
+      FROM doc_tokens d LEFT JOIN new_terms nt ON nt.doc_id = d.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MAX(corpus_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(vocab_size) AS BIGINT) AS final_vocab,
+           ROUND(regr_slope(ln(CAST(vocab_size AS DOUBLE)),
+                            ln(CAST(corpus_tokens AS DOUBLE))), 6)
+             AS heaps_beta,
+           ROUND(exp(regr_intercept(ln(CAST(vocab_size AS DOUBLE)),
+                                    ln(CAST(corpus_tokens AS DOUBLE)))), 4)
+             AS heaps_k
+    FROM curve
+    """,
+    doc="Heaps'-law fit V(N) = K * N^beta over the corpus growth curve "
+        "- vocabulary size as a function of tokens ingested, the "
+        "scaling law that predicts tokenizer vocab pressure and "
+        "flags synthetic/templated corpora (natural text: beta ~ "
+        "0.4-0.6; templates flatten much lower). The cumulative "
+        "curve uses the SAME first-occurrence decomposition as "
+        "events_cumulative_distinct_users: vocab-to-date = running "
+        "sum of first-seen-term counts - two combinable aggregates "
+        "and a doc-grain window, never a per-prefix distinct "
+        "rescan. Fit via regr_slope/intercept in log-log space "
+        "(partial-aggregable); ratios exact, ln per-row IEEE",
+)
+def text_vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+            )
+        ).alias("t"),
+    )
+    doc_tokens = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    new_terms = (
+        tok.groupBy("t")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.col("fd").alias("nd_doc"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = (
+        doc_tokens.join(
+            new_terms, F.col("nd_doc") == F.col("doc_id"), "left"
+        )
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).alias("corpus_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .alias("vocab_size"),
+        )
+    )
+    lv = F.log(F.col("vocab_size").cast("double"))
+    ln_ = F.log(F.col("corpus_tokens").cast("double"))
+    return curve.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.max("corpus_tokens").cast("bigint").alias("total_tokens"),
+        F.max("vocab_size").cast("bigint").alias("final_vocab"),
+        F.round(F.regr_slope(lv, ln_), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lv, ln_)), 4).alias("heaps_k"),
+    )
+
+
+@register(
+    "events_dow_hour_profile",
+    """
+    SELECT CAST(CASE WHEN dayofweek(ts) = 0 THEN 7
+                     ELSE dayofweek(ts) END AS INTEGER) AS iso_dow,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 6) AS frac_of_total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Day-of-week x hour-of-day activity heatmap (the 7x24 "
+        "behavioral fingerprint dashboards and anomaly baselines "
+        "are built on): counts, distinct users, and share per cell. "
+        "Engine dow numbering reconciled to ISO (Mon=1..Sun=7): "
+        "Spark dayofweek is 1=Sunday, DuckDB's 0=Sunday - both "
+        "mapped explicitly, the same cross-engine calendar trap "
+        "dim_calendar_role_playing documents. One combinable "
+        "aggregate to a fixed 168-cell output at any event volume; "
+        "the distinct-user count is the only non-combinable term "
+        "(HLL at the 100 TB tier)",
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    iso = F.when(F.dayofweek("ts") == 1, 7).otherwise(
+        F.dayofweek("ts") - 1
+    )
+    w = Window.partitionBy()
+    return (
+        ev.groupBy(
+            iso.cast("int").alias("iso_dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .withColumn(
+            "frac_of_total",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.sum("n_events").over(w),
+                6,
+            ),
+        )
+    )
