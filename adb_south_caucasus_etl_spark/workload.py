@@ -19737,9 +19737,13 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 3)
         .select("x", "y")
     )
+    # materialize the symmetrized edge list ONCE (same discipline as the
+    # star-contraction CC, operators/dedup.py:404): without the checkpoint
+    # each peel round AND each census leg re-executes the posting-list
+    # pair join from scratch - 300+ scans in the naive plan
     ee = e0.unionByName(
         e0.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    )
+    ).localCheckpoint(eager=True)
     out = None
     for peel in (1, 2, 3):
         keep = (
@@ -19755,6 +19759,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(keep.withColumnRenamed("x", "ky"),
                   F.col("y") == F.col("ky"))
             .drop("ky")
+            .localCheckpoint(eager=True)
         )
         census = ee.agg(
             F.lit(peel).alias("peel"),
