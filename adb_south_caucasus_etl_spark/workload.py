@@ -19997,3 +19997,288 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dq_duplicate_payments",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(round(o_totalprice / 10000.0) AS BIGINT) AS amt_bucket,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    )
+    SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.o_custkey AS custkey,
+           CAST(ROUND(CAST(a.o_totalprice AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS amount_a,
+           CAST(ROUND(CAST(b.o_totalprice AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS amount_b,
+           CAST(b.d - a.d AS INTEGER) AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.amt_bucket = b.amt_bucket
+     AND a.o_orderkey < b.o_orderkey
+     AND b.d >= a.d AND b.d <= a.d + 90
+    """,
+    doc="Duplicate-payment detection (the finance-audit staple): "
+        "same customer, same 10k amount bucket, within 90 days - "
+        "candidate double-charges surfaced by a self-join on the "
+        "composite key (custkey, amount bucket) with a residual "
+        "date-band predicate, the same equi-join-then-band "
+        "discipline as the interval joins: the shuffle key carries "
+        "all the selectivity, the band only trims within matched "
+        "groups, so cost is proportional to genuine key "
+        "collisions, never orders x orders. Bucketing uses "
+        "round(), which is half-even on doubles in BOTH engines; "
+        "day gaps are exact integers. Production would tighten "
+        "the bucket to cents and add amount-difference scoring - "
+        "same plan",
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") / 10000.0)
+        .cast("bigint")
+        .alias("amt_bucket"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("order_a"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("pa"),
+        F.col("amt_bucket").alias("ba"),
+        F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_custkey").alias("cb"),
+        F.col("o_totalprice").alias("pb"),
+        F.col("amt_bucket").alias("bb"),
+        F.col("d").alias("db"),
+    )
+    j = a.join(
+        b,
+        (F.col("custkey") == F.col("cb"))
+        & (F.col("ba") == F.col("bb"))
+        & (F.col("order_a") < F.col("order_b"))
+        & (F.col("db") >= F.col("da"))
+        & (F.col("db") <= F.date_add(F.col("da"), 90)),
+    )
+    return j.select(
+        "order_a",
+        "order_b",
+        "custkey",
+        F.round(F.col("pa").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("amount_a"),
+        F.round(F.col("pb").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("amount_b"),
+        F.datediff("db", "da").cast("int").alias("days_apart"),
+    )
+
+
+@register(
+    "events_acf_scan",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS k),
+    j AS (
+      SELECT l.k, a.y AS y0, b.y AS yk
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + CAST(l.k AS INTEGER)
+    )
+    SELECT CAST(k AS INTEGER) AS lag_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(corr(CAST(y0 AS DOUBLE), CAST(yk AS DOUBLE)), 6) AS acf
+    FROM j GROUP BY 1
+    """,
+    doc="Autocorrelation scan of the daily event series (lags 1-7): "
+        "the periodicity detector - a weekly cycle shows as an ACF "
+        "peak at lag 7, and its absence flags synthetic or "
+        "shuffled data. Same lag-dimension fan-out discipline as "
+        "the cross-correlation scan (timeseries_crosscorr_lag): "
+        "the 7-row lag dim multiplies only the DAY-grain series, "
+        "never raw events, so the scan costs one aggregate at any "
+        "volume. Pairs are exact integer counts; corr accumulates "
+        "in engine-specific order ~1e-14 under the 6dp rounding",
+)
+def events_acf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("y0"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yk"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("db")
+            == F.date_add(F.col("da"), F.col("k").cast("int")),
+        )
+    )
+    return j.groupBy(F.col("k").cast("int").alias("lag_days")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.corr(
+                F.col("y0").cast("double"), F.col("yk").cast("double")
+            ),
+            6,
+        ).alias("acf"),
+    )
+
+
+@register(
+    "window_rolling_trend_slope",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT d, rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i
+      FROM daily
+    ),
+    win AS (
+      SELECT d, rev,
+             COUNT(*) OVER w AS n,
+             SUM(i) OVER w AS sx,
+             SUM(CAST(rev AS DECIMAL(28,2))) OVER w AS sy,
+             SUM(i * i) OVER w AS sxx,
+             SUM(i * CAST(rev AS DECIMAL(28,2))) OVER w AS sxy
+      FROM idx
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, CAST(rev AS DOUBLE) AS rev,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+             AS trend_14d
+    FROM win WHERE n = 14
+    """,
+    doc="Rolling 14-day OLS trend slope of daily revenue - the "
+        "local-trend detector dashboards overlay on noisy series. "
+        "Instead of a windowed regr_slope (whose incremental "
+        "accumulation varies by engine), the slope is assembled "
+        "from FOUR windowed sums over exact operands: day indices "
+        "are integers and revenue is DECIMAL(18,2)-prerounded, so "
+        "n, sum x, sum y, sum xx, sum xy are all EXACT in the "
+        "frame, and the Cramer slope is one identical IEEE "
+        "expression - the same exact-moments recipe as the AR(2) "
+        "fit, applied per window row. Day-grain window: dimension-"
+        "sized forever",
+)
+def window_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    wi = Window.orderBy("d")
+    idx = daily.select(
+        "d",
+        "rev",
+        F.row_number().over(wi).cast("bigint").alias("i"),
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    rev28 = F.col("rev").cast("decimal(28,2)")
+    win = idx.select(
+        "d",
+        "rev",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("i").over(w).alias("sx"),
+        F.sum(rev28).over(w).alias("sy"),
+        F.sum(F.col("i") * F.col("i")).over(w).alias("sxx"),
+        F.sum(F.col("i") * rev28).over(w).alias("sxy"),
+    ).filter(F.col("n") == 14)
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return win.select(
+        "d",
+        F.col("rev").cast("double").alias("rev"),
+        F.round(
+            (n * sxy - sx * sy) / (n * sxx - sx * sx), 4
+        ).alias("trend_14d"),
+    )
+
+
+@register(
+    "agg_metric_definition_contrast",
+    """
+    WITH lo AS (
+      SELECT o_custkey, o_totalprice,
+             c_mktsegment AS segment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    per_cust AS (
+      SELECT segment, o_custkey,
+             SUM(o_totalprice) AS spend, COUNT(*) AS n
+      FROM lo GROUP BY 1, 2
+    )
+    SELECT segment,
+           CAST(ROUND(CAST(SUM(spend) / SUM(n) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS ratio_of_sums,
+           CAST(ROUND(CAST(AVG(spend / n) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS avg_of_ratios,
+           CAST(ROUND(CAST(SUM(spend) / SUM(n)
+                           - AVG(spend / n) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS divergence
+    FROM per_cust GROUP BY segment
+    """,
+    doc="Metric-definition contrast: 'average order value' computed as "
+        "ratio-of-sums (total revenue / total orders - the "
+        "order-weighted truth) vs avg-of-ratios (mean of per-"
+        "customer AOVs - customer-weighted) per segment, with the "
+        "divergence stamped. The two differ whenever spend "
+        "correlates with order count (it does - whales), the exact "
+        "ambiguity behind most dashboard-metric disputes and "
+        "Simpson-style reversals; a semantic-layer engine must "
+        "compute BOTH on demand and say which is which. One "
+        "customer-grain aggregate then a segment rollup, all "
+        "combinable; decimal-mediated rounding",
+)
+def agg_metric_definition_contrast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    lo = cat.orders.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    per_cust = lo.groupBy(
+        F.col("c_mktsegment").alias("segment"), "o_custkey"
+    ).agg(
+        F.sum("o_totalprice").alias("spend"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ros = F.sum("spend") / F.sum("n")
+    aor = F.avg(F.col("spend") / F.col("n"))
+    return per_cust.groupBy("segment").agg(
+        F.round(ros.cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("ratio_of_sums"),
+        F.round(aor.cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("avg_of_ratios"),
+        F.round((ros - aor).cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("divergence"),
+    )
