@@ -20282,3 +20282,300 @@ def agg_metric_definition_contrast(
         .cast("double")
         .alias("divergence"),
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS pri, COUNT(*) AS n,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    patch AS (
+      SELECT COUNT(*) AS n,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0
+    )
+    SELECT pri,
+           CAST(CASE WHEN pri = '1-URGENT' THEN patch.n ELSE base.n END
+                AS BIGINT) AS n_rows,
+           CAST(CASE WHEN pri = '1-URGENT' THEN CAST(patch.rev AS DOUBLE)
+                ELSE CAST(base.rev AS DOUBLE) END AS DOUBLE) AS revenue,
+           pri = '1-URGENT' AS was_overwritten
+    FROM base CROSS JOIN patch
+    """,
+    doc="Dynamic partition overwrite "
+        "(spark.sql.sources.partitionOverwriteMode=dynamic): the "
+        "orders fact is written partitioned by priority, then a "
+        "second INSERT OVERWRITE carrying ONLY the 1-URGENT "
+        "partition (rewritten as an empty marker slice) replaces "
+        "that partition alone - static mode would have TRUNCATED "
+        "the other four, the classic lakehouse data-loss trap this "
+        "mode exists to prevent. The stamped output is the "
+        "post-overwrite per-partition census: untouched partitions "
+        "keep their exact counts and revenue, the overwritten one "
+        "reads back empty. This is the idempotent daily-reload "
+        "primitive (reprocess one day, leave history intact); at "
+        "100 TB the partition column is the date key and the "
+        "overwrite unit is one day's directory",
+)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from .sources.registry import _scoped_conf
+
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("pri"),
+    )
+    path = os.path.join(_scratch_dir("dyn_overwrite", sf_dir), "t")
+    o.write.mode("overwrite").partitionBy("pri").parquet(path)
+    with _scoped_conf(
+        spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    ):
+        # overwrite ONLY the 1-URGENT partition with a corrected subset
+        # (dynamic mode replaces exactly the partitions PRESENT in the
+        # written data - an empty frame would touch nothing)
+        (
+            o.filter(
+                (F.col("pri") == "1-URGENT")
+                & (F.col("o_orderkey") % 10 == 0)
+            )
+            .write.mode("overwrite")
+            .partitionBy("pri")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path)
+    full = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).alias("n0"))
+        .select("pri")
+    )
+    per = back.groupBy(F.col("pri").alias("bp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("rev"),
+    )
+    return (
+        full.join(per, F.col("bp") == F.col("pri"), "left")
+        .select(
+            "pri",
+            F.coalesce(F.col("n"), F.lit(0))
+            .cast("bigint")
+            .alias("n_rows"),
+            F.coalesce(F.col("rev").cast("double"), F.lit(0.0)).alias(
+                "revenue"
+            ),
+            (F.col("pri") == "1-URGENT").alias("was_overwritten"),
+        )
+    )
+
+
+@register(
+    "source_generate_synthetic",
+    """
+    WITH g AS (
+      SELECT i,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+               AS h
+      FROM (SELECT unnest(range(0, 100000)) AS i)
+    ),
+    t AS (
+      SELECT i, h % 97 AS k,
+             CAST(h % 10000 AS DOUBLE) / 100.0 AS v
+      FROM g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(ROUND(CAST(SUM(v) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS sum_v,
+           CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hot_key_rows
+    FROM t
+    """,
+    doc="In-engine deterministic data generation (spark.range + "
+        "md5-derived columns) with a content checksum - how this "
+        "repo would synthesize 100 TB of benchmark data WITHOUT an "
+        "external generator: range() parallelizes perfectly (each "
+        "partition knows its id span, zero input I/O, zero "
+        "shuffle), every derived column is a pure hash of the row "
+        "id so any subset can be regenerated independently and "
+        "retries are idempotent - the property TPC dbgen achieves "
+        "with seeded streams, here via the repo's standard "
+        "md5-prefix recipe so DuckDB generates the BIT-IDENTICAL "
+        "table and the checksums hash-match. 100k rows locally; "
+        "the same plan with range(1e12) is the petabyte generator",
+)
+def source_generate_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = spark.range(0, 100000).select(
+        F.col("id").alias("i"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    t = g.select(
+        "i",
+        (F.col("h") % 97).alias("k"),
+        ((F.col("h") % 10000).cast("double") / 100.0).alias("v"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("k").cast("bigint").alias("n_keys"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.round(F.sum("v").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("sum_v"),
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hot_key_rows"),
+    )
+
+
+@register(
+    "customer_lorenz_curve",
+    """
+    WITH x AS (
+      SELECT CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS spend,
+             o_custkey
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT spend,
+             ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+      FROM x
+    ),
+    d AS (
+      SELECT decile, COUNT(*) AS n, SUM(spend) AS s FROM r GROUP BY 1
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(s) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST((SELECT SUM(spend) FROM x) AS DOUBLE), 6)
+             AS cum_share_of_spend
+    FROM d
+    """,
+    doc="Lorenz curve (cumulative spend share by customer decile) - "
+        "the chart-ready companion to customer_gini_spend and the "
+        "Theil indices: decile membership via ntile over the "
+        "(spend, custkey) total order (deterministic ties), then "
+        "a 10-row cumulative share. The curve IS the "
+        "concentration visual ('bottom 50% of customers hold x% "
+        "of revenue'); Gini is twice the area above it. "
+        "Decimal-exact spend makes every cumulative numerator and "
+        "the grand total exact; shares are single divisions. One "
+        "customer-grain aggregate + one sort, 10 rows out",
+)
+def customer_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    x = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("spend")
+    )
+    wn = Window.orderBy("spend", "o_custkey")
+    r = x.select(
+        "spend", F.ntile(10).over(wn).alias("decile")
+    )
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("spend").alias("s")
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    return d.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum("s").over(wc).cast("double")
+            / F.sum("s").over(wt).cast("double"),
+            6,
+        ).alias("cum_share_of_spend"),
+    )
+
+
+@register(
+    "text_ngram_novelty_rate",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 3, 0) + 1),
+               i -> array_to_string(ts[i:i+3], ' ')))) AS gram
+      FROM t WHERE len(ts) >= 4
+    ),
+    firsts AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id)
+                      AS DOUBLE) / COUNT(*), 4) AS novelty_rate
+    FROM g JOIN firsts f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    HAVING COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) < COUNT(*)
+    """,
+    doc="N-gram novelty rate per document (fraction of its distinct "
+        "4-grams never seen in any earlier doc, doc_id as ingestion "
+        "order) - the incremental-memorization signal: a crawl "
+        "snapshot whose novelty collapses is re-crawling itself, "
+        "and a doc with near-zero novelty is boilerplate of its "
+        "predecessors. Computed with the first-occurrence "
+        "decomposition (min doc_id per gram - the same identity as "
+        "cumulative distinct users and the Heaps fit), ONE gram-"
+        "grain aggregate plus a posting join back: no per-prefix "
+        "rescan, no ordered iteration. Output keeps docs with at "
+        "least one repeated gram (the interesting tail). Exact "
+        "integer ratios at 4dp",
+)
+def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    ts = F.split(F.trim("text"), r"\s+")
+    t = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") >= 4)
+    )
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("ts") - 3, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice("ts", i, F.lit(4))),
+                )
+            )
+        ).alias("gram"),
+    )
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
+    return (
+        g.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 4
+            ).alias("novelty_rate"),
+        )
+        .filter(F.col("n_novel") < F.col("n_grams"))
+    )
