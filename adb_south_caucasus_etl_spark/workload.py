@@ -20579,3 +20579,363 @@ def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_novel") < F.col("n_grams"))
     )
+
+
+@register(
+    "events_littles_law_check",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS st, MAX(ts) AS en
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    horizon AS (
+      SELECT MIN(st) AS t0, MAX(en) AS t1 FROM s
+    ),
+    lam AS (
+      SELECT CAST(COUNT(*) AS DOUBLE)
+             / (CAST(epoch_us(h.t1) - epoch_us(h.t0) AS DOUBLE)
+                / 1000000.0) AS arrivals_per_s,
+             AVG(CAST(epoch_us(en) - epoch_us(st) AS DOUBLE)
+                 / 1000000.0) AS avg_duration_s,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM s CROSS JOIN horizon h
+      GROUP BY h.t0, h.t1
+    ),
+    pts AS (
+      SELECT st AS t, 1 AS delta FROM s
+      UNION ALL
+      SELECT en AS t, -1 FROM s
+    ),
+    conc AS (
+      SELECT t,
+             SUM(delta) OVER (ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS l,
+             LEAD(t) OVER (ORDER BY t, delta) AS nxt
+      FROM pts
+    ),
+    lbar AS (
+      SELECT SUM(l * (epoch_us(nxt) - epoch_us(t)))
+             / SUM(epoch_us(nxt) - epoch_us(t)) AS time_avg_l
+      FROM conc WHERE nxt IS NOT NULL
+    )
+    SELECT lam.n_sessions,
+           ROUND(lam.arrivals_per_s, 6) AS lambda_per_s,
+           ROUND(lam.avg_duration_s, 4) AS avg_w_s,
+           ROUND(lbar.time_avg_l, 6) AS time_avg_l,
+           ROUND(lam.arrivals_per_s * lam.avg_duration_s
+                 / lbar.time_avg_l, 4) AS littles_ratio
+    FROM lam CROSS JOIN lbar
+    """,
+    doc="Little's law audit (L = lambda * W) over user-day sessions: "
+        "arrival rate and mean duration from one session aggregate, "
+        "time-averaged concurrency from the +1/-1 sweep (the "
+        "events_peak_concurrency machinery, integrated over time "
+        "instead of maxed), and their ratio - which the law fixes "
+        "at 1 up to boundary effects. This is the ops-analytics "
+        "identity that cross-validates three independently-"
+        "computed telemetry metrics; a ratio far from 1 means the "
+        "session extractor and the concurrency monitor disagree. "
+        "The sweep sorts event endpoints once (global order - the "
+        "(stream, day)-stitch note applies at scale); everything "
+        "else is combinable. Durations exact integer micros",
+)
+def events_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    s = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    horizon = s.agg(
+        F.min("st").alias("t0"), F.max("en").alias("t1")
+    )
+    lam = s.crossJoin(F.broadcast(horizon)).agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / (
+                (
+                    F.unix_micros(F.max("t1"))
+                    - F.unix_micros(F.max("t0"))
+                ).cast("double")
+                / 1000000.0
+            )
+        ).alias("arrivals_per_s"),
+        F.avg(
+            (
+                F.unix_micros("en") - F.unix_micros("st")
+            ).cast("double")
+            / 1000000.0
+        ).alias("avg_duration_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+    )
+    pts = s.select(
+        F.col("st").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        s.select(F.col("en").alias("t"), F.lit(-1).alias("delta"))
+    )
+    wo = Window.orderBy("t", "delta")
+    conc = pts.select(
+        "t",
+        F.sum("delta")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("l"),
+        F.lead("t").over(wo).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dur = F.unix_micros("nxt") - F.unix_micros("t")
+    lbar = conc.agg(
+        (F.sum(F.col("l") * dur) / F.sum(dur)).alias("time_avg_l")
+    )
+    return lam.crossJoin(F.broadcast(lbar)).select(
+        "n_sessions",
+        F.round("arrivals_per_s", 6).alias("lambda_per_s"),
+        F.round("avg_duration_s", 4).alias("avg_w_s"),
+        F.round("time_avg_l", 6).alias("time_avg_l"),
+        F.round(
+            F.col("arrivals_per_s")
+            * F.col("avg_duration_s")
+            / F.col("time_avg_l"),
+            4,
+        ).alias("littles_ratio"),
+    )
+
+
+@register(
+    "finance_price_volume_mix",
+    """
+    WITH py AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                           THEN l_quantity ELSE 0 END) AS DOUBLE) AS q0,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                           THEN l_extendedprice ELSE 0 END) AS DOUBLE)
+               AS r0,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                           THEN l_quantity ELSE 0 END) AS DOUBLE) AS q1,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                           THEN l_extendedprice ELSE 0 END) AS DOUBLE)
+               AS r1
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY 1
+    ),
+    fx AS (
+      SELECT pk, q0, q1, r0, r1,
+             CASE WHEN q0 > 0 THEN r0 / q0 END AS p0,
+             CASE WHEN q1 > 0 THEN r1 / q1 END AS p1
+      FROM py
+    ),
+    eff AS (
+      SELECT
+        CASE WHEN q0 > 0 AND q1 > 0 THEN (q1 - q0) * p0 ELSE 0 END
+          AS vol_eff,
+        CASE WHEN q0 > 0 AND q1 > 0 THEN q1 * (p1 - p0) ELSE 0 END
+          AS price_eff,
+        CASE WHEN q0 = 0 THEN r1 ELSE 0 END AS new_eff,
+        CASE WHEN q1 = 0 THEN -r0 ELSE 0 END AS disc_eff,
+        r1 - r0 AS delta
+      FROM fx
+    )
+    SELECT ROUND(SUM(delta) / 100.0, 2) AS delta_rev_h,
+           ROUND(SUM(vol_eff) / 100.0, 2) AS volume_effect_h,
+           ROUND(SUM(price_eff) / 100.0, 2) AS price_effect_h,
+           ROUND(SUM(new_eff) / 100.0, 2) AS new_parts_effect_h,
+           ROUND(SUM(disc_eff) / 100.0, 2) AS discontinued_effect_h,
+           ROUND((SUM(vol_eff) + SUM(price_eff) + SUM(new_eff)
+                  + SUM(disc_eff) - SUM(delta)) / 100.0, 2)
+             AS residual_h
+    FROM eff
+    """,
+    doc="Price-volume-mix bridge (the FP&A revenue-bridge "
+        "decomposition): 1995->1996 revenue change split per part "
+        "into volume effect (qty change at old price), price effect "
+        "(new qty at price change), and new/discontinued part "
+        "effects - with the accounting identity residual stamped at "
+        "EXACTLY zero, proving the decomposition is complete (this "
+        "laspeyres-paasche split is exact by construction; the "
+        "residual column is the audit). One part-grain conditional "
+        "aggregate then a global reduce; implied prices are "
+        "revenue/qty ratios of identical doubles. Sums scaled to "
+        "hundreds before 2dp rounding to absorb order-of-summation "
+        "noise on ~1e8 totals",
+)
+def finance_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    j = cat.lineitem.join(
+        cat.orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(F.year("o_orderdate").isin(1995, 1996))
+    y = F.year("o_orderdate")
+    py = j.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.when(y == 1995, F.col("l_quantity")).otherwise(0))
+        .cast("double")
+        .alias("q0"),
+        F.sum(F.when(y == 1995, F.col("l_extendedprice")).otherwise(0))
+        .cast("double")
+        .alias("r0"),
+        F.sum(F.when(y == 1996, F.col("l_quantity")).otherwise(0))
+        .cast("double")
+        .alias("q1"),
+        F.sum(F.when(y == 1996, F.col("l_extendedprice")).otherwise(0))
+        .cast("double")
+        .alias("r1"),
+    )
+    p0 = F.when(F.col("q0") > 0, F.col("r0") / F.col("q0"))
+    p1 = F.when(F.col("q1") > 0, F.col("r1") / F.col("q1"))
+    both = (F.col("q0") > 0) & (F.col("q1") > 0)
+    eff = py.select(
+        F.when(both, (F.col("q1") - F.col("q0")) * p0)
+        .otherwise(0.0)
+        .alias("vol_eff"),
+        F.when(both, F.col("q1") * (p1 - p0)).otherwise(0.0).alias(
+            "price_eff"
+        ),
+        F.when(F.col("q0") == 0, F.col("r1")).otherwise(0.0).alias(
+            "new_eff"
+        ),
+        F.when(F.col("q1") == 0, -F.col("r0")).otherwise(0.0).alias(
+            "disc_eff"
+        ),
+        (F.col("r1") - F.col("r0")).alias("delta"),
+    )
+    return eff.agg(
+        F.round(F.sum("delta") / 100.0, 2).alias("delta_rev_h"),
+        F.round(F.sum("vol_eff") / 100.0, 2).alias("volume_effect_h"),
+        F.round(F.sum("price_eff") / 100.0, 2).alias("price_effect_h"),
+        F.round(F.sum("new_eff") / 100.0, 2).alias("new_parts_effect_h"),
+        F.round(F.sum("disc_eff") / 100.0, 2).alias(
+            "discontinued_effect_h"
+        ),
+        F.round(
+            (
+                F.sum("vol_eff")
+                + F.sum("price_eff")
+                + F.sum("new_eff")
+                + F.sum("disc_eff")
+                - F.sum("delta")
+            )
+            / 100.0,
+            2,
+        ).alias("residual_h"),
+    )
+
+
+@register(
+    "parts_xyz_variability",
+    """
+    WITH m AS (
+      SELECT l_partkey AS pk, date_trunc('month', o_orderdate) AS mo,
+             CAST(SUM(l_quantity) AS DOUBLE) AS q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT pk, COUNT(*) AS n_months,
+             AVG(q) AS mu, stddev_pop(q) AS sd
+      FROM m GROUP BY 1 HAVING COUNT(*) >= 12
+    ),
+    cls AS (
+      SELECT CASE WHEN sd / mu < 0.5 THEN 'X'
+                  WHEN sd / mu < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM st
+    )
+    SELECT xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 4)
+             AS frac
+    FROM cls GROUP BY 1
+    """,
+    doc="XYZ demand-variability classification (the forecasting "
+        "companion to ABC value classification, "
+        "parts_abc_classification): per part, the coefficient of "
+        "variation of monthly demand - X (steady, CV<0.5) forecasts "
+        "well, Z (erratic, CV>=1) needs safety stock - restricted "
+        "to parts with at least a year of history so CV is "
+        "meaningful. Two combinable aggregates (month grain, then "
+        "part grain); CV thresholds compare identical IEEE ratios "
+        "of decimal-free moments whose cross-engine delta ~1e-15 "
+        "sits far from the 0.5/1.0 class boundaries in practice "
+        "(boundary-straddling parts would need the decimal "
+        "pre-rounding recipe; none exist at any test SF)",
+)
+def parts_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    m = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.date_trunc("month", "o_orderdate").alias("mo"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("q"))
+    )
+    st = (
+        m.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.avg("q").alias("mu"),
+            F.stddev_pop("q").alias("sd"),
+        )
+        .filter(F.col("n_months") >= 12)
+    )
+    cv = F.col("sd") / F.col("mu")
+    cls = st.select(
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        cls.groupBy("xyz_class")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .withColumn(
+            "frac",
+            F.round(
+                F.col("n_parts").cast("double")
+                / F.sum("n_parts").over(w),
+                4,
+            ),
+        )
+    )
+
+
+@register(
+    "events_bounce_rate_daily",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+                 / COUNT(*), 4) AS bounce_rate
+    FROM s GROUP BY d
+    """,
+    doc="Daily bounce rate (user-days with exactly one event) - the "
+        "product-analytics engagement KPI beside DAU and "
+        "retention: two combinable aggregates (user-day grain, "
+        "then day grain), exact integer ratio at 4dp. Session-"
+        "grain bounce (single-event SESSIONS) substitutes the "
+        "session_event_paths sessionizer for the day bucket - "
+        "same shape; the day-grain form is the one that "
+        "incrementally maintains (yesterday's rows never change)",
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    s = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounce = F.count_if(F.col("n_events") == 1)
+    return s.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_days"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.round(
+            bounce.cast("double") / F.count(F.lit(1)), 4
+        ).alias("bounce_rate"),
+    )
