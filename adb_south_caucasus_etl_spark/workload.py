@@ -20939,3 +20939,262 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             bounce.cast("double") / F.count(F.lit(1)), 4
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "dq_linenumber_contiguity",
+    """
+    WITH per AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_lines,
+             MIN(l_linenumber) AS min_ln,
+             MAX(l_linenumber) AS max_ln,
+             COUNT(DISTINCT l_linenumber) AS n_distinct
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE min_ln <> 1) AS BIGINT)
+             AS bad_start,
+           CAST(COUNT(*) FILTER (WHERE max_ln <> n_lines) AS BIGINT)
+             AS gapped,
+           CAST(COUNT(*) FILTER (WHERE n_distinct <> n_lines) AS BIGINT)
+             AS duplicated_ln,
+           COUNT(*) FILTER (WHERE min_ln <> 1 OR max_ln <> n_lines
+                            OR n_distinct <> n_lines) = 0
+             AS all_contiguous
+    FROM per
+    """,
+    doc="Sequence-contiguity audit on l_linenumber: every order's line "
+        "numbers must be exactly 1..n with no gaps or duplicates - "
+        "the dense-sequence invariant that CDC pipelines and "
+        "line-grain deltas silently break (a gap means a lost "
+        "line, a duplicate means a double-applied delta). The "
+        "whole check reduces to min=1 AND max=count AND "
+        "distinct=count per key - one combinable aggregate, no "
+        "sort, no window, no islands machinery needed for the "
+        "DENSE case (events_activity_streaks handles the sparse "
+        "one). Exact integers; verdict boolean stamped",
+)
+def dq_linenumber_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("l_linenumber").alias("min_ln"),
+        F.max("l_linenumber").alias("max_ln"),
+        F.countDistinct("l_linenumber").alias("n_distinct"),
+    )
+    bad = (
+        (F.col("min_ln") != 1)
+        | (F.col("max_ln") != F.col("n_lines"))
+        | (F.col("n_distinct") != F.col("n_lines"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.count_if(F.col("min_ln") != 1).cast("bigint").alias("bad_start"),
+        F.count_if(F.col("max_ln") != F.col("n_lines"))
+        .cast("bigint")
+        .alias("gapped"),
+        F.count_if(F.col("n_distinct") != F.col("n_lines"))
+        .cast("bigint")
+        .alias("duplicated_ln"),
+        (F.count_if(bad) == 0).alias("all_contiguous"),
+    )
+
+
+@register(
+    "join_null_key_early_filter",
+    """
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_custkey END AS k,
+             o_totalprice
+      FROM orders
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l WHERE k IS NULL)
+             AS n_null_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS matched_revenue
+    FROM l JOIN customer ON l.k = c_custkey
+    """,
+    doc="Null-heavy join-key hygiene: a third of the fact keys are "
+        "NULL (the orphaned-fact shape CDC and outer-source joins "
+        "produce) - inner-join semantics say nulls can never match, "
+        "but a naive plan still SHUFFLES every null row to a single "
+        "degenerate reducer before dropping it. Spark's "
+        "null-filtering join-constraint inference pushes "
+        "isnotnull(k) into the scan (plan-asserted in "
+        "test_plan_shapes.py), so null rows never enter the "
+        "exchange - the free version of the null-skew mitigation "
+        "people hand-write as filter-then-union. The stamped "
+        "output counts both populations so the semantics "
+        "(nulls dropped, non-nulls joined) are oracle-pinned",
+)
+def join_null_key_early_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    n_null = o.filter(F.col("k").isNull()).count()
+    j = o.join(
+        F.broadcast(cat.customer.select("c_custkey")),
+        F.col("k") == F.col("c_custkey"),
+    )
+    return j.agg(
+        F.lit(n_null).cast("bigint").alias("n_null_keys"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.round(F.sum("o_totalprice").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("matched_revenue"),
+    )
+
+
+@register(
+    "supplier_otif_rate",
+    """
+    WITH j AS (
+      SELECT l_suppkey,
+             CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+               AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    per AS (
+      SELECT l_suppkey, COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE lag_days <= 60) AS on_time
+      FROM j GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(n) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(on_time) AS DOUBLE) / SUM(n), 6)
+             AS fleet_otif,
+           CAST(COUNT(*) FILTER (
+                WHERE CAST(on_time AS DOUBLE) / n < 0.5) AS BIGINT)
+             AS suppliers_below_50pct
+    FROM per
+    """,
+    doc="On-time service level per supplier (ship within 60 days of "
+        "order as the SLA): per-supplier on-time fractions and the "
+        "fleet rollup with an SLA-breach count - the supply-chain "
+        "OTIF KPI reduced to two combinable conditional aggregates. "
+        "Day lags are exact integer date arithmetic; rates are "
+        "exact count ratios, so the 0.5 breach threshold cannot "
+        "flip between engines. The same shape serves any "
+        "per-entity SLA scorecard (API latency per tenant, "
+        "delivery per courier) at any scale",
+)
+def supplier_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    j = cat.lineitem.join(
+        cat.orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_suppkey",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("lag_days"),
+    )
+    per = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("lag_days") <= 60).alias("on_time"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("n").cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum("on_time").cast("double") / F.sum("n"), 6
+        ).alias("fleet_otif"),
+        F.count_if(
+            F.col("on_time").cast("double") / F.col("n") < 0.5
+        )
+        .cast("bigint")
+        .alias("suppliers_below_50pct"),
+    )
+
+
+@register(
+    "orders_seasonal_strength",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT month, rev,
+             CAST(SUM(rev) OVER w AS DOUBLE) / 13.0 AS trend,
+             COUNT(*) OVER w AS n_win
+      FROM m
+      WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ),
+    detr AS (
+      SELECT month(month) AS mo,
+             CAST(rev AS DOUBLE) - trend AS resid
+      FROM t WHERE n_win = 13
+    ),
+    seas AS (
+      SELECT mo, AVG(resid) AS s FROM detr GROUP BY 1
+    ),
+    fin AS (
+      SELECT d.resid, d.resid - s.s AS noise
+      FROM detr d JOIN seas s ON d.mo = s.mo
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           ROUND(GREATEST(0.0,
+             1.0 - var_pop(noise) / var_pop(resid)), 6)
+             AS seasonal_strength
+    FROM fin
+    """,
+    doc="Seasonal-strength statistic (Hyndman's F_s = max(0, 1 - "
+        "Var(remainder)/Var(detrended))) over the monthly revenue "
+        "decomposition - ONE number answering 'is this series "
+        "actually seasonal?', the gate before fitting seasonal "
+        "models (forecast_seasonal_naive_eval assumes yes; this "
+        "measures it). Reuses the 13-month centered-MA trend from "
+        "orders_seasonal_decompose, subtracts the monthly seasonal "
+        "means, and compares variances. All windows run at month "
+        "grain; variances on identical per-row doubles, 6dp "
+        "rounding over ~1e-15 accumulation noise",
+)
+def orders_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy("month").rowsBetween(-6, 6)
+    t = m.select(
+        "month",
+        "rev",
+        (F.sum("rev").over(w).cast("double") / 13.0).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    ).filter(F.col("n_win") == 13)
+    detr = t.select(
+        F.month("month").alias("mo"),
+        (F.col("rev").cast("double") - F.col("trend")).alias("resid"),
+    )
+    seas = detr.groupBy(F.col("mo").alias("smo")).agg(
+        F.avg("resid").alias("s")
+    )
+    fin = detr.join(
+        F.broadcast(seas), F.col("mo") == F.col("smo")
+    ).select("resid", (F.col("resid") - F.col("s")).alias("noise"))
+    return fin.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - F.var_pop("noise") / F.var_pop("resid"),
+            ),
+            6,
+        ).alias("seasonal_strength"),
+    )

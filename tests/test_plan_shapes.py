@@ -578,3 +578,14 @@ def test_js_divergence_pairwise_stage_is_dimension_sized(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_null_join_keys_filtered_before_exchange(spark):
+    """join_null_key_early_filter: Catalyst's join-constraint inference
+    must push an isnotnull filter on the (computed) join key below the
+    join, so null-key rows never reach the probe side."""
+    plan = _final_plan(WORKLOAD["join_null_key_early_filter"].fn(spark, SF))
+    # Catalyst simplifies isnotnull(CASE ...) into a pushed-down CASE
+    # filter (null branch -> false) evaluated AT THE SCAN
+    assert "THEN false ELSE isnotnull" in plan, plan
+    assert "CartesianProduct" not in plan, plan
