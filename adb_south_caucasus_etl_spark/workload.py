@@ -21198,3 +21198,276 @@ def orders_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_strength"),
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH ub AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (
+      SELECT a.u AS x, b.u AS y
+      FROM ub a JOIN ub b ON a.b = b.b AND a.u < b.u
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    ee AS (
+      SELECT x, y FROM e UNION ALL SELECT y, x FROM e
+    ),
+    deg AS (
+      SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM ee GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+           ROUND(corr(CAST(dx.d AS DOUBLE), CAST(dy.d AS DOUBLE)), 6)
+             AS assortativity
+    FROM ee
+    JOIN deg dx ON ee.x = dx.node
+    JOIN deg dy ON ee.y = dy.node
+    """,
+    doc="Degree assortativity of the co-purchase similarity graph - "
+        "the Pearson correlation of endpoint degrees over all "
+        "directed edge instances (Newman 2002), answering 'do hubs "
+        "connect to hubs?': positive = social-network-like core, "
+        "negative = hub-and-spoke. Positive here flags a dense "
+        "whale clique - the same structure k-core peeling "
+        "(graph_kcore_peel) extracts, now summarized in one "
+        "number. Shape: the posting-list edge build, one degree "
+        "count, two dimension-sized degree joins, one corr - all "
+        "combinable; the symmetrized edge list counts each edge "
+        "twice which is exactly what the undirected definition "
+        "wants. corr accumulation order is the only cross-engine "
+        "delta, ~1e-14 under 6dp",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ub = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    a = ub.select(F.col("u").alias("x"), "b")
+    bb = ub.select(F.col("u").alias("y"), F.col("b").alias("b2"))
+    e = (
+        a.join(
+            bb, (F.col("b") == F.col("b2")) & (F.col("x") < F.col("y"))
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+        .select("x", "y")
+    )
+    ee = e.unionByName(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    deg = ee.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    j = ee.join(
+        deg.select(F.col("node").alias("nx"), F.col("d").alias("dx")),
+        F.col("x") == F.col("nx"),
+    ).join(
+        deg.select(F.col("node").alias("ny"), F.col("d").alias("dy")),
+        F.col("y") == F.col("ny"),
+    )
+    return j.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            F.corr(
+                F.col("dx").cast("double"), F.col("dy").cast("double")
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "events_mtbf_mttr",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             LEAD(ts) OVER w AS next_ts,
+             LEAD(event_type) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    fails AS (
+      SELECT user_id, ts,
+             CASE WHEN next_type IS NOT NULL AND next_type <> 'error'
+                  THEN CAST(epoch_us(next_ts) - epoch_us(ts) AS DOUBLE)
+                       / 1000000.0 END AS recovery_s
+      FROM seq WHERE event_type = 'error'
+    ),
+    gaps AS (
+      SELECT user_id,
+             CAST(epoch_us(ts)
+                  - epoch_us(LAG(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts)) AS DOUBLE)
+               / 1000000.0 AS between_s
+      FROM fails
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fails) AS n_failures,
+           (SELECT ROUND(AVG(recovery_s), 4) FROM fails
+             WHERE recovery_s IS NOT NULL) AS mttr_s,
+           ROUND(AVG(between_s), 4) AS mtbf_s
+    FROM gaps WHERE between_s IS NOT NULL
+    """,
+    doc="MTBF / MTTR from the event log (error events as failures, "
+        "the next non-error event as recovery): mean time between "
+        "a user's consecutive failures and mean time from failure "
+        "to the immediately-following healthy event - the "
+        "reliability KPIs an SRE dashboard derives from exactly "
+        "this window shape. One per-user lead window tags "
+        "recoveries, one lag window over the failure subsequence "
+        "yields inter-failure gaps; both partition by user. "
+        "Durations are exact integer micros scaled once; averages "
+        "round at 4dp over ~1e-11 accumulation noise",
+)
+def events_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("ts").over(w).alias("next_ts"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    fails = seq.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("next_type").isNotNull()
+            & (F.col("next_type") != "error"),
+            (
+                F.unix_micros("next_ts") - F.unix_micros("ts")
+            ).cast("double")
+            / 1000000.0,
+        ).alias("recovery_s"),
+    )
+    wf = Window.partitionBy("user_id").orderBy("ts")
+    gaps = fails.select(
+        (
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(wf))
+            ).cast("double")
+            / 1000000.0
+        ).alias("between_s")
+    ).filter(F.col("between_s").isNotNull())
+    n_failures = fails.count()
+    mttr = fails.filter(F.col("recovery_s").isNotNull()).agg(
+        F.round(F.avg("recovery_s"), 4).alias("m")
+    ).first()[0]
+    return gaps.agg(
+        F.lit(n_failures).cast("bigint").alias("n_failures"),
+        F.lit(mttr).alias("mttr_s"),
+        F.round(F.avg("between_s"), 4).alias("mtbf_s"),
+    )
+
+
+@register(
+    "customer_ltv_cohorts",
+    """
+    WITH first_m AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort, o.o_custkey,
+             CAST((year(o.o_orderdate) - year(f.cohort)) * 12
+                  + (month(o.o_orderdate) - month(f.cohort))
+                  AS INTEGER) AS age_m,
+             o.o_totalprice
+      FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+    ),
+    cs AS (
+      SELECT CAST(cohort AS DATE) AS cohort,
+             COUNT(DISTINCT o_custkey) AS cohort_size
+      FROM rev GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(cohort AS DATE) AS cohort, age_m,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS r
+      FROM rev WHERE age_m <= 11 GROUP BY 1, 2
+    )
+    SELECT m.cohort, m.age_m,
+           CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(CAST(SUM(m.r) OVER (
+                   PARTITION BY m.cohort ORDER BY m.age_m) AS DOUBLE)
+                 / cs.cohort_size, 2) AS cum_ltv_per_customer
+    FROM m JOIN cs ON m.cohort = cs.cohort
+    WHERE year(m.cohort) = 1996
+    """,
+    doc="Cumulative LTV-per-customer by acquisition cohort (first 12 "
+        "months of 1996 cohorts) - the revenue companion to the "
+        "count-based cohort_retention matrix: each cohort's "
+        "cumulative revenue divided by cohort size, the curve LTV "
+        "models are fit against and payback periods read from. "
+        "Month age is exact integer month arithmetic (no day "
+        "rounding ambiguity); monthly cohort revenue rounds "
+        "through DECIMAL(18,2) so the cumulative window sums "
+        "exactly and the per-customer division is one IEEE op per "
+        "cell. Shapes: customer-grain first-touch, fact join, "
+        "(cohort, age) aggregate, cohort-partitioned cumsum - all "
+        "standard combinable/window machinery",
+)
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    first_m = o.groupBy(F.col("o_custkey").alias("fc")).agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    rev = o.join(first_m, F.col("o_custkey") == F.col("fc")).select(
+        F.col("cohort"),
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + (F.month("o_orderdate") - F.month("cohort"))
+        )
+        .cast("int")
+        .alias("age_m"),
+        "o_totalprice",
+    )
+    cs = rev.groupBy(F.col("cohort").cast("date").alias("ccohort")).agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    m = (
+        rev.filter(F.col("age_m") <= 11)
+        .groupBy(
+            F.col("cohort").cast("date").alias("cohort"), "age_m"
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("r")
+        )
+    )
+    w = Window.partitionBy("cohort").orderBy("age_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        m.join(cs, F.col("ccohort") == F.col("cohort"))
+        .filter(F.year("cohort") == 1996)
+        .select(
+            "cohort",
+            "age_m",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.sum("r").over(w).cast("double")
+                / F.col("cohort_size"),
+                2,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
