@@ -21693,3 +21693,303 @@ def orders_open_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("open_value"),
     )
+
+
+@register(
+    "finance_fisher_price_index",
+    """
+    WITH py AS (
+      SELECT l_partkey AS pk, CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(SUM(l_quantity) AS DOUBLE) AS q,
+             CAST(SUM(l_extendedprice) AS DOUBLE) AS r
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.yr AS y0, b.yr AS y1,
+             a.q AS q0, b.q AS q1,
+             a.r / a.q AS p0, b.r / b.q AS p1
+      FROM py a JOIN py b
+        ON a.pk = b.pk AND b.yr = a.yr + 1
+      WHERE a.q > 0 AND b.q > 0
+    ),
+    idx AS (
+      SELECT y0, y1,
+             SUM(p1 * q0) / SUM(p0 * q0) AS laspeyres,
+             SUM(p1 * q1) / SUM(p0 * q1) AS paasche,
+             COUNT(*) AS n_parts
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT y0 AS from_year, y1 AS to_year,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           ROUND(laspeyres, 6) AS laspeyres,
+           ROUND(paasche, 6) AS paasche,
+           ROUND(sqrt(laspeyres * paasche), 6) AS fisher
+    FROM idx
+    """,
+    doc="Fisher ideal price index per adjacent year pair - the "
+        "national-accounts price-level machinery (Laspeyres "
+        "base-weighted, Paasche current-weighted, Fisher their "
+        "geometric mean) over parts present in both years with "
+        "implied unit prices revenue/qty. One part-year aggregate, "
+        "a self-join on (part, adjacent year) - co-partitioned on "
+        "part, so one shuffle feeds every year pair - and a "
+        "year-pair reduce. Complements the PVM bridge "
+        "(finance_price_volume_mix): the bridge explains ONE "
+        "delta, the index chains price levels across the whole "
+        "horizon. Ratio-of-weighted-sums on identical doubles; "
+        "6dp over ~1e-13 accumulation noise",
+)
+def finance_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    py = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum("l_quantity").cast("double").alias("q"),
+            F.sum("l_extendedprice").cast("double").alias("r"),
+        )
+    )
+    a = py.select(
+        "pk",
+        F.col("yr").alias("y0"),
+        F.col("q").alias("q0"),
+        (F.col("r") / F.col("q")).alias("p0"),
+    ).filter(F.col("q0") > 0)
+    b = py.select(
+        F.col("pk").alias("pk2"),
+        F.col("yr").alias("y1"),
+        F.col("q").alias("q1"),
+        (F.col("r") / F.col("q")).alias("p1"),
+    ).filter(F.col("q1") > 0)
+    pairs = a.join(
+        b,
+        (F.col("pk") == F.col("pk2"))
+        & (F.col("y1") == F.col("y0") + 1),
+    )
+    idx = pairs.groupBy("y0", "y1").agg(
+        (
+            F.sum(F.col("p1") * F.col("q0"))
+            / F.sum(F.col("p0") * F.col("q0"))
+        ).alias("laspeyres"),
+        (
+            F.sum(F.col("p1") * F.col("q1"))
+            / F.sum(F.col("p0") * F.col("q1"))
+        ).alias("paasche"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    return idx.select(
+        F.col("y0").alias("from_year"),
+        F.col("y1").alias("to_year"),
+        "n_parts",
+        F.round("laspeyres", 6).alias("laspeyres"),
+        F.round("paasche", 6).alias("paasche"),
+        F.round(
+            F.sqrt(F.col("laspeyres") * F.col("paasche")), 6
+        ).alias("fisher"),
+    )
+
+
+@register(
+    "dq_freshness_lag",
+    """
+    WITH g AS (SELECT MAX(ts) AS global_max FROM events),
+    per AS (
+      SELECT event_type, MAX(ts) AS last_seen, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(epoch_us(g.global_max) - epoch_us(last_seen)
+                      AS DOUBLE) / 1000000.0, 3) AS staleness_s,
+           epoch_us(g.global_max) - epoch_us(last_seen) <= 3600000000
+             AS within_1h_sla
+    FROM per CROSS JOIN g
+    """,
+    doc="Per-stream freshness audit: each event type's last-seen "
+        "timestamp against the dataset's global high-water mark, "
+        "with a 1-hour staleness SLA verdict - the "
+        "data-operations check that catches a silently-dead "
+        "upstream producer before consumers read stale joins "
+        "(in production the reference clock is the ingestion "
+        "wall clock; on static test data the in-data maximum "
+        "keeps it reproducible, the same as-of discipline as "
+        "orders_open_aging_buckets). Two max-aggregates, exact "
+        "integer-microsecond lags, exact SLA comparison",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    g = ev.agg(F.max("ts").alias("global_max"))
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lag_us = F.unix_micros("global_max") - F.unix_micros("last_seen")
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(lag_us.cast("double") / 1000000.0, 3).alias(
+            "staleness_s"
+        ),
+        (lag_us <= 3600000000).alias("within_1h_sla"),
+    )
+
+
+@register(
+    "curation_canary_leak_check",
+    """
+    WITH canary AS (
+      SELECT doc_id,
+             'CANARY-' || CAST(doc_id * 7919 AS VARCHAR)
+               || '-SECRET-SEQUENCE-DO-NOT-TRAIN' AS tok
+      FROM documents WHERE doc_id % 100 = 0
+    ),
+    train AS (
+      SELECT d.doc_id,
+             CASE WHEN c.doc_id IS NOT NULL
+                  THEN d.text || ' ' || c.tok ELSE d.text END AS text
+      FROM documents d LEFT JOIN canary c ON d.doc_id = c.doc_id
+      WHERE d.text IS NOT NULL
+    ),
+    hits AS (
+      SELECT t.doc_id
+      FROM train t JOIN canary c
+        ON contains(t.text, c.tok)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM canary) AS BIGINT) AS n_canaries,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_caught,
+           (SELECT COUNT(*) FROM hits)
+             = (SELECT COUNT(*) FROM canary) AS full_recall
+    FROM (SELECT 1)
+    """,
+    doc="Canary leak check (Carlini-style secret-sequence audit, "
+        "self-testing the decontamination machinery): unique canary "
+        "strings are injected into a known doc slice, then the "
+        "detector - a substring scan against the canary table, the "
+        "same broadcast-probe shape as curation_decontaminate - "
+        "must recover EVERY planted canary (full_recall stamped "
+        "true). This is the pipeline-integrity pattern that "
+        "validates a contamination scanner end-to-end before "
+        "trusting its negative results on real benchmarks: a "
+        "detector that misses its own canaries is silently "
+        "broken. Canary tokens are derived from doc_id (7919 "
+        "prime multiplier) so both engines plant identical "
+        "secrets; the probe side is canary-count-sized "
+        "(broadcast)",
+)
+def curation_canary_leak_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    canary = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("cid"),
+        F.concat(
+            F.lit("CANARY-"),
+            (F.col("doc_id") * 7919).cast("string"),
+            F.lit("-SECRET-SEQUENCE-DO-NOT-TRAIN"),
+        ).alias("tok"),
+    )
+    train = (
+        docs.filter(F.col("text").isNotNull())
+        .join(canary, F.col("cid") == F.col("doc_id"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cid").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("tok")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    probe = canary.select(F.col("tok").alias("ptok"))
+    hits = train.join(
+        F.broadcast(probe), F.expr("contains(text, ptok)")
+    ).select("doc_id")
+    n_canaries = canary.count()
+    n_caught = hits.count()
+    return spark.createDataFrame(
+        [(n_canaries, n_caught, n_canaries == n_caught)],
+        "n_canaries bigint, n_caught bigint, full_recall boolean",
+    )
+
+
+@register(
+    "window_bollinger_bands",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT d, CAST(rev AS DOUBLE) AS rev,
+             COUNT(*) OVER win AS n,
+             AVG(CAST(rev AS DOUBLE)) OVER win AS ma,
+             stddev_pop(CAST(rev AS DOUBLE)) OVER win AS sd
+      FROM daily
+      WINDOW win AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, rev,
+           CAST(ROUND(CAST(ma AS DECIMAL(24,6)), 2) AS DOUBLE) AS ma20,
+           CAST(ROUND(CAST(ma + 2.0 * sd AS DECIMAL(24,6)), 2) AS DOUBLE)
+             AS upper_band,
+           CAST(ROUND(CAST(ma - 2.0 * sd AS DECIMAL(24,6)), 2) AS DOUBLE)
+             AS lower_band,
+           rev > ma + 2.0 * sd AS breach_upper,
+           rev < ma - 2.0 * sd AS breach_lower
+    FROM w WHERE n = 20
+    """,
+    doc="Bollinger bands (20-day moving average +/- 2 sigma) with "
+        "breach flags over daily revenue - the volatility-envelope "
+        "anomaly baseline, the windowed sibling of the global "
+        "MAD/z-score detectors (anomalies are judged against the "
+        "LOCAL regime, so level shifts do not poison the "
+        "threshold). Day-grain window over DECIMAL-prerounded "
+        "revenue; the windowed mean/stddev accumulate identically "
+        "in both engines across the same 20 exact values "
+        "(stddev_pop's two-pass-equivalent formula over identical "
+        "operands), and breach flags compare the same raw "
+        "doubles, so even the booleans are cross-engine stable; "
+        "the band values round through decimals because a mean of "
+        "20 cent-exact values lands on exact midpoints",
+)
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("rev0")
+    )
+    w = Window.orderBy("d").rowsBetween(-19, 0)
+    rev = F.col("rev0").cast("double")
+    win = daily.select(
+        "d",
+        rev.alias("rev"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.avg(rev).over(w).alias("ma"),
+        F.stddev_pop(rev).over(w).alias("sd"),
+    ).filter(F.col("n") == 20)
+    up = F.col("ma") + 2.0 * F.col("sd")
+    lo = F.col("ma") - 2.0 * F.col("sd")
+    return win.select(
+        "d",
+        "rev",
+        F.round(F.col("ma").cast("decimal(24,6)"), 2)
+        .cast("double")
+        .alias("ma20"),
+        F.round(up.cast("decimal(24,6)"), 2)
+        .cast("double")
+        .alias("upper_band"),
+        F.round(lo.cast("decimal(24,6)"), 2)
+        .cast("double")
+        .alias("lower_band"),
+        (F.col("rev") > up).alias("breach_upper"),
+        (F.col("rev") < lo).alias("breach_lower"),
+    )
