@@ -21993,3 +21993,271 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev") > up).alias("breach_upper"),
         (F.col("rev") < lo).alias("breach_lower"),
     )
+
+
+@register(
+    "text_rank_drift_spearman",
+    """
+    WITH half AS (
+      SELECT doc_id, text,
+             doc_id >= (SELECT CAST(floor(MAX(doc_id) / 2.0) AS BIGINT)
+                        FROM documents) AS late
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (
+      SELECT late, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS t
+      FROM half
+    ),
+    cnt AS (
+      SELECT late, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT t FROM (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, t) AS r
+        FROM cnt GROUP BY t
+      ) WHERE r <= 100
+    ),
+    ranked AS (
+      SELECT cnt.t, cnt.late,
+             ROW_NUMBER() OVER (
+               PARTITION BY cnt.late ORDER BY cnt.c DESC, cnt.t) AS rk
+      FROM cnt JOIN top ON cnt.t = top.t
+    ),
+    paired AS (
+      SELECT a.t, a.rk AS r_early, b.rk AS r_late
+      FROM ranked a JOIN ranked b
+        ON a.t = b.t AND a.late = FALSE AND b.late = TRUE
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(1.0 - 6.0 * SUM(CAST(r_early - r_late AS DOUBLE)
+                                 * (r_early - r_late))
+                 / (COUNT(*) * (CAST(COUNT(*) AS DOUBLE)
+                                * COUNT(*) - 1.0)), 6)
+             AS spearman_rho,
+           CAST(MAX(abs(r_early - r_late)) AS BIGINT) AS max_rank_move
+    FROM paired
+    """,
+    doc="Vocabulary rank drift between corpus halves (early vs late "
+        "doc_ids) measured by Spearman's rho over the shared "
+        "top-100 terms - the rank-based correlation this suite "
+        "did not yet have (Pearson appears in KS/ACF/assortativity; "
+        "Spearman is what you want when only ORDER is meaningful). "
+        "rho near 1 = stable vocabulary; a drop flags topic or "
+        "pipeline drift between crawl segments. Ranks come from "
+        "deterministic (count desc, term) windows over "
+        "vocab-sized data, so every d_i is an exact integer and "
+        "rho = 1 - 6*sum(d^2)/(n(n^2-1)) is exact rational "
+        "arithmetic under one rounding. Within-half term ranks "
+        "use row_number, ties broken lexically in BOTH engines",
+)
+def text_rank_drift_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull()
+    )
+    mid = docs.agg(
+        F.floor(F.max("doc_id") / 2.0).cast("bigint").alias("m")
+    )
+    half = docs.crossJoin(F.broadcast(mid)).select(
+        (F.col("doc_id") >= F.col("m")).alias("late"), "text"
+    )
+    tok = half.select(
+        "late",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+            )
+        ).alias("t"),
+    )
+    cnt = tok.groupBy("late", "t").agg(F.count(F.lit(1)).alias("c"))
+    wtop = Window.orderBy(F.desc("tot"), F.asc("t"))
+    top = (
+        cnt.groupBy("t")
+        .agg(F.sum("c").alias("tot"))
+        .withColumn("r", F.row_number().over(wtop))
+        .filter(F.col("r") <= 100)
+        .select(F.col("t").alias("tt"))
+    )
+    wr = Window.partitionBy("late").orderBy(F.desc("c"), F.asc("t"))
+    ranked = (
+        cnt.join(F.broadcast(top), F.col("t") == F.col("tt"))
+        .withColumn("rk", F.row_number().over(wr))
+    )
+    a = ranked.filter(~F.col("late")).select(
+        "t", F.col("rk").alias("r_early")
+    )
+    b = ranked.filter(F.col("late")).select(
+        F.col("t").alias("t2"), F.col("rk").alias("r_late")
+    )
+    paired = a.join(b, F.col("t") == F.col("t2"))
+    d = (F.col("r_early") - F.col("r_late")).cast("double")
+    n = F.count(F.lit(1))
+    return paired.agg(
+        n.cast("bigint").alias("n_terms"),
+        F.round(
+            F.lit(1.0)
+            - 6.0 * F.sum(d * d) / (n * (n.cast("double") * n - 1.0)),
+            6,
+        ).alias("spearman_rho"),
+        F.max(F.abs(F.col("r_early") - F.col("r_late")))
+        .cast("bigint")
+        .alias("max_rank_move"),
+    )
+
+
+@register(
+    "customer_segment_migration",
+    """
+    WITH spend AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS s
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    tiers AS (
+      SELECT o_custkey, yr,
+             CASE WHEN ntile = 1 THEN 'low'
+                  WHEN ntile = 2 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM (SELECT o_custkey, yr,
+                   ntile(3) OVER (PARTITION BY yr
+                                  ORDER BY s, o_custkey) AS ntile
+            FROM spend)
+    )
+    SELECT a.tier AS tier_1996, b.tier AS tier_1997,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM tiers a JOIN tiers b
+      ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+    GROUP BY 1, 2
+    """,
+    doc="Customer tier-migration matrix (1996 -> 1997 spend terciles): "
+        "who moved between low/mid/high value tiers year over year - "
+        "the segment-transition view behind churn-risk and "
+        "upsell targeting, structurally the Markov-transition "
+        "pattern (events_markov_transitions) applied to DERIVED "
+        "states instead of raw events. Tier assignment uses ntile "
+        "over a (spend, custkey) total order per year - "
+        "deterministic ties, the RFM-scoring discipline "
+        "(customer_rfm_scores) - then one self-join on customer "
+        "across the two years. Output is a 3x3 matrix regardless "
+        "of scale; only customers active in BOTH years appear "
+        "(the inner join IS the churn filter - absent customers "
+        "are the churn row a fuller report would add)",
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    spend = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("s")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy("s", "o_custkey")
+    tiers = spend.select(
+        "o_custkey",
+        "yr",
+        F.when(F.ntile(3).over(w) == 1, "low")
+        .when(F.ntile(3).over(w) == 2, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    a = tiers.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("tier").alias("tier_1996")
+    )
+    b = tiers.filter(F.col("yr") == 1997).select(
+        F.col("o_custkey").alias("c2"), F.col("tier").alias("tier_1997")
+    )
+    return (
+        a.join(b, F.col("o_custkey") == F.col("c2"))
+        .groupBy("tier_1996", "tier_1997")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+@register(
+    "dq_order_total_reconciliation",
+    """
+    WITH recomputed AS (
+      SELECT l_orderkey,
+             SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS rt
+      FROM lineitem GROUP BY 1
+    ),
+    cmp AS (
+      SELECT o_orderkey,
+             abs(rt - o_totalprice)
+               / greatest(abs(o_totalprice), 1.0) AS rel_err
+      FROM orders JOIN recomputed ON o_orderkey = l_orderkey
+    )
+    SELECT CASE WHEN rel_err < 0.0001 THEN 'a_exact'
+                WHEN rel_err < 0.01 THEN 'b_under_1pct'
+                WHEN rel_err < 0.10 THEN 'c_under_10pct'
+                ELSE 'd_over_10pct' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 4)
+             AS frac
+    FROM cmp GROUP BY 1
+    """,
+    doc="Cross-table reconciliation: the order header's stored total "
+        "vs the total RECOMPUTED from its lines (extended * "
+        "(1-disc) * (1+tax), the TPC-H pricing identity), bucketed "
+        "by relative error - the financial-close audit that "
+        "catches partial loads, dropped lines, and formula drift "
+        "between producer systems. On this synthetic data the "
+        "identity does NOT hold (headers and lines are generated "
+        "independently), which the banded report states honestly - "
+        "the audit's value is the DISTRIBUTION, not a pass flag. "
+        "One line-grain combinable sum, one header join; band "
+        "edges compare identical IEEE ratios, and the bands are "
+        "wide enough (1e-4 vs engine delta ~1e-16) that no order "
+        "can straddle cross-engine",
+)
+def dq_order_total_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    recomputed = cat.lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("rt")
+    )
+    cmp_ = cat.orders.join(
+        recomputed, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        (
+            F.abs(F.col("rt") - F.col("o_totalprice"))
+            / F.greatest(F.abs(F.col("o_totalprice")), F.lit(1.0))
+        ).alias("rel_err")
+    )
+    band = (
+        F.when(F.col("rel_err") < 0.0001, "a_exact")
+        .when(F.col("rel_err") < 0.01, "b_under_1pct")
+        .when(F.col("rel_err") < 0.10, "c_under_10pct")
+        .otherwise("d_over_10pct")
+    )
+    w = Window.partitionBy()
+    return (
+        cmp_.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .withColumn(
+            "frac",
+            F.round(
+                F.col("n_orders").cast("double")
+                / F.sum("n_orders").over(w),
+                4,
+            ),
+        )
+    )
