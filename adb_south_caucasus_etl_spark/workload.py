@@ -7960,7 +7960,7 @@ def events_rolling_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1, 2
     ),
     t AS (SELECT yr, SUM(cnt) AS n FROM c GROUP BY 1),
-    j AS (
+    j AS MATERIALIZED (
       SELECT COALESCE(a.yr, b.yr + 1) AS yr,
              COALESCE(a.bin, b.bin) AS bin,
              COALESCE(a.cnt, 0) AS c_cur,
@@ -10165,7 +10165,7 @@ def multimodal_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                             '(.)', '·\1', 'g') AS seq
       FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
     ),
-    p0 AS (
+    p0 AS MATERIALIZED (
       SELECT t1, t2, COUNT(*) AS n FROM (
         SELECT doc_id, tok AS t1,
                LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
@@ -10499,11 +10499,11 @@ def geo_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(l_quantity) AS BIGINT) AS q
       FROM lineitem
     ),
-    t AS (
+    t AS MATERIALIZED (
       SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders WHERE o_orderkey % 10 = 0
     ),
-    j AS (
+    j AS MATERIALIZED (
       SELECT l_orderkey, l_linenumber, q, cents,
              SUM(q) OVER (PARTITION BY l_orderkey) AS qs
       FROM li JOIN t ON l_orderkey = o_orderkey
@@ -11044,7 +11044,7 @@ def events_clamped_balance_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(value * 100) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase'
     ),
-    t AS (
+    t AS MATERIALIZED (
       SELECT event_id AS tid, user_id, ts AS tts
       FROM events WHERE event_type IN ('click', 'view')
     ),
@@ -14337,7 +14337,7 @@ def schema_compat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS next_type
       FROM events
     ),
-    t AS (
+    t AS MATERIALIZED (
       SELECT event_type AS prev_type, next_type, COUNT(*) AS n
       FROM seq WHERE next_type IS NOT NULL
       GROUP BY 1, 2
@@ -14805,7 +14805,7 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
-    j AS (
+    j AS MATERIALIZED (
       SELECT l.k, v.n AS vn, p.n AS pn
       FROM (SELECT unnest(range(0, 8)) AS k) l
       JOIN v ON TRUE
@@ -14996,7 +14996,7 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS revenue
       FROM orders GROUP BY 1
     ),
-    t AS (
+    t AS MATERIALIZED (
       SELECT month, revenue,
              CAST(SUM(revenue) OVER w AS DOUBLE) / 13.0 AS trend,
              COUNT(*) OVER w AS n_win
@@ -17012,7 +17012,7 @@ def events_cumulative_distinct_users(
       SELECT o_custkey AS k, COUNT(*) AS c FROM orders
       WHERE year(o_orderdate) = 1995 GROUP BY 1
     ),
-    j AS (
+    j AS MATERIALIZED (
       SELECT COALESCE(a.k, b.k) AS k,
              COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
       FROM a FULL OUTER JOIN b ON a.k = b.k
@@ -20089,7 +20089,7 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     ),
     lags AS (SELECT unnest(range(1, 8)) AS k),
-    j AS (
+    j AS MATERIALIZED (
       SELECT l.k, a.y AS y0, b.y AS yk
       FROM lags l
       JOIN daily a ON TRUE
@@ -20387,7 +20387,7 @@ def sink_dynamic_partition_overwrite(
                AS h
       FROM (SELECT unnest(range(0, 100000)) AS i)
     ),
-    t AS (
+    t AS MATERIALIZED (
       SELECT i, h % 97 AS k,
              CAST(h % 10000 AS DOUBLE) / 100.0 AS v
       FROM g
@@ -21124,7 +21124,7 @@ def supplier_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
       FROM orders GROUP BY 1
     ),
-    t AS (
+    t AS MATERIALIZED (
       SELECT month, rev,
              CAST(SUM(rev) OVER w AS DOUBLE) / 13.0 AS trend,
              COUNT(*) OVER w AS n_win
@@ -22260,4 +22260,231 @@ def dq_order_total_reconciliation(
                 4,
             ),
         )
+    )
+
+
+def _markov_attr_oracle() -> str:
+    """Generate the unrolled K-step absorption oracle: 24 CTE stages of
+    the scenario-vectorized matrix-vector product (aggregation is not
+    allowed in a recursive CTE term, so the fixed-point loop unrolls)."""
+    k = 24
+    head = """
+    WITH fp AS MATERIALIZED (
+      SELECT user_id, MIN(ts) AS fpts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    j AS MATERIALIZED (
+      SELECT e.user_id, e.ts, e.event_id,
+             CASE WHEN e.event_type = 'purchase' THEN 'conv'
+                  ELSE e.event_type END AS s
+      FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+      WHERE fp.fpts IS NULL OR e.ts <= fp.fpts
+    ),
+    seq AS MATERIALIZED (
+      SELECT user_id, s,
+             LEAD(s) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM j
+    ),
+    trans_raw AS MATERIALIZED (
+      SELECT s AS src, COALESCE(nxt, 'null') AS dst FROM seq
+      WHERE s <> 'conv'
+      UNION ALL
+      SELECT 'start', s FROM seq WHERE rn = 1
+    ),
+    t AS MATERIALIZED (
+      SELECT src, dst,
+             CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER (PARTITION BY src) AS p
+      FROM trans_raw GROUP BY src, dst
+    ),
+    states AS MATERIALIZED (
+      SELECT DISTINCT src AS s FROM t
+      UNION SELECT DISTINCT dst FROM t
+    ),
+    scen AS MATERIALIZED (
+      SELECT 'none' AS scen
+      UNION ALL SELECT DISTINCT src FROM t
+      WHERE src NOT IN ('start', 'conv', 'null')
+    ),
+    p0 AS MATERIALIZED (
+      SELECT scen.scen, st.s,
+             CASE WHEN st.s = 'conv' THEN 1.0 ELSE 0.0 END AS p
+      FROM scen CROSS JOIN states st
+    )"""
+    stages = []
+    for i in range(1, k + 1):
+        prev = f"p{i-1}" if i > 1 else "p0"
+        stages.append(f"""
+    p{i} AS MATERIALIZED (
+      SELECT sc.scen, st.s,
+             CASE WHEN st.s = 'conv' THEN 1.0
+                  WHEN st.s = 'null' OR st.s = sc.scen THEN 0.0
+                  ELSE COALESCE(SUM(t.p * pv.p), 0.0) END AS p
+      FROM states st
+      CROSS JOIN (SELECT DISTINCT scen FROM scen) sc
+      LEFT JOIN t ON t.src = st.s
+      LEFT JOIN {prev} pv ON pv.s = t.dst AND pv.scen = sc.scen
+      GROUP BY sc.scen, st.s
+    )""")
+    tail = f"""
+    , base AS MATERIALIZED (
+      SELECT p AS p_base FROM p{k} WHERE scen = 'none' AND s = 'start'
+    )
+    SELECT f.scen AS channel,
+           ROUND(base.p_base, 6) AS base_conv_prob,
+           ROUND(base.p_base - f.p, 6) AS removal_drop,
+           ROUND((base.p_base - f.p)
+                 / SUM(base.p_base - f.p) OVER (), 6) AS credit_share
+    FROM p{k} f CROSS JOIN base
+    WHERE f.scen <> 'none' AND f.s = 'start'
+    """
+    return head + "," + ",".join(stages) + tail
+
+
+@register(
+    "attribution_markov_removal",
+    _markov_attr_oracle(),
+    doc="Markov removal-effect attribution (Anderl et al., the "
+        "data-driven alternative to position rules like "
+        "attribution_linear_credit): user journeys truncated at "
+        "first purchase become a first-order chain with absorbing "
+        "conv/null states; each channel's credit is how much the "
+        "start->conv absorption probability DROPS when that "
+        "channel is knocked out (made absorbing at 0), normalized "
+        "into shares. Absorption is computed as 24-step bounded-"
+        "horizon power iteration - and ALL removal scenarios "
+        "iterate JOINTLY as a (scenario x state) vector of ~35 "
+        "rows, so one loop prices every knockout (the scenario "
+        "dimension is the same trick as the lag dimension in the "
+        "correlation scans). Spark iterates 24 localCheckpoint'd "
+        "tiny joins (the k-core discipline); the oracle UNROLLS "
+        "the same 24 stages as generated CTEs because SQL "
+        "recursion cannot aggregate. Journey-building is one "
+        "window pass; the chain itself is dimension-sized forever",
+)
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    fp = ev.filter(F.col("event_type") == "purchase").groupBy(
+        F.col("user_id").alias("fu")
+    ).agg(F.min("ts").alias("fpts"))
+    j = (
+        ev.join(fp, F.col("fu") == F.col("user_id"), "left")
+        .filter(F.col("fpts").isNull() | (F.col("ts") <= F.col("fpts")))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", "conv")
+            .otherwise(F.col("event_type"))
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = j.select(
+        "s",
+        F.lead("s").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    trans_raw = (
+        seq.filter(F.col("s") != "conv")
+        .select(
+            F.col("s").alias("src"),
+            F.coalesce(F.col("nxt"), F.lit("null")).alias("dst"),
+        )
+        .unionByName(
+            seq.filter(F.col("rn") == 1).select(
+                F.lit("start").alias("src"), F.col("s").alias("dst")
+            )
+        )
+    )
+    wsrc = Window.partitionBy("src")
+    t = (
+        trans_raw.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "src",
+            "dst",
+            (F.col("c").cast("double") / F.sum("c").over(wsrc)).alias(
+                "p"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    states = (
+        t.select(F.col("src").alias("s"))
+        .unionByName(t.select(F.col("dst").alias("s")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    channels = (
+        t.select("src")
+        .distinct()
+        .filter(~F.col("src").isin("start", "conv", "null"))
+    )
+    scen = (
+        spark.createDataFrame([("none",)], "scen string")
+        .unionByName(channels.select(F.col("src").alias("scen")))
+        .localCheckpoint(eager=True)
+    )
+    p = scen.crossJoin(states).select(
+        "scen",
+        "s",
+        F.when(F.col("s") == "conv", 1.0).otherwise(0.0).alias("p"),
+    ).localCheckpoint(eager=True)
+    for _ in range(24):
+        stepped = (
+            scen.crossJoin(states)
+            .join(
+                t.withColumnRenamed("src", "ts_src"),
+                F.col("ts_src") == F.col("s"),
+                "left",
+            )
+            .join(
+                p.select(
+                    F.col("scen").alias("ps"),
+                    F.col("s").alias("pt"),
+                    F.col("p").alias("pv"),
+                ),
+                (F.col("pt") == F.col("dst"))
+                & (F.col("ps") == F.col("scen")),
+                "left",
+            )
+            .groupBy("scen", "s")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("p") * F.col("pv")), F.lit(0.0)
+                ).alias("acc")
+            )
+            .select(
+                "scen",
+                "s",
+                F.when(F.col("s") == "conv", 1.0)
+                .when(
+                    (F.col("s") == "null")
+                    | (F.col("s") == F.col("scen")),
+                    0.0,
+                )
+                .otherwise(F.col("acc"))
+                .alias("p"),
+            )
+        )
+        p = stepped.localCheckpoint(eager=True)
+    base = p.filter(
+        (F.col("scen") == "none") & (F.col("s") == "start")
+    ).select(F.col("p").alias("p_base"))
+    removed = p.filter(
+        (F.col("scen") != "none") & (F.col("s") == "start")
+    )
+    wall = Window.partitionBy()
+    drop = F.col("p_base") - F.col("p")
+    return removed.crossJoin(F.broadcast(base)).select(
+        F.col("scen").alias("channel"),
+        F.round("p_base", 6).alias("base_conv_prob"),
+        F.round(drop, 6).alias("removal_drop"),
+        F.round(drop / F.sum(drop).over(wall), 6).alias("credit_share"),
     )
