@@ -22488,3 +22488,302 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(drop, 6).alias("removal_drop"),
         F.round(drop / F.sum(drop).over(wall), 6).alias("credit_share"),
     )
+
+
+@register(
+    "ml_boosted_stumps",
+    """
+    WITH d AS (
+      SELECT o_totalprice AS x, c_acctbal AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    grid AS (SELECT CAST(unnest(range(1, 9)) * 50000 AS DOUBLE) AS t),
+    c1 AS (
+      SELECT g.t,
+             SUM(CASE WHEN d.x <= g.t THEN d.y ELSE 0 END) AS sl,
+             SUM(CASE WHEN d.x <= g.t THEN d.y * d.y ELSE 0 END) AS ql,
+             SUM(CASE WHEN d.x <= g.t THEN 1 ELSE 0 END) AS nl,
+             SUM(CASE WHEN d.x > g.t THEN d.y ELSE 0 END) AS sr,
+             SUM(CASE WHEN d.x > g.t THEN d.y * d.y ELSE 0 END) AS qr,
+             SUM(CASE WHEN d.x > g.t THEN 1 ELSE 0 END) AS nr
+      FROM d CROSS JOIN grid g
+      GROUP BY g.t
+    ),
+    b1 AS (
+      SELECT t, sl / nl AS ml, sr / nr AS mr,
+             ROW_NUMBER() OVER (ORDER BY
+               round(ql - sl * sl / nl + qr - sr * sr / nr), t) AS rk
+      FROM c1 WHERE nl > 0 AND nr > 0
+    ),
+    s1 AS (SELECT t, ml, mr FROM b1 WHERE rk = 1),
+    r AS (
+      SELECT d.x,
+             d.y - CASE WHEN d.x <= s1.t THEN s1.ml ELSE s1.mr END AS y
+      FROM d CROSS JOIN s1
+    ),
+    c2 AS (
+      SELECT g.t,
+             SUM(CASE WHEN r.x <= g.t THEN r.y ELSE 0 END) AS sl,
+             SUM(CASE WHEN r.x <= g.t THEN r.y * r.y ELSE 0 END) AS ql,
+             SUM(CASE WHEN r.x <= g.t THEN 1 ELSE 0 END) AS nl,
+             SUM(CASE WHEN r.x > g.t THEN r.y ELSE 0 END) AS sr,
+             SUM(CASE WHEN r.x > g.t THEN r.y * r.y ELSE 0 END) AS qr,
+             SUM(CASE WHEN r.x > g.t THEN 1 ELSE 0 END) AS nr
+      FROM r CROSS JOIN grid g
+      GROUP BY g.t
+    ),
+    b2 AS (
+      SELECT t, sl / nl AS ml, sr / nr AS mr,
+             ROW_NUMBER() OVER (ORDER BY
+               round(ql - sl * sl / nl + qr - sr * sr / nr), t) AS rk
+      FROM c2 WHERE nl > 0 AND nr > 0
+    ),
+    s2 AS (SELECT t, ml, mr FROM b2 WHERE rk = 1),
+    fin AS (
+      SELECT r.y - CASE WHEN r.x <= s2.t THEN s2.ml ELSE s2.mr END
+               AS resid
+      FROM r CROSS JOIN s2
+    )
+    SELECT (SELECT ROUND(t, 2) FROM s1) AS split1,
+           (SELECT ROUND(t, 2) FROM s2) AS split2,
+           (SELECT ROUND(ml, 4) FROM s1) AS left1,
+           (SELECT ROUND(mr, 4) FROM s1) AS right1,
+           ROUND(sqrt(AVG(resid * resid)), 4) AS rmse_after_2_rounds
+    FROM fin
+    """,
+    doc="Gradient boosting with depth-1 stumps, two rounds, squared "
+        "loss - distributed boosting reduced to its true shape: "
+        "each round is ONE aggregate that scores EVERY candidate "
+        "split simultaneously (conditional sums per grid threshold "
+        "- the histogram trick XGBoost/LightGBM build on), a "
+        "1-row argmin broadcast, and a residual projection; no "
+        "per-split passes, no driver loops. Split selection "
+        "compares SSE via the sum-of-squares identity on integer-"
+        "scaled candidate stats, ROUNDED to unit precision before "
+        "the argmin so engines cannot disagree at float ties "
+        "(thresholds tie-break the rounded order). Chosen splits, "
+        "leaf values, and post-boost RMSE stamped. At 100 TB the "
+        "grid comes from approx quantiles and rounds stay "
+        "single-aggregate each",
+)
+def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    d = cat.orders.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_acctbal")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("o_totalprice").alias("x"), F.col("c_acctbal").alias("y")
+    )
+    grid = spark.range(1, 9).select(
+        (F.col("id") * 50000).cast("double").alias("t")
+    )
+
+    def best_split(df: DataFrame) -> DataFrame:
+        le = F.col("x") <= F.col("t")
+        c = (
+            df.crossJoin(F.broadcast(grid))
+            .groupBy("t")
+            .agg(
+                F.sum(F.when(le, F.col("y")).otherwise(0.0)).alias("sl"),
+                F.sum(
+                    F.when(le, F.col("y") * F.col("y")).otherwise(0.0)
+                ).alias("ql"),
+                F.sum(F.when(le, 1).otherwise(0)).alias("nl"),
+                F.sum(F.when(~le, F.col("y")).otherwise(0.0)).alias("sr"),
+                F.sum(
+                    F.when(~le, F.col("y") * F.col("y")).otherwise(0.0)
+                ).alias("qr"),
+                F.sum(F.when(~le, 1).otherwise(0)).alias("nr"),
+            )
+            .filter((F.col("nl") > 0) & (F.col("nr") > 0))
+        )
+        sse = F.round(
+            F.col("ql")
+            - F.col("sl") * F.col("sl") / F.col("nl")
+            + F.col("qr")
+            - F.col("sr") * F.col("sr") / F.col("nr")
+        )
+        w = Window.orderBy(sse, F.col("t"))
+        return (
+            c.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "t",
+                (F.col("sl") / F.col("nl")).alias("ml"),
+                (F.col("sr") / F.col("nr")).alias("mr"),
+            )
+        )
+
+    s1 = best_split(d).localCheckpoint(eager=True)
+    r = d.crossJoin(F.broadcast(s1)).select(
+        "x",
+        (
+            F.col("y")
+            - F.when(F.col("x") <= F.col("t"), F.col("ml")).otherwise(
+                F.col("mr")
+            )
+        ).alias("y"),
+    )
+    s2 = best_split(r).localCheckpoint(eager=True)
+    fin = r.crossJoin(
+        F.broadcast(
+            s2.select(
+                F.col("t").alias("t2"),
+                F.col("ml").alias("ml2"),
+                F.col("mr").alias("mr2"),
+            )
+        )
+    ).select(
+        (
+            F.col("y")
+            - F.when(
+                F.col("x") <= F.col("t2"), F.col("ml2")
+            ).otherwise(F.col("mr2"))
+        ).alias("resid")
+    )
+    row1 = s1.select(
+        F.round("t", 2).alias("split1"),
+        F.round("ml", 4).alias("left1"),
+        F.round("mr", 4).alias("right1"),
+    )
+    row2 = s2.select(F.round("t", 2).alias("split2"))
+    return (
+        fin.agg(
+            F.round(
+                F.sqrt(F.avg(F.col("resid") * F.col("resid"))), 4
+            ).alias("rmse_after_2_rounds")
+        )
+        .crossJoin(F.broadcast(row1))
+        .crossJoin(F.broadcast(row2))
+        .select(
+            "split1", "split2", "left1", "right1",
+            "rmse_after_2_rounds",
+        )
+    )
+
+
+@register(
+    "events_slo_error_budget",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS errs
+      FROM events GROUP BY 1
+    ),
+    rates AS (
+      SELECT d, CAST(n AS BIGINT) AS n_events,
+             CAST(errs AS DOUBLE) / n AS err_rate,
+             (CAST(errs AS DOUBLE) / n) / 0.01 AS burn_rate
+      FROM daily
+    )
+    SELECT d, n_events,
+           ROUND(err_rate, 6) AS err_rate,
+           ROUND(burn_rate, 4) AS burn_rate,
+           ROUND(SUM(burn_rate / 30.0) OVER (ORDER BY d), 4)
+             AS budget_consumed_frac,
+           burn_rate > 14.4 AS fast_burn_alert
+    FROM rates
+    """,
+    doc="SRE error-budget accounting for a 99% success SLO over a "
+        "30-day window: daily error rate, burn rate (rate / budget "
+        "rate - burn 1.0 exhausts the budget exactly at window "
+        "end), cumulative budget consumed, and the Google-SRE "
+        "fast-burn page threshold (14.4x = 2% of a 30-day budget "
+        "in one hour, scaled here to the daily grain). Exact "
+        "integer ratios through one day-grain combinable "
+        "aggregate and a day-dimension cumsum; the alert boolean "
+        "compares an exact ratio against an exact constant. The "
+        "budget arithmetic is the entire operator - which is the "
+        "point: SLO reporting is a query, not a service",
+)
+def events_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("event_type") == "error").alias("errs"),
+    )
+    err_rate = F.col("errs").cast("double") / F.col("n")
+    burn = err_rate / 0.01
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    rates = daily.select(
+        "d",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(err_rate, 6).alias("err_rate"),
+        F.round(burn, 4).alias("burn_rate"),
+        burn.alias("__burn"),
+    )
+    return rates.select(
+        "d",
+        "n_events",
+        "err_rate",
+        "burn_rate",
+        F.round(
+            F.sum(F.col("__burn") / 30.0).over(w), 4
+        ).alias("budget_consumed_frac"),
+        (F.col("__burn") > 14.4).alias("fast_burn_alert"),
+    )
+
+
+@register(
+    "customer_existence_profile",
+    """
+    WITH f AS (
+      SELECT c_custkey,
+             MAX(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+               AS has_orders,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS has_urgent,
+             MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+               AS has_1996
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1
+    )
+    SELECT has_orders, has_urgent, has_1996,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM f GROUP BY 1, 2, 3
+    """,
+    doc="Existence profile: three EXISTS-style flags (any order / any "
+        "urgent order / any 1996 order) computed in ONE left join + "
+        "conditional MAX aggregate instead of three separate "
+        "semi-joins - at 100 TB that is one shuffle of the fact "
+        "table versus three, the standard rewrite for multi-"
+        "predicate existence dashboards (each flag is a "
+        "combinable MAX of a 0/1). Output is the 2^3 cell census "
+        "over flag combinations; nesting (has_urgent implies "
+        "has_orders) is visible in which cells are populated. "
+        "Exact integers",
+)
+def customer_existence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    f = (
+        cat.customer.select("c_custkey")
+        .join(
+            cat.orders.select(
+                "o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)
+            ).alias("has_orders"),
+            F.max(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT", 1
+                ).otherwise(0)
+            ).alias("has_urgent"),
+            F.max(
+                F.when(F.year("o_orderdate") == 1996, 1).otherwise(0)
+            ).alias("has_1996"),
+        )
+    )
+    return f.groupBy("has_orders", "has_urgent", "has_1996").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
