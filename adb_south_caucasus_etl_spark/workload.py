@@ -23070,3 +23070,125 @@ def inventory_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_lead", 4).alias("avg_lead_days"),
         F.round(rop, 2).alias("reorder_point"),
     )
+
+
+@register(
+    "multimodal_frame_dup_rate",
+    """
+    -- same ASCII byte==char equivalence note as multimodal_frame_sample
+    WITH i AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(0,
+               CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)))
+               AS INTEGER) AS frame_idx
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, md5(substring(text, frame_idx * 64 + 1, 64)) AS h
+      FROM i
+    ),
+    g AS (
+      SELECT h, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS n_docs
+      FROM f GROUP BY 1
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_frames,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6)
+             AS dup_rate,
+           CAST(MAX(c) AS BIGINT) AS hottest_frame_count,
+           CAST(COUNT(*) FILTER (WHERE n_docs > 1) AS BIGINT)
+             AS frames_shared_across_docs
+    FROM g
+    """,
+    doc="Frame-level duplication census over the chunked binary "
+        "payload (all 64-byte frames, no stride): dedup rate, the "
+        "hottest frame's multiplicity, and how many distinct frames "
+        "recur ACROSS documents - the video/image analog of span-"
+        "grain corpus dedup (dedup_span_corpus), where repeated "
+        "intros/watermarks/silence show up as cross-document frame "
+        "hits before any decoder runs. Fingerprints are md5 of "
+        "frame bytes (content-exact, the multimodal_frame_sample "
+        "projection); one frame-grain combinable count then a "
+        "5-number reduce. At 100 TB the same census runs per shard "
+        "and merges by hash - the pre-filter that decides whether "
+        "expensive perceptual dedup is even worth scheduling",
+)
+def multimodal_frame_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames, with_binary_payload
+
+    docs = Catalog(spark, sf_dir).documents
+    frames = sample_frames(
+        with_binary_payload(docs), frame_bytes=64, stride=1
+    )
+    g = frames.select(
+        "doc_id", F.md5("frame").alias("h")
+    ).groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return g.agg(
+        F.sum("c").cast("bigint").alias("n_frames"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_frames"),
+        F.round(
+            F.lit(1.0)
+            - F.count(F.lit(1)).cast("double") / F.sum("c"),
+            6,
+        ).alias("dup_rate"),
+        F.max("c").cast("bigint").alias("hottest_frame_count"),
+        F.count_if(F.col("n_docs") > 1)
+        .cast("bigint")
+        .alias("frames_shared_across_docs"),
+    )
+
+
+@register(
+    "text_hapax_rate",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           ROUND(CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_vocab_rate,
+           ROUND(CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE)
+                 / SUM(c), 6) AS hapax_token_rate
+    FROM cnt
+    """,
+    doc="Hapax legomena rate - the fraction of vocabulary occurring "
+        "exactly once (natural corpora: ~40-60% of vocab; OCR noise "
+        "and mojibake inflate it, templated/synthetic text "
+        "collapses it) - the third corpus-shape diagnostic beside "
+        "Zipf slope and Heaps beta, and the cheapest: one "
+        "token-grain combinable count and a 5-number reduce, no "
+        "windows at all. Exact integer ratios at 6dp",
+)
+def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+            )
+        ).alias("t")
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    hap = F.count_if(F.col("c") == 1)
+    return cnt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        hap.cast("bigint").alias("n_hapax"),
+        F.round(
+            hap.cast("double") / F.count(F.lit(1)), 6
+        ).alias("hapax_vocab_rate"),
+        F.round(hap.cast("double") / F.sum("c"), 6).alias(
+            "hapax_token_rate"
+        ),
+    )
