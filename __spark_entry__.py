@@ -35,30 +35,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return cube_flagship_revenue(spark, SF0001)
 
 
-def _stamp_counts() -> dict[str, int]:
-    """How many driver correctness rows each query has accumulated.
+def _stamp_state() -> tuple[dict[str, int], set[str]]:
+    """Per-query driver-stamp count plus the set of latest-stamp-red queries.
 
     A stamp is any row in a CORRECTNESS_r*.json — green, rows-only
-    (err == 'no_oracle'), or even red: the point is the driver has looked,
-    so the window should prefer queries it has never seen.
+    (err == 'no_oracle'), or red: the point is the driver has looked.
+    A row is *red* when it errored (other than the declared no-oracle
+    sentinel) or any of the match flags came back False; a query is
+    latest-red when its most recent stamp is red — those must re-enter
+    the window immediately so fixes get re-verified next round instead
+    of waiting behind the never-stamped backlog.
     """
     counts: dict[str, int] = {}
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
             with open(path, encoding="utf-8") as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        if isinstance(rows, dict):
-            for name in rows:
-                counts[name] = counts.get(name, 0) + 1
-    return counts
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            counts[name] = counts.get(name, 0) + 1
+            red = False
+            if isinstance(row, dict):
+                err = row.get("err")
+                if err not in (None, "no_oracle"):
+                    red = True
+                for flag in ("rows_match", "schema_match", "hash_match"):
+                    if row.get(flag) is False:
+                        red = True
+            latest[name] = red
+    return counts, {name for name, red in latest.items() if red}
 
 
 def _ordered_names() -> list[str]:
-    counts = _stamp_counts()
+    counts, reds = _stamp_state()
     reg_order = {name: i for i, name in enumerate(WORKLOAD)}
-    return sorted(WORKLOAD, key=lambda n: (counts.get(n, 0), reg_order[n]))
+    return sorted(
+        WORKLOAD,
+        key=lambda n: (n not in reds, counts.get(n, 0), reg_order[n]),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

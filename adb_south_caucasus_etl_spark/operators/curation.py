@@ -404,6 +404,120 @@ def global_ordinal(
         parted.unpersist(blocking=False)
 
 
+def global_running_agg(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running",
+    agg: str = "sum",
+    n_partitions: int = 32,
+    include_current: bool = True,
+) -> DataFrame:
+    """Distributed running aggregate (``SUM``/``MAX`` ... OVER (ORDER BY
+    ...)) without the single-partition window — the prefix-scan sibling of
+    :func:`global_ordinal` and the scale spelling for cumulative revenue
+    (ABC/Pareto curves), rank-weighted sums (Gini), and skyline running
+    maxima.
+
+    Same two-phase shape: ``repartitionByRange`` on the order key so
+    partition ``i``'s keys all precede partition ``i+1``'s, a parallel
+    per-partition window PARTITIONED BY the physical partition id, and a
+    p-row offset manifest (each partition's TOTAL, prefix-combined on the
+    driver — bounded control-plane collect) merged back in:
+    ``running = combine(offset[pid], within_partition_running)``.
+
+    ``include_current=False`` gives the strictly-preceding frame
+    (``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``): NULL when no
+    row precedes globally — what skyline dominance checks need.
+    ``order_cols`` must form a total order (include a unique tiebreak) for
+    run-to-run determinism, exactly as with ``global_ordinal``.
+    """
+    from pyspark.sql import Window
+
+    if agg not in ("sum", "max"):
+        raise ValueError(f"unsupported running agg {agg!r}")
+    fagg = F.sum if agg == "sum" else F.max
+    parted = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parted = parted.persist()
+    try:
+        totals = {
+            r["__pid"]: r["t"]
+            for r in parted.groupBy("__pid")
+            .agg(fagg(value_col).alias("t"))
+            .collect()
+        }
+        # prefix-combine partition totals on the driver: offset[pid] is the
+        # aggregate of every EARLIER partition (None when there is none)
+        offsets, acc = {}, None
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            t = totals[pid]
+            if acc is None:
+                acc = t
+            elif t is not None:
+                acc = acc + t if agg == "sum" else max(acc, t)
+        w = (
+            Window.partitionBy("__pid")
+            .orderBy(*order_cols)
+            .rowsBetween(
+                Window.unboundedPreceding, 0 if include_current else -1
+            )
+        )
+        within = fagg(value_col).over(w)
+        tmp = parted.withColumn("__within", within)
+        vtype = tmp.schema["__within"].dataType
+        off = None
+        for pid in sorted(offsets):
+            lit = F.lit(offsets[pid]).cast(vtype)
+            cond = F.col("__pid") == F.lit(pid)
+            off = F.when(cond, lit) if off is None else off.when(cond, lit)
+        off = off.otherwise(F.lit(None).cast(vtype)) if off is not None else (
+            F.lit(None).cast(vtype)
+        )
+        if agg == "sum":
+            merged = F.when(
+                F.col("__within").isNull() & off.isNull(),
+                F.lit(None).cast(vtype),
+            ).otherwise(
+                F.coalesce(F.col("__within"), F.lit(0).cast(vtype))
+                + F.coalesce(off, F.lit(0).cast(vtype))
+            )
+        else:
+            # greatest() skips NULLs and returns NULL only when both are —
+            # exactly the no-preceding-row-globally semantics
+            merged = F.greatest(F.col("__within"), off)
+        return (
+            tmp.withColumn(out_col, merged)
+            .drop("__pid", "__within")
+        )
+    finally:
+        parted.unpersist(blocking=False)
+
+
+def ntile_from_ordinal(rn, n, k: int):
+    """Exact ``NTILE(k)`` bucket from a 1-based global ordinal ``rn`` and
+    total count ``n`` (both Columns) — the distributed NTILE: pair with
+    :func:`global_ordinal` instead of an unpartitioned window.
+
+    Standard NTILE semantics: with ``q = n div k`` and ``r = n mod k``,
+    the first ``r`` buckets hold ``q+1`` rows and the rest ``q`` — which
+    both Spark's and DuckDB's NTILE implement, so the result is
+    oracle-exact against a real NTILE over the same total order.
+    """
+    q = F.floor(n / k)
+    r = n % k
+    head = r * (q + 1)
+    # greatest(q,1) only guards the branch ANSI-eval never selects when
+    # q=0 (n<k puts every row in the first-r-buckets branch)
+    return (
+        F.when(rn <= head, F.ceil(rn / (q + 1)))
+        .otherwise(r + F.ceil((rn - head) / F.greatest(q, F.lit(1))))
+        .cast("int")
+    )
+
+
 def span_corruption_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

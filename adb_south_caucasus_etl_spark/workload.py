@@ -6220,10 +6220,10 @@ def sql_parameterized_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     packed AS (
       SELECT doc_id, shard, n_tokens,
-             SUM(n_tokens) OVER (
+             CAST(SUM(n_tokens) OVER (
                PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_tokens
+               AS BIGINT) AS cum_tokens
       FROM toks
     )
     SELECT doc_id, shard, n_tokens,
@@ -6249,7 +6249,9 @@ def curation_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     shard = md5_bucket("doc_id", 4)
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    # BIGINT to match the oracle's len() dtype (r05 hash mismatch was
+    # INT32-vs-INT64 on this one column).
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
     toks = docs.select(
         "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
     )
@@ -12764,7 +12766,9 @@ def source_federated_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events, md
     ),
     masks AS (
-      SELECT user_id, SUM(CAST(1 AS BIGINT) << bit) AS day_mask FROM ud
+      SELECT user_id,
+             CAST(SUM(CAST(1 AS BIGINT) << bit) AS BIGINT) AS day_mask
+      FROM ud
       GROUP BY 1
     )
     SELECT user_id, day_mask,

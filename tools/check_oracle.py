@@ -56,6 +56,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
+def kinds_compatible(s_kind: str, d_kind: str) -> bool:
+    """Dtype KINDS that survive the driver's stringify-hash (see
+    tests/test_dtype_parity.py): int-width and date-vs-datetime diffs are
+    proven benign; int-vs-float is the class that red-stamps."""
+    if s_kind == d_kind:
+        return True
+    if s_kind in ("i", "u") and d_kind in ("i", "u"):
+        return True
+    return s_kind == "O" and d_kind == "M"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -64,6 +75,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if s_cols != d_cols:
         problems.append(f"columns spark={s_cols} duck={d_cols}")
         return problems
+    for c in s_cols:
+        sk, dk = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        if not kinds_compatible(sk, dk):
+            problems.append(
+                f"dtype kind mismatch in {c!r}: spark={spark_pdf[c].dtype} "
+                f"duck={duck_pdf[c].dtype} (int-vs-float red-stamps "
+                "driver-side even when values match)"
+            )
     a, b = canon(spark_pdf), canon(duck_pdf)
     if len(a) == len(b):
         for c in a.columns:
