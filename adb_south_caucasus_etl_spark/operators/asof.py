@@ -92,19 +92,36 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    mts = "__asof_mts"
-    rts_src = F.when(F.col(_TAG) == 0, F.col(_TS))
-    filled = unioned.withColumns(
-        {c: F.last(c, ignorenulls=True).over(w) for c in payload}
-        | {mts: F.last(rts_src, ignorenulls=True).over(w)}
-    ).filter(F.col(_TAG) == 1)
+    # Carry the matched right ROW as one struct (ts + every payload column)
+    # and unpack after the window: a right row's struct is never null, so
+    # last(ignorenulls) picks the match atomically. Carrying columns
+    # individually would let a STALER row's value survive wherever the
+    # matched row holds NULL in that column — payload and matched-ts could
+    # then come from different rows, breaking pd.merge_asof parity (and,
+    # under tolerance, validating the wrong row's distance).
+    pk = "__asof_pack"
+    pack = F.when(
+        F.col(_TAG) == 0,
+        F.struct(
+            F.col(_TS).alias("mts"), *[F.col(c).alias(c) for c in payload]
+        ),
+    )
+    filled = (
+        unioned.withColumn(pk, F.last(pack, ignorenulls=True).over(w))
+        .filter(F.col(_TAG) == 1)
+    )
+    matched = F.col(pk)
     if tolerance_s is not None:
-        gap = F.abs(F.unix_micros(F.col(_TS)) - F.unix_micros(F.col(mts)))
-        in_tol = gap <= int(tolerance_s * 1_000_000)
-        filled = filled.withColumns(
-            {c: F.when(in_tol, F.col(c)) for c in payload}
+        # cast-through-timestamp keeps unix_micros applicable to
+        # TIMESTAMP_NTZ inputs; the session-tz shift cancels in the gap
+        gap = F.abs(
+            F.unix_micros(F.col(_TS).cast("timestamp"))
+            - F.unix_micros(matched["mts"].cast("timestamp"))
         )
-    return filled.drop(_TAG, _TS, mts)
+        matched = F.when(gap <= int(tolerance_s * 1_000_000), matched)
+    return filled.withColumns(
+        {c: matched[c] for c in payload}
+    ).drop(_TAG, _TS, pk)
 
 
 def _asof_nearest(
@@ -140,14 +157,13 @@ def _asof_nearest(
             "rename before joining"
         )
 
-    rts = "__asof_rts"
     l_tagged = left.withColumns(
-        {_TS: F.col(left_ts), _TAG: F.lit(1), rts: F.lit(None).cast("timestamp")}
+        {_TS: F.col(left_ts), _TAG: F.lit(1)}
         | {c: F.lit(None).cast(right.schema[c].dataType) for c in payload}
     )
     r_tagged = right.withColumns(
-        {_TS: F.col(right_ts), _TAG: F.lit(0), rts: F.col(right_ts)}
-    ).select(*keys, _TS, _TAG, rts, *payload)
+        {_TS: F.col(right_ts), _TAG: F.lit(0)}
+    ).select(*keys, _TS, _TAG, *payload)
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     wb = (
@@ -160,58 +176,50 @@ def _asof_nearest(
         .orderBy(F.col(_TS).desc(), F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # each direction carries its candidate right ROW as one atomic struct
+    # (ts + payload) — see asof_join for why per-column carrying is wrong
+    pack = F.when(
+        F.col(_TAG) == 0,
+        F.struct(
+            F.col(_TS).alias("mts"), *[F.col(c).alias(c) for c in payload]
+        ),
+    )
     both = unioned.withColumns(
-        {f"__bw_{c}": F.last(c, ignorenulls=True).over(wb) for c in payload}
-        | {f"__fw_{c}": F.last(c, ignorenulls=True).over(wf) for c in payload}
-        | {
-            "__bw_ts": F.last(rts, ignorenulls=True).over(wb),
-            "__fw_ts": F.last(rts, ignorenulls=True).over(wf),
+        {
+            "__bw": F.last(pack, ignorenulls=True).over(wb),
+            "__fw": F.last(pack, ignorenulls=True).over(wf),
         }
     ).filter(F.col(_TAG) == 1)
 
-    bw_gap = F.unix_micros(F.col(_TS)) - F.unix_micros(F.col("__bw_ts"))
-    fw_gap = F.unix_micros(F.col("__fw_ts")) - F.unix_micros(F.col(_TS))
+    def _micros(col):
+        # cast-through-timestamp keeps unix_micros applicable to
+        # TIMESTAMP_NTZ inputs; the session-tz shift cancels in the gaps
+        return F.unix_micros(col.cast("timestamp"))
+
+    bw, fw = F.col("__bw"), F.col("__fw")
+    bw_gap = _micros(F.col(_TS)) - _micros(bw["mts"])
+    fw_gap = _micros(fw["mts"]) - _micros(F.col(_TS))
     if tolerance_s is not None:
         tol = int(tolerance_s * 1_000_000)
+        # null the whole candidate: an out-of-tolerance row must not leak
+        # its values into the pick
         both = both.withColumns(
-            # null the payload alongside the marker: an out-of-tolerance
-            # candidate must not leak its carried values into the pick
             {
-                f"__bw_{c}": F.when(bw_gap <= tol, F.col(f"__bw_{c}"))
-                for c in payload
-            }
-            | {
-                f"__fw_{c}": F.when(fw_gap <= tol, F.col(f"__fw_{c}"))
-                for c in payload
-            }
-            | {
-                "__bw_ts": F.when(bw_gap <= tol, F.col("__bw_ts")),
-                "__fw_ts": F.when(fw_gap <= tol, F.col("__fw_ts")),
+                "__bw": F.when(bw_gap <= tol, bw),
+                "__fw": F.when(fw_gap <= tol, fw),
             }
         )
     # backward wins ties and wherever forward is absent
-    use_bw = F.col("__fw_ts").isNull() | (
-        F.col("__bw_ts").isNotNull() & (bw_gap <= fw_gap)
-    )
+    use_bw = fw.isNull() | (bw.isNotNull() & (bw_gap <= fw_gap))
+    winner = F.when(use_bw, bw).otherwise(fw)
     picked = both.withColumns(
-        {
-            c: F.when(use_bw, F.col(f"__bw_{c}")).otherwise(
-                F.col(f"__fw_{c}")
-            )
-            for c in payload
-        }
+        {c: winner[c] for c in payload}
         | {
             "__asof_dir": F.when(
-                F.col("__bw_ts").isNull() & F.col("__fw_ts").isNull(),
-                F.lit(None).cast("string"),
+                bw.isNull() & fw.isNull(), F.lit(None).cast("string")
             )
             .when(use_bw, F.lit("backward"))
             .otherwise(F.lit("forward"))
         }
     )
-    drop = (
-        [_TAG, _TS, rts, "__bw_ts", "__fw_ts"]
-        + [f"__bw_{c}" for c in payload]
-        + [f"__fw_{c}" for c in payload]
-    )
-    return picked.drop(*drop)
+    return picked.drop(_TAG, _TS, "__bw", "__fw")

@@ -353,9 +353,25 @@ def global_ordinal(
        ``i`` holds keys strictly below partition ``i+1``'s.
     2. A per-partition ``row_number`` window PARTITIONED BY the physical
        partition id (parallel — p independent sorts of n/p rows), plus a
-       p-row offset manifest (count per partition, cumulated on the
-       driver — bounded control-plane collect, p rows regardless of data
-       size) broadcast back. ``position = offset[pid] + local_rank``.
+       p-row offset manifest (count per partition, prefix-summed over a
+       p-row window — bounded grain regardless of data size) broadcast-
+       joined back. ``position = offset[pid] + local_rank``.
+
+    The offsets branch and the rank branch MUST read the identical
+    physical partitioning: range-boundary SAMPLING is nondeterministic
+    per execution, so any design that lets the two branches recompute the
+    exchange independently is silently wrong. The pre-r06 persist+collect
+    design had exactly that hole (after unpersist, a recompute resampled
+    boundaries and every ordinal past partition 0 skewed at sf0.1), and
+    relying on Catalyst's ReuseExchange is not enough either — reuse
+    stops firing when the primitive is NESTED (chained ordinals, the RFM
+    triple-rank), which re-executes the inner exchange per branch. The
+    hard guarantee is ``localCheckpoint``: lineage is TRUNCATED, so every
+    consumer must read the one materialized copy — recompute divergence
+    is structurally impossible. (On a multi-node deployment swap for a
+    reliable ``checkpoint`` dir or DISK-replicated persist; the shape —
+    materialize the range-partitioned table once, then two cheap reads —
+    is the same at 100 TB.)
 
     Because the range partitions are key-ordered and ``order_cols`` must
     form a total order (include a unique tiebreak!), the result equals the
@@ -365,50 +381,44 @@ def global_ordinal(
     """
     from pyspark.sql import Window
 
-    parted = df.repartitionByRange(n_partitions, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    parted = parted.persist()
-    try:
-        # bounded driver manifest: one row per partition
-        sizes = {
-            r["__pid"]: r["n"]
-            for r in parted.groupBy("__pid")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        offsets, acc = {}, 0
-        for pid in sorted(sizes):
-            offsets[pid] = acc
-            acc += sizes[pid]
-        off = F.create_map(
-            *[
-                F.lit(x)
-                for kv in sorted(offsets.items())
-                for x in kv
-            ]
+    # p-row offset manifest: count per partition, exclusive prefix sum.
+    # The unpartitioned window is BOUNDED grain (p rows, p = n_partitions).
+    woff = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parted.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off"),
         )
-        w = Window.partitionBy("__pid").orderBy(*order_cols)
-        out = parted.withColumn(
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        parted.join(F.broadcast(offsets), "__pid")
+        .withColumn(
             ordinal_col,
             (
-                off[F.col("__pid")].cast("bigint")
+                F.col("__off").cast("bigint")
                 + F.row_number().over(w).cast("bigint")
             ),
-        ).drop("__pid")
-        # materialize before unpersist so the lineage is satisfied lazily
-        return out
-    finally:
-        # deferred unpersist: blocking=False lets the returned plan still
-        # read cached blocks this action; eviction is safe either way
-        parted.unpersist(blocking=False)
+        )
+        .drop("__pid", "__off")
+    )
 
 
 def global_running_agg(
     df: DataFrame,
     order_cols: list,
-    value_col: str,
-    out_col: str = "running",
+    value_col,
+    out_col="running",
     agg: str = "sum",
     n_partitions: int = 32,
     include_current: bool = True,
@@ -419,81 +429,83 @@ def global_running_agg(
     (ABC/Pareto curves), rank-weighted sums (Gini), and skyline running
     maxima.
 
-    Same two-phase shape: ``repartitionByRange`` on the order key so
-    partition ``i``'s keys all precede partition ``i+1``'s, a parallel
-    per-partition window PARTITIONED BY the physical partition id, and a
-    p-row offset manifest (each partition's TOTAL, prefix-combined on the
-    driver — bounded control-plane collect) merged back in:
-    ``running = combine(offset[pid], within_partition_running)``.
+    Same one-plan shape as :func:`global_ordinal`: ``repartitionByRange``
+    on the order key so partition ``i``'s keys all precede partition
+    ``i+1``'s, a parallel per-partition window PARTITIONED BY the physical
+    partition id, and a p-row offset manifest (each partition's TOTAL,
+    exclusive-prefix-combined over a p-row bounded window) broadcast-
+    joined back in: ``running = combine(offset[pid], within_running)``.
+    The range-partitioned table is pinned with ``localCheckpoint`` so the
+    offsets branch and the scan branch cannot resample different range
+    boundaries — see global_ordinal's docstring for why anything weaker
+    (persist+collect, ReuseExchange) is silently wrong under recompute.
 
     ``include_current=False`` gives the strictly-preceding frame
     (``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``): NULL when no
     row precedes globally — what skyline dominance checks need.
     ``order_cols`` must form a total order (include a unique tiebreak) for
     run-to-run determinism, exactly as with ``global_ordinal``.
+
+    ``value_col``/``out_col`` may be lists to compute several running
+    aggregates over the SAME order in one pass (one checkpoint, one
+    manifest, one window sort) — a two-sample CDF needs two.
     """
     from pyspark.sql import Window
 
     if agg not in ("sum", "max"):
         raise ValueError(f"unsupported running agg {agg!r}")
     fagg = F.sum if agg == "sum" else F.max
-    parted = df.repartitionByRange(n_partitions, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col lengths differ")
+    parted = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    parted = parted.persist()
-    try:
-        totals = {
-            r["__pid"]: r["t"]
-            for r in parted.groupBy("__pid")
-            .agg(fagg(value_col).alias("t"))
-            .collect()
-        }
-        # prefix-combine partition totals on the driver: offset[pid] is the
-        # aggregate of every EARLIER partition (None when there is none)
-        offsets, acc = {}, None
-        for pid in sorted(totals):
-            offsets[pid] = acc
-            t = totals[pid]
-            if acc is None:
-                acc = t
-            elif t is not None:
-                acc = acc + t if agg == "sum" else max(acc, t)
-        w = (
-            Window.partitionBy("__pid")
-            .orderBy(*order_cols)
-            .rowsBetween(
-                Window.unboundedPreceding, 0 if include_current else -1
-            )
+    # p-row offset manifest: per-partition totals, exclusive prefix combine
+    # (NULL when no partition precedes). Bounded grain: p rows.
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parted.groupBy("__pid")
+        .agg(*[fagg(v).alias(f"__t{i}") for i, v in enumerate(value_cols)])
+        .select(
+            "__pid",
+            *[
+                fagg(f"__t{i}").over(woff).alias(f"__off{i}")
+                for i in range(len(value_cols))
+            ],
         )
-        within = fagg(value_col).over(w)
-        tmp = parted.withColumn("__within", within)
-        vtype = tmp.schema["__within"].dataType
-        off = None
-        for pid in sorted(offsets):
-            lit = F.lit(offsets[pid]).cast(vtype)
-            cond = F.col("__pid") == F.lit(pid)
-            off = F.when(cond, lit) if off is None else off.when(cond, lit)
-        off = off.otherwise(F.lit(None).cast(vtype)) if off is not None else (
-            F.lit(None).cast(vtype)
-        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0 if include_current else -1)
+    )
+    tmp = parted.join(F.broadcast(offsets), "__pid")
+    drop = ["__pid"]
+    for i, (vcol, ocol) in enumerate(zip(value_cols, out_cols)):
+        tmp = tmp.withColumn(f"__within{i}", fagg(vcol).over(w))
+        vtype = tmp.schema[f"__within{i}"].dataType
+        within = F.col(f"__within{i}")
+        off = F.col(f"__off{i}").cast(vtype)
         if agg == "sum":
             merged = F.when(
-                F.col("__within").isNull() & off.isNull(),
-                F.lit(None).cast(vtype),
+                within.isNull() & off.isNull(), F.lit(None).cast(vtype)
             ).otherwise(
-                F.coalesce(F.col("__within"), F.lit(0).cast(vtype))
-                + F.coalesce(off, F.lit(0).cast(vtype))
+                (
+                    F.coalesce(within, F.lit(0).cast(vtype))
+                    + F.coalesce(off, F.lit(0).cast(vtype))
+                ).cast(vtype)
             )
         else:
             # greatest() skips NULLs and returns NULL only when both are —
             # exactly the no-preceding-row-globally semantics
-            merged = F.greatest(F.col("__within"), off)
-        return (
-            tmp.withColumn(out_col, merged)
-            .drop("__pid", "__within")
-        )
-    finally:
-        parted.unpersist(blocking=False)
+            merged = F.greatest(within, off)
+        tmp = tmp.withColumn(ocol, merged)
+        drop += [f"__off{i}", f"__within{i}"]
+    return tmp.drop(*drop)
 
 
 def ntile_from_ordinal(rn, n, k: int):

@@ -162,15 +162,20 @@ def jaccard_pairs(
     """
     sh = exploded_shingles(df, id_col, text_col, n, unit)
     if max_df is not None:
-        # df per shingle via ONE window over __s whose hash partitioning is
-        # then reused directly by both self-join sides (ReusedExchange) —
-        # no explicit repartition. Per-doc sizes over the capped universe
-        # (consistent denominators) no longer ride the shingle rows back
-        # through an __id window + re-repartition (two full shingle-row
-        # shuffles, the r2 shape): they reduce map-side to one row per doc
-        # and join onto the already-aggregated PAIR table, which is orders
-        # of magnitude smaller than the shingle stream.
-        capped = (
+        # df per shingle via ONE window over __s, then the capped per-doc
+        # sizes ride the shingle rows as window payload (__id window) into
+        # the join — consistent denominators over the capped universe.
+        # Spark shares work within one plan ONLY through ReusedExchange
+        # on identical exchanges: the r2-r5 shape (separate sizes table +
+        # two joins onto the pair table) recomputed the whole shingle
+        # pipeline FOUR times (plan-verified: zero ReusedExchange — each
+        # join side and each sizes branch re-exploded the corpus), which
+        # is where the r1→r5 bench drift came from. Carrying sizes as
+        # payload costs one extra full-shingle exchange but computes the
+        # pipeline ONCE, with both self-join sides reading the same
+        # explicit repartition (ReusedExchange, plan-asserted in
+        # test_plan_shapes.py).
+        sized_src = (
             sh.select(
                 "__id",
                 "__s",
@@ -181,54 +186,30 @@ def jaccard_pairs(
             .filter(F.col("__df") <= max_df)
             .select("__id", "__s")
         )
-        sizes = capped.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-        a, b = capped.alias("a"), capped.alias("b")
-        scored = (
-            a.join(
-                b,
-                (F.col("a.__s") == F.col("b.__s"))
-                & (F.col("a.__id") < F.col("b.__id")),
-            )
-            .groupBy(
-                F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
-            )
-            .agg(F.count(F.lit(1)).alias("__inter"))
-            .join(
-                sizes.select(
-                    F.col("__id").alias("id_a"), F.col("__n").alias("__na")
-                ),
-                "id_a",
-            )
-            .join(
-                sizes.select(
-                    F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
-                ),
-                "id_b",
-            )
-        )
     else:
-        sized = sh.select(
-            "__id",
-            "__s",
-            F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"),
+        sized_src = sh.select("__id", "__s")
+    sized = sized_src.select(
+        "__id",
+        "__s",
+        F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"),
+    )
+    ex = sized.repartition(F.col("__s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id")),
         )
-        ex = sized.repartition(F.col("__s"))
-        a, b = ex.alias("a"), ex.alias("b")
-        scored = (
-            a.join(
-                b,
-                (F.col("a.__s") == F.col("b.__s"))
-                & (F.col("a.__id") < F.col("b.__id")),
-            )
-            .groupBy(
-                F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
-            )
-            .agg(
-                F.count(F.lit(1)).alias("__inter"),
-                F.any_value(F.col("a.__n")).alias("__na"),
-                F.any_value(F.col("b.__n")).alias("__nb"),
-            )
+        .groupBy(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
         )
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.any_value(F.col("a.__n")).alias("__na"),
+            F.any_value(F.col("b.__n")).alias("__nb"),
+        )
+    )
     return (
         scored.withColumn(
             "jaccard",

@@ -7467,7 +7467,15 @@ def udtf_polymorphic_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.polymorphic import ExtractJsonFields
 
     spark.udtf.register("extract_json_fields", ExtractJsonFields)
-    Catalog(spark, sf_dir).events.createOrReplaceTempView("__poly_events")
+    # project to the two needed columns BEFORE the lateral so the Python
+    # crossing ships (event_type, props) only, and round-robin repartition
+    # so the per-row Python stage parallelizes: the local single-file scan
+    # is ONE partition, which serialized the whole UDTF (11.3s in the r5
+    # bench — the fleet's slowest query); a 100 TB scan is many-partition
+    # already, so the repartition is a local-bench equalizer, not a tax
+    Catalog(spark, sf_dir).events.select(
+        "event_type", "props"
+    ).repartition(32).createOrReplaceTempView("__poly_events")
     rows = spark.sql(
         """
         SELECT e.event_type, p.k
@@ -10908,17 +10916,23 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from .operators.curation import md5_u32
+    from .operators.curation import global_ordinal, md5_u32
 
     cat = Catalog(spark, sf_dir)
-    d = cat.customer.select(
-        (
-            F.row_number().over(Window.orderBy("c_custkey")) - 1
-        ).alias("idx"),
-        (
-            F.round(F.col("c_acctbal") * 100).cast("bigint") + 1_000_000
-        ).alias("cents_off"),
-    )
+    # 0-based resample index via the range-partitioned global ordinal —
+    # customer grain is unbounded, so the single-partition row_number
+    # window the r5 plan had is swapped for the distributed spelling
+    # (the 50-row resample-means window below stays: bounded grain)
+    d = global_ordinal(
+        cat.customer.select(
+            "c_custkey",
+            (
+                F.round(F.col("c_acctbal") * 100).cast("bigint") + 1_000_000
+            ).alias("cents_off"),
+        ),
+        [F.asc("c_custkey")],
+        ordinal_col="__pos",
+    ).select((F.col("__pos") - 1).alias("idx"), "cents_off")
     nn = d.agg(F.count(F.lit(1)).alias("n"))
     draws = (
         d.select("idx")
@@ -11469,26 +11483,32 @@ def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100 TB swap",
 )
 def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.curation import global_running_agg
 
     emb = Catalog(spark, sf_dir).embeddings
     d = emb.select(
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
         F.element_at("embedding", 1).cast("double").alias("score"),
     )
-    r = d.select(
-        "y",
-        F.rank().over(Window.orderBy("score")).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("score")).alias("tc"),
+    # distinct-score grain first (combiner-friendly), then a RANGE-
+    # partitioned prefix sum for the cumulative row count — no global
+    # rank window (the r5 plan's Exchange SinglePartition over every
+    # scored row). rank(s) = 1 + #rows strictly below s; the tie-mid
+    # rank-sum identity 2*rk + tc - 1 per row becomes, per score group,
+    # n_pos * (2*below + tc + 1).
+    g = d.groupBy("score").agg(
+        F.count(F.lit(1)).alias("tc"), F.sum("y").alias("n_pos")
     )
-    s = r.agg(
+    c = global_running_agg(
+        g, [F.asc("score")], "tc", out_col="cum_n", agg="sum"
+    )
+    below = F.col("cum_n") - F.col("tc")
+    s = c.agg(
         F.sum(
-            F.when(F.col("y") == 1, 2 * F.col("rk") + F.col("tc") - 1).otherwise(
-                0
-            )
+            F.col("n_pos") * (2 * below + F.col("tc") + 1)
         ).alias("rs2"),
-        F.sum("y").alias("np"),
-        F.sum(1 - F.col("y")).alias("nn"),
+        F.sum("n_pos").alias("np"),
+        F.sum(F.col("tc") - F.col("n_pos")).alias("nn"),
     )
     return s.select(
         F.col("np").cast("bigint").alias("n_pos"),
@@ -13371,7 +13391,7 @@ def ivm_join_delta_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sort swaps for range partitioning at scale)",
 )
 def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.curation import global_running_agg
 
     part = Catalog(spark, sf_dir).part
     d = part.select(
@@ -13381,11 +13401,16 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_cents"),
         F.col("p_size").cast("bigint").alias("size"),
     )
-    w = (
-        Window.orderBy("price_cents", "p_partkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # strictly-preceding running max via the range-partitioned prefix
+    # scan — part grain is unbounded, so no single-partition window
+    ranked = global_running_agg(
+        d,
+        [F.asc("price_cents"), F.asc("p_partkey")],
+        "size",
+        out_col="best_size_cheaper",
+        agg="max",
+        include_current=False,
     )
-    ranked = d.withColumn("best_size_cheaper", F.max("size").over(w))
     return ranked.filter(
         F.col("best_size_cheaper").isNull()
         | (F.col("size") > F.col("best_size_cheaper"))
@@ -13904,7 +13929,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "percentile instead of a global NTILE sort",
 )
 def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.curation import global_ordinal, ntile_from_ordinal
 
     orders = Catalog(spark, sf_dir).orders
     anchor = orders.agg(F.max("o_orderdate").alias("a"))
@@ -13921,15 +13946,29 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scored = base.select(
+    # three distributed NTILEs: each quintile = exact NTILE formula over
+    # the range-partitioned global ordinal — customer grain is unbounded,
+    # so the r5 plan's three Exchange-SinglePartition windows are gone
+    ranked = global_ordinal(
+        global_ordinal(
+            global_ordinal(
+                base,
+                [F.desc("r_days"), F.asc("c_custkey")],
+                ordinal_col="__rn_r",
+            ),
+            [F.asc("f_n"), F.asc("c_custkey")],
+            ordinal_col="__rn_f",
+        ),
+        [F.asc("m_cents"), F.asc("c_custkey")],
+        ordinal_col="__rn_m",
+    )
+    n_df = base.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    n = F.col("__n")
+    scored = ranked.crossJoin(F.broadcast(n_df)).select(
         "c_custkey",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("r_days").desc(), "c_custkey"))
-        .alias("r_score"),
-        F.ntile(5).over(Window.orderBy("f_n", "c_custkey")).alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("m_cents", "c_custkey"))
-        .alias("m_score"),
+        ntile_from_ordinal(F.col("__rn_r"), n, 5).alias("r_score"),
+        ntile_from_ordinal(F.col("__rn_f"), n, 5).alias("f_score"),
+        ntile_from_ordinal(F.col("__rn_m"), n, 5).alias("m_score"),
     )
     return scored.select(
         "c_custkey",
@@ -15352,7 +15391,7 @@ def market_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "formula itself is a single reduce",
 )
 def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.curation import global_ordinal
 
     o = Catalog(spark, sf_dir).orders
     x = o.groupBy("o_custkey").agg(
@@ -15360,8 +15399,11 @@ def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("spend")
     )
-    w = Window.orderBy("spend", "o_custkey")
-    r = x.withColumn("i", F.row_number().over(w))
+    # rank-weighted sum over the range-partitioned global ordinal —
+    # customer grain is unbounded, no single-partition row_number window
+    r = global_ordinal(
+        x, [F.asc("spend"), F.asc("o_custkey")], ordinal_col="i"
+    )
     n = F.count(F.lit(1))
     s = F.sum("spend").cast("double")
     return r.agg(
@@ -15417,7 +15459,7 @@ def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distributes as range-partitioned prefix sums",
 )
 def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.curation import global_running_agg
 
     li = Catalog(spark, sf_dir).lineitem
     pr = li.groupBy("l_partkey").agg(
@@ -15427,15 +15469,17 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("rev")
     )
-    wc = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wt = Window.partitionBy()
-    c = pr.select(
+    # cumulative revenue via the range-partitioned prefix sum (part grain
+    # is unbounded), grand total via a broadcast 1-row aggregate — the r5
+    # plan had two Exchange-SinglePartition windows here
+    tot = pr.agg(F.sum("rev").alias("tot"))
+    c = global_running_agg(
+        pr,
+        [F.desc("rev"), F.asc("l_partkey")],
         "rev",
-        F.sum("rev").over(wc).alias("cum"),
-        F.sum("rev").over(wt).alias("tot"),
-    )
+        out_col="cum",
+        agg="sum",
+    ).crossJoin(F.broadcast(tot)).select("rev", "cum", "tot")
     k = c.select(
         F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")
         .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
@@ -15930,7 +15974,7 @@ def pivot_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cross-engine; 6dp rounding is belt-and-braces",
 )
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.curation import global_running_agg
 
     cat = Catalog(spark, sf_dir)
     x = (
@@ -15950,17 +15994,21 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("c2"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy()
-    cdf = pg.select(
-        (
-            F.sum("c1").over(w).cast("double") / F.sum("c1").over(wt)
-        ).alias("f1"),
-        (
-            F.sum("c2").over(w).cast("double") / F.sum("c2").over(wt)
-        ).alias("f2"),
-        F.sum("c1").over(wt).alias("tn1"),
-        F.sum("c2").over(wt).alias("tn2"),
+    # value grain is unbounded (distinct prices), so the empirical CDFs
+    # run as ONE range-partitioned prefix-sum pass (both counters share
+    # the order); totals come from a broadcast 1-row aggregate — the r5
+    # plan had single-partition windows for both
+    tot = pg.agg(
+        F.sum("c1").alias("tn1"), F.sum("c2").alias("tn2")
+    )
+    cum = global_running_agg(
+        pg, [F.asc("v")], ["c1", "c2"], out_col=["cum1", "cum2"], agg="sum"
+    )
+    cdf = cum.crossJoin(F.broadcast(tot)).select(
+        (F.col("cum1").cast("double") / F.col("tn1")).alias("f1"),
+        (F.col("cum2").cast("double") / F.col("tn2")).alias("f2"),
+        "tn1",
+        "tn2",
     )
     return cdf.agg(
         F.max("tn1").cast("bigint").alias("n1"),
@@ -16019,7 +16067,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expression tree, rounded at 6dp",
 )
 def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.curation import global_running_agg
 
     cat = Catalog(spark, sf_dir)
     x = (
@@ -16040,12 +16088,15 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("c2"),
         F.count(F.lit(1)).alias("t"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    rk = pg.select(
+    # value grain is unbounded — the tie-group rank prefix runs as the
+    # range-partitioned prefix sum, not a single-partition window
+    rk = global_running_agg(
+        pg, [F.asc("v")], "t", out_col="__cum_t", agg="sum"
+    ).select(
         "c1",
         "c2",
         "t",
-        (F.sum("t").over(w) - F.col("t")).alias("cum_before"),
+        (F.col("__cum_t") - F.col("t")).alias("cum_before"),
     )
     s = rk.agg(
         F.sum("c1").alias("n1"),
@@ -20480,15 +20531,29 @@ def source_generate_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from .operators.curation import global_ordinal, ntile_from_ordinal
+
     o = Catalog(spark, sf_dir).orders
     x = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2)
         .cast("decimal(18,2)")
         .alias("spend")
     )
-    wn = Window.orderBy("spend", "o_custkey")
-    r = x.select(
-        "spend", F.ntile(10).over(wn).alias("decile")
+    # distributed NTILE(10): exact NTILE formula over the range-
+    # partitioned global ordinal (customer grain is unbounded); the
+    # decile-grain windows below stay — 10 rows is bounded grain
+    n_df = x.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    r = (
+        global_ordinal(
+            x, [F.asc("spend"), F.asc("o_custkey")], ordinal_col="__rn"
+        )
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "spend",
+            ntile_from_ordinal(F.col("__rn"), F.col("__n"), 10).alias(
+                "decile"
+            ),
+        )
     )
     d = r.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("spend").alias("s")

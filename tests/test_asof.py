@@ -148,3 +148,35 @@ def test_asof_nearest_tolerance_rejects_far_side(spark):
         direction="nearest", tolerance_s=60.0,
     ).collect()
     assert (r2["px"], r2["__asof_dir"]) == (None, None)
+
+
+def test_asof_null_payload_in_matched_row_stays_null(spark):
+    """The matched right row's values must be taken ATOMICALLY: when the
+    nearest/backward match carries NULL in a payload column, the result is
+    NULL — a staler row's non-null value must not bleed through (the
+    pre-r06 per-column last(ignorenulls) did exactly that, and under
+    tolerance it validated the wrong row's distance)."""
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T10:10:00"))],
+        "id long, sym string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T09:00:00"), 1.0, "stale"),
+            ("A", _ts("2024-01-01T10:09:00"), None, "fresh"),
+        ],
+        "sym string, ts timestamp, px double, tag string",
+    )
+    for direction in ("backward", "nearest"):
+        [r] = asof_join(
+            left, right, on="sym", left_ts="ts", direction=direction
+        ).collect()
+        assert r["tag"] == "fresh", (direction, r)
+        assert r["px"] is None, (direction, r)
+    # tolerance must measure the MATCHED row's distance (1 min, in
+    # bounds), not fall back to the stale row 70 min away
+    [r] = asof_join(
+        left, right, on="sym", left_ts="ts",
+        direction="backward", tolerance_s=120.0,
+    ).collect()
+    assert (r["tag"], r["px"]) == ("fresh", None)

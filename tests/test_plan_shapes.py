@@ -9,6 +9,8 @@ AdaptiveSparkPlan only shows the initial, pre-reuse plan).
 
 import re
 
+import pytest
+
 from adb_south_caucasus_etl_spark.sources.registry import Catalog
 from adb_south_caucasus_etl_spark.workload import WORKLOAD
 
@@ -387,20 +389,66 @@ def test_interval_binned_join_is_hash_not_nested_loop(spark):
     ), plan
 
 
-def test_global_ordinal_range_partitioned_window(spark):
-    """curation_global_ordinal's scalable rank: the plan must contain a
-    RANGE exchange on the sort key and a row_number window PARTITIONED by
-    the physical partition id — never the single-partition global window
-    (which would show 'Window [row_number() ...]' with an empty partition
-    spec over an Exchange SinglePartition)."""
-    plan = _final_plan(WORKLOAD["curation_global_ordinal"].fn(spark, SF))
-    assert "Exchange rangepartitioning" in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
-    # the window's partition spec carries __pid
-    import re as _re
+def _single_partition_exchanges_feed_aggregates(plan: str) -> list[str]:
+    """Return the offending context for every ``Exchange SinglePartition``
+    whose child is NOT an aggregate. A SinglePartition window is a scale
+    smell only over unbounded grain; over an aggregated manifest (the
+    p-row ``__pid`` offsets of global_ordinal/global_running_agg, a
+    50-resample means frame, a 10-decile rollup) it is bounded by
+    construction. The child line of the exchange tells the two apart."""
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        ctx = "\n".join(lines[i + 1 : i + 4])
+        if "Aggregate" not in ctx:  # HashAggregate/SortAggregate/Object...
+            bad.append("\n".join(lines[i : i + 4]))
+    return bad
 
+
+def test_global_ordinal_range_partitioned_window(spark):
+    """curation_global_ordinal's scalable rank: the row_number window must
+    be PARTITIONED by the physical partition id over the pinned
+    (localCheckpoint) range-partitioned table — never the single-partition
+    global window over raw rows. The range exchange itself runs inside the
+    checkpoint job, so the final plan shows the pinned scan (ExistingRDD)
+    instead; the only SinglePartition exchange allowed is the p-row
+    ``__pid`` offsets manifest."""
+    plan = _final_plan(WORKLOAD["curation_global_ordinal"].fn(spark, SF))
+    assert "Scan ExistingRDD" in plan, plan
     win = [ln for ln in plan.splitlines() if "row_number()" in ln]
     assert win and all("__pid" in ln for ln in win), plan
+    bad = _single_partition_exchanges_feed_aggregates(plan)
+    assert not bad, "\n---\n".join(bad)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ml_auc_exact",
+        "stats_bootstrap_ci",
+        "pareto_frontier_parts",
+        "customer_rfm_scores",
+        "customer_gini_spend",
+        "parts_abc_classification",
+        "customer_lorenz_curve",
+        "stats_ks_two_sample",
+        "stats_mann_whitney_u",
+    ],
+)
+def test_entity_grain_windows_are_distributed(spark, name):
+    """The seven r5 entity-grain scale-killers (unpartitioned windows over
+    customer/part/score grain → Exchange SinglePartition over raw rows)
+    were rebuilt on global_ordinal / global_running_agg / distributed
+    NTILE. Regression gate: any SinglePartition exchange left in these
+    plans must feed from an AGGREGATE (a bounded manifest — __pid offsets,
+    resample means, deciles), never from unaggregated entity rows."""
+    plan = _final_plan(WORKLOAD[name].fn(spark, SF))
+    bad = _single_partition_exchanges_feed_aggregates(plan)
+    assert not bad, f"{name}: SinglePartition over unbounded grain:\n" + (
+        "\n---\n".join(bad)
+    )
 
 
 def test_profiler_one_scan_per_table_via_unpivot(spark):
