@@ -23261,3 +23261,93 @@ def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hapax_token_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6: exact audit twin for the k-means family (VERDICT r5 #8) — the
+# one rows-only operator without an oracle-stampable sibling.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_kmeans_assign_audit",
+    r"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cid, qv AS cv
+      FROM (
+        SELECT vec_id, qv,
+               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS h
+        FROM q) s
+      ORDER BY h, vec_id LIMIT 8
+    ),
+    d AS (
+      SELECT p.vec_id,
+             CAST(list_sum(list_transform(range(1, len(p.qv) + 1),
+                    i -> (p.qv[i] - c.cv[i]) * (p.qv[i] - c.cv[i])))
+                  AS BIGINT) * 100 + c.cid AS k
+      FROM q p CROSS JOIN cent c
+    ),
+    a AS (SELECT vec_id, MIN(k) AS k FROM d GROUP BY 1)
+    SELECT CAST(k % 100 AS INT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(k // 100) AS BIGINT) AS inertia_q
+    FROM a GROUP BY 1
+    """,
+    doc="EXACT audit twin for ml_kmeans_lloyd (the pattern that gave "
+        "MinHash neardup_minhash_estimator_audit): ONE Lloyd assignment "
+        "step in pure integer arithmetic, so the oracle stamps the "
+        "geometry the float k-means can't. Embeddings quantize through "
+        "floor(double(x)*1000) (floor, not round — no half-point rule "
+        "divergence between engines; float->double widening is exact), "
+        "centroids are the 8 smallest md5(vec_id) vectors (derandomized, "
+        "same seeding rule as kmeans_lloyd), squared distances are BIGINT "
+        "sums over the 64 dims, and the argmin tie-break (smallest cid) "
+        "is encoded arithmetically as min(dist2*100 + cid) — the same "
+        "min is decomposed back into (cluster, inertia) on both engines, "
+        "so no arg_min/min_by tie-semantics can differ. Shape: 8-row "
+        "broadcast against the point set, zip_with/aggregate in JVM "
+        "codegen, one combiner-friendly reduce per grain — identical to "
+        "the production kmeans iteration's cost model at 100 TB",
+)
+def ml_kmeans_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.curation import md5_u32
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+        ).alias("qv"),
+    )
+    seed = q.select("vec_id", "qv", md5_u32(F.col("vec_id")).alias("h"))
+    cent = (
+        seed.orderBy("h", "vec_id")
+        .limit(8)
+        .select(
+            F.row_number().over(Window.orderBy("h", "vec_id")).alias("cid"),
+            F.col("qv").alias("cv"),
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id", (dist2 * 100 + F.col("cid")).alias("k")
+    )
+    a = d.groupBy("vec_id").agg(F.min("k").alias("k"))
+    return a.groupBy((F.col("k") % 100).cast("int").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum(F.floor(F.col("k") / 100)).cast("bigint").alias("inertia_q"),
+    )
