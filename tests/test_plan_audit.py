@@ -40,6 +40,28 @@ SMELLS = ("CartesianProduct", "BatchEvalPython")
 
 CONTAINER_TYPES = (ArrayType, MapType, StructType, BinaryType)
 
+#: SinglePartition exchanges are allowed only when they feed from an
+#: AGGREGATE (a bounded manifest: __pid offsets, per-group rollups) —
+#: over raw rows they are the single-partition-window scale killer the
+#: round-6 rewrites removed. Two queries funnel a non-aggregate but
+#: BOUNDED-BY-CONSTRUCTION frame (channel scenarios; generated calendar
+#: days) and are allowlisted with that argument.
+SINGLE_PARTITION_OVER_ROWS_OK = {
+    "attribution_markov_removal",  # scenario grain = n_channels + 1
+    "calendar_business_day_lag",  # generated calendar-day sequence
+}
+
+
+def _single_partition_over_raw_rows(plan: str) -> list[str]:
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        if "Aggregate" not in "\n".join(lines[i + 1 : i + 4]):
+            bad.append("\n".join(lines[i : i + 4]))
+    return bad
+
 
 @pytest.mark.parametrize("name", sorted(WORKLOAD))
 def test_no_scale_smells(spark, name):
@@ -60,3 +82,12 @@ def test_no_scale_smells(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for smell in SMELLS:
         assert smell not in plan, f"{name}: {smell} in plan\n{plan}"
+    if name not in SINGLE_PARTITION_OVER_ROWS_OK:
+        bad = _single_partition_over_raw_rows(plan)
+        assert not bad, (
+            f"{name}: Exchange SinglePartition over unaggregated rows — "
+            "an unpartitioned window/sort is funneling unbounded grain "
+            "through one task; use global_ordinal/global_running_agg "
+            "(operators/curation.py) or aggregate first:\n"
+            + "\n---\n".join(bad)
+        )
