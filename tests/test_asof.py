@@ -2,6 +2,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from adb_south_caucasus_etl_spark.operators.asof import asof_join
 
 
@@ -180,3 +182,34 @@ def test_asof_null_payload_in_matched_row_stays_null(spark):
         direction="backward", tolerance_s=120.0,
     ).collect()
     assert (r["tag"], r["px"]) == ("fresh", None)
+
+
+def test_asof_timestamp_ntz_tolerance_and_nearest(spark):
+    """TIMESTAMP_NTZ inputs work through tolerance and nearest: the gap
+    math casts through TIMESTAMP (exact for NTZ under the fixed UTC
+    session zone), and the struct-packed payload needs no hand-built
+    typed sentinel — the pre-r06 code hard-cast a 'timestamp' NULL
+    sentinel and broke unionByName type resolution for NTZ."""
+    left = spark.createDataFrame(
+        [(1, "A", "2024-01-01T10:10:00")],
+        "id long, sym string, ts_s string",
+    ).select("id", "sym", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            ("A", "2024-01-01T10:00:00", 1.0),
+            ("A", "2024-01-01T10:13:00", 2.0),
+        ],
+        "sym string, ts_s string, px double",
+    ).select(
+        "sym", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "px"
+    )
+    [r] = asof_join(
+        left, right, on="sym", left_ts="ts",
+        direction="nearest", tolerance_s=300.0,
+    ).collect()
+    assert (r["px"], r["__asof_dir"]) == (2.0, "forward")
+    [r2] = asof_join(
+        left, right, on="sym", left_ts="ts",
+        direction="backward", tolerance_s=3600.0,
+    ).collect()
+    assert r2["px"] == 1.0
