@@ -7,12 +7,15 @@
 Ordering: the driver's correctness gate stamps a bounded window of
 ``queries()`` entries per round (r2 stamped exactly the first 50 in
 registration order, leaving 77 queries with only local verification).
-``queries()``/``oracle_sql()`` therefore emit entries sorted by ascending
-driver-stamp count — computed from the ``CORRECTNESS_r*.json`` files the
-driver leaves at the repo root — with registration order as the tiebreak.
-Never-stamped queries (including any added this round) come first, so a
-fixed-size window rotates through the whole workload round over round and
-every query eventually accumulates a driver-stamped correctness row.
+``queries()``/``oracle_sql()`` therefore emit entries sorted by
+(latest-stamp-red first, ascending driver-stamp count, registration
+order) — computed from the ``CORRECTNESS_r*.json`` files the driver
+leaves at the repo root. A query whose most recent stamp was red jumps
+the queue so its fix is re-verified next round instead of waiting ~4
+rounds behind the never-stamped backlog (r5 verdict item 2); after reds,
+never-stamped queries come first, so a fixed-size window rotates through
+the whole workload and every query eventually accumulates a
+driver-stamped correctness row.
 """
 
 from __future__ import annotations
