@@ -15470,16 +15470,19 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev")
     )
     # cumulative revenue via the range-partitioned prefix sum (part grain
-    # is unbounded), grand total via a broadcast 1-row aggregate — the r5
-    # plan had two Exchange-SinglePartition windows here
-    tot = pr.agg(F.sum("rev").alias("tot"))
-    c = global_running_agg(
+    # is unbounded) — the r5 plan had two Exchange-SinglePartition windows
+    # here. The grand total is max(cum) of the monotone running sum, read
+    # back from the pinned (checkpointed) scan instead of re-aggregating
+    # lineitem a second time.
+    run = global_running_agg(
         pr,
         [F.desc("rev"), F.asc("l_partkey")],
         "rev",
         out_col="cum",
         agg="sum",
-    ).crossJoin(F.broadcast(tot)).select("rev", "cum", "tot")
+    )
+    tot = run.agg(F.max("cum").alias("tot"))
+    c = run.crossJoin(F.broadcast(tot)).select("rev", "cum", "tot")
     k = c.select(
         F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")
         .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
@@ -15996,13 +15999,14 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # value grain is unbounded (distinct prices), so the empirical CDFs
     # run as ONE range-partitioned prefix-sum pass (both counters share
-    # the order); totals come from a broadcast 1-row aggregate — the r5
-    # plan had single-partition windows for both
-    tot = pg.agg(
-        F.sum("c1").alias("tn1"), F.sum("c2").alias("tn2")
-    )
+    # the order) — the r5 plan had single-partition windows for both.
+    # Totals are max(cum) of the monotone running sums, read back from
+    # the pinned scan instead of re-running the orders join + aggregate.
     cum = global_running_agg(
         pg, [F.asc("v")], ["c1", "c2"], out_col=["cum1", "cum2"], agg="sum"
+    )
+    tot = cum.agg(
+        F.max("cum1").alias("tn1"), F.max("cum2").alias("tn2")
     )
     cdf = cum.crossJoin(F.broadcast(tot)).select(
         (F.col("cum1").cast("double") / F.col("tn1")).alias("f1"),
