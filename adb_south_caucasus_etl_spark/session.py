@@ -43,9 +43,11 @@ def get_spark(app_name: str = "adb_south_caucasus_etl_spark") -> SparkSession:
         .config("spark.ui.showConsoleProgress", "false")
         # local mode = executors live IN the driver JVM, so this is the
         # whole engine's heap: 8g made 32 task threads GC/spill on the
-        # shuffle-heavy graph/kNN queries (measured -15-25% at 24g). On a
-        # real cluster this maps to executor memory instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # shuffle-heavy graph/kNN queries (-25% at 16g: triangle 8.1->7.0s,
+        # kNN 6.4->4.7s), while heaps past 16g start taxing the sub-second
+        # queries (GC geometry). On a real cluster this maps to executor
+        # memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
