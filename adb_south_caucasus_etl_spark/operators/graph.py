@@ -68,8 +68,12 @@ def pagerank_integer(
     # SLOWER on local[32] — the per-iteration subtrees are byte-identical,
     # so Catalyst's ReusedExchange already serves the repeated edge scan
     # from the first shuffle's output; materializing breaks that reuse.
-    # On a multi-executor cluster with eviction pressure, checkpoint
-    # every ~5 iterations instead (the connected-components rule).
+    # Checkpointing EDGES once before the loop was also measured (sf0.1,
+    # min-of-3 isolated): 4.51s vs 4.17s as-is — the materialization
+    # costs more than the ~3 redundant FileScans it removes. Reuse is
+    # therefore load-bearing (pinned by test_plan_shapes.py). On a
+    # multi-executor cluster with eviction pressure, checkpoint every
+    # ~5 iterations instead (the connected-components rule).
     edges = edges.select("src", "dst").distinct()
     nodes = (
         edges.select(F.col("src").alias("node"))
