@@ -558,18 +558,23 @@ def test_triangle_wedges_never_shuffle_into_closing_join(spark):
     assert "ReusedExchange" in plan, plan
 
 
-def test_pagerank_loop_reuses_edge_exchange(spark):
-    """The 3-iteration PageRank loop leans on ReusedExchange to serve the
-    repeated edge/degree scans from the first shuffle's output (the
+@pytest.mark.parametrize(
+    "name,max_scans",
+    [("graph_pagerank_integer", 5), ("graph_ppr_integer", 8)],
+)
+def test_pagerank_loop_reuses_edge_exchange(spark, name, max_scans):
+    """The 3-iteration PageRank/PPR loops lean on ReusedExchange to serve
+    the repeated edge/degree scans from the first shuffle's output (the
     operator note measured materializing alternatives SLOWER: in-loop
     localCheckpoint ~2x, pre-loop edges checkpoint +8% at sf0.1). That
     makes reuse load-bearing: if a refactor perturbs the canonical form
     (the jaccard lesson — SCALE.md round-6), every iteration re-derives
     the edge-build pipeline silently. Pin reuse firing and cap the
-    re-scans at today's count."""
-    plan = _final_plan(WORKLOAD["graph_pagerank_integer"].fn(spark, SF))
+    re-scans at today's count (PPR's seeds left-join adds scans but the
+    same reuse must hold)."""
+    plan = _final_plan(WORKLOAD[name].fn(spark, SF))
     assert plan.count("ReusedExchange") >= 3, plan
-    assert len(re.findall(r"FileScan parquet", plan)) <= 5, plan
+    assert len(re.findall(r"FileScan parquet", plan)) <= max_scans, plan
 
 
 def test_exact_median_sorts_one_bucket_not_all_rows(spark):
