@@ -23,6 +23,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,7 +52,17 @@ def _stamp_state() -> tuple[dict[str, int], set[str]]:
     """
     counts: dict[str, int] = {}
     latest: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+
+    def round_no(path: str) -> int:
+        # sort by the PARSED round number — lexicographic order would put
+        # r100 before r11 once rounds reach three digits, silently
+        # deriving 'latest' (and the red-first rotation) from a stale file
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(
+        glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")), key=round_no
+    ):
         try:
             with open(path, encoding="utf-8") as fh:
                 rows = json.load(fh)

@@ -20,6 +20,15 @@ Tie semantics: a right row at exactly ``left_ts`` matches (``<=``, like
 ``pd.merge_asof`` default). If the right side has duplicate ``(keys, ts)``,
 which duplicate wins is unspecified — dedupe the right side first for
 deterministic output.
+
+TIMESTAMP_NTZ + tolerance caveat: tolerance gaps are computed via
+``unix_micros(ts.cast("timestamp"))``, and casting NTZ → TZ applies the
+SESSION timezone. The two casts cancel in the gap only when the session
+zone has a FIXED offset; under a DST-observing session zone two NTZ
+values straddling a transition shift by different offsets and the gap is
+off by the DST delta. This repo pins ``spark.sql.session.timeZone=UTC``
+(session.py), which makes the cast exact; deployments that unpin the
+session zone must keep it fixed-offset for NTZ + tolerance joins.
 """
 
 from __future__ import annotations
@@ -29,6 +38,9 @@ from pyspark.sql import functions as F
 
 _TAG = "__asof_is_left"
 _TS = "__asof_ts"
+# reserved field name inside the carried struct — a payload column literally
+# named "mts" must not create a duplicate/ambiguous struct field
+_MTS = "__asof_mts"
 
 
 def asof_join(
@@ -72,6 +84,12 @@ def asof_join(
             f"right payload columns collide with left: {sorted(collisions)}; "
             "rename before joining"
         )
+    reserved = {c for c in payload if c.startswith("__asof")}
+    if reserved:
+        raise ValueError(
+            f"right payload columns use reserved __asof* names: "
+            f"{sorted(reserved)}; rename before joining"
+        )
 
     l_tagged = left.withColumns(
         {_TS: F.col(left_ts), _TAG: F.lit(1)}
@@ -103,7 +121,7 @@ def asof_join(
     pack = F.when(
         F.col(_TAG) == 0,
         F.struct(
-            F.col(_TS).alias("mts"), *[F.col(c).alias(c) for c in payload]
+            F.col(_TS).alias(_MTS), *[F.col(c).alias(c) for c in payload]
         ),
     )
     filled = (
@@ -116,7 +134,7 @@ def asof_join(
         # TIMESTAMP_NTZ inputs; the session-tz shift cancels in the gap
         gap = F.abs(
             F.unix_micros(F.col(_TS).cast("timestamp"))
-            - F.unix_micros(matched["mts"].cast("timestamp"))
+            - F.unix_micros(matched[_MTS].cast("timestamp"))
         )
         matched = F.when(gap <= int(tolerance_s * 1_000_000), matched)
     return filled.withColumns(
@@ -156,6 +174,12 @@ def _asof_nearest(
             f"right payload columns collide with left: {sorted(collisions)}; "
             "rename before joining"
         )
+    reserved = {c for c in payload if c.startswith("__asof")}
+    if reserved:
+        raise ValueError(
+            f"right payload columns use reserved __asof* names: "
+            f"{sorted(reserved)}; rename before joining"
+        )
 
     l_tagged = left.withColumns(
         {_TS: F.col(left_ts), _TAG: F.lit(1)}
@@ -181,7 +205,7 @@ def _asof_nearest(
     pack = F.when(
         F.col(_TAG) == 0,
         F.struct(
-            F.col(_TS).alias("mts"), *[F.col(c).alias(c) for c in payload]
+            F.col(_TS).alias(_MTS), *[F.col(c).alias(c) for c in payload]
         ),
     )
     both = unioned.withColumns(
@@ -197,8 +221,8 @@ def _asof_nearest(
         return F.unix_micros(col.cast("timestamp"))
 
     bw, fw = F.col("__bw"), F.col("__fw")
-    bw_gap = _micros(F.col(_TS)) - _micros(bw["mts"])
-    fw_gap = _micros(fw["mts"]) - _micros(F.col(_TS))
+    bw_gap = _micros(F.col(_TS)) - _micros(bw[_MTS])
+    fw_gap = _micros(fw[_MTS]) - _micros(F.col(_TS))
     if tolerance_s is not None:
         tol = int(tolerance_s * 1_000_000)
         # null the whole candidate: an out-of-tolerance row must not leak

@@ -517,15 +517,25 @@ def ntile_from_ordinal(rn, n, k: int):
     the first ``r`` buckets hold ``q+1`` rows and the rest ``q`` — which
     both Spark's and DuckDB's NTILE implement, so the result is
     oracle-exact against a real NTILE over the same total order.
+
+    All arithmetic is integral: ``ceil(x/d)`` is spelled
+    ``div(x-1, d) + 1`` (bigint IntegralDivide), never a double ``/`` —
+    a float quotient loses 53-bit exactness once ``rn`` enters the 1e15+
+    regime and boundary rows would misround into the adjacent bucket.
     """
-    q = F.floor(n / k)
+
+    def iceil(x, d):
+        # exact ceil(x / d) for x >= 1, d >= 1, all-bigint
+        return F.call_function("div", x - F.lit(1), d) + F.lit(1)
+
+    q = F.call_function("div", n, F.lit(k))
     r = n % k
     head = r * (q + 1)
     # greatest(q,1) only guards the branch ANSI-eval never selects when
     # q=0 (n<k puts every row in the first-r-buckets branch)
     return (
-        F.when(rn <= head, F.ceil(rn / (q + 1)))
-        .otherwise(r + F.ceil((rn - head) / F.greatest(q, F.lit(1))))
+        F.when(rn <= head, iceil(rn, q + 1))
+        .otherwise(r + iceil(rn - head, F.greatest(q, F.lit(1))))
         .cast("int")
     )
 

@@ -196,18 +196,22 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # close the wedge: the third edge is oriented w1→w2 or w2→w1 — but
     # under a total order it is exactly min→max of (deg,id); joining on
     # the canonical (least, greatest) form covers either orientation.
-    # The O(m^1.5) wedge stream NEVER SHUFFLES: the closing edge list is
-    # 16 B/edge, so it broadcasts and a single LEFT probe both counts the
-    # wedges and marks the closed ones — one pass, two statistics. At
-    # edge counts beyond broadcast comfort drop the hint: AQE falls back
-    # to a shuffle-hash join with a runtime bloom filter on the wedge
-    # side.
+    # The closing side is 16 B/edge — LINEAR in the edge list, so a
+    # hardcoded broadcast hint would be a driver OOM at cluster-scale
+    # graphs (tens of GB of edges). No hint: AQE reads the closing
+    # side's RUNTIME shuffle size and flips the sort-merge join to
+    # broadcast only when it actually fits (it does at test SFs); on a
+    # giant graph the plan stays a shuffle join on (w1, w2), which both
+    # sides hash-partition — the O(m^1.5) wedge stream still never
+    # collects anywhere. test_plan_shapes.py pins the no-hint shape by
+    # asserting the join degrades to SortMergeJoin when the broadcast
+    # threshold is forced off.
     closing = oriented.select(
         F.least("s", "t").alias("w1"),
         F.greatest("s", "t").alias("w2"),
         F.lit(1).alias("closed"),
     )
-    tri = wedges.join(F.broadcast(closing), ["w1", "w2"], "left").agg(
+    tri = wedges.join(closing, ["w1", "w2"], "left").agg(
         F.count(F.lit(1)).alias("n_wedges"),
         F.coalesce(F.sum("closed"), F.lit(0)).alias("n_triangles"),
     )
