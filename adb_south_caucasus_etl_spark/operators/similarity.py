@@ -372,6 +372,109 @@ def cosine_pairs_blocked(
     ).filter(F.col("cosine") >= threshold)
 
 
+def knn_candidates_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_query_blocks: int = 4,
+    n_corpus_blocks: int = 4,
+    slack: float = 1e-3,
+) -> DataFrame:
+    """Exact-SUPERSET k-NN candidate generation with NEITHER side
+    broadcast — the scale-correct front end for exact kNN pipelines
+    (replaces ``crossJoin(F.broadcast(queries))``, whose build side is a
+    fixed *fraction* of the corpus and therefore grows linearly with
+    data: a guaranteed driver OOM at cluster scale).
+
+    Both sides hash into blocks; every (query-block, corpus-block) cell
+    of the bounded ``n_query_blocks × n_corpus_blocks`` grid becomes one
+    ``applyInPandas`` group that computes its cosines as ONE numpy
+    float64 GEMM and keeps, per query, every corpus row whose RAW score
+    is within ``slack`` of the cell's k-th best. Output is the candidate
+    pair list ``(query_id, neighbor_id)``.
+
+    Guarantee (why the superset is exact, not approximate): downstream
+    ranks by ``ROUND(cos, 4)`` with id tie-breaks. If a corpus row x is
+    pruned from its cell, at least k cell rows have ``raw > raw_x +
+    slack``; with ``slack = 1e-3 > 2 × 5e-5`` (two rounding radii plus
+    GEMM-vs-fold ulp), each of those strictly beats x AFTER rounding —
+    so x had ≥ k rows ranked above it globally and was never in the
+    rounded top-k. Re-scoring the surviving pairs engine-side (same
+    ``zip_with`` fold the oracle mirrors) then reproduces brute-force
+    results bit-for-bit.
+
+    Scale shape: shuffle volume is |queries| × n_corpus_blocks +
+    |corpus| × n_query_blocks row-copies (linear in each side for a
+    fixed grid); per-group memory is the (|Q|/nq) × (|C|/nc) float64
+    score matrix — size the grid so that fits an executor, same rule as
+    :func:`cosine_pairs_blocked`. Candidate volume is ~|queries| ×
+    n_corpus_blocks × k — linear, so the exact re-score downstream is
+    cheap. Compute stays O(|Q|·|C|) by design (exact kNN); the
+    sub-quadratic path is :func:`ivf_topk`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = queries.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).alias("__b"),
+        F.lit(0).alias("__side"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_corpus_blocks)).alias("__b"),
+        F.lit(1).alias("__side"),
+    )
+    spark = queries.sparkSession
+    # bounded by construction: nq × nc grid rows
+    grid = F.broadcast(
+        spark.createDataFrame(
+            [(bq, bc) for bq in range(n_query_blocks) for bc in range(n_corpus_blocks)],
+            "gq int, gc int",
+        )
+    )
+    rep_q = q.join(grid, q["__b"] == grid["gq"]).select(
+        "gq", "gc", "__side", "__id", "__v"
+    )
+    rep_c = c.join(grid, c["__b"] == grid["gc"]).select(
+        "gq", "gc", "__side", "__id", "__v"
+    )
+    both = rep_q.unionByName(rep_c)
+
+    def per_cell(key, pdf: pd.DataFrame):
+        ql = pdf[pdf["__side"] == 0]
+        cl = pdf[pdf["__side"] == 1]
+        if len(ql) == 0 or len(cl) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": []})
+        Q = np.stack(ql["__v"].to_numpy()).astype(np.float64)
+        C = np.stack(cl["__v"].to_numpy()).astype(np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        S = Qn @ Cn.T  # (nq_rows, nc_rows) raw cosines
+        qid = ql["__id"].to_numpy()
+        nid = cl["__id"].to_numpy()
+        # a query must not nominate itself (self-rows only arise when
+        # queries ⊆ corpus); mask before the k-th statistic so the
+        # threshold reflects eligible rows only
+        S = np.where(qid[:, None] == nid[None, :], -np.inf, S)
+        if S.shape[1] > k:
+            kth = np.partition(S, -k, axis=1)[:, -k]
+        else:
+            kth = np.full(S.shape[0], -np.inf)
+        # isfinite excludes the -inf self-mask even when kth is -inf
+        # (cells with <= k corpus rows, where -inf >= -inf would readmit it)
+        ia, ib = np.nonzero((S >= (kth - slack)[:, None]) & np.isfinite(S))
+        return pd.DataFrame({"query_id": qid[ia], "neighbor_id": nid[ib]})
+
+    return both.groupBy("gq", "gc").applyInPandas(
+        per_cell, "query_id long, neighbor_id long"
+    )
+
+
 def knn_classify(
     corpus: DataFrame,
     queries: DataFrame,

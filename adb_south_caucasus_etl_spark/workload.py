@@ -11754,14 +11754,19 @@ def source_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "before ranking — the float-tie discipline every ranked query "
         "here uses; vote ties break to the smallest label like "
         "knn_classify), and emit the confusion matrix as exact counts. "
-        "The plan composes broadcast queries + JVM dots + "
-        "WindowGroupLimit + min-vote argmax; precision/recall are one "
-        "offline division away from the stamped cells",
+        "Candidate generation is knn_candidates_blocked (grid-blocked "
+        "GEMM, neither side broadcast — the r6-flagged broadcast of the "
+        "20% test split grew linearly with data); survivors are "
+        "re-scored with the same JVM zip_with fold the oracle mirrors, "
+        "so the confusion matrix stays bit-identical to brute force. "
+        "Then WindowGroupLimit + min-vote argmax; precision/recall are "
+        "one offline division away from the stamped cells",
 )
 def ml_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from .operators.curation import md5_bucket
+    from .operators.similarity import knn_candidates_blocked
 
     emb = Catalog(spark, sf_dir).embeddings
     split = md5_bucket("vec_id", 5)
@@ -11783,12 +11788,21 @@ def ml_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    # norms are per-ROW quantities: hoist them out of the pair join so
-    # each is computed once per vector, not once per (test, train) pair
-    # (the cosine_topk_exact r4 lesson — 3x fewer flops in the hot loop)
+    # exact-superset candidates, no data-scale broadcast: every pair that
+    # can reach the rounded top-5 survives the blocked-GEMM prune
+    cand = knn_candidates_blocked(
+        emb.filter(split == 0),
+        emb.filter(split != 0),
+        k=5,
+    ).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    # norms are per-ROW quantities: hoist them out of the pair re-score so
+    # each is computed once per vector, not once per surviving pair
+    # (the cosine_topk_exact r4 lesson)
     test_n = test.withColumn("nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     train_n = train.withColumn("nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
-    scored = train_n.crossJoin(F.broadcast(test_n)).select(
+    scored = cand.join(test_n, "qid").join(train_n, "nid").select(
         "qid",
         "true_label",
         "nid",

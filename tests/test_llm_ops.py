@@ -284,6 +284,53 @@ def test_cosine_exact_self_similarity_excluded(spark, sf_dir):
     assert [r.rank for r in sorted(rows, key=lambda r: -r.cosine)] == [1, 2, 3, 4, 5]
 
 
+def test_knn_candidates_blocked_superset_of_exact_topk(spark, sf_dir):
+    """The blocked-GEMM candidate prune must emit a SUPERSET of the exact
+    rounded-cosine top-k for every query — the guarantee that lets
+    ml_knn_confusion re-score candidates and still match brute force
+    bit-for-bit (slack absorbs rounding-bucket ties and GEMM ulp)."""
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        knn_candidates_blocked,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") % 7 == 0)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_exact(corpus, queries, k=5).collect()
+    }
+    cand = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_candidates_blocked(queries, corpus, k=5).collect()
+    }
+    missing = exact - cand
+    assert not missing, f"exact top-k pairs pruned: {sorted(missing)[:10]}"
+    # and the prune is real: far fewer candidates than all pairs
+    n_q = queries.count()
+    n_c = corpus.count()
+    assert len(cand) < 0.5 * n_q * n_c
+
+
+def test_knn_candidates_blocked_excludes_self_even_in_tiny_cells(spark):
+    """Self-pairs must never surface, including the k-th-statistic edge
+    case where a cell holds <= k corpus rows (kth = -inf would readmit
+    the -inf self-mask without the isfinite guard)."""
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        knn_candidates_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_candidates_blocked(
+        df, df, k=5, n_query_blocks=2, n_corpus_blocks=2
+    ).collect()
+    assert out, "expected candidates"
+    assert all(r.query_id != r.neighbor_id for r in out)
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     emb = Catalog(spark, sf_dir).embeddings
     q = emb.filter(F.col("vec_id") < 10)
