@@ -42,11 +42,29 @@ from pyspark.sql.datasource import (
 )
 
 
-def _fetch_records(url: str, data_key: str, timeout: float) -> list[dict]:
+#: Hard ceiling on jsonrecords payload size. The format is CONTROL-PLANE
+#: BY CONTRACT (every partition / every micro-batch re-fetches and
+#: re-parses the whole body on one worker — linear cost per task, no
+#: pushdown, no spill): a payload this size is no longer a member list or
+#: a staged manifest, it is a data table that belongs in parquet/JSON-lines
+#: behind a native scan. Fail-loud beats a silent 100x slowdown — raise
+#: ``.option("maxRecords", ...)`` only for a payload that is genuinely
+#: bounded by construction.
+MAX_RECORDS_DEFAULT = 1_000_000
+
+
+def _fetch_records(
+    url: str,
+    data_key: str,
+    timeout: float,
+    max_records: int = MAX_RECORDS_DEFAULT,
+) -> list[dict]:
     """GET/open ``url`` (http(s):// or file://) and return the record array
     — ``body[data_key]`` for a jsonrecords object, or the bare list.
     Unexpected shapes fail LOUDLY: a missing data key or a non-list body
-    would otherwise read as a silently empty/broken DataFrame."""
+    would otherwise read as a silently empty/broken DataFrame; a payload
+    above ``max_records`` means someone pointed the control-plane path at
+    a data-scale table (see :data:`MAX_RECORDS_DEFAULT`)."""
     with urllib.request.urlopen(url, timeout=timeout) as resp:
         body = json.loads(resp.read().decode("utf-8"))
     if isinstance(body, dict):
@@ -60,6 +78,14 @@ def _fetch_records(url: str, data_key: str, timeout: float) -> list[dict]:
         raise ValueError(
             f"jsonrecords payload must be an object with a record array or "
             f"a bare array, got {type(body).__name__}"
+        )
+    if len(body) > max_records:
+        raise ValueError(
+            f"jsonrecords payload has {len(body)} records, over the "
+            f"{max_records} control-plane cap — this format re-fetches the "
+            "whole body per task; stage data-scale tables to parquet/"
+            "JSON-lines instead, or raise .option('maxRecords', ...) for a "
+            "payload that is genuinely bounded by construction"
         )
     return body
 
@@ -83,6 +109,7 @@ class JsonRecordsReader(DataSourceReader):
                 f"numPartitions must be >= 1, got {self.num_partitions}"
             )
         self.timeout = float(options.get("timeout", "60"))
+        self.max_records = int(options.get("maxRecords", MAX_RECORDS_DEFAULT))
 
     def partitions(self) -> list[InputPartition]:
         return [
@@ -91,7 +118,9 @@ class JsonRecordsReader(DataSourceReader):
         ]
 
     def read(self, partition: _ModuloPartition) -> Iterator[tuple]:
-        records = _fetch_records(self.url, self.data_key, self.timeout)
+        records = _fetch_records(
+            self.url, self.data_key, self.timeout, self.max_records
+        )
         fields = [f.name for f in self.schema.fields]
         for i in range(partition.index, len(records), partition.count):
             rec = records[i]
@@ -123,6 +152,7 @@ class JsonRecordsSimpleStreamReader(SimpleDataSourceStreamReader):
         if self.batch_size < 1:
             raise ValueError(f"batchSize must be >= 1, got {self.batch_size}")
         self.timeout = float(options.get("timeout", "60"))
+        self.max_records = int(options.get("maxRecords", MAX_RECORDS_DEFAULT))
         self.fields = [f.name for f in schema.fields]
 
     def _rows(self, records: list[dict]) -> list[tuple]:
@@ -132,13 +162,17 @@ class JsonRecordsSimpleStreamReader(SimpleDataSourceStreamReader):
         return {"index": 0}
 
     def read(self, start: dict):
-        records = _fetch_records(self.url, self.data_key, self.timeout)
+        records = _fetch_records(
+            self.url, self.data_key, self.timeout, self.max_records
+        )
         i = int(start["index"])
         batch = records[i : i + self.batch_size]
         return iter(self._rows(batch)), {"index": i + len(batch)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        records = _fetch_records(self.url, self.data_key, self.timeout)
+        records = _fetch_records(
+            self.url, self.data_key, self.timeout, self.max_records
+        )
         return iter(self._rows(records[int(start["index"]) : int(end["index"])]))
 
     def commit(self, end: dict) -> None:

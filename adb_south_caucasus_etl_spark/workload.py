@@ -12189,13 +12189,27 @@ def source_pyds_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.pyds import JsonRecordsDataSource
 
+    from .sources.pyds import MAX_RECORDS_DEFAULT
+
+    # control-plane payload staging (bounded: 1-in-10 doc ids + lang).
+    # HARD CAP, fail-loud: this collect+file-stage pattern is only valid
+    # for control-plane payloads — copied against a data-scale table it
+    # would OOM the driver silently, so over-cap trips before collecting
+    # more than cap+1 rows (the jsonrecords readers enforce the same
+    # ceiling executor-side, sources/pyds.py MAX_RECORDS_DEFAULT)
     docs = (
         Catalog(spark, sf_dir)
         .documents.filter(F.col("doc_id") % 10 == 0)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+        .limit(MAX_RECORDS_DEFAULT + 1)
         .collect()
-    )  # control-plane payload staging (bounded: 1-in-10 doc ids + lang)
+    )
+    if len(docs) > MAX_RECORDS_DEFAULT:
+        raise ValueError(
+            f"pyds staging payload exceeds the {MAX_RECORDS_DEFAULT} "
+            "control-plane cap; stage to parquet/JSON-lines instead"
+        )
     records = [{"doc_id": r["doc_id"], "lang": r["lang"]} for r in docs]
     stage = _scratch_dir("pyds_stream", sf_dir)
     payload = os.path.join(stage, "payload.json")

@@ -186,3 +186,36 @@ class TestPythonDataSource:
         rows = sorted(df.collect(), key=lambda r: r["doc_id"])
         assert rows[0]["lang"] is None  # absent field → null
         assert rows[1]["lang"] == "en"
+
+    def test_control_plane_record_cap_trips_fail_loud(self, spark, tmp_path):
+        """The jsonrecords path re-fetches the whole payload per task, so
+        it must REFUSE data-scale payloads instead of silently crawling:
+        over maxRecords the read raises; the same payload passes once the
+        caller explicitly raises the cap (declaring boundedness)."""
+        import json
+
+        import pytest
+
+        from adb_south_caucasus_etl_spark.sources.pyds import (
+            JsonRecordsDataSource,
+        )
+
+        p = tmp_path / "big.json"
+        p.write_text(json.dumps({"data": [{"doc_id": i} for i in range(50)]}))
+        try:
+            spark.dataSource.register(JsonRecordsDataSource)
+        except Exception:
+            pass
+
+        def read(max_records):
+            return (
+                spark.read.format("jsonrecords")
+                .schema("doc_id bigint")
+                .option("url", f"file://{p}")
+                .option("maxRecords", str(max_records))
+                .load()
+            )
+
+        with pytest.raises(Exception, match="control-plane cap"):
+            read(10).collect()
+        assert read(50).count() == 50
