@@ -312,14 +312,17 @@ def cosine_pairs_blocked(
         v.alias("__v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__b"),
     )
-    spec = None
-    for b1 in range(n_blocks):
-        for b2 in range(b1, n_blocks):
-            pair = (b1, b2)
-            spec = [pair] if spec is None else spec + [pair]
+    # pair grid via spark.range: a Range leaf is bounded by construction
+    # (n_blocks² rows) and the fleet broadcast audit can SEE that — a
+    # createDataFrame literal serializes as an opaque LogicalRDD
     spark = df.sparkSession
     pairs = F.broadcast(
-        spark.createDataFrame(spec, "b1 int, b2 int")
+        spark.range(n_blocks * n_blocks)
+        .select(
+            (F.col("id") / n_blocks).cast("int").alias("b1"),
+            (F.col("id") % n_blocks).cast("int").alias("b2"),
+        )
+        .filter(F.col("b1") <= F.col("b2"))
     )
     rep_a = rows.join(pairs, rows["__b"] == pairs["b1"]).select(
         "b1", "b2", F.lit(0).alias("__side"), "__id", "__v"
@@ -430,11 +433,12 @@ def knn_candidates_blocked(
         F.lit(1).alias("__side"),
     )
     spark = queries.sparkSession
-    # bounded by construction: nq × nc grid rows
+    # bounded by construction: nq × nc grid rows. Built from spark.range
+    # so the broadcast audit sees a Range leaf, not an opaque LogicalRDD
     grid = F.broadcast(
-        spark.createDataFrame(
-            [(bq, bc) for bq in range(n_query_blocks) for bc in range(n_corpus_blocks)],
-            "gq int, gc int",
+        spark.range(n_query_blocks * n_corpus_blocks).select(
+            (F.col("id") / n_corpus_blocks).cast("int").alias("gq"),
+            (F.col("id") % n_corpus_blocks).cast("int").alias("gc"),
         )
     )
     rep_q = q.join(grid, q["__b"] == grid["gq"]).select(
@@ -475,6 +479,66 @@ def knn_candidates_blocked(
     )
 
 
+def cosine_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_query_blocks: int = 4,
+    n_corpus_blocks: int = 4,
+) -> DataFrame:
+    """Bit-identical results to :func:`cosine_topk_exact` with NEITHER
+    side broadcast: :func:`knn_candidates_blocked` prunes to an
+    exact-superset candidate list (grid-blocked GEMM), then the survivors
+    are re-scored with the SAME JVM ``zip_with`` fold, rounding and
+    ``(cosine desc, neighbor_id)`` ranking as the exact operator — so the
+    top-k set and every emitted cosine match brute force exactly.
+
+    This is the form to use when the query side scales with the data
+    (held-out splits, probe fractions); ``cosine_topk_exact`` remains the
+    readable baseline for genuinely bounded query sets.
+    """
+    cand = knn_candidates_blocked(
+        queries,
+        corpus,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_query_blocks=n_query_blocks,
+        n_corpus_blocks=n_corpus_blocks,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                4,
+            )
+            + 0.0,  # -0.0 → +0.0 (comparator-stable)
+        )
+        .drop("qv", "cv", "qn", "cn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def knn_classify(
     corpus: DataFrame,
     queries: DataFrame,
@@ -488,14 +552,15 @@ def knn_classify(
     to the smallest label. Returns
     ``(query_id, predicted_label, n_votes)``.
 
-    Composition of :func:`cosine_topk_exact` (broadcast queries, JVM dot
-    products, windowed top-k — rounded-cosine ranking keeps the neighbor
-    set identical across engines) with a per-query argmax. The argmax is
-    ``max_by`` over a ``(votes, -label)`` struct — one more hash aggregate
-    on the query id, no extra shuffle beyond the top-k window's. At scale
-    swap the exact top-k for ``ivf_topk`` — the voting tail is identical.
+    Composition of :func:`cosine_topk_blocked` (grid-blocked exact top-k,
+    neither side broadcast — query sets are often data-scale fractions,
+    so the broadcast form would grow with the corpus) with a per-query
+    argmax. The argmax is ``max_by`` over a ``(votes, -label)`` struct —
+    one more hash aggregate on the query id, no extra shuffle beyond the
+    top-k window's. For sub-quadratic candidate generation swap in
+    ``ivf_topk`` — the voting tail is identical.
     """
-    nbrs = cosine_topk_exact(
+    nbrs = cosine_topk_blocked(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col
     )
     labels = corpus.select(

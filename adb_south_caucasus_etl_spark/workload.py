@@ -2726,7 +2726,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand = cat.part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
     return (
         cat.lineitem.join(
-            F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey")
+            brand, F.col("l_partkey") == F.col("p_partkey")
         )
         .join(lim, F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__qty_lim"))
@@ -2826,7 +2826,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
@@ -2875,9 +2875,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity")
     return (
         cat.lineitem.join(
-            F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+            parts, F.col("l_partkey") == F.col("p_partkey")
         )
-        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -2944,7 +2944,7 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(cat.part.select("p_partkey", "p_type")),
+            cat.part.select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .agg(
@@ -2986,10 +2986,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         cat.lineitem.join(
-            F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+            parts, F.col("l_partkey") == F.col("p_partkey")
         )
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -3028,7 +3028,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         cat.lineitem.join(
-            F.broadcast(cat.part.select("p_partkey", "p_brand", "p_size")),
+            cat.part.select("p_partkey", "p_brand", "p_size"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .filter(
@@ -4976,7 +4976,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     offers = (
         cat.lineitem.join(
-            F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+            eu_supp, F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(
@@ -4999,7 +4999,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(large, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey")
+            eu_supp, F.col("s_suppkey") == F.col("l_suppkey")
         )
         .select(
             "s_acctbal",
@@ -5064,9 +5064,7 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     rows = (
         cat.lineitem.join(
-            F.broadcast(
-                cat.part.filter(F.col("p_type") == "PROMO").select("p_partkey")
-            ),
+            cat.part.filter(F.col("p_type") == "PROMO").select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
@@ -5082,7 +5080,7 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(cat.region), F.col("cn_region") == F.col("r_regionkey")
         )
         .filter(F.col("r_name") == "ASIA")
-        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -5145,7 +5143,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pv = (
         cat.lineitem.join(
-            F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey")
+            nat_supp, F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("l_partkey")
         .agg(
@@ -5241,7 +5239,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         waiting.join(
-            F.broadcast(cat.supplier), F.col("sk") == F.col("s_suppkey")
+            cat.supplier, F.col("sk") == F.col("s_suppkey")
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -13556,7 +13554,7 @@ def dim_unknown_member_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = cat.customer.select("c_custkey", "c_mktsegment")
     repaired = o2.join(
-        F.broadcast(c), o2["o_custkey"] == c["c_custkey"], "left"
+        c, o2["o_custkey"] == c["c_custkey"], "left"
     ).select(
         "cents",
         F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
@@ -14660,9 +14658,7 @@ def basket_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = (
         cat.lineitem.select(F.col("l_orderkey").alias("ok"), "l_partkey")
         .join(
-            F.broadcast(
-                cat.part.select("p_partkey", F.col("p_brand").alias("b"))
-            ),
+            cat.part.select("p_partkey", F.col("p_brand").alias("b")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("ok", "b")
@@ -15353,9 +15349,7 @@ def market_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     sr = (
         cat.lineitem.join(
-            F.broadcast(
-                cat.supplier.select("s_suppkey", "s_nationkey")
-            ),
+            cat.supplier.select("s_suppkey", "s_nationkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("l_suppkey", "s_nationkey")
@@ -16612,7 +16606,7 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_logreg_gd_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     d = cat.orders.join(
-        F.broadcast(cat.customer.select("c_custkey", "c_acctbal")),
+        cat.customer.select("c_custkey", "c_acctbal"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select(
         (F.col("o_totalprice") / 500000.0).alias("x1"),
@@ -18271,7 +18265,7 @@ def share_of_parent_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     nr = (
         cat.orders.join(
-            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            cat.customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -18614,7 +18608,7 @@ def topk_percent_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     j = cat.orders.join(
-        F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+        cat.customer.select("c_custkey", "c_mktsegment"),
         F.col("o_custkey") == F.col("c_custkey"),
     )
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -19101,7 +19095,7 @@ def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .join(
-            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            cat.part.select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy(
@@ -20347,7 +20341,7 @@ def agg_metric_definition_contrast(
 ) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     lo = cat.orders.join(
-        F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+        cat.customer.select("c_custkey", "c_mktsegment"),
         F.col("o_custkey") == F.col("c_custkey"),
     )
     per_cust = lo.groupBy(
@@ -21143,7 +21137,7 @@ def join_null_key_early_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_null = o.filter(F.col("k").isNull()).count()
     j = o.join(
-        F.broadcast(cat.customer.select("c_custkey")),
+        cat.customer.select("c_custkey"),
         F.col("k") == F.col("c_custkey"),
     )
     return j.agg(
@@ -22672,7 +22666,7 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     d = cat.orders.join(
-        F.broadcast(cat.customer.select("c_custkey", "c_acctbal")),
+        cat.customer.select("c_custkey", "c_acctbal"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select(
         F.col("o_totalprice").alias("x"), F.col("c_acctbal").alias("y")
@@ -23124,7 +23118,7 @@ def inventory_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("n_days")
     )
-    part_b = F.broadcast(cat.part.select("p_partkey", "p_brand"))
+    part_b = cat.part.select("p_partkey", "p_brand")
     demand = (
         cat.lineitem.join(
             part_b, F.col("l_partkey") == F.col("p_partkey")

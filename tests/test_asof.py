@@ -213,3 +213,87 @@ def test_asof_timestamp_ntz_tolerance_and_nearest(spark):
         direction="backward", tolerance_s=3600.0,
     ).collect()
     assert r2["px"] == 1.0
+
+
+@pytest.mark.parametrize("ts_type", ["timestamp", "timestamp_ntz"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_direction_matrix_both_timestamp_types(spark, ts_type, direction):
+    """Full direction × timestamp-type matrix (r6 verdict item 7): the
+    plain backward/forward paths must give the same matches for
+    TIMESTAMP and TIMESTAMP_NTZ inputs carrying the same wall-clock
+    values — the union-tag window compares the ts column natively, no
+    tz-sensitive cast is involved until a tolerance is requested."""
+    def mk(df, cols):
+        return df.select(
+            *[F.col(c).cast(ts_type).alias(c) if c == "ts" else F.col(c)
+              for c in cols]
+        )
+
+    left = mk(
+        spark.createDataFrame(
+            [
+                (1, "A", "2024-01-01T10:10:00"),
+                (2, "A", "2024-01-01T09:00:00"),
+                (3, "B", "2024-01-01T12:00:00"),
+            ],
+            "id long, sym string, ts string",
+        ),
+        ["id", "sym", "ts"],
+    )
+    right = mk(
+        spark.createDataFrame(
+            [
+                ("A", "2024-01-01T10:00:00", 1.0),
+                ("A", "2024-01-01T10:13:00", 2.0),
+                ("B", "2024-01-01T11:00:00", 3.0),
+            ],
+            "sym string, ts string, px double",
+        ),
+        ["sym", "ts", "px"],
+    )
+    rows = {
+        r["id"]: r["px"]
+        for r in asof_join(
+            left, right, on="sym", left_ts="ts", direction=direction
+        ).collect()
+    }
+    expected = {
+        "backward": {1: 1.0, 2: None, 3: 3.0},
+        "forward": {1: 2.0, 2: 1.0, 3: None},
+        "nearest": {1: 2.0, 2: 1.0, 3: 3.0},
+    }[direction]
+    assert rows == expected
+
+
+@pytest.mark.parametrize("ts_type", ["timestamp", "timestamp_ntz"])
+def test_time_range_frame_both_timestamp_types(spark, ts_type):
+    """The time-RANGE frame spelling (rangeBetween over unix_micros, the
+    window_time_range_frame pattern) must produce identical rolling sums
+    for TIMESTAMP and TIMESTAMP_NTZ inputs of the same wall-clock values
+    (NTZ goes through the cast-through-timestamp, exact under the pinned
+    UTC session zone)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01T00:00:00", 10.0),
+            (1, "2024-01-02T23:59:59", 20.0),
+            (1, "2024-01-04T00:00:01", 40.0),  # 3d window drops row 1
+            (2, "2024-01-01T00:00:00", 5.0),
+        ],
+        "user_id long, ts_s string, value double",
+    ).select(
+        "user_id", F.col("ts_s").cast(ts_type).alias("ts"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-259_200_000_000, 0)
+    )
+    rows = sorted(
+        (r["user_id"], r["roll"])
+        for r in df.select(
+            "user_id", F.sum("value").over(w).alias("roll")
+        ).collect()
+    )
+    assert rows == [(1, 10.0), (1, 30.0), (1, 60.0), (2, 5.0)]

@@ -263,12 +263,15 @@ def test_incremental_dedup_scans_stay_linear(spark):
     assert re.search(r"(SortMerge|ShuffledHash|BroadcastHash)Join \[__s", plan), plan
 
 
-def test_knn_broadcasts_queries(spark):
-    """knn_label_classify: the query side is broadcast (BroadcastNestedLoop
-    over the corpus scan), votes aggregate on query_id — corpus is never
-    shuffled pairwise."""
+def test_knn_blocked_candidates_no_data_scale_broadcast(spark):
+    """knn_label_classify: candidates come from the grid-blocked GEMM
+    (one FlatMapGroupsInPandas pass), NEITHER side broadcast — the query
+    side is a %50 fraction of the corpus, so the old broadcast form grew
+    linearly with data (r6 verdict class). The exact re-score joins the
+    candidate list back on plain equi-keys; no pairwise blow-up."""
     plan = _final_plan(WORKLOAD["knn_label_classify"].fn(spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
