@@ -13974,7 +13974,15 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three distributed NTILEs: each quintile = exact NTILE formula over
     # the range-partitioned global ordinal — customer grain is unbounded,
-    # so the r5 plan's three Exchange-SinglePartition windows are gone
+    # so the r5 plan's three Exchange-SinglePartition windows are gone.
+    # One localCheckpoint per ordinal is the MINIMUM, not an oversight:
+    # each ordinal needs its own repartitionByRange (different total
+    # order), each range exchange samples boundaries nondeterministically
+    # per execution, and each is consumed by two branches (offset
+    # manifest + rank pass) — so each must be pinned individually; a
+    # single shared pin could only serve one partitioning. The three
+    # pins chain (2nd/3rd input is already materialized), so each
+    # additional pass costs one exchange + one ~rows-sized write.
     ranked = global_ordinal(
         global_ordinal(
             global_ordinal(
