@@ -312,6 +312,47 @@ def test_knn_candidates_blocked_superset_of_exact_topk(spark, sf_dir):
     assert len(cand) < 0.5 * n_q * n_c
 
 
+def test_knn_candidates_blocked_tie_storm_matches_exact(spark):
+    """Adversarial ties: many DUPLICATE vectors (cosine exactly 1.0 to
+    each other) plus rounding-bucket near-ties. The slack prune must keep
+    every row that can reach the rounded top-k under the (cosine desc,
+    neighbor_id asc) tie-break, so cosine_topk_blocked must equal
+    cosine_topk_exact row-for-row — ranks, ids and cosines."""
+    import math
+    import random
+
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        cosine_topk_blocked,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        if i % 3 == 0:
+            v = [1.0, 2.0, 3.0, 4.0]  # 40 exact duplicates
+        elif i % 3 == 1:
+            theta = 0.001 * (i % 7)  # tight near-tie fan
+            v = [math.cos(theta), math.sin(theta), 1.0, 0.5]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(4)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 5 == 0)
+    corpus = df.filter(F.col("vec_id") % 5 != 0)
+    exact = sorted(
+        map(tuple, cosine_topk_exact(corpus, queries, k=5).collect())
+    )
+    blocked = sorted(
+        map(
+            tuple,
+            cosine_topk_blocked(
+                corpus, queries, k=5, n_query_blocks=3, n_corpus_blocks=3
+            ).collect(),
+        )
+    )
+    assert blocked == exact
+
+
 def test_knn_candidates_blocked_excludes_self_even_in_tiny_cells(spark):
     """Self-pairs must never surface, including the k-th-statistic edge
     case where a cell holds <= k corpus rows (kth = -inf would readmit
