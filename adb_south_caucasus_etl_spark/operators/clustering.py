@@ -66,7 +66,7 @@ def kmeans_lloyd(
         base.withColumn("__h", md5_u32(F.col("__id")))
         .orderBy("__h", "__id")
         .limit(k)
-        .collect()
+        .collect()  # bounded: k seed rows by construction
     )
     centroids = [list(r["__v"]) for r in seed_rows]
 
@@ -96,7 +96,7 @@ def kmeans_lloyd(
             )
             .groupBy("cluster_id", "pos")
             .agg(F.avg("x").alias("m"))
-            .collect()
+            .collect()  # bounded: k x dim centroid aggregate rows
         )
         new_c = {}
         for r in means:

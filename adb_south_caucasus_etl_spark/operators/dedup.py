@@ -492,7 +492,7 @@ def connected_components_star(
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
+        ).collect()[0]  # bounded: 1-row convergence checksum aggregate
         return (row["n"], row["h"])
 
     prev = _checksum(e)

@@ -206,6 +206,7 @@ def backfill_missing_partitions(
         missing_df = expected.join(existing, partition_col, "left_anti")
     except Exception:  # first run: sink does not exist yet
         missing_df = expected
+    # bounded: distinct-partition manifest (anti-join of partition values)
     missing = [r[partition_col] for r in missing_df.collect()]
     if missing:
         refresh_rollup_partitions(

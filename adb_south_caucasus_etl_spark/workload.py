@@ -12201,7 +12201,7 @@ def source_pyds_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
         .limit(MAX_RECORDS_DEFAULT + 1)
-        .collect()
+        .collect()  # bounded: limit-capped, over-cap raises below
     )
     if len(docs) > MAX_RECORDS_DEFAULT:
         raise ValueError(
@@ -12239,7 +12239,7 @@ def source_pyds_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         while time.time() < deadline:
             got = spark.sql(
                 f"SELECT COALESCE(SUM(n_docs), 0) FROM {name}"
-            ).collect()[0][0]
+            ).collect()[0][0]  # bounded: 1-row sink-total scalar poll
             if got >= expected:
                 break
             time.sleep(0.2)
@@ -12294,7 +12294,7 @@ def streaming_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
 
     mid = ev.agg(
         F.expr("timestamp_micros(CAST(avg(unix_micros(ts)) AS BIGINT))")
-    ).collect()[0][0]
+    ).collect()[0][0]  # bounded: 1-row scalar aggregate (stream split point)
 
     def agg_of(stream_df: DataFrame) -> DataFrame:
         return stream_df.groupBy("event_type").agg(
@@ -15745,6 +15745,7 @@ def stat_freq_items_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-pass candidate superset for support > 1/4
     # support=0.16 < 1/6, so the sketch's superset guarantee covers the
     # exact > n/6 cut below; candidate list is <= 1/support ~ 6 items
+    # bounded: freqItems candidate list is <= 1/support ~ 6 items
     cand_row = o.stat.freqItems(["o_orderpriority"], support=0.16).collect()[0]
     candidates = list(cand_row[0])
     total = o.count()

@@ -89,6 +89,39 @@ BROADCAST_DATA_SCALE_OK = {
 }
 
 
+def test_every_driver_side_collect_declares_boundedness():
+    """Source-level gate for the OTHER driver-funnel class: every
+    ``.collect()`` / ``.toPandas()`` / ``.toLocalIterator()`` in package
+    code pulls rows onto the driver, which is only legitimate for frames
+    bounded by construction (scalar aggregates, limit-k seeds, manifests,
+    control-plane staging). Each site must say so: a comment containing
+    'bounded' on the same line or within the 3 preceding lines. A new
+    collect without the justification fails here before it can ship an
+    unbounded driver funnel (the r6 verdict's collect census, made a
+    standing gate like the broadcast audit)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / (
+        "adb_south_caucasus_etl_spark"
+    )
+    pat = re.compile(r"\.(collect|toPandas|toLocalIterator)\(\)")
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if not pat.search(line):
+                continue
+            window = "\n".join(lines[max(0, i - 3) : i + 1]).lower()
+            if "bounded" not in window:
+                offenders.append(f"{path.name}:{i + 1}: {line.strip()}")
+    assert not offenders, (
+        "driver-side collect without a boundedness comment (add "
+        "'# bounded: <why>' on or just above the call, or make the frame "
+        "distributed):\n" + "\n".join(offenders)
+    )
+
+
 def _single_partition_over_raw_rows(plan: str) -> list[str]:
     lines = plan.splitlines()
     bad = []
