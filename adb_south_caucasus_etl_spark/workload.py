@@ -23386,3 +23386,179 @@ def ml_kmeans_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.sum(F.floor(F.col("k") / 100)).cast("bigint").alias("inertia_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.BN — round-7 audit twins for the rows-only sketch tier: each
+# stamps the SKETCH'S GUARANTEE (error bound / recall floor / determinism)
+# as exact, oracle-checkable values, the same pattern as round-6's
+# ml_kmeans_assign_audit. The sketch outputs themselves stay rows-only by
+# declared necessity (DuckDB cannot replay Spark's HLL/GK/LSH internals);
+# these twins make their correctness driver-stamped anyway.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sketch_hll_error_audit",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_nd,
+           TRUE AS within_bounds
+    FROM lineitem GROUP BY 1
+    """,
+    doc="audit twin for agg_approx_distinct / rollup_hll_distinct_serve "
+        "(rows-only by necessity): approx_count_distinct at rsd=0.05 must "
+        "land within 5 sigma of the exact distinct count per group "
+        "(+16 absolute slack for tiny groups). HLL register-max merge is "
+        "commutative, so the approx value is deterministic given the "
+        "data; the BOUND is what the stamp certifies — the oracle "
+        "computes the exact side and the literal TRUE the bound check "
+        "must reproduce. A Spark HLL regression breaking its advertised "
+        "error would hash-mismatch here",
+)
+def sketch_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    rsd = 0.05
+    g = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("exact_nd"),
+        F.approx_count_distinct("l_suppkey", rsd).alias("approx_nd"),
+    )
+    tol = 5 * rsd * F.col("exact_nd") + F.lit(16)
+    return g.select(
+        "flag",
+        "exact_nd",
+        (F.abs(F.col("approx_nd") - F.col("exact_nd")) <= tol).alias(
+            "within_bounds"
+        ),
+    )
+
+
+@register(
+    "sketch_quantile_rank_audit",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS rank_within_eps
+    FROM lineitem GROUP BY 1
+    """,
+    doc="audit twin for agg_percentile_approx / rollup_kll_quantile_serve "
+        "(rows-only by necessity): the value percentile_approx(p=0.5, "
+        "accuracy=10000) returns must occupy a rank interval "
+        "[count_lt+1, count_le] that intersects the target rank n/2 "
+        "within eps*n (eps = 2/accuracy to cover partial-merge "
+        "degradation, +1 row absolute). The rank interval is computed "
+        "EXACTLY by a second pass joining the per-group approx value "
+        "back to the rows — so the stamp certifies the GK sketch's rank "
+        "guarantee with exact arithmetic, independent of which element "
+        "the sketch happens to return",
+)
+def sketch_quantile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ap = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a"),
+    )
+    j = li.join(ap, F.col("l_returnflag") == F.col("flag"))
+    r = j.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("a"), 1).otherwise(0)
+        ).alias("cnt_lt"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("a"), 1).otherwise(0)
+        ).alias("cnt_le"),
+    )
+    eps_n = 2.0 / 10000.0 * F.col("n") + F.lit(1.0)
+    target = F.col("n") / 2.0
+    lo = F.col("cnt_lt") + 1
+    hi = F.col("cnt_le")
+    intersects = (lo <= target + eps_n) & (hi >= target - eps_n)
+    return r.select("flag", "n", intersects.alias("rank_within_eps"))
+
+
+@register(
+    "ann_ivf_recall_audit",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="audit twin for ann_ivf_topk (rows-only by necessity — the "
+        "hyperplanes live in Python): recall@10 of the seeded sign-LSH "
+        "probe against the exact top-10 must clear the 0.8 floor the "
+        "pytest gate pins, measured EXACTLY by joining the two neighbor "
+        "sets. Hyperplanes are seed-deterministic, so recall is a pure "
+        "function of the data and the stamp is stable; the oracle "
+        "supplies the query count and the TRUE the floor check must "
+        "reproduce",
+)
+def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk_exact, ivf_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    # bounded: literal id cut — 10 probe queries regardless of corpus size
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_exact(emb, q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(emb, q, k=10, nbits=3, num_tables=12, dim=64).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("an").alias("n_hit"),
+    )
+    return hits.select(
+        (F.col("n_exact") / 10).cast("bigint").alias("n_queries"),
+        (F.col("n_hit") / F.col("n_exact") >= 0.8).alias("recall_ok"),
+    )
+
+
+@register(
+    "simhash_determinism_audit",
+    """
+    WITH g AS (SELECT md5(text) AS h, COUNT(*) AS c
+               FROM documents GROUP BY 1)
+    SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
+             AS n_exact_dup_pairs,
+           TRUE AS all_collide
+    FROM g WHERE c > 1
+    """,
+    doc="audit twin for simhash_near_pairs (rows-only by necessity — the "
+        "64-bit fingerprint has no SQL twin): identical texts must map to "
+        "IDENTICAL simhashes across Arrow batches and partitions — the "
+        "md5-token-hash claim in operators/dedup.py (no PYTHONHASHSEED "
+        "dependence) made stampable. Groups the corpus by exact text "
+        "hash and asserts one distinct fingerprint per group; the "
+        "exact-duplicate pair count anchors the row against the oracle",
+)
+def simhash_determinism_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash64
+
+    docs = Catalog(spark, sf_dir).documents
+    g = (
+        docs.select(
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+            simhash64(F.col("text")).alias("sh"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.countDistinct("sh").alias("nsh"),
+        )
+        .filter(F.col("c") > 1)
+    )
+    return g.agg(
+        F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_dup_pairs"),
+        F.coalesce(F.min(F.col("nsh") == 1), F.lit(True)).alias(
+            "all_collide"
+        ),
+    )

@@ -79,6 +79,9 @@ BROADCAST_DATA_SCALE_OK = {
     "path is cosine_topk_blocked / ivf_topk",
     "ann_ivf_topk": "query side of the LSH probe; same bounded-query "
     "contract as cosine_topk_exact",
+    "ann_ivf_recall_audit": "composes cosine_topk_exact + ivf_topk over "
+    "a 10-row literal id cut (vec_id < 10) — both hints carry the "
+    "bounded-query contract",
     # documented exact eval baseline (doc block names the IVF/LSH swap
     # as the 100 TB candidate path; metric layer is candidate-agnostic):
     "ml_ranking_metrics": "exact eval baseline over the %5 candidate "
