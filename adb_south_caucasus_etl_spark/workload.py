@@ -904,7 +904,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_near_pairs",
     None,  # md5-bit SimHash via pandas UDF → rows-only
     doc="L2 SimHash64 (Arrow-batched pandas UDF) near-dup pairs, hamming <= 3, "
-        "blocked on top-16-bit prefix",
+        "blocked on top-16-bit prefix. Guarantee driver-stamped by the simhash_determinism_audit twin",
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_pairs
@@ -1115,7 +1115,7 @@ def cosine_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     None,  # approximate by construction (recall < 1) → rows-only; recall gated in pytest
     doc="L3 ANN: multi-table sign-LSH bucketed cosine top-10 — equi-join on "
-        "(table, bucket) instead of full cross join; ~0.95 recall at 12x3",
+        "(table, bucket) instead of full cross join; ~0.95 recall at 12x3. Recall floor driver-stamped by the ann_ivf_recall_audit twin",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
@@ -1734,7 +1734,7 @@ def window_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
            # oracle-checkable and the ≤2%-error bound vs it is gated in
            # tests/test_llm_ops.py
     doc="A3 100-TB tier: approx_count_distinct (HyperLogLog++) beside the "
-        "exact count — the sketch is one pass, no distinct shuffle",
+        "exact count — the sketch is one pass, no distinct shuffle. Error bound driver-stamped by the sketch_hll_error_audit twin",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
@@ -3619,7 +3619,7 @@ def sink_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell; the coarser (region, year) drilldown UNIONS the sketches "
         "(lossless) and estimates — the thing plain count_distinct "
         "partials fundamentally cannot do; ~2% error at default lgK, "
-        "gated in tests/test_curation2.py",
+        "gated in tests/test_curation2.py. Error bound driver-stamped by the sketch_hll_error_audit twin",
 )
 def rollup_hll_distinct_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
@@ -3825,7 +3825,7 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "at 100 TB exact percentiles need a full sort per group, the "
         "sketch needs one scan. One sketch per group serves all three "
         "cut points via element_at, emitted as scalar p50/p90/p99 "
-        "columns (the driver canonicalizer cannot hash array cells)",
+        "columns (the driver canonicalizer cannot hash array cells). Rank guarantee driver-stamped by the sketch_quantile_rank_audit twin",
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
@@ -5920,7 +5920,7 @@ def sketch_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "all). k=4096 → normalized rank error ≈0.4%; accuracy vs the "
         "exact percentile is gated in tests/test_sinks_sketches.py. The "
         "sketch column is parquet BINARY — the rollup is a real table a "
-        "dashboard reads back",
+        "dashboard reads back. Rank guarantee driver-stamped by the sketch_quantile_rank_audit twin",
 )
 def rollup_kll_quantile_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
