@@ -384,12 +384,20 @@ def knn_candidates_blocked(
     n_query_blocks: int = 4,
     n_corpus_blocks: int = 4,
     slack: float = 1e-3,
+    match_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact-SUPERSET k-NN candidate generation with NEITHER side
     broadcast — the scale-correct front end for exact kNN pipelines
     (replaces ``crossJoin(F.broadcast(queries))``, whose build side is a
     fixed *fraction* of the corpus and therefore grows linearly with
     data: a guaranteed driver OOM at cluster scale).
+
+    ``match_cols`` (FILTERED exact NN): when set, a candidate must agree
+    with the query on every listed column (e.g. ``["label"]`` for
+    best-relevant search in ranking eval, or a language/partition key) —
+    the columns join the cell grouping key, so each GEMM cell holds one
+    match-group only and the guarantee below applies per group. This is
+    the exact counterpart of a metadata-filtered ANN query.
 
     Both sides hash into blocks; every (query-block, corpus-block) cell
     of the bounded ``n_query_blocks × n_corpus_blocks`` grid becomes one
@@ -420,17 +428,20 @@ def knn_candidates_blocked(
     import numpy as np
     import pandas as pd
 
+    mcols = list(match_cols or [])
     q = queries.select(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).alias("__b"),
         F.lit(0).alias("__side"),
+        *[F.col(m) for m in mcols],
     )
     c = corpus.select(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_corpus_blocks)).alias("__b"),
         F.lit(1).alias("__side"),
+        *[F.col(m) for m in mcols],
     )
     spark = queries.sparkSession
     # bounded by construction: nq × nc grid rows. Built from spark.range
@@ -442,10 +453,10 @@ def knn_candidates_blocked(
         )
     )
     rep_q = q.join(grid, q["__b"] == grid["gq"]).select(
-        "gq", "gc", "__side", "__id", "__v"
+        "gq", "gc", "__side", "__id", "__v", *mcols
     )
     rep_c = c.join(grid, c["__b"] == grid["gc"]).select(
-        "gq", "gc", "__side", "__id", "__v"
+        "gq", "gc", "__side", "__id", "__v", *mcols
     )
     both = rep_q.unionByName(rep_c)
 
@@ -474,7 +485,7 @@ def knn_candidates_blocked(
         ia, ib = np.nonzero((S >= (kth - slack)[:, None]) & np.isfinite(S))
         return pd.DataFrame({"query_id": qid[ia], "neighbor_id": nid[ib]})
 
-    return both.groupBy("gq", "gc").applyInPandas(
+    return both.groupBy(*mcols, "gq", "gc").applyInPandas(
         per_cell, "query_id long, neighbor_id long"
     )
 
@@ -536,6 +547,124 @@ def cosine_topk_blocked(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def rank_count_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_col: str = "t",
+    n_query_blocks: int = 4,
+    n_corpus_blocks: int = 4,
+    slack: float = 1e-3,
+) -> DataFrame:
+    """Per-query RANK-OF-SCORE counting without materializing the pair
+    matrix: given each query a threshold ``t`` (a ROUND(cos, 4) value,
+    e.g. its best-relevant score), count how many corpus rows CERTAINLY
+    score above ``t`` after rounding, and emit the ambiguous band pairs
+    for exact engine-side re-scoring. The caller combines
+    ``1 + sum(certain_above) + exact-band resolution`` into the exact
+    global rank of the threshold row — the primitive behind exact MRR at
+    scale (rank of the first relevant item over an unbounded candidate
+    corpus, no broadcast, no all-pairs output).
+
+    Output rows are one of two kinds per (query, cell): a count row
+    ``(query_id, NULL, certain_above)`` and zero or more band rows
+    ``(query_id, neighbor_id, NULL)``. Certainty argument: with
+    ``slack = 1e-3`` ≫ one rounding bucket (1e-4) + GEMM-vs-fold ulp,
+    ``raw > t + slack`` implies ``ROUND(fold, 4) > t`` and
+    ``raw < t - slack`` implies ``ROUND(fold, 4) < t``; every row whose
+    rounded score could equal or straddle ``t`` lands in the band and is
+    re-scored with the oracle's own fold. Self-pairs are excluded (the
+    ranking they feed excludes self).
+
+    Scale shape: identical replication grid to
+    :func:`knn_candidates_blocked`; output volume is queries × cells
+    count rows plus the band (≈ band-width fraction of pairs — for
+    4-decimal rounding and slack 1e-3, ~0.1% of the matrix).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = queries.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+        F.col(threshold_col).cast("double").alias("__t"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).alias("__b"),
+        F.lit(0).alias("__side"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+        F.lit(None).cast("double").alias("__t"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_corpus_blocks)).alias("__b"),
+        F.lit(1).alias("__side"),
+    )
+    spark = queries.sparkSession
+    # bounded by construction: nq × nc grid rows (Range leaf for the audit)
+    grid = F.broadcast(
+        spark.range(n_query_blocks * n_corpus_blocks).select(
+            (F.col("id") / n_corpus_blocks).cast("int").alias("gq"),
+            (F.col("id") % n_corpus_blocks).cast("int").alias("gc"),
+        )
+    )
+    rep_q = q.join(grid, q["__b"] == grid["gq"]).select(
+        "gq", "gc", "__side", "__id", "__v", "__t"
+    )
+    rep_c = c.join(grid, c["__b"] == grid["gc"]).select(
+        "gq", "gc", "__side", "__id", "__v", "__t"
+    )
+    both = rep_q.unionByName(rep_c)
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.array([], dtype="Int64"),
+            "neighbor_id": pd.array([], dtype="Int64"),
+            "certain_above": pd.array([], dtype="Int64"),
+        }
+    )
+
+    def per_cell(key, pdf: pd.DataFrame):
+        ql = pdf[pdf["__side"] == 0]
+        cl = pdf[pdf["__side"] == 1]
+        if len(ql) == 0 or len(cl) == 0:
+            return empty
+        Q = np.stack(ql["__v"].to_numpy()).astype(np.float64)
+        C = np.stack(cl["__v"].to_numpy()).astype(np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        S = Qn @ Cn.T
+        qid = ql["__id"].to_numpy()
+        nid = cl["__id"].to_numpy()
+        t = ql["__t"].to_numpy()[:, None]
+        S = np.where(qid[:, None] == nid[None, :], -np.inf, S)
+        certain = (S > t + slack).sum(axis=1).astype(np.int64)
+        ia, ib = np.nonzero(
+            (np.abs(S - t) <= slack) & np.isfinite(S)
+        )
+        # nullable Int64 (not NaN-floats): a float64 neighbor id would
+        # silently lose precision past 2^53
+        counts = pd.DataFrame(
+            {
+                "query_id": qid,
+                "neighbor_id": pd.array([pd.NA] * len(qid), dtype="Int64"),
+                "certain_above": pd.array(certain, dtype="Int64"),
+            }
+        )
+        band = pd.DataFrame(
+            {
+                "query_id": qid[ia],
+                "neighbor_id": pd.array(nid[ib], dtype="Int64"),
+                "certain_above": pd.array([pd.NA] * len(ia), dtype="Int64"),
+            }
+        )
+        return pd.concat([counts, band], ignore_index=True)
+
+    return both.groupBy("gq", "gc").applyInPandas(
+        per_cell,
+        "query_id long, neighbor_id long, certain_above long",
     )
 
 

@@ -17594,9 +17594,9 @@ def stats_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel,
              ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
-               ORDER BY list_sum(list_transform(list_zip(q.v, c.v),
+               ORDER BY ROUND(list_sum(list_transform(list_zip(q.v, c.v),
                                  p -> p[1] * p[2]))
-                        / (q.nrm * c.nrm) DESC,
+                              / (q.nrm * c.nrm), 4) + 0.0 DESC,
                         c.vec_id
              ) AS rk
       FROM q JOIN c ON q.vec_id <> c.vec_id
@@ -17608,8 +17608,6 @@ def stats_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN rk <= 10 THEN rel ELSE 0 END) AS rel_at_10,
              SUM(CASE WHEN rk <= 10 AND rel = 1
                       THEN 1.0 / log2(rk + 1.0) ELSE 0.0 END) AS dcg10,
-             SUM(CASE WHEN rk <= 10 THEN 1.0 / log2(rk + 1.0)
-                      ELSE 0.0 END) AS maxdcg10,
              LEAST(SUM(rel), 10) AS ideal_n
       FROM scored GROUP BY qid
     ),
@@ -17634,87 +17632,182 @@ def stats_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "every similarity-search/RAG index ships with): queries are "
         "the vec_id%100 probe slice ranked against the vec_id%5 "
         "candidate corpus, relevance = label match, ranking by "
-        "(cosine desc, id) so ranks are total-order deterministic. "
-        "nDCG's ideal DCG is computed from min(n_relevant, 10) via a "
-        "tiny rank dimension join - no per-query sort of an ideal "
-        "list. Cosines are ordered folds (bitwise identical); all "
-        "metrics are ratios of exact-rank-derived terms. At 100 TB "
-        "the scored CTE swaps to the IVF/LSH candidate path and the "
-        "metric layer is unchanged - which is the point: eval code "
-        "should not care how candidates were produced",
+        "(ROUND(cosine, 4) desc, id) - the fleet float-tie "
+        "discipline. SCALE SHAPE (round 7): the %5 candidate corpus "
+        "grows with the data, so nothing is broadcast - top-10 "
+        "candidates come from knn_candidates_blocked (exact-superset "
+        "grid GEMM), the best relevant item from the same operator "
+        "with match_cols=['label'] (filtered exact NN), and "
+        "first_rel_rank - MRR's unbounded-rank term - from "
+        "rank_count_blocked: certain-above counts per cell plus an "
+        "ambiguous band re-scored with the oracle's own fold, so "
+        "every metric is bit-identical to the brute-force oracle. "
+        "n_relevant is a label-histogram join (self always matches, "
+        "minus one). nDCG's ideal DCG via the tiny rank dimension "
+        "join; all metrics are ratios of exact-rank-derived terms",
 )
 def ml_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = Catalog(spark, sf_dir).embeddings
-    n = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "nrm",
-        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+    from .operators.similarity import (
+        knn_candidates_blocked,
+        rank_count_blocked,
     )
-    q = n.filter(F.col("vec_id") % 100 == 0).select(
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    c = emb.filter(F.col("vec_id") % 5 == 0)
+
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    qv_df = q.select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
+        v.alias("qv"),
+        nrm.alias("qn"),
     )
-    c = n.filter(F.col("vec_id") % 5 == 0).select(
+    cv_df = c.select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("clabel"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
+        v.alias("cv"),
+        nrm.alias("cn"),
     )
-    cos = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / (F.col("qn") * F.col("cn"))
-    wr = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
-    scored = (
-        q.join(F.broadcast(c), F.col("qid") != F.col("cid"))
+    rcos = (
+        F.round(
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("qn") * F.col("cn")),
+            4,
+        )
+        + 0.0
+    )
+
+    # top-10 under (rounded cos desc, cid): exact-superset candidates,
+    # engine-side re-score - ranks <= 10 equal the global ranks because
+    # the candidate set contains the global top-10 under the same order
+    cand10 = knn_candidates_blocked(q, c, k=10)
+    top = (
+        cand10.join(qv_df, F.col("query_id") == F.col("qid"))
+        .join(cv_df, F.col("neighbor_id") == F.col("cid"))
         .select(
             "qid",
             "cid",
             F.when(F.col("qlabel") == F.col("clabel"), 1)
             .otherwise(0)
             .alias("rel"),
-            cos.alias("cos"),
+            rcos.alias("rcos"),
         )
-        .withColumn("rk", F.row_number().over(wr))
     )
-    per = scored.groupBy("qid").agg(
-        F.sum("rel").alias("n_relevant"),
-        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias(
-            "first_rel_rank"
-        ),
-        F.sum(F.when(F.col("rk") <= 10, F.col("rel")).otherwise(0)).alias(
-            "rel_at_10"
+    wr = Window.partitionBy("qid").orderBy(F.desc("rcos"), F.asc("cid"))
+    t10 = top.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 10
+    )
+    per10 = t10.groupBy("qid").agg(
+        F.sum("rel").alias("rel_at_10"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1, F.lit(1.0) / F.log2(F.col("rk") + 1.0)
+            ).otherwise(0.0)
+        ).alias("dcg10"),
+    )
+
+    # n_relevant: label histogram - every query is itself in the corpus
+    # slice (%100 subset of %5) and self-matches, hence the minus one
+    chist = cv_df.groupBy(F.col("clabel").alias("hl")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    nrel = qv_df.join(chist, F.col("qlabel") == F.col("hl")).select(
+        "qid", (F.col("nl") - 1).cast("bigint").alias("n_relevant")
+    )
+
+    # best relevant per query: filtered exact NN (match on label), k=1
+    candrel = knn_candidates_blocked(q, c, k=1, match_cols=["label"])
+    brel = (
+        candrel.join(qv_df, F.col("query_id") == F.col("qid"))
+        .join(cv_df, F.col("neighbor_id") == F.col("cid"))
+        .select("qid", "cid", rcos.alias("rcos"))
+    )
+    wb = Window.partitionBy("qid").orderBy(F.desc("rcos"), F.asc("cid"))
+    best = (
+        brel.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("bqid"),
+            F.col("rcos").alias("t"),
+            F.col("cid").alias("best_cid"),
+        )
+    )
+
+    # rank of the best relevant = 1 + #above + #tied-with-smaller-id;
+    # certain counts from the blocked GEMM, ambiguous band re-scored
+    # with the same fold/round the ranking uses
+    qt = q.join(best, q["vec_id"] == best["bqid"]).select(
+        "vec_id", "embedding", "t"
+    )
+    rc = rank_count_blocked(qt, c, threshold_col="t")
+    certain = (
+        rc.filter(F.col("neighbor_id").isNull())
+        .groupBy("query_id")
+        .agg(F.sum("certain_above").alias("n_above"))
+    )
+    band = (
+        rc.filter(F.col("neighbor_id").isNotNull())
+        .join(qv_df, F.col("query_id") == F.col("qid"))
+        .join(cv_df, F.col("neighbor_id") == F.col("cid"))
+        .join(best, F.col("qid") == F.col("bqid"))
+        .select("qid", "cid", "t", "best_cid", rcos.alias("bcos"))
+    )
+    bandagg = band.groupBy("qid").agg(
+        F.sum(F.when(F.col("bcos") > F.col("t"), 1).otherwise(0)).alias(
+            "band_above"
         ),
         F.sum(
             F.when(
-                (F.col("rk") <= 10) & (F.col("rel") == 1),
-                F.lit(1.0) / F.log2(F.col("rk") + 1.0),
-            ).otherwise(0.0)
-        ).alias("dcg10"),
-        F.least(F.sum("rel"), F.lit(10)).alias("ideal_n"),
-    ).filter(F.col("n_relevant") > 0)
+                (F.col("bcos") == F.col("t"))
+                & (F.col("cid") < F.col("best_cid")),
+                1,
+            ).otherwise(0)
+        ).alias("band_tie"),
+    )
+    firstrank = (
+        best.join(certain, F.col("bqid") == F.col("query_id"), "left")
+        .join(bandagg, F.col("bqid") == F.col("qid"), "left")
+        .select(
+            F.col("bqid").alias("fqid"),
+            (
+                F.lit(1)
+                + F.coalesce(F.col("n_above"), F.lit(0))
+                + F.coalesce(F.col("band_above"), F.lit(0))
+                + F.coalesce(F.col("band_tie"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("first_rel_rank"),
+        )
+    )
+
+    per = (
+        nrel.filter(F.col("n_relevant") > 0)
+        .join(per10, "qid")
+        .join(firstrank, F.col("qid") == F.col("fqid"))
+    )
     ranks = spark.range(1, 11).select(F.col("id").alias("i"))
     ideal = (
-        per.select("qid", "ideal_n")
+        per.select(
+            "qid",
+            F.least(F.col("n_relevant"), F.lit(10)).alias("ideal_n"),
+        )
         .join(F.broadcast(ranks), F.col("i") <= F.col("ideal_n"))
         .groupBy("qid")
-        .agg(
-            F.sum(F.lit(1.0) / F.log2(F.col("i") + 1.0)).alias("idcg10")
-        )
+        .agg(F.sum(F.lit(1.0) / F.log2(F.col("i") + 1.0)).alias("idcg10"))
         .withColumnRenamed("qid", "iqid")
     )
     return per.join(ideal, F.col("iqid") == F.col("qid")).select(
         F.col("qid").alias("query_id"),
-        F.col("n_relevant").cast("bigint").alias("n_relevant"),
-        F.col("first_rel_rank").cast("bigint").alias("first_rel_rank"),
+        F.col("n_relevant"),
+        F.col("first_rel_rank"),
         F.round(F.lit(1.0) / F.col("first_rel_rank"), 6).alias(
             "reciprocal_rank"
         ),

@@ -353,6 +353,134 @@ def test_knn_candidates_blocked_tie_storm_matches_exact(spark):
     assert blocked == exact
 
 
+def test_knn_candidates_match_cols_filters_and_stays_superset(spark, sf_dir):
+    """match_cols=['label'] (filtered exact NN): every candidate must
+    share the query's label, and the label-constrained rounded top-1 must
+    survive the prune — the best-relevant front end of
+    ml_ranking_metrics."""
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        knn_candidates_blocked,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") % 9 == 0)
+    cand = knn_candidates_blocked(queries, emb, k=1, match_cols=["label"])
+    lbl = emb.select(F.col("vec_id").alias("id"), "label")
+    mism = (
+        cand.join(
+            lbl.withColumnRenamed("id", "query_id").withColumnRenamed(
+                "label", "ql"
+            ),
+            "query_id",
+        )
+        .join(
+            lbl.withColumnRenamed("id", "neighbor_id").withColumnRenamed(
+                "label", "cl"
+            ),
+            "neighbor_id",
+        )
+        .filter(F.col("ql") != F.col("cl"))
+        .count()
+    )
+    assert mism == 0
+    # superset vs brute force per label: the (rounded cos, id)-best
+    # same-label neighbor must be among the candidates
+    exact_best = {}
+    rows = emb.collect()
+    import math
+
+    by_id = {r.vec_id: r for r in rows}
+    for qr in rows:
+        if qr.vec_id % 9 != 0:
+            continue
+        best = None
+        for cr in rows:
+            if cr.vec_id == qr.vec_id or cr.label != qr.label:
+                continue
+            dot = sum(
+                float(a) * float(b)
+                for a, b in zip(qr.embedding, cr.embedding)
+            )
+            na = math.sqrt(sum(float(a) ** 2 for a in qr.embedding))
+            nb = math.sqrt(sum(float(b) ** 2 for b in cr.embedding))
+            key = (-round(dot / (na * nb), 4), cr.vec_id)
+            if best is None or key < best[0]:
+                best = (key, cr.vec_id)
+        if best:
+            exact_best[qr.vec_id] = best[1]
+    got = {
+        (r.query_id, r.neighbor_id) for r in cand.collect()
+    }
+    missing = [
+        (q, b) for q, b in exact_best.items() if (q, b) not in got
+    ]
+    assert not missing, missing
+
+
+def test_rank_count_blocked_reconstructs_exact_rank(spark, sf_dir):
+    """rank_count_blocked: 1 + certain_above + resolved band must equal
+    the brute-force rank of the threshold row under
+    (ROUND(cos,4) desc, id) — checked for every query against an
+    in-Python oracle."""
+    import math
+
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        rank_count_blocked,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    rows = emb.collect()
+
+    def rcos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return round(dot / (na * nb), 4)
+
+    # threshold = each query's cosine to a fixed partner (vec_id+1)
+    by_id = {r.vec_id: r for r in rows}
+    qrows = [r for r in rows if r.vec_id % 11 == 0 and r.vec_id + 1 in by_id]
+    t_map = {
+        r.vec_id: rcos(r.embedding, by_id[r.vec_id + 1].embedding)
+        for r in qrows
+    }
+    qdf = (
+        emb.filter(F.col("vec_id") % 11 == 0)
+        .join(
+            spark.createDataFrame(
+                [(k, v) for k, v in t_map.items()], "vec_id long, t double"
+            ),
+            "vec_id",
+        )
+    )
+    rc = rank_count_blocked(qdf, emb, threshold_col="t")
+    certain = {
+        r.query_id: r.s
+        for r in rc.filter(F.col("neighbor_id").isNull())
+        .groupBy("query_id")
+        .agg(F.sum("certain_above").alias("s"))
+        .collect()
+    }
+    band = {}
+    for r in rc.filter(F.col("neighbor_id").isNotNull()).collect():
+        band.setdefault(r.query_id, []).append(r.neighbor_id)
+    for q in qrows:
+        t = t_map[q.vec_id]
+        # engine-side resolution stand-in: re-score band pairs exactly
+        resolved = sum(
+            1
+            for cid in band.get(q.vec_id, [])
+            if rcos(q.embedding, by_id[cid].embedding) > t
+        )
+        got = 1 + certain.get(q.vec_id, 0) + resolved
+        want = 1 + sum(
+            1
+            for c in rows
+            if c.vec_id != q.vec_id and rcos(q.embedding, c.embedding) > t
+        )
+        assert got == want, (q.vec_id, got, want)
+
+
 def test_knn_candidates_blocked_excludes_self_even_in_tiny_cells(spark):
     """Self-pairs must never surface, including the k-th-statistic edge
     case where a cell holds <= k corpus rows (kth = -inf would readmit

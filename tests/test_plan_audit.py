@@ -82,10 +82,6 @@ BROADCAST_DATA_SCALE_OK = {
     "ann_ivf_recall_audit": "composes cosine_topk_exact + ivf_topk over "
     "a 10-row literal id cut (vec_id < 10) — both hints carry the "
     "bounded-query contract",
-    # documented exact eval baseline (doc block names the IVF/LSH swap
-    # as the 100 TB candidate path; metric layer is candidate-agnostic):
-    "ml_ranking_metrics": "exact eval baseline over the %5 candidate "
-    "slice; scale path swaps the scored CTE to IVF/LSH candidates",
     # the hint API surface demo — strategy choice IS the query's subject:
     "join_strategy_hints": "exercises hint() strategies incl. broadcast "
     "on purpose; the broadcast side is a filtered month of orders",
