@@ -174,11 +174,16 @@ def _asof_nearest(
             f"right payload columns collide with left: {sorted(collisions)}; "
             "rename before joining"
         )
-    reserved = {c for c in payload if c.startswith("__asof")}
+    # '__bw'/'__fw' carry the two directional candidates here and are
+    # dropped at the end — a payload column with either name would be
+    # silently clobbered and then deleted, so reject it like __asof*
+    reserved = {
+        c for c in payload if c.startswith("__asof") or c in ("__bw", "__fw")
+    }
     if reserved:
         raise ValueError(
-            f"right payload columns use reserved __asof* names: "
-            f"{sorted(reserved)}; rename before joining"
+            f"right payload columns use reserved names (__asof*, __bw, "
+            f"__fw): {sorted(reserved)}; rename before joining"
         )
 
     l_tagged = left.withColumns(

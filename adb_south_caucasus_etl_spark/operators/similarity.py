@@ -279,6 +279,19 @@ def label_centroids(
     )
 
 
+def _block_grid(spark, n_left: int, n_right: int):
+    """Broadcast (gq, gc) pair grid for the blocked-GEMM operators —
+    built from spark.range so the broadcast audit sees a Range leaf
+    (bounded by construction: n_left × n_right rows), not an opaque
+    LogicalRDD."""
+    return F.broadcast(
+        spark.range(n_left * n_right).select(
+            (F.col("id") / n_right).cast("int").alias("gq"),
+            (F.col("id") % n_right).cast("int").alias("gc"),
+        )
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     threshold: float,
@@ -312,18 +325,9 @@ def cosine_pairs_blocked(
         v.alias("__v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__b"),
     )
-    # pair grid via spark.range: a Range leaf is bounded by construction
-    # (n_blocks² rows) and the fleet broadcast audit can SEE that — a
-    # createDataFrame literal serializes as an opaque LogicalRDD
-    spark = df.sparkSession
-    pairs = F.broadcast(
-        spark.range(n_blocks * n_blocks)
-        .select(
-            (F.col("id") / n_blocks).cast("int").alias("b1"),
-            (F.col("id") % n_blocks).cast("int").alias("b2"),
-        )
-        .filter(F.col("b1") <= F.col("b2"))
-    )
+    pairs = _block_grid(df.sparkSession, n_blocks, n_blocks).select(
+        F.col("gq").alias("b1"), F.col("gc").alias("b2")
+    ).filter(F.col("b1") <= F.col("b2"))
     rep_a = rows.join(pairs, rows["__b"] == pairs["b1"]).select(
         "b1", "b2", F.lit(0).alias("__side"), "__id", "__v"
     )
@@ -355,6 +359,11 @@ def cosine_pairs_blocked(
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
         S = Xn @ Yn.T
+        # zero-norm rows give NaN cosines; Spark/DuckDB order NaN ABOVE
+        # every double, so the engine-side `cosine >= threshold` keeps
+        # them — map to +inf so the blocked path agrees with the exact
+        # formulation instead of silently dropping the pair
+        S = np.where(np.isnan(S), np.inf, S)
         ia, ib = np.nonzero(S >= threshold - slack)
         id_l = left["__id"].to_numpy()[ia]
         id_r = right["__id"].to_numpy()[ib]
@@ -399,6 +408,12 @@ def knn_candidates_blocked(
     match-group only and the guarantee below applies per group. This is
     the exact counterpart of a metadata-filtered ANN query.
 
+    NOTE argument order is ``(queries, corpus)`` — the OPPOSITE of
+    ``cosine_topk_exact``/``cosine_topk_blocked``'s ``(corpus, queries)``.
+    Both sides are plain DataFrames with the same default columns, so a
+    transposed call runs without error and returns a transposed candidate
+    list; pass by keyword when in doubt.
+
     Both sides hash into blocks; every (query-block, corpus-block) cell
     of the bounded ``n_query_blocks × n_corpus_blocks`` grid becomes one
     ``applyInPandas`` group that computes its cosines as ONE numpy
@@ -425,9 +440,6 @@ def knn_candidates_blocked(
     cheap. Compute stays O(|Q|·|C|) by design (exact kNN); the
     sub-quadratic path is :func:`ivf_topk`.
     """
-    import numpy as np
-    import pandas as pd
-
     mcols = list(match_cols or [])
     q = queries.select(
         F.col(id_col).alias("__id"),
@@ -443,15 +455,7 @@ def knn_candidates_blocked(
         F.lit(1).alias("__side"),
         *[F.col(m) for m in mcols],
     )
-    spark = queries.sparkSession
-    # bounded by construction: nq × nc grid rows. Built from spark.range
-    # so the broadcast audit sees a Range leaf, not an opaque LogicalRDD
-    grid = F.broadcast(
-        spark.range(n_query_blocks * n_corpus_blocks).select(
-            (F.col("id") / n_corpus_blocks).cast("int").alias("gq"),
-            (F.col("id") % n_corpus_blocks).cast("int").alias("gc"),
-        )
-    )
+    grid = _block_grid(queries.sparkSession, n_query_blocks, n_corpus_blocks)
     rep_q = q.join(grid, q["__b"] == grid["gq"]).select(
         "gq", "gc", "__side", "__id", "__v", *mcols
     )
@@ -470,6 +474,11 @@ def knn_candidates_blocked(
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
         S = Qn @ Cn.T  # (nq_rows, nc_rows) raw cosines
+        # zero-norm vectors give NaN cosines, which Spark's descending
+        # sort ranks FIRST — map to +inf so those pairs survive the
+        # prune and the engine-side re-score reproduces the exact
+        # operator's NaN-first ranking bit-for-bit
+        S = np.where(np.isnan(S), np.inf, S)
         qid = ql["__id"].to_numpy()
         nid = cl["__id"].to_numpy()
         # a query must not nominate itself (self-rows only arise when
@@ -585,9 +594,6 @@ def rank_count_blocked(
     count rows plus the band (≈ band-width fraction of pairs — for
     4-decimal rounding and slack 1e-3, ~0.1% of the matrix).
     """
-    import numpy as np
-    import pandas as pd
-
     q = queries.select(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
@@ -602,14 +608,7 @@ def rank_count_blocked(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_corpus_blocks)).alias("__b"),
         F.lit(1).alias("__side"),
     )
-    spark = queries.sparkSession
-    # bounded by construction: nq × nc grid rows (Range leaf for the audit)
-    grid = F.broadcast(
-        spark.range(n_query_blocks * n_corpus_blocks).select(
-            (F.col("id") / n_corpus_blocks).cast("int").alias("gq"),
-            (F.col("id") % n_corpus_blocks).cast("int").alias("gc"),
-        )
-    )
+    grid = _block_grid(queries.sparkSession, n_query_blocks, n_corpus_blocks)
     rep_q = q.join(grid, q["__b"] == grid["gq"]).select(
         "gq", "gc", "__side", "__id", "__v", "__t"
     )
@@ -636,6 +635,9 @@ def rank_count_blocked(
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
         S = Qn @ Cn.T
+        # NaN cosines (zero-norm corpus rows) rank above any finite
+        # threshold in both engines — count them as certainly-above
+        S = np.where(np.isnan(S), np.inf, S)
         qid = ql["__id"].to_numpy()
         nid = cl["__id"].to_numpy()
         t = ql["__t"].to_numpy()[:, None]

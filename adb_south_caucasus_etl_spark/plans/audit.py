@@ -9,21 +9,27 @@ fleet gate for that CLASS: ``tests/test_plan_audit.py`` runs it over every
 registered query, and any data-scale hint must carry an allowlist entry
 with an explicit boundedness argument.
 
-A hint subtree is *bounded* when any of:
+Boundedness is decided RECURSIVELY from the hint's root down, so a
+grain-defining node only vouches for the frame it actually defines
+(an "Aggregate somewhere in the subtree" rule would wave through
+``broadcast(small_agg.join(lineitem))`` — the join output is fact-sized
+even though an Aggregate exists below one input):
 
-- it contains an Aggregate / Deduplicate / Limit — the frame's grain was
-  chosen explicitly (group keys, distinct keys, top-N): a manifest, not a
-  data mirror;
-- every leaf is a LocalRelation / OneRowRelation / Range — literal grids,
-  scenario frames, generated sequences;
-- its file-backed leaves read only the bounded dimension tables (nation,
-  region — 25 / 5 rows at every scale factor by TPC-H construction), in
-  any staged format.
+- Aggregate / Deduplicate / Limit ⇒ bounded — this node CHOSE the output
+  grain (group keys, distinct keys, top-N); its inputs are irrelevant;
+- grain-preserving unary nodes (Project, Filter, Sort, Window,
+  repartitions, aliases, …) ⇒ classify their child;
+- everything else (Join, Union, Generate, any multi-child node) ⇒
+  bounded only if EVERY child is bounded;
+- leaves: LocalRelation / OneRowRelation / Range ⇒ bounded (literal
+  grids, scenario frames, generated sequences); file relations over the
+  bounded dimension tables (nation, region — 25 / 5 rows at every scale
+  factor by TPC-H construction, any staged format) ⇒ bounded; all other
+  leaves ⇒ data-scale.
 
-Everything else is data-scale: the hinted frame's row count grows with
-the input. Note the walk sees the analyzed TREE, so a frame consumed
-twice reports its hint twice — the finding count is an upper bound, the
-per-query verdict (any finding at all) is what matters.
+Note the walk sees the analyzed TREE, so a frame consumed twice reports
+its hint twice — the finding count is an upper bound, the per-query
+verdict (any finding at all) is what matters.
 """
 
 from __future__ import annotations
@@ -34,7 +40,26 @@ from pyspark.sql import DataFrame
 #: dimension tables, in any staged format (nation.parquet, nation_csv, …)
 BOUNDED_DIM_PREFIXES = ("nation", "region")
 BOUNDED_LEAVES = ("LocalRelation", "OneRowRelation", "Range")
+#: grain-DEFINING nodes: their output size is set by the grain they
+#: declare, not by their input size
 BOUNDED_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate")
+#: grain-PRESERVING unary nodes: classify through to the child
+TRANSPARENT_NODES = (
+    "Project",
+    "Filter",
+    "Sort",
+    "Window",
+    "SubqueryAlias",
+    "ResolvedHint",
+    "Repartition",
+    "RepartitionByExpression",
+    "RebalancePartitions",
+    "WithCTE",
+    "CTERelationDef",
+    "CTERelationRef",
+    "Distinct",
+    "View",
+)
 
 
 def _children(node):
@@ -64,25 +89,38 @@ def _leaf_source(node) -> str:
     return name
 
 
-def hint_is_bounded(hint_node) -> tuple[bool, str]:
-    """Classify one ResolvedHint subtree. Returns (bounded, reason)."""
-    classes = [_cls(n) for n in _walk(hint_node)]
-    for b in BOUNDED_NODES:
-        if b in classes:
-            return True, f"contains {b}"
-    leaves = [n for n in _walk(hint_node) if not _children(n)]
-    srcs = []
-    for leaf in leaves:
-        name = _cls(leaf)
+def _node_bounded(node, srcs: list[str]) -> bool:
+    """Recursive grain classification; data-scale leaf sources accumulate
+    into ``srcs`` for the finding message."""
+    name = _cls(node)
+    if name in BOUNDED_NODES:
+        return True
+    kids = _children(node)
+    if not kids:
         if name in BOUNDED_LEAVES:
-            continue
-        src = _leaf_source(leaf)
+            return True
+        src = _leaf_source(node)
         base = src.rstrip("/").rsplit("/", 1)[-1]
         if base.startswith(BOUNDED_DIM_PREFIXES):
-            continue
+            return True
         srcs.append(src)
-    if not srcs:
-        return True, "bounded leaves only"
+        return False
+    if name in TRANSPARENT_NODES and len(kids) == 1:
+        return _node_bounded(kids[0], srcs)
+    # joins, unions, generates, unknown nodes: the output grain is only
+    # bounded when every input's is (bounded × bounded ≤ product)
+    ok = True
+    for kid in kids:
+        if not _node_bounded(kid, srcs):
+            ok = False
+    return ok
+
+
+def hint_is_bounded(hint_node) -> tuple[bool, str]:
+    """Classify one ResolvedHint subtree. Returns (bounded, reason)."""
+    srcs: list[str] = []
+    if _node_bounded(hint_node, srcs):
+        return True, "bounded grain"
     return False, "data-scale leaves: " + ", ".join(
         s.rsplit("/", 1)[-1] for s in sorted(set(srcs))
     )

@@ -3792,9 +3792,13 @@ def curation_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
-    targets = docs.sparkSession.createDataFrame(
-        [("src0", 0.5), ("src1", 0.3), ("src2", 0.1), ("src3", 0.05), ("src4", 0.05)],
-        "source string, frac double",
+    # VALUES → LocalRelation leaf: the broadcast audit can SEE the 5-row
+    # target-mix table is literal (createDataFrame would serialize it as
+    # an opaque LogicalRDD and need an allowlist entry)
+    targets = spark.sql(
+        "SELECT * FROM VALUES ('src0', 0.5D), ('src1', 0.3D), "
+        "('src2', 0.1D), ('src3', 0.05D), ('src4', 0.05D) "
+        "AS t(source, frac)"
     )
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     joined = counts.join(targets, "source")
@@ -23616,7 +23620,7 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_determinism_audit",
     """
-    WITH g AS (SELECT md5(text) AS h, COUNT(*) AS c
+    WITH g AS (SELECT md5(COALESCE(text, '')) AS h, COUNT(*) AS c
                FROM documents GROUP BY 1)
     SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
              AS n_exact_dup_pairs,
