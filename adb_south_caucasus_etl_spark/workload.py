@@ -374,9 +374,12 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_range_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    tiers = spark.createDataFrame(
-        [("low", 0.0, 100.0), ("mid", 100.0, 300.0), ("high", 300.0, 1000.0)],
-        "tier string, lo double, hi double",
+    # VALUES → LocalRelation: the broadcast audit can SEE the 3-row tier
+    # grid is literal (bounded by construction)
+    tiers = spark.sql(
+        "SELECT * FROM VALUES ('low', 0.0D, 100.0D), "
+        "('mid', 100.0D, 300.0D), ('high', 300.0D, 1000.0D) "
+        "AS t(tier, lo, hi)"
     )
     cond = (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
     return (
@@ -9173,8 +9176,9 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("seq")
     )
-    pats = spark.createDataFrame(
-        [("%s%p%",), ("%e%",), ("%pp%",)], "pattern string"
+    # VALUES → LocalRelation: audit-visible 3-row literal pattern list
+    pats = spark.sql(
+        "SELECT * FROM VALUES ('%s%p%'), ('%e%'), ('%pp%') AS t(pattern)"
     )
     return (
         seqs.crossJoin(F.broadcast(pats))

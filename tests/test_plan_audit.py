@@ -62,19 +62,8 @@ SINGLE_PARTITION_OVER_ROWS_OK = {
 #: documented hint legitimately reports, so a NEW data-scale hint added
 #: to an allowlisted query (different leaf) still fails the gate.
 BROADCAST_DATA_SCALE_OK = {
-    # literal scenario/grid frames staged via createDataFrame — PySpark
-    # serializes them as opaque LogicalRDDs, but the row count is a
-    # source-code constant:
-    "join_range_tiers": {
-        "why": "3-row literal tier grid; non-equi join needs the "
-        "broadcast",
-        "leaves": ("LogicalRDD",),
-    },
-    "events_pattern_match": {
-        "why": "3-row literal pattern list crossed into per-session "
-        "sequences",
-        "leaves": ("LogicalRDD",),
-    },
+    # localCheckpoint-pinned frames — inherently LogicalRDD (checkpoint
+    # truncates lineage), so the literal/bounded origin is invisible:
     "attribution_markov_removal": {
         "why": "scenario frames over the bounded channel set "
         "(n_channels + 1 rows), localCheckpoint-pinned",
