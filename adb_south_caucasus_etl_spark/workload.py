@@ -1111,7 +1111,10 @@ def cosine_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk_exact
 
     emb = Catalog(spark, sf_dir).embeddings
-    return cosine_topk_exact(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    # limit(5): no-op row-wise, audit-visible bound on the query side
+    return cosine_topk_exact(
+        emb, emb.filter(F.col("vec_id") < 5).limit(5), k=10
+    )
 
 
 @register(
@@ -1127,7 +1130,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dim=64 per FIXTURES.md (embeddings.embedding is fixed length 64) —
     # passed explicitly so plan construction never probes data (.first())
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, nbits=3, num_tables=12,
+        emb,
+        # limit(5): no-op row-wise, audit-visible bound
+        emb.filter(F.col("vec_id") < 5).limit(5),
+        k=10, nbits=3, num_tables=12,
         dim=64,
     )
 
@@ -11296,7 +11302,9 @@ def curation_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = Catalog(spark, sf_dir).embeddings
-    q = emb.filter(F.col("vec_id") < 8).select(
+    # limit(8) is a no-op on the <=8 filtered rows but puts a
+    # GlobalLimit in the plan: the broadcast audit proves boundedness
+    q = emb.filter(F.col("vec_id") < 8).limit(8).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlab"),
@@ -17361,7 +17369,8 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
         ).alias("n"),
     )
-    cn = nrm.filter(F.col("vec_id") < 8).select(
+    # limit(8): no-op row-wise, audit-visible bound (see hard_negatives)
+    cn = nrm.filter(F.col("vec_id") < 8).limit(8).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("cv"),
         F.col("n").alias("cn"),
@@ -23599,7 +23608,8 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).embeddings
     # bounded: literal id cut — 10 probe queries regardless of corpus size
-    q = emb.filter(F.col("vec_id") < 10)
+    # limit(10): no-op row-wise, audit-visible bound
+    q = emb.filter(F.col("vec_id") < 10).limit(10)
     exact = cosine_topk_exact(emb, q, k=10).select(
         "query_id", "neighbor_id"
     )

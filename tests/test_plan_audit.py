@@ -74,33 +74,10 @@ BROADCAST_DATA_SCALE_OK = {
         "1-row summaries) broadcast back into the residual pass",
         "leaves": ("LogicalRDD",),
     },
-    # literal-id cuts: a fixed-count probe/anchor/centroid set selected
-    # by `vec_id < K` — K source-code rows regardless of corpus size:
-    "dedup_semdedup_cells": {
-        "why": "8 centroids via literal id cut (vec_id < 8)",
-        "leaves": ("embeddings.parquet",),
-    },
-    "curation_hard_negatives": {
-        "why": "8 anchors via literal id cut (vec_id < 8)",
-        "leaves": ("embeddings.parquet",),
-    },
-    "cosine_topk_exact": {
-        "why": "documented exact baseline; contract requires a bounded "
-        "query set (workload uses a literal id cut) — the data-scale "
-        "path is cosine_topk_blocked / ivf_topk",
-        "leaves": ("embeddings.parquet",),
-    },
-    "ann_ivf_topk": {
-        "why": "query side of the LSH probe; same bounded-query "
-        "contract as cosine_topk_exact",
-        "leaves": ("embeddings.parquet",),
-    },
-    "ann_ivf_recall_audit": {
-        "why": "composes cosine_topk_exact + ivf_topk over a 10-row "
-        "literal id cut (vec_id < 10) — both hints carry the "
-        "bounded-query contract",
-        "leaves": ("embeddings.parquet",),
-    },
+    # (the former literal-id-cut entries — semdedup centroids, hard
+    # negatives, cosine_topk_exact / ann_ivf probes — now pass on merit:
+    # the cuts carry an explicit no-op LIMIT, so the hinted subtrees
+    # contain a GlobalLimit the auditor can see.)
     # the hint API surface demo — strategy choice IS the query's subject:
     "join_strategy_hints": {
         "why": "exercises hint() strategies incl. broadcast on purpose; "
@@ -151,7 +128,12 @@ def _single_partition_over_raw_rows(plan: str) -> list[str]:
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
-        if "Aggregate" not in "\n".join(lines[i + 1 : i + 4]):
+        below = "\n".join(lines[i + 1 : i + 4])
+        # an exchange fed by an Aggregate (bounded manifest) or a
+        # LocalLimit (a LIMIT funnel — per-partition capped before the
+        # single-partition merge, so the funneled volume is K rows) is
+        # bounded by construction
+        if "Aggregate" not in below and "LocalLimit" not in below:
             bad.append("\n".join(lines[i : i + 4]))
     return bad
 
