@@ -37,6 +37,19 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _cosine(num: Column, n1: Column, n2: Column) -> Column:
+    """``num / (n1 * n2)``, made TOTAL under ANSI mode: this engine runs
+    with ``spark.sql.ansi.enabled`` (the Spark 4 default), where a double
+    division by zero is a runtime DIVIDE_BY_ZERO error, not IEEE NaN — so
+    a single zero-norm embedding would crash every cosine operator. The
+    zero-denominator case is guarded into an EXPLICIT NaN, which both
+    Spark and DuckDB order ABOVE every double (descending sort ranks it
+    first) — the documented zero-norm semantics of this module, and the
+    contract the blocked-GEMM prune's NaN→+inf mapping preserves."""
+    den = n1 * n2
+    return F.when(den == F.lit(0.0), F.lit(float("nan"))).otherwise(num / den)
+
+
 def as_double(a: Column) -> Column:
     """Cast array<float> → array<double> so both engines compute the same
     dot products (float32 accumulation differs)."""
@@ -72,7 +85,7 @@ def cosine_topk_exact(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                _cosine(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")),
                 4,
             )
             + 0.0,  # -0.0 → +0.0 (comparator-stable)
@@ -126,7 +139,7 @@ def cosine_pairs(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                _cosine(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")),
                 4,
             )
             + 0.0,  # -0.0 → +0.0 (comparator-stable)
@@ -244,8 +257,11 @@ def ivf_topk(
     scored = candidates.withColumn(
         "cosine",
         F.round(
-            _dot(F.col("qv"), F.col("cv"))
-            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            _cosine(
+                _dot(F.col("qv"), F.col("cv")),
+                _norm(F.col("qv")),
+                _norm(F.col("cv")),
+            ),
             4,
         )
         + 0.0,  # -0.0 → +0.0 (comparator-stable)
@@ -380,7 +396,14 @@ def cosine_pairs_blocked(
         per_pair, "id_a long, id_b long, cosine double"
     )
     return cand.withColumn(
-        "cosine", F.round(F.col("cosine"), 4) + 0.0
+        "cosine",
+        # +inf is the numpy-side marker for a zero-norm (NaN-cosine) pair
+        # — no real cosine can exceed 1 + ulp — so map it back to the NaN
+        # the exact formulation emits; NaN passes the >= filter (Spark
+        # orders NaN above every double, in comparisons too)
+        F.when(
+            F.col("cosine") == F.lit(float("inf")), F.lit(float("nan"))
+        ).otherwise(F.round(F.col("cosine"), 4) + 0.0),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -406,7 +429,12 @@ def knn_candidates_blocked(
     best-relevant search in ranking eval, or a language/partition key) —
     the columns join the cell grouping key, so each GEMM cell holds one
     match-group only and the guarantee below applies per group. This is
-    the exact counterpart of a metadata-filtered ANN query.
+    the exact counterpart of a metadata-filtered ANN query. Agreement is
+    SQL equality: rows with a NULL in any match column are dropped from
+    BOTH sides up front (``q.label = c.label`` rejects NULL), because the
+    grouping key the cells are built on would otherwise treat NULL = NULL
+    as a match — a NULL-label query must produce no candidates, not pair
+    with the NULL-label corpus.
 
     NOTE argument order is ``(queries, corpus)`` — the OPPOSITE of
     ``cosine_topk_exact``/``cosine_topk_blocked``'s ``(corpus, queries)``.
@@ -441,6 +469,15 @@ def knn_candidates_blocked(
     sub-quadratic path is :func:`ivf_topk`.
     """
     mcols = list(match_cols or [])
+    if mcols:
+        # SQL-equality semantics for the match key (see docstring): a
+        # NULL never equals anything, so NULL-keyed rows can't pair —
+        # drop them before they reach the NULL-equating groupBy key
+        not_null = F.lit(True)
+        for m in mcols:
+            not_null = not_null & F.col(m).isNotNull()
+        queries = queries.filter(not_null)
+        corpus = corpus.filter(not_null)
     q = queries.select(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
@@ -484,14 +521,24 @@ def knn_candidates_blocked(
         # a query must not nominate itself (self-rows only arise when
         # queries ⊆ corpus); mask before the k-th statistic so the
         # threshold reflects eligible rows only
-        S = np.where(qid[:, None] == nid[None, :], -np.inf, S)
+        self_mask = qid[:, None] == nid[None, :]
+        S = np.where(self_mask, -np.inf, S)
         if S.shape[1] > k:
             kth = np.partition(S, -k, axis=1)[:, -k]
         else:
             kth = np.full(S.shape[0], -np.inf)
-        # isfinite excludes the -inf self-mask even when kth is -inf
-        # (cells with <= k corpus rows, where -inf >= -inf would readmit it)
-        ia, ib = np.nonzero((S >= (kth - slack)[:, None]) & np.isfinite(S))
+        # exclude the self-mask EXPLICITLY, not via isfinite: raw cosines
+        # are finite or the +inf NaN-mapping, so -inf is only ever the
+        # self-pair sentinel. An isfinite filter here (the pre-r8 bug)
+        # silently dropped the +inf zero-norm survivors the NaN-mapping
+        # above exists to keep, and once a cell held >= k zero-norm
+        # corpus rows, kth itself became +inf and the filter dropped the
+        # ENTIRE cell. With ~self_mask, +inf survives (inf >= inf - slack
+        # and inf >= inf both hold) and kth == +inf correctly prunes the
+        # finite rows — >= k NaN rows outrank every finite cosine after
+        # the engine-side re-score, so no finite row can reach the
+        # rounded top-k (the superset stays exact).
+        ia, ib = np.nonzero((S >= (kth - slack)[:, None]) & ~self_mask)
         return pd.DataFrame({"query_id": qid[ia], "neighbor_id": nid[ib]})
 
     return both.groupBy(*mcols, "gq", "gc").applyInPandas(
@@ -542,7 +589,7 @@ def cosine_topk_blocked(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                _cosine(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")),
                 4,
             )
             + 0.0,  # -0.0 → +0.0 (comparator-stable)

@@ -484,7 +484,7 @@ def test_rank_count_blocked_reconstructs_exact_rank(spark, sf_dir):
 def test_knn_candidates_blocked_excludes_self_even_in_tiny_cells(spark):
     """Self-pairs must never surface, including the k-th-statistic edge
     case where a cell holds <= k corpus rows (kth = -inf would readmit
-    the -inf self-mask without the isfinite guard)."""
+    the -inf self-mask without the explicit ~self_mask filter)."""
     from adb_south_caucasus_etl_spark.operators.similarity import (
         knn_candidates_blocked,
     )
@@ -498,6 +498,88 @@ def test_knn_candidates_blocked_excludes_self_even_in_tiny_cells(spark):
     ).collect()
     assert out, "expected candidates"
     assert all(r.query_id != r.neighbor_id for r in out)
+
+
+def _topk_rows_nan_safe(df):
+    """(query_id, neighbor_id, rank, cosine-or-'nan') tuples — NaN-aware
+    because zero-norm vectors legitimately emit NaN cosines and
+    NaN != NaN would make a correct comparison fail."""
+    import math
+
+    return sorted(
+        (
+            r.query_id,
+            r.neighbor_id,
+            r.rank,
+            "nan" if r.cosine is None or math.isnan(r.cosine) else r.cosine,
+        )
+        for r in df.collect()
+    )
+
+
+def test_knn_blocked_zero_norm_vectors_match_exact(spark):
+    """Zero-norm embeddings produce NaN cosines, which both engines rank
+    ABOVE every finite double. The blocked prune maps them to +inf so
+    they survive; the pre-r8 isfinite filter silently dropped them — and
+    once a cell held >= k zero-norm corpus rows the k-th statistic became
+    +inf and the filter dropped the ENTIRE cell (every finite candidate
+    too). Both regressions are pinned here: with 7 zero-norm corpus rows
+    and k=5, single-cell and 2x2 grids must both reproduce
+    cosine_topk_exact row-for-row, NaN cosines included."""
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        cosine_topk_blocked,
+    )
+
+    rows = []
+    for i in range(24):
+        if i % 7 < 2:  # 7 zero-norm rows spread across ids
+            v = [0.0, 0.0, 0.0]
+        else:
+            v = [float(i + 1), float((i * 3) % 5), 1.0]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 4 == 0)
+    corpus = df.filter(F.col("vec_id") % 4 != 0)
+    assert corpus.filter(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) == 0.0
+    ).count() >= 5, "fixture must hold >= k zero-norm corpus rows"
+    exact = _topk_rows_nan_safe(cosine_topk_exact(corpus, queries, k=5))
+    for nq, nc in ((1, 1), (2, 2)):
+        blocked = _topk_rows_nan_safe(
+            cosine_topk_blocked(
+                corpus, queries, k=5, n_query_blocks=nq, n_corpus_blocks=nc
+            )
+        )
+        assert blocked == exact, f"grid {nq}x{nc} diverged from exact"
+
+
+def test_knn_match_cols_null_labels_never_match(spark):
+    """match_cols equality is SQL equality: a NULL-label query must NOT
+    pair with NULL-label corpus rows (the grouping key the cells are
+    built on treats NULL = NULL as equal, so the operator drops NULL-key
+    rows on both sides up front)."""
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        knn_candidates_blocked,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], None),
+        (1, [0.9, 0.1], None),
+        (2, [0.0, 1.0], "a"),
+        (3, [0.1, 0.9], "a"),
+        (4, [0.2, 0.8], "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    cand = knn_candidates_blocked(
+        df, df, k=2, match_cols=["label"], n_query_blocks=2, n_corpus_blocks=2
+    ).collect()
+    assert cand, "labelled rows must still produce candidates"
+    ids = {r.query_id for r in cand} | {r.neighbor_id for r in cand}
+    assert ids <= {2, 3, 4}, (
+        f"NULL-label rows leaked into the filtered-NN candidates: {sorted(ids)}"
+    )
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
@@ -707,6 +789,41 @@ def test_cosine_pairs_blocked_equals_expression_form(spark, sf_dir):
         for r in cosine_pairs_blocked(emb, threshold=0.4, n_blocks=5).collect()
     }
     assert ref == blk and len(ref) > 0
+
+
+def test_cosine_pairs_zero_norm_rows_match_between_forms(spark):
+    """Zero-norm embeddings: the exact form emits an explicit NaN cosine
+    (guarded division — ANSI mode would otherwise raise DIVIDE_BY_ZERO),
+    which passes the >= threshold filter because Spark orders NaN above
+    every double; the blocked form's numpy +inf marker must map back to
+    the same NaN so both forms agree pair-for-pair."""
+    import math
+
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_blocked,
+    )
+
+    rows = [(i, [0.0, 0.0] if i < 3 else [1.0, float(i)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def canon(out):
+        return sorted(
+            (
+                r.id_a,
+                r.id_b,
+                "nan" if r.cosine is None or math.isnan(r.cosine) else r.cosine,
+            )
+            for r in out.collect()
+        )
+
+    ref = canon(cosine_pairs(df, threshold=0.9))
+    blk = canon(cosine_pairs_blocked(df, threshold=0.9, n_blocks=3))
+    assert ref == blk
+    # every pair touching a zero-norm row (ids 0-2) is NaN and KEPT
+    nan_pairs = {(a, b) for a, b, c in ref if c == "nan"}
+    assert {(0, 1), (0, 2), (1, 2)} <= nan_pairs
+    assert all(a < 3 or b < 3 for a, b in nan_pairs)
 
 
 class TestSpanCorpusDedup:
