@@ -248,8 +248,16 @@ def ivf_topk(
         "cv",
         F.posexplode(buckets(F.col("cv"))).alias("__table", "__bucket"),
     )
+    # deliberately NO broadcast hint on the probe side: a query set can be
+    # a data-scale fraction of the corpus (held-out splits), and a forced
+    # broadcast of a Generate output is exactly the frame class the plan
+    # audit bans (the fan-out under the hint is an exploded UDF array the
+    # auditor cannot bound). The join keys are (table, bucket) — a plain
+    # shuffle join proportional to collisions — and AQE broadcasts the
+    # probe side at runtime whenever its ACTUAL shuffle size is small,
+    # which is the decision you want made from real sizes at 100 TB.
     candidates = (
-        c.join(F.broadcast(q), ["__table", "__bucket"])
+        c.join(q, ["__table", "__bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])

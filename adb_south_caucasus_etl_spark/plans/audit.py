@@ -19,8 +19,14 @@ even though an Aggregate exists below one input):
   grain (group keys, distinct keys, top-N); its inputs are irrelevant;
 - grain-preserving unary nodes (Project, Filter, Sort, Window,
   repartitions, aliases, …) ⇒ classify their child;
-- everything else (Join, Union, Generate, any multi-child node) ⇒
-  bounded only if EVERY child is bounded;
+- Generate (explode/posexplode/inline/sequence fan-out) ⇒ bounded only
+  when the generator expression references NO input column (a literal
+  array / literal-bound sequence multiplies the child by a constant) AND
+  the child is bounded; a data-dependent generator — e.g.
+  ``explode(sequence(1, col))`` — makes the fan-out data-controlled even
+  over a bounded child, so it classifies data-scale;
+- everything else (Join, Union, any multi-child node) ⇒ bounded only if
+  EVERY child is bounded;
 - leaves: LocalRelation / OneRowRelation / Range ⇒ bounded (literal
   grids, scenario frames, generated sequences); file relations over the
   bounded dimension tables (nation, region — 25 / 5 rows at every scale
@@ -30,6 +36,19 @@ even though an Aggregate exists below one input):
 Note the walk sees the analyzed TREE, so a frame consumed twice reports
 its hint twice — the finding count is an upper bound, the per-query
 verdict (any finding at all) is what matters.
+
+KNOWN FALSE-NEGATIVE CLASS (documented, deliberately not gated): the
+Aggregate/Deduplicate rule trusts the node's declared grain without
+asking whether the grain KEYS are themselves bounded —
+``broadcast(lineitem.groupBy("l_orderkey").agg(...))`` is an order-grain,
+data-scale frame that passes the gate silently. Static key-cardinality
+analysis can't separate that from ``groupBy("l_returnflag")`` (3 values
+over the same fact table), so the audit treats choosing a grain as the
+author vouching for it. :func:`aggregate_grain_broadcasts` reports every
+hint that is bounded ONLY by this trust (a keyed Aggregate/Deduplicate
+over a data-scale subtree) so reviews and the fleet census in
+``tests/test_plan_audit.py`` can eyeball the trusted set instead of
+discovering it post-OOM.
 """
 
 from __future__ import annotations
@@ -89,11 +108,39 @@ def _leaf_source(node) -> str:
     return name
 
 
-def _node_bounded(node, srcs: list[str]) -> bool:
+def _expr_refs_input(expr) -> bool:
+    """True when the expression tree contains any AttributeReference —
+    i.e. its value depends on input rows, not just literals."""
+    if _cls(expr) == "AttributeReference":
+        return True
+    kids = expr.children()
+    return any(_expr_refs_input(kids.apply(i)) for i in range(kids.size()))
+
+
+def _node_bounded(node, srcs: list[str], agg_notes: list[str] | None = None) -> bool:
     """Recursive grain classification; data-scale leaf sources accumulate
-    into ``srcs`` for the finding message."""
+    into ``srcs`` for the finding message. When ``agg_notes`` is given,
+    every keyed Aggregate/Deduplicate that vouches for a data-scale
+    subtree (the documented false-negative class) appends a note."""
     name = _cls(node)
     if name in BOUNDED_NODES:
+        if agg_notes is not None and name in ("Aggregate", "Deduplicate"):
+            keyed = True
+            try:
+                if name == "Aggregate":
+                    keyed = node.groupingExpressions().size() > 0
+            except Exception:
+                pass
+            if keyed:
+                sub: list[str] = []
+                kids = _children(node)
+                if kids and not all(_node_bounded(k, sub) for k in kids):
+                    agg_notes.append(
+                        f"{name} grain trusted over data-scale input: "
+                        + ", ".join(
+                            s.rsplit("/", 1)[-1] for s in sorted(set(sub))
+                        )
+                    )
         return True
     kids = _children(node)
     if not kids:
@@ -106,12 +153,27 @@ def _node_bounded(node, srcs: list[str]) -> bool:
         srcs.append(src)
         return False
     if name in TRANSPARENT_NODES and len(kids) == 1:
-        return _node_bounded(kids[0], srcs)
-    # joins, unions, generates, unknown nodes: the output grain is only
-    # bounded when every input's is (bounded × bounded ≤ product)
+        return _node_bounded(kids[0], srcs, agg_notes)
+    if name == "Generate":
+        # fan-out is part of the output grain: only a literal generator
+        # (explode of a literal array, sequence with literal bounds)
+        # multiplies the child by a CONSTANT — explode(sequence(1, col))
+        # over a bounded child is data-controlled and must not pass
+        try:
+            data_dep = _expr_refs_input(node.generator())
+        except Exception:
+            data_dep = True  # unreadable generator: assume the worst
+        if data_dep:
+            srcs.append("Generate[data-dependent fan-out]")
+            # keep walking so the finding also names the subtree's leaves
+            for kid in kids:
+                _node_bounded(kid, srcs, agg_notes)
+            return False
+    # joins, unions, literal generates, unknown nodes: the output grain
+    # is only bounded when every input's is (bounded × bounded ≤ product)
     ok = True
     for kid in kids:
-        if not _node_bounded(kid, srcs):
+        if not _node_bounded(kid, srcs, agg_notes):
             ok = False
     return ok
 
@@ -146,3 +208,16 @@ def data_scale_broadcasts(df: DataFrame) -> list[str]:
         if not ok:
             findings.append(reason)
     return findings
+
+
+def aggregate_grain_broadcasts(df: DataFrame) -> list[str]:
+    """The documented false-negative census (module docstring): broadcast
+    hints that classify bounded ONLY because a keyed Aggregate/Deduplicate
+    vouched for its own grain over a data-scale subtree. Each note names
+    the data-scale leaves under the trusted node. Empty for hints that are
+    bounded by literals/dims/limits alone."""
+    notes: list[str] = []
+    for hint in broadcast_hints(df):
+        srcs: list[str] = []
+        _node_bounded(hint, srcs, agg_notes=notes)
+    return notes

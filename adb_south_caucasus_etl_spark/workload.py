@@ -8500,7 +8500,9 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                                  * CAST(1 - l_discount AS DECIMAL(18,6)))
                              AS DECIMAL(38,6)), 2) AS DOUBLE) AS revenue
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      FROM lineitem
+      JOIN (SELECT * FROM orders WHERE o_orderkey < 7500) o
+        ON l_orderkey = o_orderkey
       GROUP BY 1
     )
     SELECT 'broadcast' AS strategy, o_orderpriority,
@@ -8522,14 +8524,23 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "when a sort of the larger side is the known bottleneck, or "
         "forcing broadcast for a dim that stats undercount. Decimal "
         "revenue arithmetic keeps all three branches (and the oracle) "
-        "bit-identical",
+        "bit-identical. The demo side is a BOUNDED order slice "
+        "(o_orderkey < 7500 is < 7500 rows at any scale factor, with a "
+        "semantically no-op LIMIT so the plan carries a GlobalLimit the "
+        "broadcast audit can see) — exercising the hint API never needs "
+        "a data-scale build side",
 )
 def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
+    # bounded-by-construction demo side: orderkeys are unique, so the
+    # key-range filter caps the row count at every SF; the LIMIT never
+    # truncates (hence deterministic) and exists to make the bound
+    # audit-visible in-plan (the probe-cut pattern)
+    bounded_orders = cat.orders.filter(F.col("o_orderkey") < 7500).limit(7500)
 
     def branch(hint: str) -> DataFrame:
         j = cat.lineitem.join(
-            cat.orders.hint(hint),
+            bounded_orders.hint(hint),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         return (

@@ -77,13 +77,9 @@ BROADCAST_DATA_SCALE_OK = {
     # (the former literal-id-cut entries — semdedup centroids, hard
     # negatives, cosine_topk_exact / ann_ivf probes — now pass on merit:
     # the cuts carry an explicit no-op LIMIT, so the hinted subtrees
-    # contain a GlobalLimit the auditor can see.)
-    # the hint API surface demo — strategy choice IS the query's subject:
-    "join_strategy_hints": {
-        "why": "exercises hint() strategies incl. broadcast on purpose; "
-        "the broadcast side is a filtered month of orders",
-        "leaves": ("orders.parquet",),
-    },
+    # contain a GlobalLimit the auditor can see. join_strategy_hints,
+    # the last data-scale entry, now demos the hint API on a bounded
+    # order slice with the same in-plan LIMIT bound.)
 }
 
 
@@ -120,6 +116,71 @@ def test_every_driver_side_collect_declares_boundedness():
         "'# bounded: <why>' on or just above the call, or make the frame "
         "distributed):\n" + "\n".join(offenders)
     )
+
+
+def test_generate_bounded_only_for_literal_fanout(spark):
+    """A Generate whose fan-out is DATA-CONTROLLED must classify
+    data-scale even over a bounded child: explode(sequence(1, col)) over
+    the 25-row nation table can emit any number of rows the data chooses
+    (nothing bounds the column's values), so broadcasting it is not
+    provably safe. A literal generator (constant fan-out per child row)
+    stays bounded."""
+    from pyspark.sql import functions as F
+
+    from adb_south_caucasus_etl_spark.plans.audit import data_scale_broadcasts
+    from adb_south_caucasus_etl_spark.sources.registry import Catalog
+
+    nation = Catalog(spark, SF).nation
+    # data-dependent fan-out over a bounded child → finding
+    bad = nation.select(
+        F.explode(F.sequence(F.lit(1), F.col("n_nationkey") + 1)).alias("i")
+    )
+    probe = nation.join(F.broadcast(bad), nation["n_nationkey"] == bad["i"])
+    findings = data_scale_broadcasts(probe)
+    assert findings and any(
+        "Generate[data-dependent fan-out]" in f for f in findings
+    ), f"data-dependent Generate passed the audit: {findings}"
+    # literal fan-out over the same bounded child → clean
+    ok = nation.select(
+        "n_nationkey", F.explode(F.array(F.lit(1), F.lit(2))).alias("i")
+    )
+    probe2 = nation.join(
+        F.broadcast(ok), nation["n_nationkey"] == ok["n_nationkey"]
+    )
+    assert data_scale_broadcasts(probe2) == []
+
+
+def test_aggregate_grain_census_reports_trusted_hints(spark):
+    """The Aggregate rule's documented false-negative class (see
+    plans/audit.py docstring): broadcast(fact.groupBy(key).agg(...)) is
+    trusted — the gate stays green — but aggregate_grain_broadcasts must
+    SURFACE it so the trust is reviewable. An unkeyed (global) aggregate
+    and a dim-grain aggregate produce no note."""
+    from pyspark.sql import functions as F
+
+    from adb_south_caucasus_etl_spark.plans.audit import (
+        aggregate_grain_broadcasts,
+        data_scale_broadcasts,
+    )
+    from adb_south_caucasus_etl_spark.sources.registry import Catalog
+
+    cat = Catalog(spark, SF)
+    # order-grain aggregate over the fact table: gate-green but censused
+    per_order = cat.lineitem.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    probe = cat.orders.join(
+        F.broadcast(per_order),
+        cat.orders["o_orderkey"] == per_order["l_orderkey"],
+    )
+    assert data_scale_broadcasts(probe) == [], "trusted grain must stay green"
+    notes = aggregate_grain_broadcasts(probe)
+    assert notes and "lineitem" in notes[0], notes
+    # global aggregate: bounded on merit, no census note
+    total = cat.lineitem.agg(F.sum("l_quantity").alias("qty"))
+    probe2 = cat.nation.crossJoin(F.broadcast(total))
+    assert data_scale_broadcasts(probe2) == []
+    assert aggregate_grain_broadcasts(probe2) == []
 
 
 def _single_partition_over_raw_rows(plan: str) -> list[str]:
