@@ -8,14 +8,19 @@ Ordering: the driver's correctness gate stamps a bounded window of
 ``queries()`` entries per round (r2 stamped exactly the first 50 in
 registration order, leaving 77 queries with only local verification).
 ``queries()``/``oracle_sql()`` therefore emit entries sorted by
-(latest-stamp-red first, ascending driver-stamp count, registration
-order) — computed from the ``CORRECTNESS_r*.json`` files the driver
-leaves at the repo root. A query whose most recent stamp was red jumps
-the queue so its fix is re-verified next round instead of waiting ~4
-rounds behind the never-stamped backlog (r5 verdict item 2); after reds,
-never-stamped queries come first, so a fixed-size window rotates through
-the whole workload and every query eventually accumulates a
-driver-stamped correctness row.
+(latest-stamp-red first, DIRTY second, ascending driver-stamp count,
+registration order) — computed from the ``CORRECTNESS_r*.json`` files
+the driver leaves at the repo root plus the ``STAMP_SOURCES.json``
+sidecar (``tools/stamp_sources.py rebuild``, git-reconstructed
+hash-at-last-stamp per query). A query whose most recent stamp was red
+jumps the queue so its fix is re-verified next round; a DIRTY query —
+its ``@register`` block rewritten since the code its latest stamp
+verified (r7 verdict item 1: three rewrites shipped with stale green
+stamps), or force-listed in ``FORCE_RESTAMP`` after an operator-module
+rewrite the block hash can't see — comes next; then never-stamped
+queries, so a fixed-size window still rotates through the whole
+workload and every query eventually accumulates a driver-stamped
+correctness row on the plan it currently ships.
 """
 
 from __future__ import annotations
@@ -84,12 +89,61 @@ def _stamp_state() -> tuple[dict[str, int], set[str]]:
     return counts, {name for name, red in latest.items() if red}
 
 
+#: queries whose shipped plan changed OUTSIDE their @register block (an
+#: operator-module rewrite the block hash cannot see) — manually promoted
+#: into the dirty tier until a fresh driver stamp lands, then pruned.
+#: Current entries (r7 rewrites, VERDICT r07 item 1):
+#: - graph_triangle_count: orientation/wedge plan rebuilt in
+#:   operators/graph.py (651db98); green stamp is r06, pre-rewrite.
+#: - ml_ranking_metrics: rebuilt on blocked rank counting (5387496);
+#:   never stamped, but mid-pack registration order would not guarantee
+#:   it a window slot — it must be in r08's window.
+FORCE_RESTAMP = {"graph_triangle_count", "ml_ranking_metrics"}
+
+
+def _dirty_names() -> set[str]:
+    """Stamped queries whose @register block no longer matches the code
+    their latest driver stamp verified (sidecar: STAMP_SOURCES.json,
+    rebuilt from git by tools/stamp_sources.py), plus FORCE_RESTAMP.
+    Best-effort: a missing/corrupt sidecar degrades to FORCE_RESTAMP
+    only, never to an import failure — the driver must always get a
+    valid ordering."""
+    dirty = set(FORCE_RESTAMP)
+    try:
+        with open(
+            os.path.join(_REPO, "STAMP_SOURCES.json"), encoding="utf-8"
+        ) as fh:
+            sidecar = json.load(fh)
+        from adb_south_caucasus_etl_spark.stamphash import query_block_hashes
+
+        with open(
+            os.path.join(
+                _REPO, "adb_south_caucasus_etl_spark", "workload.py"
+            ),
+            encoding="utf-8",
+        ) as fh:
+            current = query_block_hashes(fh.read())
+        for name, rec in sidecar.items():
+            cur = current.get(name)
+            if cur is not None and cur != rec.get("hash"):
+                dirty.add(name)
+    except Exception:
+        pass
+    return dirty
+
+
 def _ordered_names() -> list[str]:
     counts, reds = _stamp_state()
+    dirty = _dirty_names()
     reg_order = {name: i for i, name in enumerate(WORKLOAD)}
     return sorted(
         WORKLOAD,
-        key=lambda n: (n not in reds, counts.get(n, 0), reg_order[n]),
+        key=lambda n: (
+            n not in reds,
+            n not in dirty,
+            counts.get(n, 0),
+            reg_order[n],
+        ),
     )
 
 

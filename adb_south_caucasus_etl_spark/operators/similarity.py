@@ -303,6 +303,47 @@ def label_centroids(
     )
 
 
+def gemm_grid(
+    n_queries: int,
+    n_corpus: int,
+    cell_budget_bytes: int = 256 << 20,
+) -> tuple[int, int]:
+    """Size the blocked-GEMM grid from a per-cell MEMORY BUDGET instead of
+    a hardcoded block count — the knob that makes the 100× scale-up a
+    config change, not a code edit.
+
+    Each (query-block, corpus-block) cell materializes one float64 score
+    matrix of ``(n_queries/nq) × (n_corpus/nc) × 8`` bytes inside a
+    single ``applyInPandas`` group, so the grid must satisfy
+    ``nq × nc ≥ 8·|Q|·|C| / budget``. Among all grids meeting that, the
+    replication shuffle costs ``|Q|·nc + |C|·nq`` row-copies, minimized
+    (continuous relaxation, AM-GM) at ``nq/nc = |Q|/|C|`` — more blocks
+    on the LARGER side, because the SMALLER side is the cheaper one to
+    replicate across them. The returned pair is that optimum rounded up,
+    so the budget is a guarantee, not a target.
+
+    Example: 1M queries × 100M corpus at 256 MB cells → ceil from
+    K = 8·1e6·1e8/268435456 ≈ 2.98e6 cells, split nq=sqrt(K·Q/C)≈173 ×
+    nc=sqrt(K·C/Q)≈17262 — each cell ~5.8k query rows × ~5.8k corpus
+    rows ≈ 256 MB, total replication ~3.5e10 row-copies vs 1.7e12 for
+    the transposed split. Defaults in the operators stay 4×4 (right for
+    the test SFs); cluster callers pass ``*gemm_grid(est_q, est_c)``
+    with estimates from table stats.
+    """
+    if n_queries <= 0 or n_corpus <= 0:
+        return 1, 1
+    import math
+
+    k = max(1.0, 8.0 * n_queries * n_corpus / max(1, cell_budget_bytes))
+    # replication-optimal split, clamped (blocks beyond one row per block
+    # are pure overhead), then each side re-derived from the constraint so
+    # clamping one side is compensated by the other — never a slow search
+    nq = min(n_queries, max(1, math.ceil(math.sqrt(k * n_queries / n_corpus))))
+    nc = min(n_corpus, max(1, math.ceil(k / nq)))
+    nq = min(n_queries, max(nq, math.ceil(k / nc)))
+    return nq, nc
+
+
 def _block_grid(spark, n_left: int, n_right: int):
     """Broadcast (gq, gc) pair grid for the blocked-GEMM operators —
     built from spark.range so the broadcast audit sees a Range leaf
@@ -337,7 +378,8 @@ def cosine_pairs_blocked(
     expression formulation; per-group memory is (n/n_blocks)² · 8 bytes
     for the score matrix, which sizes n_blocks for a target executor
     (e.g. 1M rows, 64 blocks → 15.6k×15.6k ≈ 2 GB peak — raise n_blocks
-    quadratically less memory per group). Still O(n²) COMPUTE by design:
+    quadratically less memory per group; :func:`gemm_grid` derives the
+    count from a byte budget). Still O(n²) COMPUTE by design:
     this is the exact baseline; the sub-quadratic path is the sign-LSH
     bucketing of ``ivf_topk``."""
     import numpy as np
@@ -470,8 +512,9 @@ def knn_candidates_blocked(
     Scale shape: shuffle volume is |queries| × n_corpus_blocks +
     |corpus| × n_query_blocks row-copies (linear in each side for a
     fixed grid); per-group memory is the (|Q|/nq) × (|C|/nc) float64
-    score matrix — size the grid so that fits an executor, same rule as
-    :func:`cosine_pairs_blocked`. Candidate volume is ~|queries| ×
+    score matrix — derive the grid from a per-cell byte budget with
+    :func:`gemm_grid` (the 4×4 defaults fit the test SFs; cluster
+    callers pass ``*gemm_grid(est_q, est_c)``). Candidate volume is ~|queries| ×
     n_corpus_blocks × k — linear, so the exact re-score downstream is
     cheap. Compute stays O(|Q|·|C|) by design (exact kNN); the
     sub-quadratic path is :func:`ivf_topk`.

@@ -7018,48 +7018,48 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_dpp_partitioned",
     """
-    SELECT CAST(year(o_orderdate) AS INT) AS yr,
-           o_orderpriority,
-           COUNT(*) AS n_orders,
-           CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(18,6)), 2)
-                AS DOUBLE) AS total
-    FROM orders
-    WHERE CAST(year(o_orderdate) AS INT) >= 1996
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+             AS event_date,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE day(ts) <= 7
     GROUP BY 1, 2
     """,
-    doc="dynamic partition pruning: orders materialized hive-partitioned "
-        "by year, then joined to a year-dim filtered to recent years — "
-        "Catalyst turns the dim's filter result into a runtime IN "
-        "predicate on the fact scan's PARTITION column "
-        "(dynamicpruningexpression, reusing the join's broadcast), so "
-        "only the matching year directories are read at all. THE "
-        "mechanism that makes dim-filtered scans of date-partitioned "
-        "100 TB facts touch days, not history; plan-asserted in "
-        "test_plan_shapes.py. Oracle is the equivalent static filter",
+    doc="dynamic partition pruning over the REAL cluster layout: the "
+        "shared date-partitioned events fixture "
+        "(sources/fixtures.py — events_by_date/event_date=YYYY-MM-DD/, "
+        "staged once per scale factor) is joined to a date-dim filtered "
+        "to the first week — Catalyst turns the dim's filter result "
+        "into a runtime IN predicate on the fact scan's PARTITION "
+        "column (dynamicpruningexpression, reusing the join's "
+        "broadcast), so only ~7 of the ~30 day directories are read at "
+        "all. THE mechanism that makes dim-filtered scans of "
+        "date-partitioned 100 TB facts touch days, not history; "
+        "plan-asserted against the hive layout in test_plan_shapes.py. "
+        "Oracle is the equivalent static filter; integer-exact "
+        "measures (counts + distinct users), no float rounding",
 )
 def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
+    from .sources.fixtures import partitioned_events_dir
 
-    out = _os.path.join(_scratch_dir("dpp", sf_dir), "orders_by_year")
-    orders = Catalog(spark, sf_dir).orders
-    orders.withColumn(
-        "yr", F.year("o_orderdate").cast("int")
-    ).write.mode("overwrite").partitionBy("yr").parquet(out)
-
-    fact = spark.read.parquet(out)
+    fact = spark.read.parquet(partitioned_events_dir(spark, sf_dir))
     dim = (
-        orders.select(F.year("o_orderdate").cast("int").alias("yr"))
+        Catalog(spark, sf_dir)
+        .events.select(F.to_date("ts").alias("event_date"))
         .distinct()
-        .filter(F.col("yr") >= 1996)
+        .filter(F.dayofmonth("event_date") <= 7)
     )
     return (
-        fact.join(dim, "yr")
-        .groupBy("yr", "o_orderpriority")
+        fact.join(dim, "event_date")
+        .groupBy(
+            F.col("event_date").cast("string").alias("event_date"),
+            "event_type",
+        )
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice").cast("decimal(18,6)"), 2)
-            .cast("double")
-            .alias("total"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
 

@@ -113,6 +113,44 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — cleanup must never fail the bench
             pass
 
+    # min-of-3 isolated re-runs for the top-15 most expensive BATCH sweep
+    # queries (plus any drift-suspects named below): the one-shot sweep
+    # numbers carry first-touch JIT and GC geometry from whatever ran
+    # before them — r7's round-over-round diff flagged two +2s "regressions"
+    # that were pure sweep noise. The min-of-3 map ships in the printed
+    # tail so the round artifact itself carries a noise-free per-query
+    # signal beside the sweep number. Streaming queries are excluded (their
+    # wall is micro-batch start/stop latency, not plan cost).
+    DRIFT_SUSPECTS = {"sketch_cms_heavy_hitters", "schema_compat_check"}
+    top = sorted(
+        (
+            (v, n)
+            for n, v in full.items()
+            if v and not n.startswith("streaming_") and n not in times
+        ),
+        reverse=True,
+    )[:15]
+    recheck = {n for _, n in top} | (DRIFT_SUSPECTS & set(full))
+    top_min3: dict[str, float] = {}
+    for name in sorted(recheck):
+        best = float("inf")
+        for _ in range(ITERATIONS):
+            t0 = time.time()
+            try:
+                WORKLOAD[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — keep the sweep value instead
+                best = float("inf")
+                break
+            best = min(best, time.time() - t0)
+        if best != float("inf"):
+            top_min3[name] = round(best, 3)
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            pass
+
     # batch vs streaming split: the five streaming_*_live queries run real
     # Structured Streaming starts (availableNow replay) whose fixed start/stop
     # cost (~2-8 s each) would drown batch-plan regressions in the full wall.
@@ -133,6 +171,7 @@ def main() -> None:
         "full_wall_batch": batch_wall,
         "full_wall_streaming": streaming_wall,
         "queries_full": full,
+        "top_min3": top_min3,
         "errors": errors,
         "sf": sf,
     }
@@ -151,6 +190,7 @@ def main() -> None:
         "queries": times,
         "full_wall_batch": batch_wall,
         "full_wall_streaming": streaming_wall,
+        "top_min3": top_min3,
         "n_queries": len(full),
         "n_errors": len(errors),
         "sf": sf,

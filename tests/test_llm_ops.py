@@ -791,6 +791,40 @@ def test_cosine_pairs_blocked_equals_expression_form(spark, sf_dir):
     assert ref == blk and len(ref) > 0
 
 
+def test_gemm_grid_sizing_arithmetic():
+    """gemm_grid must GUARANTEE the per-cell float64 score matrix fits the
+    byte budget, put more blocks on the larger side (replication-optimal
+    split), and degrade gracefully at the edges."""
+    from adb_south_caucasus_etl_spark.operators.similarity import gemm_grid
+
+    def cell_bytes(q, c, nq, nc):
+        return (q / nq) * (c / nc) * 8
+
+    for q, c, budget in [
+        (1_000_000, 100_000_000, 256 << 20),
+        (10_000, 10_000, 1 << 20),
+        (3_000, 60_000, 64 << 20),
+        (60_000, 3_000, 64 << 20),
+        (1, 1_000_000_000, 256 << 20),
+    ]:
+        nq, nc = gemm_grid(q, c, budget)
+        assert 1 <= nq <= q and 1 <= nc <= c, (q, c, nq, nc)
+        assert cell_bytes(q, c, nq, nc) <= budget, (q, c, nq, nc)
+        # within 4x of the continuous replication optimum 2*sqrt(k*Q*C)
+        import math
+
+        k = max(1.0, 8.0 * q * c / budget)
+        optimum = 2 * math.sqrt(k * q * c)
+        actual = q * nc + c * nq
+        assert actual <= 4 * optimum + q + c, (q, c, nq, nc, actual, optimum)
+    # more blocks land on the larger side
+    nq, nc = gemm_grid(1_000, 1_000_000, 1 << 20)
+    assert nc > nq
+    # tiny inputs: nothing to split
+    assert gemm_grid(10, 10, 256 << 20) == (1, 1)
+    assert gemm_grid(0, 100, 256 << 20) == (1, 1)
+
+
 def test_cosine_pairs_zero_norm_rows_match_between_forms(spark):
     """Zero-norm embeddings: the exact form emits an explicit NaN cosine
     (guarded division — ANSI mode would otherwise raise DIVIDE_BY_ZERO),

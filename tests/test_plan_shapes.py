@@ -361,11 +361,19 @@ def test_sql_udf_inlined_predicate_pushdown(spark):
 
 
 def test_dpp_prunes_fact_partitions_at_runtime(spark):
-    """The year-dim filter must reach the hive-partitioned fact scan as a
-    dynamicpruningexpression partition filter (reusing the join's
-    broadcast) — i.e. unmatched year directories are never read."""
+    """The date-dim filter must reach the hive-partitioned fact scan as a
+    dynamicpruningexpression PARTITION filter (reusing the join's
+    broadcast) — i.e. unmatched event_date= directories are never read.
+    Runs against the REAL directory layout (the shared events_by_date
+    fixture), not a synthetic per-query staging."""
     plan = _final_plan(WORKLOAD["join_dpp_partitioned"].fn(spark, SF))
-    assert "dynamicpruning" in plan.lower(), plan
+    low = plan.lower()
+    assert "dynamicpruning" in low, plan
+    # the pruning predicate must sit on the hive partition column of the
+    # fixture scan, and the scan must read the partitioned directory
+    assert "events_by_date" in plan, plan
+    i = low.index("dynamicpruning")
+    assert "event_date" in low[max(0, i - 200) : i + 200], plan
 
 
 def test_salted_twophase_two_hash_aggregation_stages(spark):

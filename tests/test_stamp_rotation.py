@@ -1,0 +1,135 @@
+"""Dirty-aware driver-stamp rotation (VERDICT r07 item 1).
+
+The ordering contract of ``__spark_entry__._ordered_names()``:
+latest-red first, then DIRTY (register block changed since the code the
+latest stamp verified, or FORCE_RESTAMP), then never-stamped, then
+ascending stamp count — so a query rewritten after a green stamp is
+re-verified in the next driver window instead of hiding behind a stale
+stamp for rounds.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+from adb_south_caucasus_etl_spark.stamphash import (
+    block_local_modules,
+    query_block_hashes,
+    query_fingerprints,
+    register_blocks,
+)
+
+SAMPLE = '''
+from x import register
+
+@register(
+    "q_alpha",
+    """SELECT 1 AS one""",
+    doc="first",
+)
+def q_alpha(spark, sf_dir):
+    from .operators.similarity import cosine_topk_exact
+    return cosine_topk_exact(None, None)
+
+
+def helper():
+    return 1
+
+
+@register("q_beta", None)
+def q_beta(spark, sf_dir):
+    return None
+'''
+
+
+def test_register_blocks_exact_boundaries():
+    blocks = register_blocks(SAMPLE)
+    assert set(blocks) == {"q_alpha", "q_beta"}
+    # decorator (incl. the oracle string) through function end, nothing more
+    assert blocks["q_alpha"].startswith("@register(")
+    assert '"""SELECT 1 AS one"""' in blocks["q_alpha"]
+    assert "helper" not in blocks["q_alpha"]
+    assert "q_beta" not in blocks["q_alpha"]
+    assert blocks["q_beta"].startswith('@register("q_beta"')
+
+
+def test_block_hash_changes_on_oracle_edit_only():
+    h1 = query_block_hashes(SAMPLE)
+    h2 = query_block_hashes(SAMPLE.replace("SELECT 1 AS one", "SELECT 2 AS one"))
+    assert h1["q_alpha"] != h2["q_alpha"], "oracle edits must dirty the query"
+    assert h1["q_beta"] == h2["q_beta"], "unrelated queries must stay clean"
+
+
+def test_deep_fingerprint_tracks_local_module_imports():
+    assert block_local_modules(register_blocks(SAMPLE)["q_alpha"]) == [
+        "adb_south_caucasus_etl_spark/operators/similarity.py"
+    ]
+    fp_a = query_fingerprints(SAMPLE, lambda p: "module v1")
+    fp_b = query_fingerprints(SAMPLE, lambda p: "module v2")
+    assert fp_a["q_alpha"] != fp_b["q_alpha"], "module rewrite must deep-dirty"
+    assert fp_a["q_beta"] == fp_b["q_beta"], "no local imports -> unaffected"
+
+
+def test_every_registered_query_has_a_block_hash():
+    """The rotation can only dirty-track what the ast extraction sees: every
+    WORKLOAD entry must be a decorator-registered function in workload.py
+    (a registration that dodges this would silently opt out of
+    dirty-tracking)."""
+    path = os.path.join(
+        os.path.dirname(entry.__file__),
+        "adb_south_caucasus_etl_spark",
+        "workload.py",
+    )
+    with open(path, encoding="utf-8") as fh:
+        hashes = query_block_hashes(fh.read())
+    missing = sorted(set(entry.WORKLOAD) - set(hashes))
+    assert not missing, f"queries invisible to dirty-tracking: {missing}"
+
+
+def test_ordering_puts_red_then_dirty_then_never_stamped(monkeypatch):
+    names = list(entry.WORKLOAD)
+    red, dirty, fresh = names[0], names[1], names[2]
+    stamped_clean = names[3]
+    monkeypatch.setattr(
+        entry,
+        "_stamp_state",
+        lambda: (
+            {red: 2, dirty: 3, stamped_clean: 1},
+            {red},
+        ),
+    )
+    monkeypatch.setattr(entry, "_dirty_names", lambda: {dirty})
+    ordered = entry._ordered_names()
+    assert ordered[0] == red
+    assert ordered[1] == dirty
+    assert ordered.index(fresh) < ordered.index(stamped_clean), (
+        "never-stamped must precede stamped-clean"
+    )
+
+
+def test_force_restamp_entries_are_real_queries():
+    unknown = entry.FORCE_RESTAMP - set(entry.WORKLOAD)
+    assert not unknown, f"FORCE_RESTAMP names not in WORKLOAD: {unknown}"
+
+
+def test_live_dirty_set_is_sane():
+    """On the real tree: dirty ⊆ sidecar-stamped ∪ FORCE_RESTAMP, and the
+    sidecar (when present) is fresh enough to cover every stamped round."""
+    dirty = entry._dirty_names()
+    assert entry.FORCE_RESTAMP <= dirty
+    sidecar_path = os.path.join(entry._REPO, "STAMP_SOURCES.json")
+    if not os.path.exists(sidecar_path):
+        return
+    with open(sidecar_path, encoding="utf-8") as fh:
+        sidecar = json.load(fh)
+    assert dirty <= set(sidecar) | entry.FORCE_RESTAMP
+    counts, _ = entry._stamp_state()
+    stamped = {n for n, c in counts.items() if c > 0 and n in entry.WORKLOAD}
+    uncovered = stamped - set(sidecar)
+    assert not uncovered, (
+        "stamped queries missing from STAMP_SOURCES.json — rerun "
+        f"tools/stamp_sources.py rebuild: {sorted(uncovered)[:5]}"
+    )
