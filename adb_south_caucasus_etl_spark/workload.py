@@ -7064,6 +7064,98 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "maintenance_compact_partitions",
+    """
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+             AS event_date,
+           CAST(COUNT(DISTINCT event_id % 4) AS BIGINT) AS n_files_before,
+           CAST(1 AS BIGINT) AS n_files_after,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Small-file COMPACTION over the real hive layout — the lakehouse "
+        "maintenance op that undoes micro-batch append fragmentation. "
+        "The fragmented state is produced the way production produces "
+        "it: four sequential appends into events_by_date (one per "
+        "event_id%4 bucket, each a single-task write), leaving each "
+        "event_date= directory with one file per bucket present. "
+        "Compaction is the standard recipe: repartition BY THE "
+        "PARTITION COLUMN so each partition's rows land in exactly one "
+        "task, then rewrite — one file per directory, data untouched. "
+        "Evidence is read from the files themselves via the hidden "
+        "_metadata.file_path column (count of distinct files per "
+        "partition before and after), and the fragmentation key is "
+        "event_id % 4, so the DuckDB oracle states the exact per-"
+        "partition file counts and row counts — the compaction's "
+        "file-count arithmetic AND its losslessness are both "
+        "hash-stamped. At 100 TB the only change is the target: "
+        "repartition each partition to ceil(bytes / 128MB) files "
+        "instead of 1, and compact only partitions whose file count "
+        "exceeds it",
+)
+def maintenance_compact_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+
+    from .sources.fixtures import partitioned_events_dir
+
+    src = spark.read.parquet(partitioned_events_dir(spark, sf_dir))
+    base = _scratch_dir("compaction", sf_dir)
+    frag_dir = _os.path.join(base, "fragmented")
+    compact_dir = _os.path.join(base, "compacted")
+
+    # four micro-batch-style appends fragment every date directory into
+    # one file per bucket present; bucket 0 overwrites so reruns don't
+    # accumulate (static partitionOverwriteMode truncates the table)
+    for b in range(4):
+        (
+            src.filter(F.col("event_id") % 4 == b)
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .partitionBy("event_date")
+            .parquet(frag_dir)
+        )
+
+    frag = spark.read.parquet(frag_dir)
+    # the compaction itself: one shuffle keyed on the partition column —
+    # every partition's rows in exactly one task — then rewrite
+    (
+        frag.repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(compact_dir)
+    )
+
+    def census(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select("event_date", "_metadata.file_path")
+            .groupBy(F.col("event_date").cast("string").alias("event_date"))
+            .agg(
+                F.countDistinct("file_path").cast("bigint").alias(alias),
+                F.count(F.lit(1)).alias(f"__n_{alias}"),
+            )
+        )
+
+    before = census(frag, "n_files_before")
+    after = census(spark.read.parquet(compact_dir), "n_files_after")
+    return (
+        before.join(after, "event_date")
+        # losslessness is part of the stamped claim: row counts agree
+        # between the fragmented and compacted layouts by construction,
+        # and the oracle pins them to the raw events table
+        .filter(F.col("__n_n_files_before") == F.col("__n_n_files_after"))
+        .select(
+            "event_date",
+            "n_files_before",
+            "n_files_after",
+            F.col("__n_n_files_after").alias("n_rows"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Round 5, batch 2 (SURVEY §2.P): skew-explicit aggregation, per-group OLS,
 # co-occurrence mining, snapshot reconciliation, binned interval joins,
