@@ -133,8 +133,12 @@ def _node_bounded(node, srcs: list[str], agg_notes: list[str] | None = None) -> 
                 pass
             if keyed:
                 sub: list[str] = []
-                kids = _children(node)
-                if kids and not all(_node_bounded(k, sub) for k in kids):
+                # no short-circuit: walk EVERY child so the note names
+                # the full data-scale leaf set, not a prefix
+                kid_flags = [
+                    _node_bounded(k, sub) for k in _children(node)
+                ]
+                if kid_flags and not all(kid_flags):
                     agg_notes.append(
                         f"{name} grain trusted over data-scale input: "
                         + ", ".join(
@@ -215,9 +219,14 @@ def aggregate_grain_broadcasts(df: DataFrame) -> list[str]:
     hints that classify bounded ONLY because a keyed Aggregate/Deduplicate
     vouched for its own grain over a data-scale subtree. Each note names
     the data-scale leaves under the trusted node. Empty for hints that are
-    bounded by literals/dims/limits alone."""
+    bounded by literals/dims/limits alone — and hints that classify
+    DATA-SCALE overall are excluded too (they are the main gate's red
+    findings, not trusted passes; censusing them here would double-report
+    and muddle the reviewable trusted set)."""
     notes: list[str] = []
     for hint in broadcast_hints(df):
+        if not hint_is_bounded(hint)[0]:
+            continue
         srcs: list[str] = []
         _node_bounded(hint, srcs, agg_notes=notes)
     return notes

@@ -70,16 +70,28 @@ def main() -> None:
     # the whole engine path — the min suppresses JIT/GC warm-up noise
     # (measured on this rig: a shuffle-heavy query ran 4.5 / 2.65 / 1.9 s on
     # iterations 1/2/3, steady thereafter — min-of-2 still carried ~40%
-    # first-touch JIT).
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = WORKLOAD[name].fn
+    # first-touch JIT). ONE timing loop serves both the headline set and
+    # the top_min3 re-runs, so a methodology change cannot drift the two
+    # tiers apart.
+    def min_of_n(name: str) -> float | None:
         best = float("inf")
         for _ in range(ITERATIONS):
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                WORKLOAD[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — caller decides the fallback
+                return None
             best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+        return round(best, 3)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t = min_of_n(name)
+        if t is None:
+            raise RuntimeError(f"headline query {name} failed")
+        times[name] = t
 
     # full per-query sweep (1 iteration each): every registered query, so
     # round-over-round regressions are visible per operator, not just for
@@ -133,19 +145,9 @@ def main() -> None:
     recheck = {n for _, n in top} | (DRIFT_SUSPECTS & set(full))
     top_min3: dict[str, float] = {}
     for name in sorted(recheck):
-        best = float("inf")
-        for _ in range(ITERATIONS):
-            t0 = time.time()
-            try:
-                WORKLOAD[name].fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception:  # noqa: BLE001 — keep the sweep value instead
-                best = float("inf")
-                break
-            best = min(best, time.time() - t0)
-        if best != float("inf"):
-            top_min3[name] = round(best, 3)
+        t = min_of_n(name)
+        if t is not None:
+            top_min3[name] = t
         try:
             spark.catalog.clearCache()
         except Exception:  # noqa: BLE001

@@ -219,3 +219,30 @@ class TestPythonDataSource:
         with pytest.raises(Exception, match="control-plane cap"):
             read(10).collect()
         assert read(50).count() == 50
+
+
+def test_partitioned_events_fixture_staging(spark, sf_dir):
+    """The shared hive-layout fixture: staged once (complete, _SUCCESS-
+    marked, hive event_date= directories), reused on the second call
+    (same path, no re-write), and keyed on the source signature so a
+    different source maps to a different directory."""
+    import os
+
+    from adb_south_caucasus_etl_spark.sources.fixtures import (
+        partitioned_events_dir,
+    )
+
+    p1 = partitioned_events_dir(spark, sf_dir)
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))
+    parts = [d for d in os.listdir(p1) if d.startswith("event_date=")]
+    assert len(parts) >= 25, f"expected ~30 day partitions, got {len(parts)}"
+    mtime = os.path.getmtime(p1)
+    p2 = partitioned_events_dir(spark, sf_dir)
+    assert p2 == p1
+    assert os.path.getmtime(p1) == mtime, "second call must not re-stage"
+    # a different scale factor (different source signature) gets its own dir
+    p3 = partitioned_events_dir(spark, "/root/testdata/sf0.01")
+    assert p3 != p1
+    # no stage-* debris left behind from the atomic-rename protocol
+    root = os.path.dirname(p1)
+    assert not [d for d in os.listdir(root) if ".stage-" in d]

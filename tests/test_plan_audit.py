@@ -181,6 +181,20 @@ def test_aggregate_grain_census_reports_trusted_hints(spark):
     probe2 = cat.nation.crossJoin(F.broadcast(total))
     assert data_scale_broadcasts(probe2) == []
     assert aggregate_grain_broadcasts(probe2) == []
+    # a hint that is DATA-SCALE overall (keyed aggregate joined back to
+    # the raw fact) is the main gate's red finding, NOT a trusted pass —
+    # the census must not double-report it
+    probe3 = cat.orders.join(
+        F.broadcast(
+            per_order.join(
+                cat.lineitem.select(F.col("l_orderkey").alias("lk")),
+                per_order["l_orderkey"] == F.col("lk"),
+            )
+        ),
+        cat.orders["o_orderkey"] == per_order["l_orderkey"],
+    )
+    assert data_scale_broadcasts(probe3) != []
+    assert aggregate_grain_broadcasts(probe3) == []
 
 
 def _single_partition_over_raw_rows(plan: str) -> list[str]:

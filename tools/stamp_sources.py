@@ -47,15 +47,26 @@ def _git(*args: str) -> str:
 
 
 def _round_commits() -> dict[int, str]:
-    """round number -> the code commit the driver ran (artifact parent)."""
+    """round number -> the code commit the driver ran.
+
+    Anchored on the commit that ADDED each CORRECTNESS_rR.json (not on
+    commit-subject matching, which any later commit titled 'round N: …'
+    would silently hijack, binding the round's fingerprints to post-stamp
+    code and disabling the dirty-tracking). The adding commit is the
+    driver's artifact commit; its parent is the last code commit of the
+    round — the tree the driver actually stamped."""
     out: dict[int, str] = {}
-    for line in _git("log", "--format=%H %s").splitlines():
-        sha, _, subject = line.partition(" ")
-        m = re.match(r"round (\d+):", subject)
-        if m:
-            # the artifact commit holds CORRECTNESS_rR; its parent is the
-            # last code commit of round R — what the driver stamped
-            out.setdefault(int(m.group(1)), sha + "^")
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        base = os.path.basename(path)
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", base)
+        if not m:
+            continue
+        added = _git(
+            "log", "--diff-filter=A", "--format=%H", "--", base
+        ).split()
+        if added:
+            # oldest add wins if the file was ever re-added
+            out[int(m.group(1))] = added[-1] + "^"
     return out
 
 
