@@ -1383,9 +1383,36 @@ def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_session_live",
-    None,  # session_window end = last_ts + gap (streaming semantics) → rows-only
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    s AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    g AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+      FROM s
+    )
+    SELECT CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(us) + 1800000000 AS BIGINT) AS session_end_us,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
     doc="T3 executed as an ACTUAL streaming session_window aggregation "
-        "(complete mode, availableNow)",
+        "(complete mode, availableNow). Complete mode keeps all session "
+        "state, so the final emission is a PURE FUNCTION of event times "
+        "regardless of micro-batch arrival order — oracle-exact: "
+        "session_window is half-open [start, last_ts + gap), so an "
+        "event at exactly gap distance starts a NEW session (the "
+        "oracle's break condition is >= gap, not >), start = min ts, "
+        "end = max ts + gap, all integer microseconds",
 )
 def streaming_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.wrappers import (
@@ -1453,8 +1480,18 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_dedup_users",
-    None,  # which duplicate row survives is arrival-order-dependent → rows-only
-    doc="T5 stateful streaming dedup (dropDuplicatesWithinWatermark on user_id)",
+    """
+    SELECT DISTINCT user_id FROM events
+    """,
+    doc="T5 stateful streaming dedup (dropDuplicatesWithinWatermark on "
+        "user_id). WHICH duplicate row survives is arrival-order-"
+        "dependent, but the query deliberately projects the one thing "
+        "the operator guarantees — the set of keys that survive — and "
+        "that set is exactly the distinct user_ids in the input "
+        "(every key emits at least one row; re-emissions after "
+        "watermark eviction collapse under DISTINCT), so the oracle is "
+        "exact and the stamp certifies the dedup emitted no phantom "
+        "keys and dropped none",
 )
 def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.wrappers import dedup_stream, read_events_stream, run_to_memory
