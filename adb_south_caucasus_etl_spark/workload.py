@@ -4426,11 +4426,34 @@ def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_phonetic_funcs",
-    None,  # DuckDB has no soundex — canonical values pytest-gated instead
+    """
+    SELECT CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$')
+                THEN 'C235' END AS name_soundex,
+           CASE c_mktsegment
+                WHEN 'AUTOMOBILE' THEN 'A351'
+                WHEN 'BUILDING'   THEN 'B435'
+                WHEN 'FURNITURE'  THEN 'F653'
+                WHEN 'MACHINERY'  THEN 'M256'
+                WHEN 'HOUSEHOLD'  THEN 'H243'
+           END AS segment_soundex,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1, 2
+    """,
     doc="2.G string-family completion: soundex phonetic codes over "
         "customer names (the blocking-key family fuzzy_match unions at "
-        "production scale); rows-only here, canonical soundex vectors "
-        "(Robert→R163 etc.) asserted in tests/test_edge_cases.py",
+        "production scale). DuckDB has no soundex, but the input domain "
+        "is fully enumerable — every c_name matches Customer#<digits> "
+        "(standard American Soundex: C,s→2,t→3,m→5 = C235; digits and "
+        "# are ignored) and c_mktsegment has five values whose codes "
+        "are hand-derived from the published algorithm (A351, B435, "
+        "F653, M256, H243) — so the oracle states the expected codes "
+        "INDEPENDENTLY of the engine and the stamp is a true "
+        "cross-check of Spark's soundex over the real input domain, "
+        "upgrading the old rows-only check (canonical vectors "
+        "Robert→R163 etc. remain pytest-asserted in "
+        "tests/test_edge_cases.py); a name that ever deviated from the "
+        "pattern would yield a NULL on the oracle side and break the "
+        "hash, so the shape assumption is itself stamped",
 )
 def scalar_phonetic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = Catalog(spark, sf_dir).customer
