@@ -133,3 +133,60 @@ def test_live_dirty_set_is_sane():
         "stamped queries missing from STAMP_SOURCES.json — rerun "
         f"tools/stamp_sources.py rebuild: {sorted(uncovered)[:5]}"
     )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,20}", fullmatch=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_IDENT, st.booleans(), st.text(alphabet="abc\n ", max_size=40)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_register_blocks_complete_and_disjoint(entries):
+    """Property: for any sequence of registered functions (with or
+    without oracle strings and interleaved helpers), ast extraction finds
+    EVERY registered name, each block starts at its own decorator, and no
+    block leaks a neighbor's registration."""
+    parts = ["from x import register\n"]
+    for name, with_oracle, doc in entries:
+        oracle = '"""SELECT 1"""' if with_oracle else "None"
+        parts.append(
+            f"@register(\n    \"q_{name}\",\n    {oracle},\n"
+            f"    doc={doc!r},\n)\ndef q_{name}(spark, sf_dir):\n"
+            f"    return {len(name)}\n"
+        )
+        parts.append(f"def helper_{name}():\n    return 0\n")
+    src = "\n".join(parts)
+    blocks = register_blocks(src)
+    assert set(blocks) == {f"q_{n}" for n, _, _ in entries}
+    for name, _, _ in entries:
+        block = blocks[f"q_{name}"]
+        assert block.startswith("@register(")
+        others = {f'"q_{m}"' for m, _, _ in entries if m != name}
+        assert not any(o in block for o in others), (name, block)
+        assert f"helper_{name}" not in block
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10**9),
+    st.integers(min_value=1, max_value=10**9),
+    st.integers(min_value=1024, max_value=1 << 40),
+)
+def test_gemm_grid_budget_invariant_fuzz(q, c, budget):
+    """Property: for ANY sizes and budget, the returned grid is valid
+    (1..n per side) and the per-cell float64 matrix fits the budget
+    whenever a fitting grid exists at all (1x1 cells are 8 bytes)."""
+    from adb_south_caucasus_etl_spark.operators.similarity import gemm_grid
+
+    nq, nc = gemm_grid(q, c, budget)
+    assert 1 <= nq <= q and 1 <= nc <= c
+    assert (q / nq) * (c / nc) * 8 <= budget
