@@ -1388,7 +1388,7 @@ def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT user_id, us,
              CASE WHEN LAG(us) OVER w IS NULL
-                    OR us - LAG(us) OVER w >= 1800000000
+                    OR us - LAG(us) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS brk
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
     ),
@@ -1408,10 +1408,13 @@ def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="T3 executed as an ACTUAL streaming session_window aggregation "
         "(complete mode, availableNow). Complete mode keeps all session "
         "state, so the final emission is a PURE FUNCTION of event times "
-        "regardless of micro-batch arrival order — oracle-exact: "
-        "session_window is half-open [start, last_ts + gap), so an "
-        "event at exactly gap distance starts a NEW session (the "
-        "oracle's break condition is >= gap, not >), start = min ts, "
+        "regardless of micro-batch arrival order — oracle-exact: an "
+        "event at EXACTLY gap distance still MERGES (session_window "
+        "extends whenever ts <= current_end = last_ts + gap — probed "
+        "directly and pinned in test_streaming_semantics.py, because "
+        "the testdata's microsecond-random timestamps never land on "
+        "the boundary and would green-stamp either convention), so the "
+        "oracle's break condition is STRICTLY > gap; start = min ts, "
         "end = max ts + gap, all integer microseconds",
 )
 def streaming_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -263,3 +263,49 @@ def test_chained_agg_daily_emission_boundary(spark, tmp_path):
             assert target[0]["n"] == 2 and target[0]["n_hours"] == 2, (tag, target)
         else:
             assert not target, (tag, out)
+
+
+def test_session_window_merges_at_exact_gap_boundary(spark):
+    """Boundary semantics the oracle of streaming_session_live depends
+    on: two events EXACTLY gap apart belong to ONE session (session_window
+    extends whenever ts <= current_end = last_ts + gap), while the
+    sessionization-SQL convention must therefore break only on
+    STRICTLY > gap. The driver testdata's microsecond-random timestamps
+    never land on the boundary, so only this synthetic probe pins the
+    convention — a >= break in the oracle would green-stamp on testdata
+    and still be wrong."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:30:00"),  # exactly gap after the first
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:30:00.000001"),  # one microsecond past gap
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = sorted(
+        (r.user_id, r.n, r.e - r.s)
+        for r in (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.unix_micros("session_window.start").alias("s"),
+                F.unix_micros("session_window.end").alias("e"),
+                "n",
+            )
+            .collect()  # bounded: 3 session rows from 4 synthetic events
+        )
+    )
+    gap_us = 1_800_000_000
+    # user 1: ONE merged session of 2 events spanning 2*gap;
+    # user 2: TWO singleton sessions (a LIST, not a set — the two split
+    # sessions are identical in (n, duration) and a set would collapse
+    # them, hiding a merge bug)
+    assert out == [
+        (1, 2, 2 * gap_us),
+        (2, 1, gap_us),
+        (2, 1, gap_us),
+    ], f"session_window boundary semantics changed: {out}"
