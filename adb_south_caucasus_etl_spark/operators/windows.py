@@ -69,7 +69,12 @@ def sessionize(
 
     The streaming formulation uses ``F.session_window`` (see
     streaming.wrappers); the island boundaries are identical for the same
-    gap because both close a session after ``gap`` of inactivity.
+    gap because both close a session only after STRICTLY more than
+    ``gap`` of inactivity — an event at exactly gap distance merges in
+    both (session_window extends whenever ts <= last_ts + gap; probed
+    and pinned in test_streaming_semantics.py::
+    test_session_window_merges_at_exact_gap_boundary, since
+    microsecond-random testdata never lands on the boundary).
     """
     gap_us = F.lit(_interval_to_us(gap))
     w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
