@@ -134,9 +134,13 @@ def _node_bounded(node, srcs: list[str], agg_notes: list[str] | None = None) -> 
             if keyed:
                 sub: list[str] = []
                 # no short-circuit: walk EVERY child so the note names
-                # the full data-scale leaf set, not a prefix
+                # the full data-scale leaf set, not a prefix; agg_notes
+                # propagates so a NESTED keyed aggregate (which makes
+                # this node's children look bounded) is still censused
+                # on its own data-scale input
                 kid_flags = [
-                    _node_bounded(k, sub) for k in _children(node)
+                    _node_bounded(k, sub, agg_notes)
+                    for k in _children(node)
                 ]
                 if kid_flags and not all(kid_flags):
                     agg_notes.append(
@@ -225,8 +229,13 @@ def aggregate_grain_broadcasts(df: DataFrame) -> list[str]:
     and muddle the reviewable trusted set)."""
     notes: list[str] = []
     for hint in broadcast_hints(df):
-        if not hint_is_bounded(hint)[0]:
-            continue
+        # ONE walk per hint: collect candidate notes into a buffer and
+        # keep them only when the hint's overall verdict is bounded — a
+        # data-scale hint is the main gate's red finding, not a trusted
+        # pass (and a second hint_is_bounded() walk would double the
+        # fleet census cost for nothing)
         srcs: list[str] = []
-        _node_bounded(hint, srcs, agg_notes=notes)
+        buf: list[str] = []
+        if _node_bounded(hint, srcs, agg_notes=buf):
+            notes.extend(buf)
     return notes

@@ -54,10 +54,24 @@ def _fixture_root(sf_dir: str) -> str:
 
 
 def _source_signature(sf_dir: str, table: str) -> str:
-    """(mtime_ns, size) signature of the source table file/dir — cheap
-    stat-only freshness key; a regenerated testdata file changes it."""
+    """(mtime_ns, size) signature of the source table — cheap stat-only
+    freshness key; a regenerated testdata file changes it. For a
+    DIRECTORY source the directory inode's own mtime/size would miss
+    in-place rewrites of same-named files, so the signature aggregates
+    the contained parquet files instead (max mtime + total size)."""
     path = _table_path(sf_dir, table)
     try:
+        if os.path.isdir(path):
+            import glob as _glob
+
+            files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            if not files:
+                return "emptydir"
+            stats = [os.stat(f) for f in files]
+            return (
+                f"{max(s.st_mtime_ns for s in stats)}_"
+                f"{sum(s.st_size for s in stats)}_{len(stats)}"
+            )
         st = os.stat(path)
         return f"{st.st_mtime_ns}_{st.st_size}"
     except OSError:
@@ -77,22 +91,26 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
         return out
     # stage into a private dir, then atomically rename into place: rename
     # onto an existing non-empty directory fails, so whichever process
-    # wins owns a COMPLETE job output and losers discard their copy
+    # wins owns a COMPLETE job output and losers discard their copy.
+    # The finally-cleanup also covers a FAILED/interrupted write, so a
+    # crashed staging attempt never leaks a partial .stage-* tree into
+    # the shared fixture root (each retry would otherwise add one).
     tmp = f"{out}.stage-{uuid.uuid4().hex[:12]}"
-    (
-        Catalog(spark, sf_dir)
-        .events.withColumn("event_date", F.to_date("ts"))
-        .write.mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(tmp)
-    )
     try:
-        os.rename(tmp, out)
-    except OSError:
-        # a concurrent stager won the rename (or pre-fix debris exists
-        # without a marker — leave it orphaned, the keyed name means it
-        # is never read); keep whichever complete copy is in place
+        (
+            Catalog(spark, sf_dir)
+            .events.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            # a concurrent stager won the rename — keep whichever
+            # complete copy is in place, discard ours
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                raise
+    finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            raise
     return out

@@ -73,7 +73,7 @@ def main() -> None:
     # first-touch JIT). ONE timing loop serves both the headline set and
     # the top_min3 re-runs, so a methodology change cannot drift the two
     # tiers apart.
-    def min_of_n(name: str) -> float | None:
+    def min_of_n(name: str, reraise: bool = False) -> float | None:
         best = float("inf")
         for _ in range(ITERATIONS):
             t0 = time.time()
@@ -82,16 +82,15 @@ def main() -> None:
                     "overwrite"
                 ).save()
             except Exception:  # noqa: BLE001 — caller decides the fallback
+                if reraise:
+                    raise  # headline failures keep their real traceback
                 return None
             best = min(best, time.time() - t0)
         return round(best, 3)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t = min_of_n(name)
-        if t is None:
-            raise RuntimeError(f"headline query {name} failed")
-        times[name] = t
+        times[name] = min_of_n(name, reraise=True)
 
     # full per-query sweep (1 iteration each): every registered query, so
     # round-over-round regressions are visible per operator, not just for

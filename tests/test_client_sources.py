@@ -240,9 +240,17 @@ def test_partitioned_events_fixture_staging(spark, sf_dir):
     p2 = partitioned_events_dir(spark, sf_dir)
     assert p2 == p1
     assert os.path.getmtime(p1) == mtime, "second call must not re-stage"
-    # a different scale factor (different source signature) gets its own dir
-    p3 = partitioned_events_dir(spark, "/root/testdata/sf0.01")
-    assert p3 != p1
-    # no stage-* debris left behind from the atomic-rename protocol
-    root = os.path.dirname(p1)
-    assert not [d for d in os.listdir(root) if ".stage-" in d]
+    # a different scale factor (different source signature) gets its own
+    # dir — guard the inequality so the test stays correct if the session
+    # sf_dir fixture ever points at sf0.01 itself
+    other_sf = "/root/testdata/sf0.01"
+    if sf_dir.rstrip("/") != other_sf:
+        assert partitioned_events_dir(spark, other_sf) != p1
+    # no stage-* debris for THIS fixture name (scoped: once _SUCCESS
+    # exists no new stager runs for it, so our-prefix debris can only be
+    # ours — a global listdir check would flake on unrelated concurrent
+    # processes staging other fixtures in the shared root)
+    root, base = os.path.dirname(p1), os.path.basename(p1)
+    assert not [
+        d for d in os.listdir(root) if d.startswith(base + ".stage-")
+    ]

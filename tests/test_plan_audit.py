@@ -195,6 +195,22 @@ def test_aggregate_grain_census_reports_trusted_hints(spark):
     )
     assert data_scale_broadcasts(probe3) != []
     assert aggregate_grain_broadcasts(probe3) == []
+    # NESTED keyed aggregates: the outer agg's child is itself an
+    # Aggregate (bounded grain), so only the INNER one is trusted over a
+    # data-scale subtree — it must still be censused (the pre-fix census
+    # walked the outer node's children without the notes buffer and came
+    # back empty for exactly this order-grain broadcast)
+    nested = (
+        per_order.groupBy("l_orderkey")
+        .agg(F.max("qty").alias("mq"))
+    )
+    probe4 = cat.orders.join(
+        F.broadcast(nested),
+        cat.orders["o_orderkey"] == nested["l_orderkey"],
+    )
+    assert data_scale_broadcasts(probe4) == []
+    notes4 = aggregate_grain_broadcasts(probe4)
+    assert notes4 and "lineitem" in notes4[0], notes4
 
 
 def _single_partition_over_raw_rows(plan: str) -> list[str]:
