@@ -92,13 +92,10 @@ def _stamp_state() -> tuple[dict[str, int], set[str]]:
 #: queries whose shipped plan changed OUTSIDE their @register block (an
 #: operator-module rewrite the block hash cannot see) — manually promoted
 #: into the dirty tier until a fresh driver stamp lands, then pruned.
-#: Current entries (r7 rewrites, VERDICT r07 item 1):
-#: - graph_triangle_count: orientation/wedge plan rebuilt in
-#:   operators/graph.py (651db98); green stamp is r06, pre-rewrite.
-#: - ml_ranking_metrics: rebuilt on blocked rank counting (5387496);
-#:   never stamped, but mid-pack registration order would not guarantee
-#:   it a window slot — it must be in r08's window.
-FORCE_RESTAMP = {"graph_triangle_count", "ml_ranking_metrics"}
+#: Empty since r9: the r7 rewrites (graph_triangle_count,
+#: ml_ranking_metrics) both carry green r08 stamps on the shipped plans
+#: (VERDICT r08 item 2 pruned them).
+FORCE_RESTAMP: set[str] = set()
 
 
 def _dirty_names() -> set[str]:
@@ -127,9 +124,30 @@ def _dirty_names() -> set[str]:
             cur = current.get(name)
             if cur is not None and cur != rec.get("hash"):
                 dirty.add(name)
-    except Exception:
-        pass
+    except Exception as exc:  # degrade, but visibly (ADVICE r08)
+        import sys
+
+        print(
+            "warning: dirty-stamp tracking degraded to FORCE_RESTAMP only "
+            f"({type(exc).__name__}: {exc}) — rerun tools/stamp_sources.py "
+            "rebuild",
+            file=sys.stderr,
+        )
     return dirty
+
+
+#: tie-break WITHIN an equal driver-stamp count (never jumps red/dirty or
+#: a lower count): queries whose verification carries outsized weight.
+#: The five exact audit twins are the certification chain for every
+#: rows-only sketch/LSH query — mid-pack registration order would leave
+#: them behind 60+ other never-stamped queries (VERDICT r08 item 3).
+PRIORITY_STAMP = {
+    "sketch_hll_error_audit",
+    "sketch_quantile_rank_audit",
+    "ann_ivf_recall_audit",
+    "simhash_determinism_audit",
+    "ml_kmeans_assign_audit",
+}
 
 
 def _ordered_names() -> list[str]:
@@ -142,6 +160,7 @@ def _ordered_names() -> list[str]:
             n not in reds,
             n not in dirty,
             counts.get(n, 0),
+            n not in PRIORITY_STAMP,
             reg_order[n],
         ),
     )

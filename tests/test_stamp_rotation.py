@@ -116,8 +116,18 @@ def test_force_restamp_entries_are_real_queries():
 
 
 def test_live_dirty_set_is_sane():
-    """On the real tree: dirty ⊆ sidecar-stamped ∪ FORCE_RESTAMP, and the
-    sidecar (when present) is fresh enough to cover every stamped round."""
+    """On the real tree: dirty ⊆ sidecar-stamped ∪ FORCE_RESTAMP, and every
+    stamped query is either already in the on-disk sidecar or COVERABLE by
+    a rebuild.
+
+    The coverable clause is the round-boundary window (ADVICE r08 /
+    VERDICT r08 item 1): the driver drops a fresh CORRECTNESS_rN.json
+    that the committed sidecar predates, and the round-start ritual runs
+    ``tools/stamp_sources.py rebuild`` to fold it. That staleness is
+    legitimate and must stay green; what must FAIL is a stamped query no
+    rebuild can fingerprint (a registration invisible to the ast
+    extraction, or a round whose artifact git cannot anchor) — that
+    would silently opt the query out of dirty-tracking forever."""
     dirty = entry._dirty_names()
     assert entry.FORCE_RESTAMP <= dirty
     sidecar_path = os.path.join(entry._REPO, "STAMP_SOURCES.json")
@@ -129,10 +139,40 @@ def test_live_dirty_set_is_sane():
     counts, _ = entry._stamp_state()
     stamped = {n for n, c in counts.items() if c > 0 and n in entry.WORKLOAD}
     uncovered = stamped - set(sidecar)
-    assert not uncovered, (
-        "stamped queries missing from STAMP_SOURCES.json — rerun "
-        f"tools/stamp_sources.py rebuild: {sorted(uncovered)[:5]}"
-    )
+    if uncovered:
+        # stale on-disk sidecar — tolerate iff an in-memory rebuild
+        # (which anchors uncommitted rounds at HEAD) covers the gap
+        sys.path.insert(0, os.path.join(entry._REPO, "tools"))
+        import stamp_sources
+
+        fresh = stamp_sources.rebuild()
+        still = uncovered - set(fresh)
+        assert not still, (
+            "stamped queries that NO sidecar rebuild can fingerprint: "
+            f"{sorted(still)[:5]}"
+        )
+
+
+def test_uncommitted_round_anchors_at_head():
+    """VERDICT r08 item 1: a CORRECTNESS_rN.json with no adding commit
+    (the driver's fresh, still-untracked round artifact) must anchor at
+    HEAD — the driver commits all pending work before the gate, so HEAD
+    IS the stamped tree. Skipping such rounds left the fresh stamps
+    unfoldable and reported the whole window as false-dirty."""
+    sys.path.insert(0, os.path.join(entry._REPO, "tools"))
+    import stamp_sources
+
+    fake = os.path.join(entry._REPO, "CORRECTNESS_r999.json")
+    assert not os.path.exists(fake)
+    try:
+        with open(fake, "w", encoding="utf-8") as fh:
+            json.dump({"cube_flagship_revenue": {"rows_match": True}}, fh)
+        commits = stamp_sources._round_commits()
+        assert commits.get(999) == "HEAD"
+        # committed rounds keep their parent-of-add anchor
+        assert commits.get(1) not in (None, "HEAD")
+    finally:
+        os.remove(fake)
 
 
 from hypothesis import given, settings

@@ -54,7 +54,14 @@ def _round_commits() -> dict[int, str]:
     would silently hijack, binding the round's fingerprints to post-stamp
     code and disabling the dirty-tracking). The adding commit is the
     driver's artifact commit; its parent is the last code commit of the
-    round — the tree the driver actually stamped."""
+    round — the tree the driver actually stamped.
+
+    A CORRECTNESS file that exists on disk but has NO adding commit is
+    the fresh, still-uncommitted artifact the driver drops at each round
+    boundary. The driver commits all pending work before running the
+    gate, so the code it stamped IS HEAD — anchor the round there
+    (VERDICT r08 item 1: skipping it left 33 false-dirties and a red
+    pytest in the between-drop-and-commit window)."""
     out: dict[int, str] = {}
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         base = os.path.basename(path)
@@ -66,7 +73,18 @@ def _round_commits() -> dict[int, str]:
         ).split()
         if added:
             # oldest add wins if the file was ever re-added
-            out[int(m.group(1))] = added[-1] + "^"
+            anchor = added[-1] + "^"
+            if _show(anchor, WORKLOAD_PATH) != _show(added[-1], WORKLOAD_PATH):
+                print(
+                    f"warning: round {m.group(1)} artifact commit "
+                    f"{added[-1][:12]} also changed {WORKLOAD_PATH}; "
+                    "fingerprints bind to the PARENT tree and may not "
+                    "match what the driver stamped",
+                    file=sys.stderr,
+                )
+            out[int(m.group(1))] = anchor
+        else:
+            out[int(m.group(1))] = "HEAD"
     return out
 
 
@@ -145,6 +163,9 @@ def main() -> int:
             print("no sidecar; run rebuild first")
             return 1
         workload = _read_tree(WORKLOAD_PATH)
+        if workload is None:
+            print(f"cannot read {WORKLOAD_PATH} from the working tree")
+            return 1
         if deep:
             cur = query_fingerprints(workload, _read_tree)
             key = "deep"
