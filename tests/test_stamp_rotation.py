@@ -220,13 +220,18 @@ def test_register_blocks_complete_and_disjoint(entries):
     st.integers(min_value=1, max_value=10**9),
     st.integers(min_value=1, max_value=10**9),
     st.integers(min_value=1024, max_value=1 << 40),
+    st.integers(min_value=1, max_value=4096),
 )
-def test_gemm_grid_budget_invariant_fuzz(q, c, budget):
-    """Property: for ANY sizes and budget, the returned grid is valid
-    (1..n per side) and the per-cell float64 matrix fits the budget
-    whenever a fitting grid exists at all (1x1 cells are 8 bytes)."""
+def test_gemm_grid_budget_invariant_fuzz(q, c, budget, min_cells):
+    """Property: for ANY sizes, budget, and parallelism floor, the
+    returned grid is valid (1..n per side), the per-cell float64 matrix
+    fits the budget whenever a fitting grid exists at all (1x1 cells are
+    8 bytes), and the floor is met whenever it is feasible (q·c cells of
+    one row each is the maximum possible grid)."""
     from adb_south_caucasus_etl_spark.operators.similarity import gemm_grid
 
-    nq, nc = gemm_grid(q, c, budget)
+    nq, nc = gemm_grid(q, c, budget, min_cells=min_cells)
     assert 1 <= nq <= q and 1 <= nc <= c
     assert (q / nq) * (c / nc) * 8 <= budget
+    if q * c >= min_cells:
+        assert nq * nc >= min_cells, (nq, nc, min_cells)
