@@ -85,12 +85,16 @@ def _prune_stale_generations(root: str, prefix: str, keep: str) -> None:
     the temp root forever. Only siblings of the SAME fixture prefix with
     a different version/signature suffix are touched; a different suffix
     means the testdata they were staged from no longer exists in that
-    form, so any process still reading one is already stale. Errors are
-    ignored — pruning is hygiene, not correctness."""
+    form, so any process still reading one is already stale. In-progress
+    ``.stage-*`` directories are NEVER touched — a concurrent stager for
+    a different signature (testdata regenerated mid-flight) must not
+    have its private write tree deleted under it; each stager's own
+    ``finally`` cleans its debris. Errors are ignored — pruning is
+    hygiene, not correctness."""
     import glob as _glob
 
     for path in _glob.glob(os.path.join(root, f"{prefix}_v*_*")):
-        if path != keep and not path.startswith(keep + ".stage-"):
+        if path != keep and ".stage-" not in os.path.basename(path):
             shutil.rmtree(path, ignore_errors=True)
 
 

@@ -17962,11 +17962,22 @@ def ml_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # rank of the best relevant = 1 + #above + #tied-with-smaller-id;
     # certain counts from the blocked GEMM, ambiguous band re-scored
-    # with the same fold/round the ranking uses
+    # with the same fold/round the ranking uses. The grid is derived
+    # from the STATS-BEARING parquet slices (q, c), not from qt: qt's
+    # join lineage has no usable Catalyst size estimate, so the
+    # operator's own stat-driven default would fall back to an exact
+    # count — re-running the whole filtered-NN pipeline above just to
+    # size the grid. |qt| == |q with a relevant item| <= |q|, so q's
+    # estimate is the correct (upper-bound) query-side input.
+    from .operators.similarity import derived_gemm_grid
+
     qt = q.join(best, q["vec_id"] == best["bqid"]).select(
         "vec_id", "embedding", "t"
     )
-    rc = rank_count_blocked(qt, c, threshold_col="t")
+    gq, gc = derived_gemm_grid(q, c)
+    rc = rank_count_blocked(
+        qt, c, threshold_col="t", n_query_blocks=gq, n_corpus_blocks=gc
+    )
     certain = (
         rc.filter(F.col("neighbor_id").isNull())
         .groupBy("query_id")

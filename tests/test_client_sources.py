@@ -307,14 +307,20 @@ def test_fixture_stale_generations_are_pruned(spark, sf_dir):
         assert os.path.exists(os.path.join(p, "_SUCCESS")), (
             "pruning must never touch the live generation"
         )
-        # other fixtures' generations are out of scope
+        # other fixtures' generations are out of scope, and a concurrent
+        # stager's in-progress .stage-* tree (even for a DIFFERENT
+        # signature) must never be deleted under it
         other = os.path.join(root, "events_by_date_v0_cafebabe")
+        inflight = os.path.join(root, "orders_by_month_v0_beef.stage-abc123")
         os.makedirs(other, exist_ok=True)
+        os.makedirs(inflight, exist_ok=True)
         try:
             _prune_stale_generations(root, "orders_by_month", p)
             assert os.path.exists(other), "pruned a different fixture prefix"
+            assert os.path.exists(inflight), "pruned an in-progress stage dir"
         finally:
             os.rmdir(other)
+            os.rmdir(inflight)
     finally:
         if os.path.exists(fake_old):
             os.rmdir(fake_old)

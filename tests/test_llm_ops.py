@@ -608,6 +608,15 @@ def test_estimated_rows_and_derived_grid(spark, sf_dir):
     )
 
     assert estimated_rows(spark.range(1234)) == 1234
+    # a FILTERED stat-less (LogicalRDD-leaf) frame reports the unknown
+    # sentinel scaled by filter selectivity — plausible-looking bogus
+    # bytes; leaf inspection must route it to the exact-count fallback
+    # instead of deriving a ~1e15-row grid that overflows the block cast
+    rdd_frame = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    ).filter(F.col("vec_id") < 50)
+    assert estimated_rows(rdd_frame) == 50
     emb = Catalog(spark, sf_dir).embeddings
     est = estimated_rows(emb)
     true = emb.count()
@@ -616,7 +625,9 @@ def test_estimated_rows_and_derived_grid(spark, sf_dir):
     assert true / 50 <= est <= true * 50, (est, true)
     nq, nc = derived_gemm_grid(emb, emb)
     floor = spark.sparkContext.defaultParallelism
-    assert nq * nc >= min(floor, true * true), (nq, nc, floor)
+    # the parallelism floor is work-damped: cells only multiply while
+    # each keeps >= 2^20 score pairs (est is the derivation's own input)
+    assert nq * nc >= min(floor, max(1, (est * est) >> 20)), (nq, nc, floor)
     # explicit override must win over derivation
     from adb_south_caucasus_etl_spark.operators.similarity import (
         knn_candidates_blocked,
