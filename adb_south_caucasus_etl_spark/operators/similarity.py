@@ -362,11 +362,18 @@ def gemm_grid(
         8.0 * n_queries * n_corpus / max(1, cell_budget_bytes),
     )
     # replication-optimal split, clamped (blocks beyond one row per block
-    # are pure overhead), then each side re-derived from the constraint so
-    # clamping one side is compensated by the other — never a slow search
+    # are pure overhead), then SETTLED: each pass sets one side to the
+    # smallest count satisfying nq*nc >= k given the other, so a clamp on
+    # one side is compensated — and, crucially, the sqrt seed's overshoot
+    # is shrunk back (seeding nq=ceil(sqrt(k*Q/C)) with a tiny corpus
+    # gave (1789, 1) where (32, 1) meets k=32: 56x the cells, every one
+    # below the pairs-per-cell floor the damping exists to enforce).
+    # Two passes converge: after the first, nc is minimal-feasible for
+    # nq; the second re-derives both from the settled partner.
     nq = min(n_queries, max(1, math.ceil(math.sqrt(k * n_queries / n_corpus))))
-    nc = min(n_corpus, max(1, math.ceil(k / nq)))
-    nq = min(n_queries, max(nq, math.ceil(k / nc)))
+    for _ in range(2):
+        nc = min(n_corpus, max(1, math.ceil(k / nq)))
+        nq = min(n_queries, max(1, math.ceil(k / nc)))
     return nq, nc
 
 
@@ -406,8 +413,11 @@ def estimated_rows(df: DataFrame) -> int:
     with sqrt(rows) and the parallelism floor covers the low end.
 
     Two classes of bogus ``sizeInBytes`` route to one exact ``count()``
-    job instead (cheap next to the GEMM the grid feeds — a partial-count
-    aggregate, no data shuffle):
+    job instead (a partial-count aggregate — no data shuffle beyond
+    whatever the frame's OWN lineage requires, so a join-derived frame
+    does pay its joins here; callers sizing a grid for an expensive
+    lineage should derive from the stats-bearing base tables and pass
+    the grid explicitly, as ``ml_ranking_metrics`` does):
 
     - frames rooted in a stat-less leaf (LogicalRDD from
       ``createDataFrame`` / ``localCheckpoint``): the leaf reports the
@@ -438,21 +448,39 @@ def estimated_rows(df: DataFrame) -> int:
     return est
 
 
+#: safety divisor on the per-cell byte budget when the sizes are Catalyst
+#: ESTIMATES rather than caller-known counts: the bytes/width fallback
+#: divides COMPRESSED parquet bytes by in-memory width, under-estimating
+#: rows by the compression ratio — and the per-cell matrix grows with the
+#: SQUARE of that error (a 5x-compressed table would burst a naive 256 MB
+#: budget to 6.4 GB). Headroom of 4 absorbs ratios up to 2x per side
+#: (typical for float embeddings; text dims rarely feed GEMM), at the
+#: cost of ~2x more cells than strictly optimal when estimates are exact.
+ESTIMATE_BUDGET_HEADROOM = 4
+
+
 def derived_gemm_grid(
     queries: DataFrame,
     corpus: DataFrame,
     cell_budget_bytes: int = 256 << 20,
 ) -> tuple[int, int]:
     """Stat-driven default grid for the blocked-GEMM operators: byte
-    budget from :func:`gemm_grid`, sizes from :func:`estimated_rows`,
-    parallelism floor from the session's ``defaultParallelism`` — so
-    call sites that pass no explicit grid stay right from local[32]
-    test SFs through a 1000-executor 100 TB run without edits."""
+    budget from :func:`gemm_grid` (shrunk by
+    :data:`ESTIMATE_BUDGET_HEADROOM` because estimates, unlike explicit
+    caller counts, can run low by the parquet compression ratio), sizes
+    from :func:`estimated_rows`, parallelism floor from the session's
+    ``defaultParallelism`` — so call sites that pass no explicit grid
+    stay right from local[32] test SFs through a 1000-executor 100 TB
+    run without edits."""
     sc = queries.sparkSession.sparkContext
+    est_q = estimated_rows(queries)
+    # same frame on both sides (self-pairs, self-kNN): one estimate, and
+    # at most one exact-count fallback job instead of two identical ones
+    est_c = est_q if corpus is queries else estimated_rows(corpus)
     return gemm_grid(
-        estimated_rows(queries),
-        estimated_rows(corpus),
-        cell_budget_bytes,
+        est_q,
+        est_c,
+        max(1, cell_budget_bytes // ESTIMATE_BUDGET_HEADROOM),
         min_cells=max(1, sc.defaultParallelism),
     )
 
@@ -499,10 +527,15 @@ def cosine_pairs_blocked(
     import pandas as pd
 
     if n_blocks is None:
-        # symmetric pair grid: take the larger side of the stat-driven
-        # rectangle; the b1<=b2 triangle halves the cell count, which the
-        # derived floor over-covers rather than under- (cheap insurance)
-        n_blocks = max(derived_gemm_grid(df, df))
+        # symmetric pair grid: the b1<=b2 triangle has nb(nb+1)/2 cells,
+        # so cover the stat-driven rectangle's cell count exactly —
+        # nb = max side of the rectangle would undercut the parallelism
+        # floor ~2x (nb² cells needed, nb(nb+1)/2 provided)
+        import math
+
+        dq, dc = derived_gemm_grid(df, df)
+        cells = dq * dc
+        n_blocks = max(1, math.ceil((math.sqrt(8 * cells + 1) - 1) / 2))
     v = as_double(F.col(vec_col))
     rows = df.select(
         F.col(id_col).alias("__id"),

@@ -115,6 +115,14 @@ def test_force_restamp_entries_are_real_queries():
     assert not unknown, f"FORCE_RESTAMP names not in WORKLOAD: {unknown}"
 
 
+def test_priority_stamp_entries_are_real_queries():
+    """A renamed audit twin would otherwise silently lose its window
+    priority — the sort key just never matches the stale name (the same
+    silent-no-op mode the FORCE_RESTAMP guard exists for)."""
+    unknown = entry.PRIORITY_STAMP - set(entry.WORKLOAD)
+    assert not unknown, f"PRIORITY_STAMP names not in WORKLOAD: {unknown}"
+
+
 def test_live_dirty_set_is_sane():
     """On the real tree: dirty ⊆ sidecar-stamped ∪ FORCE_RESTAMP, and every
     stamped query is either already in the on-disk sidecar or COVERABLE by
@@ -250,6 +258,9 @@ def test_gemm_grid_budget_invariant_fuzz(q, c, budget, min_cells):
 
     nq, nc = gemm_grid(q, c, budget, min_cells=min_cells)
     assert 1 <= nq <= q and 1 <= nc <= c
-    assert (q / nq) * (c / nc) * 8 <= budget
+    # integer form of (q/nq)*(c/nc)*8 <= budget: float grouping error at
+    # the exact-equality boundary (settled grids hit nq*nc == k) would
+    # otherwise fail a budget that holds precisely
+    assert q * c * 8 <= budget * nq * nc, (nq, nc)
     damped = min(min_cells, max(1, (q * c) >> 20))
     assert nq * nc >= damped, (nq, nc, min_cells, damped)

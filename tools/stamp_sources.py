@@ -84,6 +84,13 @@ def _round_commits() -> dict[int, str]:
                 )
             out[int(m.group(1))] = anchor
         else:
+            print(
+                f"note: round {m.group(1)} artifact is uncommitted — "
+                "anchored at HEAD (valid only while HEAD is the tree the "
+                "driver stamped; rerun rebuild after the artifact commit "
+                "so the anchor binds to the true parent-of-add)",
+                file=sys.stderr,
+            )
             out[int(m.group(1))] = "HEAD"
     return out
 
