@@ -148,6 +148,77 @@ def compact_parquet(
     return n
 
 
+def rows_per_file_for_bytes(
+    spark: SparkSession,
+    src_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Convert a per-file BYTE target into the ROW target
+    ``compact_partitioned_parquet`` actually enforces: average encoded
+    row width = total parquet bytes (recursive file listing, driver
+    metadata op) / total rows (parquet footer counts via a count()
+    aggregate — no data read), then ``target_bytes / avg_row_bytes``.
+    Separated from the compactor so the oracle-facing file-count
+    arithmetic (``ceil(rows/k)``) stays exact in ROW space while the
+    bytes→rows conversion — inherently encoding-dependent — lives in
+    one testable place."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jvm_path, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    rows = spark.read.parquet(src_path).count()
+    if rows <= 0 or total <= 0:
+        return 1
+    avg = max(1, total // rows)
+    return max(1, int(target_file_bytes // avg))
+
+
+def compact_partitioned_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    part_col: str,
+    max_rows_per_file: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Per-partition small-file compaction of a hive layout — the
+    SCALE.md 100 TB recipe made executable: rewrite
+    ``src/part=X/many-small-files`` into ``ceil(rows_X / k)`` files per
+    partition directory, where ``k`` is ``max_rows_per_file`` (or the
+    byte target converted via :func:`rows_per_file_for_bytes`).
+
+    The mechanism is deliberately Spark-native and EXACT:
+    ``repartition(part_col)`` lands every partition's rows in exactly
+    one task (hash collisions merge partitions into a task, never split
+    one), and the writer's ``maxRecordsPerFile`` rolls that task's
+    output per directory — so each directory gets exactly
+    ``ceil(rows_p / k)`` files, a number an external oracle can state
+    from row counts alone. One shuffle, no per-partition driver loop,
+    no second job.
+
+    Skew note: one-task-per-partition caps parallelism at the partition
+    count and serializes a giant partition; at that point switch the
+    exchange to ``repartition(part_col, pmod(xxhash64(id), m))`` —
+    ``maxRecordsPerFile`` still bounds file SIZE, the per-directory
+    file-count arithmetic just loosens from exact to ≤ m · ceil."""
+    if max_rows_per_file is None:
+        max_rows_per_file = rows_per_file_for_bytes(
+            spark, src_path, target_file_bytes
+        )
+    (
+        spark.read.parquet(src_path)
+        .repartition(part_col)
+        .write.option("maxRecordsPerFile", int(max_rows_per_file))
+        .mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(dst_path)
+    )
+
+
 def zorder_key(cols: Sequence[str], bits: int = 16):
     """Morton (Z-order) interleave of ``cols`` (each rank-normalized to
     ``bits`` bits beforehand) — multi-column clustering: sorting by the

@@ -7255,6 +7255,93 @@ def maintenance_compact_partitions(
     )
 
 
+@register(
+    "maintenance_compact_bytes_target",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           CAST(COUNT(DISTINCT o_orderkey % 3) AS BIGINT) AS n_files_before,
+           CAST(CEIL(COUNT(*) / 1000.0) AS BIGINT) AS n_files_after,
+           COUNT(*) AS n_rows
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Per-partition BYTE-TARGETED compaction — the 100 TB recipe the "
+        "events compaction query documents in prose, made executable "
+        "(sources/sinks.py compact_partitioned_parquet): instead of one "
+        "file per directory, each o_month= directory of the month-"
+        "partitioned orders fixture is rewritten to ceil(rows/k) files "
+        "via repartition(part_col) + maxRecordsPerFile=k — one shuffle, "
+        "no per-partition driver loop, and the writer's file roll makes "
+        "the per-directory count EXACT in row space, so the DuckDB "
+        "oracle states it as CEIL(COUNT(*)/k) from the raw orders "
+        "table. Fragmentation is produced production-style (three "
+        "sequential single-task appends keyed o_orderkey%3, one file "
+        "per bucket per directory), and the evidence is read from the "
+        "files themselves via the _metadata.file_path census — file "
+        "arithmetic AND losslessness both hash-stamped. k=1000 rows "
+        "stands in for the bytes/128MB target at test scale; "
+        "rows_per_file_for_bytes does the encoding-dependent bytes→rows "
+        "conversion for cluster callers (pytest-verified separately, "
+        "kept out of the oracle so the stamped claim stays exact)",
+)
+def maintenance_compact_bytes_target(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+
+    from .sources.fixtures import partitioned_orders_dir
+    from .sources.sinks import compact_partitioned_parquet
+
+    src = spark.read.parquet(partitioned_orders_dir(spark, sf_dir))
+    base = _scratch_dir("compact_bytes", sf_dir)
+    frag_dir = _os.path.join(base, "fragmented")
+    compact_dir = _os.path.join(base, "compacted")
+
+    # three micro-batch-style appends: every month directory ends with
+    # one file per o_orderkey%3 bucket present (coalesce(1) = one task =
+    # one file per directory per append; bucket 0 overwrites so reruns
+    # don't accumulate)
+    for b in range(3):
+        (
+            src.filter(F.col("o_orderkey") % 3 == b)
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .partitionBy("o_month")
+            .parquet(frag_dir)
+        )
+
+    frag = spark.read.parquet(frag_dir)
+    compact_partitioned_parquet(
+        spark, frag_dir, compact_dir, "o_month", max_rows_per_file=1000
+    )
+
+    def census(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select("o_month", "_metadata.file_path")
+            .groupBy(F.col("o_month").cast("string").alias("o_month"))
+            .agg(
+                F.countDistinct("file_path").cast("bigint").alias(alias),
+                F.count(F.lit(1)).alias(f"__n_{alias}"),
+            )
+        )
+
+    before = census(frag, "n_files_before")
+    after = census(spark.read.parquet(compact_dir), "n_files_after")
+    return (
+        before.join(after, "o_month")
+        # losslessness is part of the stamped claim: row counts agree
+        # between layouts by construction, and the oracle pins them to
+        # the raw orders table
+        .filter(F.col("__n_n_files_before") == F.col("__n_n_files_after"))
+        .select(
+            "o_month",
+            "n_files_before",
+            "n_files_after",
+            F.col("__n_n_files_after").alias("n_rows"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Round 5, batch 2 (SURVEY §2.P): skew-explicit aggregation, per-group OLS,
 # co-occurrence mining, snapshot reconciliation, binned interval joins,

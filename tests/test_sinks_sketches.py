@@ -165,6 +165,64 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dst).count() == orders.count()
 
 
+def test_compact_partitioned_parquet_exact_per_dir_counts(spark, tmp_path):
+    """The partitioned byte-target compactor's contract is EXACT
+    per-directory arithmetic: after repartition(part_col) +
+    maxRecordsPerFile=k, every part= directory holds ceil(rows_p / k)
+    files — including partitions that were never fragmented — and the
+    data survives losslessly."""
+    import glob
+    import math
+
+    from adb_south_caucasus_etl_spark.sources.sinks import (
+        compact_partitioned_parquet,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    # skewed partitions: p=0 → 5 rows, p=1 → 23, p=2 → 101
+    rows = [(p, i) for p, n in ((0, 5), (1, 23), (2, 101)) for i in range(n)]
+    df = spark.createDataFrame(rows, "p int, v long")
+    # fragment: one file per (partition, v%4 bucket)
+    for b in range(4):
+        (
+            df.filter(F.col("v") % 4 == b)
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .partitionBy("p")
+            .parquet(src)
+        )
+    compact_partitioned_parquet(spark, src, dst, "p", max_rows_per_file=10)
+    for p, n in ((0, 5), (1, 23), (2, 101)):
+        got = len(glob.glob(f"{dst}/p={p}/*.parquet"))
+        assert got == math.ceil(n / 10), (p, got)
+    out = spark.read.parquet(dst)
+    assert out.count() == len(rows)
+    assert out.groupBy().sum("v").first()[0] == sum(v for _, v in rows)
+
+
+def test_rows_per_file_for_bytes_conversion(spark, tmp_path):
+    """bytes→rows conversion: k scales linearly with the byte target
+    (avg encoded row width is measured from the actual listing), never
+    returns < 1, and a target at least the table's own size maps to a
+    k that keeps the table in one file."""
+    from adb_south_caucasus_etl_spark.sources.sinks import (
+        rows_per_file_for_bytes,
+    )
+
+    src = str(tmp_path / "t")
+    spark.range(10_000).withColumn("pad", F.md5(F.col("id").cast("string"))).write.mode(
+        "overwrite"
+    ).parquet(src)
+    k_small = rows_per_file_for_bytes(spark, src, target_file_bytes=1)
+    assert k_small == 1
+    k_big = rows_per_file_for_bytes(spark, src, target_file_bytes=1 << 30)
+    assert k_big >= 10_000, k_big
+    k1 = rows_per_file_for_bytes(spark, src, target_file_bytes=64 << 10)
+    k2 = rows_per_file_for_bytes(spark, src, target_file_bytes=128 << 10)
+    assert 1 <= k1 <= k2, (k1, k2)
+
+
 def test_zorder_key_interleaves_bits(spark):
     from adb_south_caucasus_etl_spark.sources.sinks import zorder_key
 
