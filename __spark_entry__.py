@@ -92,22 +92,13 @@ def _stamp_state() -> tuple[dict[str, int], set[str]]:
 #: queries whose shipped plan changed OUTSIDE their @register block (an
 #: operator-module rewrite the block hash cannot see) — manually promoted
 #: into the dirty tier until a fresh driver stamp lands, then pruned.
-#: The r7 entries (graph_triangle_count, and ml_ranking_metrics for its
-#: r7 rewrite) were pruned after their green r08 stamps (VERDICT r08
-#: item 2). Current entries are the NEW r9 cohort (VERDICT r08 item 5):
-#: the blocked-GEMM operators now derive their grid from Catalyst stats
-#: + a work-damped defaultParallelism floor (similarity.
-#: derived_gemm_grid) instead of hardcoded 4x4/8 defaults, so the
-#: shipped physical grids of all FOUR transitive call-site queries
-#: changed — ml_ranking_metrics re-enters for this new reason (results
-#: invariant — exact operators; verified 4/4 oracle-green at
-#: sf0.001/0.01/0.1 this round). Prune each once its r9+ stamp lands:
-FORCE_RESTAMP = {
-    "dedup_embedding_cosine",
-    "knn_label_classify",
-    "ml_knn_confusion",
-    "ml_ranking_metrics",
-}
+#: The r7 entries (graph_triangle_count, ml_ranking_metrics) were pruned
+#: after their green r08 stamps; the r9 stat-driven-grid cohort
+#: (dedup_embedding_cosine, knn_label_classify, ml_knn_confusion,
+#: ml_ranking_metrics) was pruned after its four green r09 stamps
+#: (VERDICT r09 item 3). Empty = no operator-module plan rewrites are
+#: awaiting a driver stamp this round.
+FORCE_RESTAMP: set[str] = set()
 
 
 def _dirty_names() -> set[str]:

@@ -21249,13 +21249,14 @@ def events_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         r1 - r0 AS delta
       FROM fx
     )
-    SELECT ROUND(SUM(delta) / 100.0, 2) AS delta_rev_h,
-           ROUND(SUM(vol_eff) / 100.0, 2) AS volume_effect_h,
-           ROUND(SUM(price_eff) / 100.0, 2) AS price_effect_h,
-           ROUND(SUM(new_eff) / 100.0, 2) AS new_parts_effect_h,
-           ROUND(SUM(disc_eff) / 100.0, 2) AS discontinued_effect_h,
+    SELECT ROUND(SUM(delta) / 100.0, 2) + 0.0 AS delta_rev_h,
+           ROUND(SUM(vol_eff) / 100.0, 2) + 0.0 AS volume_effect_h,
+           ROUND(SUM(price_eff) / 100.0, 2) + 0.0 AS price_effect_h,
+           ROUND(SUM(new_eff) / 100.0, 2) + 0.0 AS new_parts_effect_h,
+           ROUND(SUM(disc_eff) / 100.0, 2) + 0.0
+             AS discontinued_effect_h,
            ROUND((SUM(vol_eff) + SUM(price_eff) + SUM(new_eff)
-                  + SUM(disc_eff) - SUM(delta)) / 100.0, 2)
+                  + SUM(disc_eff) - SUM(delta)) / 100.0, 2) + 0.0
              AS residual_h
     FROM eff
     """,
@@ -21270,7 +21271,10 @@ def events_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate then a global reduce; implied prices are "
         "revenue/qty ratios of identical doubles. Sums scaled to "
         "hundreds before 2dp rounding to absorb order-of-summation "
-        "noise on ~1e8 totals",
+        "noise on ~1e8 totals; every rounded total adds +0.0 so an "
+        "exactly-zero result renders +0.0 on both engines (IEEE "
+        "-0.0 + 0.0 = +0.0 - DuckDB rounds the residual to -0.0, "
+        "Spark to 0.0, and the driver hashes the strings)",
 )
 def finance_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
@@ -21311,24 +21315,36 @@ def finance_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("r1") - F.col("r0")).alias("delta"),
     )
+    # +0.0 after every ROUND: IEEE -0.0 + 0.0 = +0.0, so an
+    # exactly-zero total renders identically on Spark and DuckDB
+    # (the driver compares stringified values; -0.0 vs 0.0 is a red).
     return eff.agg(
-        F.round(F.sum("delta") / 100.0, 2).alias("delta_rev_h"),
-        F.round(F.sum("vol_eff") / 100.0, 2).alias("volume_effect_h"),
-        F.round(F.sum("price_eff") / 100.0, 2).alias("price_effect_h"),
-        F.round(F.sum("new_eff") / 100.0, 2).alias("new_parts_effect_h"),
-        F.round(F.sum("disc_eff") / 100.0, 2).alias(
+        (F.round(F.sum("delta") / 100.0, 2) + 0.0).alias("delta_rev_h"),
+        (F.round(F.sum("vol_eff") / 100.0, 2) + 0.0).alias(
+            "volume_effect_h"
+        ),
+        (F.round(F.sum("price_eff") / 100.0, 2) + 0.0).alias(
+            "price_effect_h"
+        ),
+        (F.round(F.sum("new_eff") / 100.0, 2) + 0.0).alias(
+            "new_parts_effect_h"
+        ),
+        (F.round(F.sum("disc_eff") / 100.0, 2) + 0.0).alias(
             "discontinued_effect_h"
         ),
-        F.round(
-            (
-                F.sum("vol_eff")
-                + F.sum("price_eff")
-                + F.sum("new_eff")
-                + F.sum("disc_eff")
-                - F.sum("delta")
+        (
+            F.round(
+                (
+                    F.sum("vol_eff")
+                    + F.sum("price_eff")
+                    + F.sum("new_eff")
+                    + F.sum("disc_eff")
+                    - F.sum("delta")
+                )
+                / 100.0,
+                2,
             )
-            / 100.0,
-            2,
+            + 0.0
         ).alias("residual_h"),
     )
 

@@ -92,16 +92,29 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
-            if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                av = pd.to_numeric(av, errors="coerce")
-                bv = pd.to_numeric(bv, errors="coerce")
-                neq = ~((av == bv) | (av.isna() & bv.isna()))
-            else:
-                neq = av.astype(str) != bv.astype(str)
+            # PRIMARY gate: stringify EVERY dtype before comparing —
+            # this is what the driver hashes, so any rendering
+            # divergence (e.g. -0.0 vs 0.0, found r9 in
+            # finance_price_volume_mix) must fail HERE exactly as it
+            # fails driver-side. The old float-aware numeric path let
+            # IEEE ``-0.0 == 0.0`` green a query the driver red-stamped.
+            neq = av.astype(str) != bv.astype(str)
             if neq.any():
                 i = int(neq.idxmax())
+                # SECONDARY diagnostic: is the divergence numeric value
+                # drift or only a rendering difference of equal values?
+                label = "values differ"
+                if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                    an = pd.to_numeric(av, errors="coerce")
+                    bn = pd.to_numeric(bv, errors="coerce")
+                    num_eq = (an == bn) | (an.isna() & bn.isna())
+                    if bool(num_eq[neq].all()):
+                        label = (
+                            "RENDERING differs (numeric values equal — "
+                            "still a driver red)"
+                        )
                 problems.append(
-                    f"values differ in {c!r}: e.g. row {i} "
+                    f"{label} in {c!r}: e.g. row {i} "
                     f"spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r} "
                     f"({int(neq.sum())} rows)"
                 )
