@@ -401,16 +401,79 @@ def _field_width_bytes(field: T.StructField) -> int:
     return 8
 
 
-def estimated_rows(df: DataFrame) -> int:
-    """Catalyst's row-count estimate for ``df`` WITHOUT running a job —
-    the stats feed for :func:`derived_gemm_grid` (VERDICT r08 item 5).
+#: per-root-path cache of (file_bytes, footer_rows) — base-table truth
+#: is immutable for a session's lifetime and several blocked operators
+#: size grids over the same table (embeddings, documents)
+_FOOTER_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _footer_truth(spark, root: str) -> tuple[int, int] | None:
+    """``(on_disk_bytes, footer_rows)`` of the parquet table at
+    ``root``, from ground truth rather than schema guesses: on-disk
+    bytes via a recursive Hadoop FS listing (any filesystem — the same
+    listing ``sinks.rows_per_file_for_bytes`` does) and row count via
+    parquet FOOTERS (pyarrow when the path is driver-local — zero Spark
+    jobs; else one metadata-only ``count()`` over the raw scan, which
+    Spark answers from footers without reading data pages). None when
+    the path has no parquet files or the listing fails (non-parquet
+    formats, dropped fixtures) — callers fall back to the schema-width
+    heuristic."""
+    if root in _FOOTER_CACHE:
+        return _FOOTER_CACHE[root]
+    try:
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(root)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        files = []
+        it = fs.listFiles(jvm_path, True)
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                files.append((f.getPath().toUri().getPath(), f.getLen()))
+        if not files:
+            return None
+        total = sum(b for _, b in files)
+        local = root.startswith(("file:", "/"))
+        if local:
+            import pyarrow.parquet as pq
+
+            rows = sum(
+                pq.ParquetFile(p).metadata.num_rows for p, _ in files
+            )
+        else:
+            # bounded: parquet footer count — metadata-only, no data read
+            rows = spark.read.parquet(root).count()
+        if rows <= 0 or total <= 0:
+            return None
+        _FOOTER_CACHE[root] = (total, rows)
+        return total, rows
+    except Exception:
+        return None
+
+
+def estimated_rows_exact(df: DataFrame) -> tuple[int, bool]:
+    """Catalyst's row-count estimate for ``df`` WITHOUT running a data
+    job — the stats feed for :func:`derived_gemm_grid` (VERDICT r08
+    item 5). Returns ``(rows, exact_width)`` where ``exact_width`` means
+    the estimate carries no compression-ratio error (a defined rowCount
+    statistic, an exact count fallback, or a single-parquet-leaf frame
+    sized against FOOTER-TRUE bytes-per-row) — callers may then spend
+    their full byte budget instead of reserving estimate headroom
+    (VERDICT r09 item 8).
 
     Prefers the optimized plan's ``rowCount`` statistic (exact for local
-    relations and ANALYZE'd / CBO-enabled tables); falls back to
-    ``sizeInBytes`` divided by a schema-derived row width. The fallback
-    UNDER-estimates parquet scans (sizeInBytes is the compressed file
-    footprint) — acceptable for grid sizing, where the block count moves
-    with sqrt(rows) and the parallelism floor covers the low end.
+    relations and ANALYZE'd / CBO-enabled tables). Next, for a frame
+    whose optimized plan has EXACTLY ONE leaf and that leaf is a parquet
+    relation, divides the plan's ``sizeInBytes`` by the table's
+    footer-true compressed bytes-per-row (:func:`_footer_row_bytes`):
+    with no filters this reproduces the footer row count exactly, and
+    filter-selectivity scaling stays unbiased because Catalyst scales
+    the same compressed bytes the ratio was measured on. (Single-leaf
+    only: a join's ``sizeInBytes`` multiplies child sizes, so the
+    inversion has no meaning there.) Last resort falls back to
+    ``sizeInBytes`` divided by a schema-derived row width, which
+    UNDER-estimates parquet scans by the compression ratio — acceptable
+    for grid sizing, where the block count moves with sqrt(rows) and
+    the parallelism floor covers the low end.
 
     Two classes of bogus ``sizeInBytes`` route to one exact ``count()``
     job instead (a partial-count aggregate — no data shuffle beyond
@@ -436,26 +499,86 @@ def estimated_rows(df: DataFrame) -> int:
     stats = qe.optimizedPlan().stats()
     rc = stats.rowCount()
     if rc.isDefined():
-        return max(1, int(str(rc.get())))
+        return max(1, int(str(rc.get()))), True
     leaves = qe.optimizedPlan().collectLeaves()
     for i in range(leaves.size()):
         if leaves.apply(i).getClass().getSimpleName() == "LogicalRDD":
-            return max(1, df.count())
+            return max(1, _counted(df, "stat-less LogicalRDD leaf")), True
+    size_in_bytes = int(str(stats.sizeInBytes()))
+    if leaves.size() == 1:
+        leaf = leaves.apply(0)
+        if leaf.getClass().getSimpleName() == "LogicalRelation":
+            try:
+                root = (
+                    leaf.relation().location().rootPaths().apply(0).toString()
+                )
+            except Exception:
+                root = None
+            if root is not None:
+                truth = _footer_truth(df.sparkSession, root)
+                if truth is not None:
+                    total, rows = truth
+                    # untouched scan (plan size == file bytes): the
+                    # footer row count verbatim, zero estimation error.
+                    # Filters/projections scale sizeInBytes; inverting
+                    # through footer bytes-per-row stays unbiased for
+                    # filters but conflates projection narrowing with
+                    # selectivity, so scaled plans keep the headroom
+                    # (exact=False) while still beating the width
+                    # heuristic by the compression ratio.
+                    if size_in_bytes == total:
+                        return rows, True
+                    return max(1, int(size_in_bytes * rows / total)), False
     width = max(8, sum(_field_width_bytes(f) for f in df.schema.fields))
-    est = max(1, int(str(stats.sizeInBytes())) // width)
+    est = max(1, size_in_bytes // width)
     if est > 1 << 44:  # estimation blow-up, not a real table size
-        return max(1, df.count())
-    return est
+        return max(1, _counted(df, "implausible sizeInBytes estimate")), True
+    return est, False
 
 
-#: safety divisor on the per-cell byte budget when the sizes are Catalyst
-#: ESTIMATES rather than caller-known counts: the bytes/width fallback
-#: divides COMPRESSED parquet bytes by in-memory width, under-estimating
-#: rows by the compression ratio — and the per-cell matrix grows with the
-#: SQUARE of that error (a 5x-compressed table would burst a naive 256 MB
-#: budget to 6.4 GB). Headroom of 4 absorbs ratios up to 2x per side
-#: (typical for float embeddings; text dims rarely feed GEMM), at the
-#: cost of ~2x more cells than strictly optimal when estimates are exact.
+def _counted(df: DataFrame, why: str) -> int:
+    """The exact-count fallback, made VISIBLE (ADVICE r09 item 2): a
+    full Spark action that executes the frame's entire lineage at
+    plan-build time. Trivial lineages (a bare scan/checkpoint, maybe a
+    project) are cheap and silent; anything deeper gets a one-line
+    warning so a call site silently double-executing a join pipeline
+    (the ``ml_ranking_metrics`` hazard — its workaround derives from
+    the stats-bearing base tables instead) shows up in logs rather
+    than in a profiler."""
+    plan_lines = (
+        df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    )
+    if len(plan_lines) > 3:
+        import warnings
+
+        warnings.warn(
+            f"estimated_rows: exact-count fallback ({why}) is executing "
+            f"a {len(plan_lines)}-node lineage as a hidden job — if this "
+            "frame is expensive, derive the grid from its stats-bearing "
+            "base tables and pass it explicitly",
+            RuntimeWarning,
+            stacklevel=4,
+        )
+    # bounded: grid-sizing fallback — one scalar count, reported above
+    # when the lineage is non-trivial
+    return df.count()
+
+
+def estimated_rows(df: DataFrame) -> int:
+    """Row count only — see :func:`estimated_rows_exact`."""
+    return estimated_rows_exact(df)[0]
+
+
+#: safety divisor on the per-cell byte budget ONLY when a side's size is
+#: the schema-width ESTIMATE (no rowCount statistic, no parquet footer
+#: truth, no exact count): that fallback divides COMPRESSED parquet
+#: bytes by in-memory width, under-estimating rows by the compression
+#: ratio — and the per-cell matrix grows with the SQUARE of that error
+#: (a 5x-compressed table would burst a naive 256 MB budget to 6.4 GB).
+#: Headroom of 4 absorbs ratios up to 2x per side. Sides with
+#: footer-true / stat-true / counted sizes pay NO headroom (VERDICT r09
+#: item 8): their grids spend the full budget instead of ~2x extra
+#: cells.
 ESTIMATE_BUDGET_HEADROOM = 4
 
 
@@ -465,22 +588,28 @@ def derived_gemm_grid(
     cell_budget_bytes: int = 256 << 20,
 ) -> tuple[int, int]:
     """Stat-driven default grid for the blocked-GEMM operators: byte
-    budget from :func:`gemm_grid` (shrunk by
-    :data:`ESTIMATE_BUDGET_HEADROOM` because estimates, unlike explicit
-    caller counts, can run low by the parquet compression ratio), sizes
-    from :func:`estimated_rows`, parallelism floor from the session's
-    ``defaultParallelism`` — so call sites that pass no explicit grid
-    stay right from local[32] test SFs through a 1000-executor 100 TB
-    run without edits."""
+    budget for :func:`gemm_grid` (shrunk by
+    :data:`ESTIMATE_BUDGET_HEADROOM` only when either side's row count
+    is a width-heuristic guess — footer-true parquet sizes, defined
+    rowCount statistics, and exact-count fallbacks spend the full
+    budget), sizes from :func:`estimated_rows_exact`, parallelism floor
+    from the session's ``defaultParallelism`` — so call sites that pass
+    no explicit grid stay right from local[32] test SFs through a
+    1000-executor 100 TB run without edits."""
     sc = queries.sparkSession.sparkContext
-    est_q = estimated_rows(queries)
+    est_q, exact_q = estimated_rows_exact(queries)
     # same frame on both sides (self-pairs, self-kNN): one estimate, and
     # at most one exact-count fallback job instead of two identical ones
-    est_c = est_q if corpus is queries else estimated_rows(corpus)
+    est_c, exact_c = (
+        (est_q, exact_q)
+        if corpus is queries
+        else estimated_rows_exact(corpus)
+    )
+    headroom = 1 if (exact_q and exact_c) else ESTIMATE_BUDGET_HEADROOM
     return gemm_grid(
         est_q,
         est_c,
-        max(1, cell_budget_bytes // ESTIMATE_BUDGET_HEADROOM),
+        max(1, cell_budget_bytes // headroom),
         min_cells=max(1, sc.defaultParallelism),
     )
 

@@ -1,8 +1,12 @@
-"""Plan-level broadcast audit (SURVEY §4 scale discipline).
+"""Plan-level broadcast + unpartitioned-window audit (SURVEY §4 scale
+discipline).
 
 Walks a DataFrame's ANALYZED logical plan and classifies every broadcast
 HINT (``ResolvedHint`` with a broadcast strategy) as bounded-by-construction
-or data-scale. The round-6 verdict found two hints whose build side grew
+or data-scale. :func:`unpartitioned_windows` applies the same recursive
+grain rules to every ``Window`` node with an empty partition spec (the
+single-task sort funnel), citing the bounding construct for trusted
+passes. The round-6 verdict found two hints whose build side grew
 linearly with the data (a graph's closing edge list; a 20% held-out
 split) — unconditional driver OOMs at cluster scale. This module is the
 fleet gate for that CLASS: ``tests/test_plan_audit.py`` runs it over every
@@ -216,6 +220,69 @@ def data_scale_broadcasts(df: DataFrame) -> list[str]:
         if not ok:
             findings.append(reason)
     return findings
+
+
+def _grain_citation(node) -> str:
+    """Short human-readable citation of WHAT bounds a subtree's grain:
+    the grain-defining node (Aggregate/Limit/Deduplicate), the bounded
+    leaf (LocalRelation/Range/dim table), or — for multi-child nodes —
+    the joined combination. Only meaningful for subtrees
+    :func:`_node_bounded` already classified as bounded."""
+    name = _cls(node)
+    if name in BOUNDED_NODES:
+        return name
+    kids = _children(node)
+    if not kids:
+        if name in BOUNDED_LEAVES:
+            return name
+        src = _leaf_source(node).rstrip("/").rsplit("/", 1)[-1]
+        return f"dim:{src}" if src.startswith(BOUNDED_DIM_PREFIXES) else f"leaf:{src}"
+    if name in TRANSPARENT_NODES and len(kids) == 1:
+        return _grain_citation(kids[0])
+    return "+".join(sorted({_grain_citation(k) for k in kids}))
+
+
+def unpartitioned_windows(df: DataFrame) -> tuple[list[str], list[str]]:
+    """Census of every logical ``Window`` node with an EMPTY partition
+    spec — the plan shape behind Spark's ``WindowExec: No Partition
+    Defined`` warning and the single-task funnel at cluster scale.
+    Returns ``(findings, notes)``:
+
+    - a window whose child classifies BOUNDED under the same recursive
+      grain rules as the broadcast audit (an aggregated/limited/literal
+      frame) is a trusted pass — ``notes`` cites the bounding construct
+      so the trusted set is reviewable, mirroring
+      :func:`aggregate_grain_broadcasts`;
+    - a window over a DATA-SCALE child is a finding: one task sorts the
+      whole input at 100 TB. Repartition by a real key, or use the
+      distributed global-scan operators (``operators/curation.py``).
+
+    Windows WITH a partition spec are out of scope here — they hash-
+    distribute by their keys; skew is a different audit.
+    """
+    plan = df._jdf.queryExecution().analyzed()
+    findings: list[str] = []
+    notes: list[str] = []
+    for node in _walk(plan):
+        if _cls(node) != "Window":
+            continue
+        try:
+            if node.partitionSpec().size() > 0:
+                continue
+        except Exception:
+            pass  # unreadable spec: treat as unpartitioned (the worst)
+        srcs: list[str] = []
+        child = _children(node)[0]
+        if _node_bounded(child, srcs):
+            notes.append(
+                "unpartitioned Window bounded by " + _grain_citation(child)
+            )
+        else:
+            findings.append(
+                "unpartitioned Window over data-scale input: "
+                + ", ".join(s.rsplit("/", 1)[-1] for s in sorted(set(srcs)))
+            )
+    return findings, notes
 
 
 def aggregate_grain_broadcasts(df: DataFrame) -> list[str]:

@@ -617,17 +617,40 @@ def test_estimated_rows_and_derived_grid(spark, sf_dir):
         "vec_id long, embedding array<double>",
     ).filter(F.col("vec_id") < 50)
     assert estimated_rows(rdd_frame) == 50
+    # ADVICE r09 item 2: the exact-count fallback is a hidden full job —
+    # silent on trivial lineages (above), but a deeper plan must warn so
+    # call sites notice they are double-executing an expensive pipeline
+    deep = rdd_frame.join(
+        rdd_frame.select(F.col("vec_id").alias("other_id")),
+        F.col("vec_id") == F.col("other_id"),
+    )
+    with pytest.warns(RuntimeWarning, match="exact-count fallback"):
+        assert estimated_rows(deep) == 50
     emb = Catalog(spark, sf_dir).embeddings
     est = estimated_rows(emb)
     true = emb.count()
-    assert 1 <= est, est
-    # parquet fallback is bytes/width — demand order-of-magnitude only
-    assert true / 50 <= est <= true * 50, (est, true)
+    # VERDICT r09 item 8: a single-parquet-leaf scan is sized against
+    # the table's FOOTER-TRUE bytes-per-row, so the estimate is the
+    # footer row count EXACTLY, not a width-heuristic order of magnitude
+    assert est == true, (est, true)
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        estimated_rows_exact,
+        gemm_grid,
+    )
+
+    est2, exact = estimated_rows_exact(emb)
+    assert (est2, exact) == (true, True)
     nq, nc = derived_gemm_grid(emb, emb)
     floor = spark.sparkContext.defaultParallelism
     # the parallelism floor is work-damped: cells only multiply while
     # each keeps >= 2^20 score pairs (est is the derivation's own input)
     assert nq * nc >= min(floor, max(1, (est * est) >> 20)), (nq, nc, floor)
+    # footer-true sides pay NO estimate headroom: the derived grid is
+    # the FULL-budget grid for the true counts (a guessed side would
+    # divide the budget by ESTIMATE_BUDGET_HEADROOM and widen the grid)
+    assert (nq, nc) == gemm_grid(
+        true, true, 256 << 20, min_cells=max(1, floor)
+    ), (nq, nc)
     # explicit override must win over derivation
     from adb_south_caucasus_etl_spark.operators.similarity import (
         knn_candidates_blocked,

@@ -32,7 +32,10 @@ seconds and keeps the audit honest end-to-end.
 import pytest
 from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
-from adb_south_caucasus_etl_spark.plans.audit import data_scale_broadcasts
+from adb_south_caucasus_etl_spark.plans.audit import (
+    data_scale_broadcasts,
+    unpartitioned_windows,
+)
 from adb_south_caucasus_etl_spark.workload import WORKLOAD
 
 SF = "/root/testdata/sf0.001"
@@ -50,6 +53,32 @@ CONTAINER_TYPES = (ArrayType, MapType, StructType, BinaryType)
 SINGLE_PARTITION_OVER_ROWS_OK = {
     "attribution_markov_removal",  # scenario grain = n_channels + 1
     "calendar_business_day_lag",  # generated calendar-day sequence
+}
+
+#: Unpartitioned-Window census (plans/audit.py unpartitioned_windows):
+#: a Window with an empty partition spec sorts its whole input in ONE
+#: task; the census passes it only when the recursive grain rules can
+#: SEE the input is bounded (aggregated / limited / literal / dim).
+#: Entries here are per-finding leaf names for windows whose frame is
+#: bounded in a way the auditor cannot see, with the argument written
+#: out — same contract as BROADCAST_DATA_SCALE_OK.
+#: Fleet census state (r10 sweep): 53 windows bounded by Aggregate, 2 by
+#: Range, 1 by GlobalLimit — trusted on merit; the 2 entries below are
+#: the only author-vouched ones.
+UNPARTITIONED_WINDOW_OK: dict[str, tuple[str, ...]] = {
+    # localCheckpoint-pinned frames are LogicalRDD leaves (checkpoint
+    # truncates lineage) — the bounded origin is invisible:
+    "attribution_markov_removal": (
+        # scenario grain: n_channels + 1 rows, checkpoint-pinned
+        "LogicalRDD",
+    ),
+    "timeseries_linear_interpolate": (
+        # day-grain spine: explode(sequence(min_d, max_d)) over a 1-row
+        # global aggregate — row count is the CALENDAR SPAN in days
+        # (decades ≈ 1e4 rows), independent of fact volume; the
+        # data-dependent Generate rule cannot see that bound
+        "Generate[data-dependent fan-out]",
+    ),
 }
 
 #: Broadcast-hint audit (plans/audit.py): a broadcast hint whose subtree
@@ -213,6 +242,42 @@ def test_aggregate_grain_census_reports_trusted_hints(spark):
     assert notes4 and "lineitem" in notes4[0], notes4
 
 
+def test_unpartitioned_window_census(spark):
+    """The census must (a) pass-and-cite a global window over an
+    aggregated frame, (b) red-flag a global window straight over a fact
+    table, and (c) ignore windows that carry a partition spec."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from adb_south_caucasus_etl_spark.sources.registry import Catalog
+
+    cat = Catalog(spark, SF)
+    # (a) month-grain aggregate then a global cumulative window: bounded
+    monthly = cat.orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mo")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    cum = monthly.withColumn(
+        "cum", F.sum("rev").over(Window.orderBy("mo"))
+    )
+    findings, notes = unpartitioned_windows(cum)
+    assert findings == [], findings
+    assert notes and "Aggregate" in notes[0], notes
+    # (b) global rank straight over the fact table: data-scale finding
+    ranked = cat.lineitem.withColumn(
+        "rk", F.row_number().over(Window.orderBy("l_extendedprice"))
+    )
+    findings, _ = unpartitioned_windows(ranked)
+    assert findings and "lineitem" in findings[0], findings
+    # (c) keyed window over the same fact table: out of scope, clean
+    keyed = cat.lineitem.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy("l_extendedprice")
+        ),
+    )
+    assert unpartitioned_windows(keyed) == ([], [])
+
+
 def _single_partition_over_raw_rows(plan: str) -> list[str]:
     lines = plan.splitlines()
     bad = []
@@ -257,6 +322,22 @@ def test_no_scale_smells(spark, name):
             "(operators/curation.py) or aggregate first:\n"
             + "\n---\n".join(bad)
         )
+    win_findings, _win_notes = unpartitioned_windows(df)
+    win_allowed = UNPARTITIONED_WINDOW_OK.get(name, ())
+    win_bad = [
+        f
+        for f in win_findings
+        if not any(leaf in f for leaf in win_allowed)
+    ]
+    assert not win_bad, (
+        f"{name}: unpartitioned Window over a data-scale frame — one "
+        "task sorts the whole input at cluster scale. Partition the "
+        "window by a real key, aggregate first, or use the distributed "
+        "global-scan operators (operators/curation.py); if the frame "
+        "is bounded in a way the auditor cannot see, add an "
+        "UNPARTITIONED_WINDOW_OK entry (per-finding leaves) with the "
+        "boundedness argument: " + "; ".join(win_bad)
+    )
     findings = data_scale_broadcasts(df)
     allowed = BROADCAST_DATA_SCALE_OK.get(name, {}).get("leaves", ())
     bad_findings = [
