@@ -431,3 +431,103 @@ def extract_pcm_features(
             )
 
     return df.mapInPandas(op, schema=PCM_FEATURE_SCHEMA)
+
+
+#: bands per 64-bit perceptual key (16 bits each) — two frames within
+#: Hamming distance 3 of each other share at least one untouched band
+#: by pigeonhole, so banded grouping finds every such pair without an
+#: all-pairs comparison
+AHASH_BANDS = 4
+
+
+def perceptual_frame_hash(
+    frames: DataFrame,
+    frame_bytes: int = 64,
+    id_col: str = "doc_id",
+    idx_col: str = "frame_idx",
+    frame_col: str = "frame",
+    keep: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """64-bit AVERAGE-HASH perceptual key per frame — the content-hash
+    upgrade of the exact frame census (SURVEY §2.BL1): each of the
+    frame's 64 bytes is a gray8 pixel, and bit ``i`` of the key is
+    ``pixel_i * 64 > sum(pixels)`` (strict integer compare — exactly
+    the classic aHash "pixel above mean" with the division cleared, so
+    the whole key is DERANDOMIZED integer arithmetic an external SQL
+    oracle can restate verbatim). Near-identical frames — re-encodes,
+    brightness-stable watermark shifts, single-pixel noise — keep the
+    same key or drift by a few bits, while exact hashes scatter.
+
+    Output per full frame (partial tail frames carry no 8x8 grid and
+    are exact-dedup territory — filtered): ``ah_hi``/``ah_lo`` (bits
+    32-63 / 0-31 of the key, two BIGINTs so no sign-bit games),
+    optional ``keep`` passthrough expressions (name → Column over the
+    input frame, e.g. an exact content hash for merge accounting) and
+    ``band0..band3`` (16-bit slices). GROUPing on the full key gives
+    perceptual clusters; grouping on any band gives the Hamming-<=3
+    candidate buckets (pigeonhole over :data:`AHASH_BANDS`), each of
+    which a verifier can re-check with ``bit_count`` XOR popcounts —
+    never an all-pairs pass.
+
+    Everything is JVM expression arithmetic on the binary column
+    (``conv(hex(substring(frame, i, 1)), 16, 10)`` per byte — byte-true
+    for arbitrary payloads, not just ASCII), inside whole-stage
+    codegen: no Python crossing, one narrow projection, combinable
+    aggregates downstream. A real image pipeline swaps the identity
+    "resize" (64 payload bytes ARE the 8x8 grid) for a decoded
+    block-mean over ``decode_image``'s pixel output; the key algebra
+    and the banding do not change.
+
+    100 TB shape: frame-grain linear scan, no shuffle here; the census
+    / clustering group-bys downstream shuffle once on 8-byte keys.
+    """
+    if frame_bytes != 64:
+        raise ValueError(
+            "perceptual_frame_hash packs one bit per payload byte into a "
+            f"64-bit key; frame_bytes must be 64, got {frame_bytes}"
+        )
+    px = [
+        F.conv(F.hex(F.substring(F.col(frame_col), i + 1, 1)), 16, 10)
+        .cast("long")
+        .alias(f"__px{i}")
+        for i in range(64)
+    ]
+    keep = keep or {}
+    keep_names = list(keep)
+    base = frames.filter(
+        F.length(F.col(frame_col)) == frame_bytes
+    ).select(
+        F.col(id_col),
+        F.col(idx_col),
+        *[c.alias(n) for n, c in keep.items()],
+        *px,
+    )
+    total = sum(F.col(f"__px{i}") for i in range(64))
+    bits = [(F.col(f"__px{i}") * 64 > total) for i in range(64)]
+
+    def _pack(lo_bit: int) -> F.Column:
+        packed = F.lit(0).cast("long")
+        for i in range(lo_bit, lo_bit + 32):
+            packed = packed + F.when(
+                bits[i], F.shiftleft(F.lit(1).cast("long"), i - lo_bit)
+            ).otherwise(F.lit(0).cast("long"))
+        return packed
+
+    keyed = base.select(
+        id_col,
+        idx_col,
+        *keep_names,
+        _pack(32).alias("ah_hi"),
+        _pack(0).alias("ah_lo"),
+    )
+    return keyed.select(
+        id_col,
+        idx_col,
+        *keep_names,
+        "ah_hi",
+        "ah_lo",
+        F.col("ah_lo").bitwiseAND(F.lit(65535)).alias("band0"),
+        F.shiftrightunsigned("ah_lo", 16).alias("band1"),
+        F.col("ah_hi").bitwiseAND(F.lit(65535)).alias("band2"),
+        F.shiftrightunsigned("ah_hi", 16).alias("band3"),
+    )

@@ -23989,3 +23989,147 @@ def simhash_determinism_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all_collide"
         ),
     )
+
+
+@register(
+    "multimodal_perceptual_dup_census",
+    """
+    -- same ASCII byte==char equivalence note as multimodal_frame_sample;
+    -- FULL frames only (floor, not ceil): a partial tail frame has no
+    -- 8x8 grid to hash
+    WITH i AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(0,
+               CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT)))
+               AS INTEGER) AS fi
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, fi, substring(text, fi * 64 + 1, 64) AS fc
+      FROM i
+    ),
+    px AS (
+      SELECT doc_id, fi, fc, CAST(t.p AS INTEGER) AS p,
+             ascii(substring(fc, CAST(t.p AS INTEGER) + 1, 1)) AS v
+      FROM fr, (SELECT unnest(range(0, 64)) AS p) t
+    ),
+    s AS (
+      SELECT doc_id, fi, fc, p, v,
+             SUM(v) OVER (PARTITION BY doc_id, fi) AS tot
+      FROM px
+    ),
+    k AS (
+      SELECT doc_id, fi, md5(MIN(fc)) AS eh,
+             SUM(CASE WHEN v * 64 > tot AND p >= 32
+                      THEN (CAST(1 AS BIGINT) << (p - 32))
+                      ELSE 0 END) AS ah_hi,
+             SUM(CASE WHEN v * 64 > tot AND p < 32
+                      THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS ah_lo
+      FROM s GROUP BY 1, 2
+    ),
+    cl AS (
+      SELECT ah_hi, ah_lo,
+             (ah_lo & 65535) AS band0, (ah_lo >> 16) AS band1,
+             (ah_hi & 65535) AS band2, (ah_hi >> 16) AS band3,
+             COUNT(*) AS c, COUNT(DISTINCT eh) AS nd_eh
+      FROM k GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    stats AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_frames,
+             CAST(COUNT(*) AS BIGINT) AS n_perceptual_clusters,
+             CAST(SUM(nd_eh) AS BIGINT) AS n_exact_keys,
+             CAST(SUM(nd_eh) - COUNT(*) AS BIGINT) AS exact_keys_merged,
+             ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) + 0.0
+               AS perceptual_dup_rate
+      FROM cl
+    ),
+    bands AS (
+      SELECT b.band_id, CASE b.band_id
+               WHEN 0 THEN band0 WHEN 1 THEN band1
+               WHEN 2 THEN band2 ELSE band3 END AS bv,
+             SUM(c) AS bc, SUM(nd_eh) AS bk
+      FROM cl, (SELECT unnest(range(0, 4)) AS band_id) b
+      GROUP BY 1, 2
+    ),
+    bstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_band_buckets,
+             CAST(MAX(bc) AS BIGINT) AS max_band_bucket,
+             CAST(MAX(bk) AS BIGINT) AS max_band_bucket_keys
+      FROM bands
+    )
+    SELECT * FROM stats, bstats
+    """,
+    doc="Perceptual (content-hash) frame dedup census - the north-star "
+        "upgrade of multimodal_frame_dup_rate's exact-hash pre-filter: "
+        "every full 64-byte frame gets a 64-bit AVERAGE-HASH "
+        "(operators/multimodal.perceptual_frame_hash - bit i is the "
+        "derandomized integer compare pixel_i*64 > sum(pixels), pure "
+        "JVM expression arithmetic), frames group into perceptual "
+        "clusters by full key, and the key's four 16-bit bands give "
+        "the Hamming<=3 candidate buckets (pigeonhole) that a verifier "
+        "re-checks with XOR popcounts - near-identical frames cluster "
+        "without an all-pairs pass. Reports frame/cluster/exact-key "
+        "counts (exact_keys_merged = distinct exact frames the "
+        "perceptual key unifies), the perceptual dup rate, and the "
+        "banded-bucket census. Cluster grain is grouped ONCE and both "
+        "scalar branches read the reused exchange; at 100 TB the same "
+        "two shuffles run per shard and merge by 8-byte keys",
+)
+def multimodal_perceptual_dup_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.multimodal import (
+        perceptual_frame_hash,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    frames = sample_frames(
+        with_binary_payload(docs), frame_bytes=64, stride=1
+    )
+    ph = perceptual_frame_hash(
+        frames, keep={"eh": F.md5(F.col("frame"))}
+    )
+    cl = ph.groupBy(
+        "ah_hi", "ah_lo", "band0", "band1", "band2", "band3"
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("eh").alias("nd_eh"),
+    )
+    stats = cl.agg(
+        F.sum("c").cast("bigint").alias("n_frames"),
+        F.count(F.lit(1)).cast("bigint").alias("n_perceptual_clusters"),
+        F.sum("nd_eh").cast("bigint").alias("n_exact_keys"),
+        (F.sum("nd_eh") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("exact_keys_merged"),
+        (
+            F.round(
+                F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c"),
+                6,
+            )
+            + 0.0
+        ).alias("perceptual_dup_rate"),
+    )
+    # the bands branch aggregates nd_eh too (its bk metric) so BOTH
+    # branches read cl with the same column set — column pruning then
+    # leaves the two cluster-aggregate subtrees canonically identical
+    # and the planner shares them via ReusedExchange: the documents
+    # scan + Arrow chunker + 64-byte hash projection runs ONCE, not
+    # twice (pinned by test_perceptual_census_reuses_cluster_exchange)
+    bands = cl.selectExpr(
+        "c",
+        "nd_eh",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) "
+        "AS (band_id, bv)",
+    ).groupBy("band_id", "bv").agg(
+        F.sum("c").alias("bc"), F.sum("nd_eh").alias("bk")
+    )
+    bstats = bands.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_band_buckets"),
+        F.max("bc").cast("bigint").alias("max_band_bucket"),
+        F.max("bk").cast("bigint").alias("max_band_bucket_keys"),
+    )
+    return stats.crossJoin(bstats)

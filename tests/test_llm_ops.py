@@ -1142,3 +1142,65 @@ class TestPPJoin:
         }
         assert pp == full
         assert (100, 101) in pp  # the planted near-dup pair
+
+
+def test_perceptual_frame_hash_planted_near_dups(spark):
+    """VERDICT r09 item 7: near-identical frames (1-pixel noise) must
+    share the 64-bit average-hash — and therefore every band bucket —
+    while a genuinely different frame lands elsewhere; partial tail
+    frames carry no 8x8 grid and are filtered; the keep passthrough
+    rides along for exact-merge accounting."""
+    from adb_south_caucasus_etl_spark.operators.multimodal import (
+        perceptual_frame_hash,
+    )
+
+    base = list(range(64))
+    noisy = [1] + base[1:]  # +1 on a far-from-mean pixel: same key
+    other = list(reversed(base))  # inverted ramp: opposite key
+    rows = [
+        (1, 0, bytearray(base)),
+        (2, 0, bytearray(noisy)),
+        (3, 0, bytearray(other)),
+        (4, 0, bytearray(base[:32])),  # partial frame: dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, frame binary"
+    )
+    out = perceptual_frame_hash(
+        df, keep={"eh": F.md5(F.col("frame"))}
+    ).collect()
+    byid = {r.doc_id: r for r in out}
+    assert set(byid) == {1, 2, 3}, byid
+    a, b, c = byid[1], byid[2], byid[3]
+    # exact hashes all differ; perceptual key merges the planted pair
+    assert len({a.eh, b.eh, c.eh}) == 3
+    assert (a.ah_hi, a.ah_lo) == (b.ah_hi, b.ah_lo)
+    assert (a.ah_hi, a.ah_lo) != (c.ah_hi, c.ah_lo)
+    # banded grouping: the near-dup pair collides on EVERY band; the
+    # Hamming-64 opposite on none (ramp keys are band-disjoint)
+    for band in ("band0", "band1", "band2", "band3"):
+        assert getattr(a, band) == getattr(b, band)
+    assert all(
+        getattr(a, band) != getattr(c, band)
+        for band in ("band0", "band1", "band2", "band3")
+    )
+    # the verifier arithmetic the banded buckets feed: XOR popcount
+    ham = bin((a.ah_hi ^ c.ah_hi) << 32 | (a.ah_lo ^ c.ah_lo)).count("1")
+    assert ham == 64
+
+
+def test_perceptual_census_reuses_cluster_exchange(spark):
+    """The census consumes the cluster aggregate from two scalar
+    branches; both must read ONE shared exchange (the bands branch
+    aggregates nd_eh precisely so pruning keeps the subtrees
+    canonically identical) — otherwise the documents scan + Arrow
+    chunker + 64-byte hash projection executes twice, a 2x linear scan
+    at 100 TB."""
+    from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+    df = WORKLOAD["multimodal_perceptual_dup_census"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    df.collect()  # AQE: reuse is visible in the FINAL plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
