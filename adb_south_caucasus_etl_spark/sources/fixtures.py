@@ -78,6 +78,14 @@ def _source_signature(sf_dir: str, table: str) -> str:
         return "nosrc"
 
 
+#: grace window before a superseded fixture generation is pruned: a job
+#: that resolved the OLD path just before testdata regeneration may
+#: still be scanning it — deleting parquet files mid-scan fails its
+#: tasks even though the data it reads is stale (ADVICE r09). One hour
+#: outlives any query in this suite by orders of magnitude.
+_PRUNE_GRACE_SECONDS = 3600
+
+
 def _prune_stale_generations(root: str, prefix: str, keep: str) -> None:
     """Best-effort deletion of ABANDONED fixture generations (ADVICE r08):
     every staging-version bump or source (mtime, size) change stages a
@@ -85,17 +93,28 @@ def _prune_stale_generations(root: str, prefix: str, keep: str) -> None:
     the temp root forever. Only siblings of the SAME fixture prefix with
     a different version/signature suffix are touched; a different suffix
     means the testdata they were staged from no longer exists in that
-    form, so any process still reading one is already stale. In-progress
-    ``.stage-*`` directories are NEVER touched — a concurrent stager for
-    a different signature (testdata regenerated mid-flight) must not
-    have its private write tree deleted under it; each stager's own
-    ``finally`` cleans its debris. Errors are ignored — pruning is
-    hygiene, not correctness."""
+    form — but a long-running job that resolved the old path BEFORE the
+    regeneration may still be mid-scan on it, so pruning is AGE-GATED
+    (ADVICE r09): only siblings whose tree has been quiet for
+    :data:`_PRUNE_GRACE_SECONDS` are deleted; fresher ones are caught by
+    the next staging call's prune. In-progress ``.stage-*`` directories
+    are NEVER touched — a concurrent stager for a different signature
+    (testdata regenerated mid-flight) must not have its private write
+    tree deleted under it; each stager's own ``finally`` cleans its
+    debris. Errors are ignored — pruning is hygiene, not correctness."""
     import glob as _glob
+    import time
 
+    cutoff = time.time() - _PRUNE_GRACE_SECONDS
     for path in _glob.glob(os.path.join(root, f"{prefix}_v*_*")):
-        if path != keep and ".stage-" not in os.path.basename(path):
-            shutil.rmtree(path, ignore_errors=True)
+        if path == keep or ".stage-" in os.path.basename(path):
+            continue
+        try:
+            if os.stat(path).st_mtime > cutoff:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _staged_partitioned_dir(

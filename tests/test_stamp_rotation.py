@@ -123,7 +123,7 @@ def test_priority_stamp_entries_are_real_queries():
     assert not unknown, f"PRIORITY_STAMP names not in WORKLOAD: {unknown}"
 
 
-def test_live_dirty_set_is_sane():
+def test_live_dirty_set_is_sane(monkeypatch):
     """On the real tree: dirty ⊆ sidecar-stamped ∪ FORCE_RESTAMP, and every
     stamped query is either already in the on-disk sidecar or COVERABLE by
     a rebuild.
@@ -150,7 +150,7 @@ def test_live_dirty_set_is_sane():
     if uncovered:
         # stale on-disk sidecar — tolerate iff an in-memory rebuild
         # (which anchors uncommitted rounds at HEAD) covers the gap
-        sys.path.insert(0, os.path.join(entry._REPO, "tools"))
+        monkeypatch.syspath_prepend(os.path.join(entry._REPO, "tools"))
         import stamp_sources
 
         fresh = stamp_sources.rebuild()
@@ -177,26 +177,58 @@ def test_dirty_tracking_degrades_visibly_on_corrupt_sidecar(
     assert "dirty-stamp tracking degraded" in err, err
 
 
-def test_uncommitted_round_anchors_at_head():
+def test_uncommitted_round_anchors_at_head(monkeypatch, tmp_path, capsys):
     """VERDICT r08 item 1: a CORRECTNESS_rN.json with no adding commit
     (the driver's fresh, still-untracked round artifact) must anchor at
     HEAD — the driver commits all pending work before the gate, so HEAD
     IS the stamped tree. Skipping such rounds left the fresh stamps
-    unfoldable and reported the whole window as false-dirty."""
-    sys.path.insert(0, os.path.join(entry._REPO, "tools"))
+    unfoldable and reported the whole window as false-dirty.
+
+    Runs against a THROWAWAY git repo (ADVICE r09: writing the fake
+    artifact into the live repo root risked leaving it behind on a hard
+    crash, and later rebuilds would anchor a phantom round at HEAD).
+    Also pins the ADVICE r09 escalation: HEAD-anchoring with UNCOMMITTED
+    workload edits must warn loudly — the anchor would bind fingerprints
+    to code the driver never stamped."""
+    import subprocess
+
+    monkeypatch.syspath_prepend(os.path.join(entry._REPO, "tools"))
     import stamp_sources
 
-    fake = os.path.join(entry._REPO, "CORRECTNESS_r999.json")
-    assert not os.path.exists(fake)
-    try:
-        with open(fake, "w", encoding="utf-8") as fh:
-            json.dump({"cube_flagship_revenue": {"rows_match": True}}, fh)
-        commits = stamp_sources._round_commits()
-        assert commits.get(999) == "HEAD"
-        # committed rounds keep their parent-of-add anchor
-        assert commits.get(1) not in (None, "HEAD")
-    finally:
-        os.remove(fake)
+    repo = tmp_path / "repo"
+    repo.mkdir()
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(repo), *args], check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@example.com")
+    git("config", "user.name", "t")
+    (repo / "CORRECTNESS_r1.json").write_text(
+        json.dumps({"cube_flagship_revenue": {"rows_match": True}}),
+        encoding="utf-8",
+    )
+    git("add", "-A")
+    git("commit", "-qm", "round 1: verdict/advice/correctness/bench")
+    (repo / "CORRECTNESS_r999.json").write_text(
+        json.dumps({"cube_flagship_revenue": {"rows_match": True}}),
+        encoding="utf-8",
+    )
+    monkeypatch.setattr(stamp_sources, "REPO", str(repo))
+    commits = stamp_sources._round_commits()
+    assert commits.get(999) == "HEAD"
+    # committed rounds keep their parent-of-add anchor
+    assert commits.get(1) not in (None, "HEAD")
+    assert "did NOT stamp" not in capsys.readouterr().err
+    # now dirty the workload in the drop window: the HEAD anchor is no
+    # longer faithful and the note must escalate to a hard warning
+    wl = repo / "adb_south_caucasus_etl_spark"
+    wl.mkdir()
+    (wl / "workload.py").write_text("# uncommitted edit", encoding="utf-8")
+    assert stamp_sources._round_commits().get(999) == "HEAD"
+    assert "did NOT stamp" in capsys.readouterr().err
 
 
 from hypothesis import given, settings

@@ -84,13 +84,32 @@ def _round_commits() -> dict[int, str]:
                 )
             out[int(m.group(1))] = anchor
         else:
-            print(
-                f"note: round {m.group(1)} artifact is uncommitted — "
-                "anchored at HEAD (valid only while HEAD is the tree the "
-                "driver stamped; rerun rebuild after the artifact commit "
-                "so the anchor binds to the true parent-of-add)",
-                file=sys.stderr,
-            )
+            # ADVICE r09: HEAD-anchoring reads the COMMITTED tree, so it
+            # is only faithful while the working-tree workload matches
+            # HEAD — with uncommitted workload edits in the drop window,
+            # fingerprints would bind to code the driver never stamped
+            # and the dirty tier would silently clear. Escalate.
+            dirty_workload = _git(
+                "status", "--porcelain", "--", WORKLOAD_PATH
+            ).strip()
+            if dirty_workload:
+                print(
+                    f"WARNING: round {m.group(1)} artifact is uncommitted "
+                    f"AND {WORKLOAD_PATH} has uncommitted edits — the "
+                    "HEAD anchor binds fingerprints to code the driver "
+                    "did NOT stamp; commit (or stash) the workload edits "
+                    "and rerun rebuild before trusting the dirty tier",
+                    file=sys.stderr,
+                )
+            else:
+                print(
+                    f"note: round {m.group(1)} artifact is uncommitted — "
+                    "anchored at HEAD (valid only while HEAD is the tree "
+                    "the driver stamped; rerun rebuild after the artifact "
+                    "commit so the anchor binds to the true "
+                    "parent-of-add)",
+                    file=sys.stderr,
+                )
             out[int(m.group(1))] = "HEAD"
     return out
 
