@@ -93,12 +93,20 @@ def _stamp_state() -> tuple[dict[str, int], set[str]]:
 #: operator-module rewrite the block hash cannot see) — manually promoted
 #: into the dirty tier until a fresh driver stamp lands, then pruned.
 #: The r7 entries (graph_triangle_count, ml_ranking_metrics) were pruned
-#: after their green r08 stamps; the r9 stat-driven-grid cohort
-#: (dedup_embedding_cosine, knn_label_classify, ml_knn_confusion,
-#: ml_ranking_metrics) was pruned after its four green r09 stamps
-#: (VERDICT r09 item 3). Empty = no operator-module plan rewrites are
-#: awaiting a driver stamp this round.
-FORCE_RESTAMP: set[str] = set()
+#: after their green r08 stamps; the r9 stat-driven-grid cohort was
+#: pruned after its four green r09 stamps (VERDICT r09 item 3) — and
+#: RE-ENTERS for a new r10 reason: derived_gemm_grid now sizes from
+#: footer-true parquet row counts / exact filtered-scan counts with the
+#: estimate headroom dropped for trusted sizes (VERDICT r09 item 8), so
+#: the derived physical grids of all four transitive call sites changed
+#: class again (results invariant — exact operators; oracle-green at
+#: sf0.001/0.01/0.1 this round). Prune each once its r10+ stamp lands:
+FORCE_RESTAMP = {
+    "dedup_embedding_cosine",
+    "knn_label_classify",
+    "ml_knn_confusion",
+    "ml_ranking_metrics",
+}
 
 
 def _dirty_names() -> set[str]:

@@ -403,77 +403,90 @@ def _field_width_bytes(field: T.StructField) -> int:
 
 #: per-root-path cache of (file_bytes, footer_rows) — base-table truth
 #: is immutable for a session's lifetime and several blocked operators
-#: size grids over the same table (embeddings, documents)
-_FOOTER_CACHE: dict[str, tuple[int, int]] = {}
+#: size grids over the same table (embeddings, documents). Failures
+#: cache as None too, so an unreadable root pays its (possibly remote,
+#: recursive) listing once, not once per grid derivation.
+_FOOTER_CACHE: dict[str, tuple[int, int] | None] = {}
 
 
 def _footer_truth(spark, root: str) -> tuple[int, int] | None:
     """``(on_disk_bytes, footer_rows)`` of the parquet table at
     ``root``, from ground truth rather than schema guesses: on-disk
-    bytes via a recursive Hadoop FS listing (any filesystem — the same
-    listing ``sinks.rows_per_file_for_bytes`` does) and row count via
-    parquet FOOTERS (pyarrow when the path is driver-local — zero Spark
-    jobs; else one metadata-only ``count()`` over the raw scan, which
-    Spark answers from footers without reading data pages). None when
-    the path has no parquet files or the listing fails (non-parquet
+    bytes via ``sinks.list_parquet_files`` (recursive Hadoop FS
+    listing — any filesystem) and row count via parquet FOOTERS —
+    pyarrow first (zero Spark jobs; works whenever the listed URI paths
+    resolve on the driver), falling back PER-TABLE to one metadata-only
+    ``count()`` over the raw scan (Spark answers it from footers
+    without reading data pages) when they don't, e.g. HDFS/S3 roots
+    whose scheme-less paths are not driver-local files. None when the
+    path has no parquet files or the listing itself fails (non-parquet
     formats, dropped fixtures) — callers fall back to the schema-width
-    heuristic."""
+    heuristic. Results — including failures — are cached per root."""
     if root in _FOOTER_CACHE:
         return _FOOTER_CACHE[root]
-    try:
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(root)
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        files = []
-        it = fs.listFiles(jvm_path, True)
-        while it.hasNext():
-            f = it.next()
-            if f.getPath().getName().endswith(".parquet"):
-                files.append((f.getPath().toUri().getPath(), f.getLen()))
-        if not files:
-            return None
-        total = sum(b for _, b in files)
-        local = root.startswith(("file:", "/"))
-        if local:
-            import pyarrow.parquet as pq
+    from ..sources.sinks import list_parquet_files
 
-            rows = sum(
-                pq.ParquetFile(p).metadata.num_rows for p, _ in files
-            )
-        else:
-            # bounded: parquet footer count — metadata-only, no data read
-            rows = spark.read.parquet(root).count()
-        if rows <= 0 or total <= 0:
-            return None
-        _FOOTER_CACHE[root] = (total, rows)
-        return total, rows
+    result: tuple[int, int] | None = None
+    try:
+        files = list_parquet_files(spark, root)
+        total = sum(b for _, b in files)
+        if files and total > 0:
+            try:
+                import pyarrow.parquet as pq
+
+                rows = sum(
+                    pq.ParquetFile(p).metadata.num_rows for p, _ in files
+                )
+            except Exception:
+                # bounded: parquet footer count — metadata-only job
+                rows = spark.read.parquet(root).count()
+            if rows > 0:
+                result = (total, rows)
     except Exception:
-        return None
+        result = None
+    _FOOTER_CACHE[root] = result
+    return result
+
+
+def _plan_classes(node) -> set[str]:
+    """Simple class names of every node in a logical plan subtree."""
+    out = {node.getClass().getSimpleName()}
+    kids = node.children()
+    for i in range(kids.size()):
+        out |= _plan_classes(kids.apply(i))
+    return out
 
 
 def estimated_rows_exact(df: DataFrame) -> tuple[int, bool]:
     """Catalyst's row-count estimate for ``df`` WITHOUT running a data
-    job — the stats feed for :func:`derived_gemm_grid` (VERDICT r08
-    item 5). Returns ``(rows, exact_width)`` where ``exact_width`` means
-    the estimate carries no compression-ratio error (a defined rowCount
-    statistic, an exact count fallback, or a single-parquet-leaf frame
-    sized against FOOTER-TRUE bytes-per-row) — callers may then spend
-    their full byte budget instead of reserving estimate headroom
-    (VERDICT r09 item 8).
+    job in the common cases — the stats feed for
+    :func:`derived_gemm_grid` (VERDICT r08 item 5). Returns
+    ``(rows, trusted)`` where ``trusted`` means the value carries no
+    UNDER-estimation risk (a defined rowCount statistic, an exact
+    count, or a footer-true parquet row count) — callers may then
+    spend their full byte budget instead of reserving estimate
+    headroom (VERDICT r09 item 8).
 
-    Prefers the optimized plan's ``rowCount`` statistic (exact for local
-    relations and ANALYZE'd / CBO-enabled tables). Next, for a frame
-    whose optimized plan has EXACTLY ONE leaf and that leaf is a parquet
-    relation, divides the plan's ``sizeInBytes`` by the table's
-    footer-true compressed bytes-per-row (:func:`_footer_row_bytes`):
-    with no filters this reproduces the footer row count exactly, and
-    filter-selectivity scaling stays unbiased because Catalyst scales
-    the same compressed bytes the ratio was measured on. (Single-leaf
-    only: a join's ``sizeInBytes`` multiplies child sizes, so the
-    inversion has no meaning there.) Last resort falls back to
-    ``sizeInBytes`` divided by a schema-derived row width, which
-    UNDER-estimates parquet scans by the compression ratio — acceptable
-    for grid sizing, where the block count moves with sqrt(rows) and
-    the parallelism floor covers the low end.
+    Resolution order:
+
+    - the optimized plan's ``rowCount`` statistic (exact for local
+      relations, limits, and ANALYZE'd / CBO-enabled tables);
+    - a single-parquet-leaf plan containing ONLY row-preserving nodes
+      (Project/alias): the table's parquet FOOTER row count
+      (:func:`_footer_truth`) — exact, zero jobs. Note that plan
+      ``sizeInBytes`` is useless for detecting filters here: without
+      CBO, Catalyst passes it through Filter UNCHANGED, so the node-set
+      check is what separates this case from the next;
+    - the same shape plus Filter nodes: one exact ``count()`` —
+      column-pruned, predicate-pushed scan, the cheap lineage class.
+      Footer truth would only be an upper bound, and a grid sized from
+      an upper bound overshoots cells by the SQUARE of the selectivity
+      (a 1% slice would get ~10^4x the cells its work needs);
+    - last resort: ``sizeInBytes`` divided by a schema-derived row
+      width, which UNDER-estimates parquet scans by the compression
+      ratio (``trusted=False`` → the caller keeps its headroom) —
+      acceptable for grid sizing, where the block count moves with
+      sqrt(rows) and the parallelism floor covers the low end.
 
     Two classes of bogus ``sizeInBytes`` route to one exact ``count()``
     job instead (a partial-count aggregate — no data shuffle beyond
@@ -514,21 +527,28 @@ def estimated_rows_exact(df: DataFrame) -> tuple[int, bool]:
                 )
             except Exception:
                 root = None
-            if root is not None:
+            # WITHOUT CBO, Catalyst passes sizeInBytes through Filter
+            # UNCHANGED (there is no selectivity signal to invert), so
+            # "plan size == file size" does NOT mean "unfiltered" —
+            # classify by the plan's NODE SET instead:
+            # - only row-preserving nodes (Project/alias) above the
+            #   scan: the footer row count is EXACT, zero jobs;
+            # - row-preserving + Filter: footer truth is only an upper
+            #   bound and grids sized from it overshoot by the square
+            #   of the selectivity — run one exact count instead (a
+            #   scan+filter lineage: column-pruned, predicate-pushed,
+            #   the cheap case the _counted warning deliberately
+            #   exempts);
+            # - anything else (Generate fan-out, …): no bound either
+            #   way — fall through to the width heuristic.
+            nodes = _plan_classes(qe.optimizedPlan())
+            pure = {"Project", "SubqueryAlias", "LogicalRelation"}
+            if root is not None and nodes <= pure | {"Filter"}:
                 truth = _footer_truth(df.sparkSession, root)
                 if truth is not None:
-                    total, rows = truth
-                    # untouched scan (plan size == file bytes): the
-                    # footer row count verbatim, zero estimation error.
-                    # Filters/projections scale sizeInBytes; inverting
-                    # through footer bytes-per-row stays unbiased for
-                    # filters but conflates projection narrowing with
-                    # selectivity, so scaled plans keep the headroom
-                    # (exact=False) while still beating the width
-                    # heuristic by the compression ratio.
-                    if size_in_bytes == total:
-                        return rows, True
-                    return max(1, int(size_in_bytes * rows / total)), False
+                    if nodes <= pure:
+                        return truth[1], True
+                    return max(1, _counted(df, "filtered scan")), True
     width = max(8, sum(_field_width_bytes(f) for f in df.schema.fields))
     est = max(1, size_in_bytes // width)
     if est > 1 << 44:  # estimation blow-up, not a real table size

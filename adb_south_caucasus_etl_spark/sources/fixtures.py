@@ -78,12 +78,21 @@ def _source_signature(sf_dir: str, table: str) -> str:
         return "nosrc"
 
 
-#: grace window before a superseded fixture generation is pruned: a job
-#: that resolved the OLD path just before testdata regeneration may
-#: still be scanning it — deleting parquet files mid-scan fails its
-#: tasks even though the data it reads is stale (ADVICE r09). One hour
-#: outlives any query in this suite by orders of magnitude.
+#: grace window between a generation being OBSERVED superseded and its
+#: deletion: a job that resolved the OLD path just before testdata
+#: regeneration may still be scanning it — deleting parquet files
+#: mid-scan fails its tasks even though the data it reads is stale
+#: (ADVICE r09). One hour outlives any query in this suite by orders
+#: of magnitude.
 _PRUNE_GRACE_SECONDS = 3600
+
+#: tombstone dropped into a superseded generation on the prune pass
+#: that first OBSERVES it stale; deletion happens on a later pass once
+#: the tombstone has aged past the grace window. Age since STAGING
+#: would not protect readers (a generation staged days ago can be
+#: superseded seconds ago); supersession is only observable at prune
+#: time, so the marker records it.
+_TOMBSTONE = ".superseded"
 
 
 def _prune_stale_generations(root: str, prefix: str, keep: str) -> None:
@@ -94,23 +103,31 @@ def _prune_stale_generations(root: str, prefix: str, keep: str) -> None:
     a different version/signature suffix are touched; a different suffix
     means the testdata they were staged from no longer exists in that
     form — but a long-running job that resolved the old path BEFORE the
-    regeneration may still be mid-scan on it, so pruning is AGE-GATED
-    (ADVICE r09): only siblings whose tree has been quiet for
-    :data:`_PRUNE_GRACE_SECONDS` are deleted; fresher ones are caught by
-    the next staging call's prune. In-progress ``.stage-*`` directories
-    are NEVER touched — a concurrent stager for a different signature
-    (testdata regenerated mid-flight) must not have its private write
-    tree deleted under it; each stager's own ``finally`` cleans its
-    debris. Errors are ignored — pruning is hygiene, not correctness."""
+    regeneration may still be mid-scan on it, so deletion is
+    TWO-PHASED (ADVICE r09): the pass that first observes a sibling
+    stale only drops a :data:`_TOMBSTONE` marker inside it; the files
+    are removed by a later pass once the marker is older than
+    :data:`_PRUNE_GRACE_SECONDS` — by then any reader that predates the
+    supersession has long finished. In-progress ``.stage-*``
+    directories are NEVER touched — a concurrent stager for a different
+    signature (testdata regenerated mid-flight) must not have its
+    private write tree deleted under it; each stager's own ``finally``
+    cleans its debris. Errors are ignored — pruning is hygiene, not
+    correctness."""
     import glob as _glob
     import time
 
-    cutoff = time.time() - _PRUNE_GRACE_SECONDS
+    now = time.time()
     for path in _glob.glob(os.path.join(root, f"{prefix}_v*_*")):
         if path == keep or ".stage-" in os.path.basename(path):
             continue
+        marker = os.path.join(path, _TOMBSTONE)
         try:
-            if os.stat(path).st_mtime > cutoff:
+            if not os.path.exists(marker):
+                with open(marker, "w", encoding="utf-8") as fh:
+                    fh.write(f"{now}\n")
+                continue
+            if now - os.stat(marker).st_mtime < _PRUNE_GRACE_SECONDS:
                 continue
         except OSError:
             continue

@@ -148,6 +148,26 @@ def compact_parquet(
     return n
 
 
+def list_parquet_files(
+    spark: SparkSession, path: str
+) -> list[tuple[str, int]]:
+    """Recursive ``(uri_path, bytes)`` listing of the ``*.parquet``
+    files under ``path`` via the Hadoop FS API — works on any
+    filesystem Spark can reach (local, HDFS, object stores). Driver
+    metadata op, no data read. Shared by the compaction byte targeting
+    below and the GEMM grid footer-truth sizing
+    (``operators/similarity._footer_truth``)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jvm_path, True)
+    files: list[tuple[str, int]] = []
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            files.append((f.getPath().toUri().getPath(), f.getLen()))
+    return files
+
+
 def rows_per_file_for_bytes(
     spark: SparkSession,
     src_path: str,
@@ -162,14 +182,7 @@ def rows_per_file_for_bytes(
     arithmetic (``ceil(rows/k)``) stays exact in ROW space while the
     bytes→rows conversion — inherently encoding-dependent — lives in
     one testable place."""
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    it = fs.listFiles(jvm_path, True)
-    total = 0
-    while it.hasNext():
-        f = it.next()
-        if f.getPath().getName().endswith(".parquet"):
-            total += f.getLen()
+    total = sum(b for _, b in list_parquet_files(spark, src_path))
     rows = spark.read.parquet(src_path).count()
     if rows <= 0 or total <= 0:
         return 1

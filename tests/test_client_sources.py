@@ -297,49 +297,57 @@ def test_fixture_stale_generations_are_pruned(spark, sf_dir):
         partitioned_orders_dir,
     )
 
+    import shutil
+    import time
+
     from adb_south_caucasus_etl_spark.sources import fixtures as fx
 
     p = partitioned_orders_dir(spark, sf_dir)
     root = _fixture_root(sf_dir)
     fake_old = os.path.join(root, "orders_by_month_v0_deadbeef")
     os.makedirs(fake_old, exist_ok=True)
-    # age past the grace window: pruning is AGE-GATED (ADVICE r09) so an
-    # in-flight reader of a just-superseded generation keeps its files
-    old = 2 * fx._PRUNE_GRACE_SECONDS
-    import time
-
-    os.utime(fake_old, (time.time() - old, time.time() - old))
+    marker = os.path.join(fake_old, fx._TOMBSTONE)
     try:
+        # deletion is TWO-PHASED (ADVICE r09): the pass that first
+        # OBSERVES a stale sibling only tombstones it — a reader that
+        # resolved the old path before regeneration keeps its files
+        _prune_stale_generations(root, "orders_by_month", p)
+        assert os.path.exists(fake_old), (
+            "first observation must tombstone, not delete — an "
+            "in-flight reader would lose files mid-scan"
+        )
+        assert os.path.exists(marker), "tombstone not dropped"
+        # still inside the grace window: survives a second pass too
+        _prune_stale_generations(root, "orders_by_month", p)
+        assert os.path.exists(fake_old)
+        # age the tombstone past the grace window: now it goes
+        old = time.time() - 2 * fx._PRUNE_GRACE_SECONDS
+        os.utime(marker, (old, old))
         _prune_stale_generations(root, "orders_by_month", p)
         assert not os.path.exists(fake_old), "stale generation not pruned"
         assert os.path.exists(os.path.join(p, "_SUCCESS")), (
             "pruning must never touch the live generation"
         )
-        # other fixtures' generations are out of scope; a concurrent
+        # other fixtures' generations are out of scope, and a concurrent
         # stager's in-progress .stage-* tree (even for a DIFFERENT
-        # signature) must never be deleted under it; and a FRESH
-        # superseded generation (inside the grace window) survives for
-        # any reader that resolved its path before regeneration
+        # signature) must never be deleted — or tombstoned — under it
         other = os.path.join(root, "events_by_date_v0_cafebabe")
         inflight = os.path.join(root, "orders_by_month_v0_beef.stage-abc123")
-        fresh = os.path.join(root, "orders_by_month_v0_feedface")
         os.makedirs(other, exist_ok=True)
         os.makedirs(inflight, exist_ok=True)
-        os.makedirs(fresh, exist_ok=True)
-        os.utime(other, (time.time() - old, time.time() - old))
         try:
             _prune_stale_generations(root, "orders_by_month", p)
             assert os.path.exists(other), "pruned a different fixture prefix"
+            assert not os.path.exists(
+                os.path.join(other, fx._TOMBSTONE)
+            ), "tombstoned a different fixture prefix"
             assert os.path.exists(inflight), "pruned an in-progress stage dir"
-            assert os.path.exists(fresh), (
-                "pruned a generation inside the grace window — an "
-                "in-flight reader would lose files mid-scan"
-            )
+            assert not os.path.exists(
+                os.path.join(inflight, fx._TOMBSTONE)
+            ), "tombstoned an in-progress stage dir"
         finally:
             os.rmdir(other)
             os.rmdir(inflight)
-            if os.path.exists(fresh):
-                os.rmdir(fresh)
     finally:
         if os.path.exists(fake_old):
-            os.rmdir(fake_old)
+            shutil.rmtree(fake_old, ignore_errors=True)

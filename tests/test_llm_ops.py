@@ -640,6 +640,15 @@ def test_estimated_rows_and_derived_grid(spark, sf_dir):
 
     est2, exact = estimated_rows_exact(emb)
     assert (est2, exact) == (true, True)
+    # a FILTERED single-leaf scan must NOT be mistaken for an untouched
+    # one (without CBO, Filter passes sizeInBytes through unchanged):
+    # it runs one cheap pushdown count and returns the TRUE slice size —
+    # a footer upper bound here would overshoot grid cells by the square
+    # of the selectivity
+    sliced = emb.filter(F.col("vec_id") % 100 == 0)
+    est3, exact3 = estimated_rows_exact(sliced)
+    assert (est3, exact3) == (sliced.count(), True)
+    assert est3 < true
     nq, nc = derived_gemm_grid(emb, emb)
     floor = spark.sparkContext.defaultParallelism
     # the parallelism floor is work-damped: cells only multiply while
