@@ -24133,3 +24133,185 @@ def multimodal_perceptual_dup_census(
         F.max("bk").cast("bigint").alias("max_band_bucket_keys"),
     )
     return stats.crossJoin(bstats)
+
+
+@register(
+    "multimodal_perceptual_near_pairs",
+    """
+    -- same ASCII byte==char equivalence + full-frame convention as
+    -- multimodal_perceptual_dup_census
+    WITH i AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(0,
+               CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT)))
+               AS INTEGER) AS fi
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, fi, substring(text, fi * 64 + 1, 64) AS fc
+      FROM i
+    ),
+    px AS (
+      SELECT doc_id, fi, CAST(t.p AS INTEGER) AS p,
+             ascii(substring(fc, CAST(t.p AS INTEGER) + 1, 1)) AS v
+      FROM fr, (SELECT unnest(range(0, 64)) AS p) t
+    ),
+    s AS (
+      SELECT doc_id, fi, p, v,
+             SUM(v) OVER (PARTITION BY doc_id, fi) AS tot
+      FROM px
+    ),
+    k AS (
+      SELECT doc_id, fi,
+             SUM(CASE WHEN v * 64 > tot AND p >= 32
+                      THEN (CAST(1 AS BIGINT) << (p - 32))
+                      ELSE 0 END) AS ah_hi,
+             SUM(CASE WHEN v * 64 > tot AND p < 32
+                      THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS ah_lo
+      FROM s GROUP BY 1, 2
+    ),
+    cl AS (SELECT ah_hi, ah_lo FROM k GROUP BY 1, 2),
+    bands AS (
+      SELECT b.band_id, CASE b.band_id
+               WHEN 0 THEN ah_lo & 65535 WHEN 1 THEN ah_lo >> 16
+               WHEN 2 THEN ah_hi & 65535 ELSE ah_hi >> 16 END AS bv,
+             ah_hi, ah_lo
+      FROM cl, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    sized AS (
+      SELECT band_id, bv, COUNT(*) OVER (PARTITION BY band_id, bv)
+               AS bucket_n, ah_hi, ah_lo
+      FROM bands
+    ),
+    hot AS (
+      SELECT COUNT(DISTINCT (band_id, bv)) AS n_hot
+      FROM sized WHERE bucket_n > 1000
+    ),
+    cand AS (
+      SELECT DISTINCT a.ah_hi AS hi_a, a.ah_lo AS lo_a,
+                      b.ah_hi AS hi_b, b.ah_lo AS lo_b
+      FROM sized a JOIN sized b
+        ON a.band_id = b.band_id AND a.bv = b.bv
+       AND (a.ah_hi < b.ah_hi
+            OR (a.ah_hi = b.ah_hi AND a.ah_lo < b.ah_lo))
+      WHERE a.bucket_n <= 1000 AND b.bucket_n <= 1000
+    ),
+    ham AS (
+      SELECT bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+               AS h
+      FROM cand
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(COALESCE(SUM(CASE WHEN h <= 3 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_verified_le3,
+           CAST(COALESCE(MIN(h), -1) AS INTEGER)
+             AS min_candidate_hamming,
+           (SELECT CAST(n_hot AS BIGINT) FROM hot)
+             AS n_hot_buckets_skipped
+    FROM ham
+    """,
+    doc="Perceptual near-dup PAIR retrieval - the census's companion "
+        "that actually surfaces the pairs: distinct 64-bit aHash keys "
+        "sharing any 16-bit band meet in a bucket join (pigeonhole: "
+        "every Hamming<=3 pair is guaranteed a collision), the pair "
+        "set is deduped across bands, and XOR bit_count verifies the "
+        "true Hamming distance - near-dup search with NO all-pairs "
+        "stage, the banded-LSH verify idiom of lsh_candidate_pairs "
+        "applied to the image domain. Buckets larger than 1000 keys "
+        "are skipped AND REPORTED (n_hot_buckets_skipped - no silent "
+        "caps): a degenerate hot band (e.g. all-black frames) would "
+        "otherwise go quadratic; the cap is deterministic so the "
+        "oracle states it too. Key grain throughout (frames collapse "
+        "to clusters first), so the join cost is bucket-bounded "
+        "regardless of frame multiplicity",
+)
+def multimodal_perceptual_near_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.multimodal import (
+        perceptual_frame_hash,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    frames = sample_frames(
+        with_binary_payload(docs), frame_bytes=64, stride=1
+    )
+    ph = perceptual_frame_hash(frames)
+    cl = ph.groupBy("ah_hi", "ah_lo").agg(
+        F.first("band0").alias("band0"),
+        F.first("band1").alias("band1"),
+        F.first("band2").alias("band2"),
+        F.first("band3").alias("band3"),
+    )
+    bands = cl.selectExpr(
+        "ah_hi",
+        "ah_lo",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) "
+        "AS (band_id, bv)",
+    )
+    w = Window.partitionBy("band_id", "bv")
+    sized = bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+    hot = sized.filter(F.col("bucket_n") > 1000).agg(
+        F.countDistinct("band_id", "bv").cast("bigint").alias("n_hot")
+    )
+    cool = sized.filter(F.col("bucket_n") <= 1000)
+    a = cool.select(
+        "band_id",
+        "bv",
+        F.col("ah_hi").alias("hi_a"),
+        F.col("ah_lo").alias("lo_a"),
+    )
+    b = cool.select(
+        "band_id",
+        "bv",
+        F.col("ah_hi").alias("hi_b"),
+        F.col("ah_lo").alias("lo_b"),
+    )
+    cand = (
+        a.join(b, ["band_id", "bv"])
+        .filter(
+            (F.col("hi_a") < F.col("hi_b"))
+            | (
+                (F.col("hi_a") == F.col("hi_b"))
+                & (F.col("lo_a") < F.col("lo_b"))
+            )
+        )
+        .select("hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = cand.select(
+        (
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        ).alias("h")
+    )
+    stats = ham.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("h") <= 3, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_verified_le3"),
+        F.coalesce(F.min("h"), F.lit(-1))
+        .cast("int")
+        .alias("min_candidate_hamming"),
+    )
+    nclusters = cl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    return (
+        nclusters.crossJoin(stats).crossJoin(hot)
+        .select(
+            "n_clusters",
+            "n_candidate_pairs",
+            "n_verified_le3",
+            "min_candidate_hamming",
+            F.col("n_hot").alias("n_hot_buckets_skipped"),
+        )
+    )
