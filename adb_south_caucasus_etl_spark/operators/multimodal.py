@@ -531,3 +531,98 @@ def perceptual_frame_hash(
         F.col("ah_hi").bitwiseAND(F.lit(65535)).alias("band2"),
         F.shiftrightunsigned("ah_hi", 16).alias("band3"),
     )
+
+
+def perceptual_band_buckets(keys: DataFrame) -> DataFrame:
+    """Band-bucket frame for near-dup retrieval: ``keys``
+    (:func:`perceptual_frame_hash` output, any grain) collapsed to KEY
+    grain, exploded to its :data:`AHASH_BANDS` 16-bit bands, with each
+    bucket's member count windowed on as ``bucket_n``. One shuffle to
+    key grain, one to band buckets; the shared input for both the pair
+    join and the hot-bucket census, so a query computing both reads ONE
+    exchange."""
+    from pyspark.sql import Window
+
+    # key-grain collapse via distinct over (key, bands) — the bands are
+    # FUNCTIONS of the key, so the grain is exactly (ah_hi, ah_lo); a
+    # first()-style agg would plant a non-deterministic expression that
+    # blocks plan canonicalization and with it every ReusedExchange
+    # downstream consumers rely on
+    cl = keys.select(
+        "ah_hi", "ah_lo", "band0", "band1", "band2", "band3"
+    ).distinct()
+    bands = cl.selectExpr(
+        "ah_hi",
+        "ah_lo",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) "
+        "AS (band_id, bv)",
+    )
+    w = Window.partitionBy("band_id", "bv")
+    return bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+
+
+def perceptual_near_dup_pairs(
+    keys: DataFrame | None = None,
+    max_bucket: int = 1000,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup PAIR retrieval over :func:`perceptual_frame_hash` keys:
+    distinct 64-bit keys sharing any 16-bit band meet in a bucket join
+    (pigeonhole over :data:`AHASH_BANDS`: every pair within Hamming
+    distance 3 shares at least one untouched band), the candidate set
+    is deduplicated across bands, and the TRUE Hamming distance comes
+    from XOR ``bit_count`` — so near-dup search never runs an all-pairs
+    stage and the verify arithmetic stays in JVM codegen.
+
+    Pass ``keys`` (any grain — frames collapse to key grain first) or a
+    prebuilt ``buckets`` frame from :func:`perceptual_band_buckets`
+    when the caller also censuses the buckets (hot-bucket reporting)
+    and wants both consumers on one shared exchange. Buckets larger
+    than ``max_bucket`` keys are SKIPPED — a degenerate hot band
+    (all-black frames) would otherwise go quadratic — and callers must
+    REPORT the skips (``multimodal_perceptual_near_pairs`` counts both
+    the skipped buckets and the keys inside them; no silent caps).
+
+    Returns one row per candidate pair ``(hi_a, lo_a, hi_b, lo_b,
+    hamming)`` with ``(hi_a, lo_a) < (hi_b, lo_b)`` lexicographically;
+    filter ``hamming <= k`` for the verified near-dup set.
+
+    100 TB shape: one shuffle to key grain, one to band buckets, a
+    bucket-bounded self-join, zero Python crossings.
+    """
+    if buckets is None:
+        if keys is None:
+            raise ValueError("pass keys or buckets")
+        buckets = perceptual_band_buckets(keys)
+    cool = buckets.filter(F.col("bucket_n") <= max_bucket)
+    a = cool.select(
+        "band_id",
+        "bv",
+        F.col("ah_hi").alias("hi_a"),
+        F.col("ah_lo").alias("lo_a"),
+    )
+    b = cool.select(
+        "band_id",
+        "bv",
+        F.col("ah_hi").alias("hi_b"),
+        F.col("ah_lo").alias("lo_b"),
+    )
+    cand = (
+        a.join(b, ["band_id", "bv"])
+        .filter(
+            (F.col("hi_a") < F.col("hi_b"))
+            | (
+                (F.col("hi_a") == F.col("hi_b"))
+                & (F.col("lo_a") < F.col("lo_b"))
+            )
+        )
+        .select("hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming",
+        (
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        ).cast("int"),
+    )

@@ -24185,9 +24185,11 @@ def multimodal_perceptual_dup_census(
       FROM bands
     ),
     hot AS (
-      SELECT COUNT(DISTINCT (band_id, bv)) AS n_hot
+      SELECT COUNT(DISTINCT (band_id, bv)) AS n_hot,
+             COUNT(DISTINCT (ah_hi, ah_lo)) AS n_hot_keys
       FROM sized WHERE bucket_n > 1000
     ),
+    bmin AS (SELECT MIN(bucket_n) AS min_bucket FROM sized),
     cand AS (
       SELECT DISTINCT a.ah_hi AS hi_a, a.ah_lo AS lo_a,
                       b.ah_hi AS hi_b, b.ah_lo AS lo_b
@@ -24209,7 +24211,11 @@ def multimodal_perceptual_dup_census(
            CAST(COALESCE(MIN(h), -1) AS INTEGER)
              AS min_candidate_hamming,
            (SELECT CAST(n_hot AS BIGINT) FROM hot)
-             AS n_hot_buckets_skipped
+             AS n_hot_buckets_skipped,
+           (SELECT CAST(n_hot_keys AS BIGINT) FROM hot)
+             AS n_hot_keys_skipped,
+           (SELECT CAST(min_bucket AS BIGINT) FROM bmin)
+             AS min_band_bucket
     FROM ham
     """,
     doc="Perceptual near-dup PAIR retrieval - the census's companion "
@@ -24230,10 +24236,10 @@ def multimodal_perceptual_dup_census(
 def multimodal_perceptual_near_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     from .operators.multimodal import (
+        perceptual_band_buckets,
         perceptual_frame_hash,
+        perceptual_near_dup_pairs,
         sample_frames,
         with_binary_payload,
     )
@@ -24243,75 +24249,50 @@ def multimodal_perceptual_near_pairs(
         with_binary_payload(docs), frame_bytes=64, stride=1
     )
     ph = perceptual_frame_hash(frames)
-    cl = ph.groupBy("ah_hi", "ah_lo").agg(
-        F.first("band0").alias("band0"),
-        F.first("band1").alias("band1"),
-        F.first("band2").alias("band2"),
-        F.first("band3").alias("band3"),
-    )
-    bands = cl.selectExpr(
-        "ah_hi",
-        "ah_lo",
-        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) "
-        "AS (band_id, bv)",
-    )
-    w = Window.partitionBy("band_id", "bv")
-    sized = bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-    hot = sized.filter(F.col("bucket_n") > 1000).agg(
-        F.countDistinct("band_id", "bv").cast("bigint").alias("n_hot")
-    )
-    cool = sized.filter(F.col("bucket_n") <= 1000)
-    a = cool.select(
-        "band_id",
-        "bv",
-        F.col("ah_hi").alias("hi_a"),
-        F.col("ah_lo").alias("lo_a"),
-    )
-    b = cool.select(
-        "band_id",
-        "bv",
-        F.col("ah_hi").alias("hi_b"),
-        F.col("ah_lo").alias("lo_b"),
-    )
-    cand = (
-        a.join(b, ["band_id", "bv"])
-        .filter(
-            (F.col("hi_a") < F.col("hi_b"))
-            | (
-                (F.col("hi_a") == F.col("hi_b"))
-                & (F.col("lo_a") < F.col("lo_b"))
-            )
+    # ONE shared band-bucket frame feeds all four consumers (pair join
+    # probe+build, hot census, global mins) — every consumer references
+    # the SAME column set (incl. bucket_n via min_band_bucket and
+    # ah_hi/ah_lo via n_hot_keys_skipped), so column pruning cannot fork
+    # the subtree and the documents scan + Arrow chunker executes once
+    # through ReusedExchange (pytest-pinned).
+    buckets = perceptual_band_buckets(ph)
+    pairs = perceptual_near_dup_pairs(buckets=buckets, max_bucket=1000)
+    hot = buckets.filter(F.col("bucket_n") > 1000).agg(
+        F.coalesce(F.count_distinct(F.col("band_id"), F.col("bv")), F.lit(0))
+        .cast("bigint")
+        .alias("n_hot"),
+        F.coalesce(
+            F.count_distinct(F.col("ah_hi"), F.col("ah_lo")), F.lit(0)
         )
-        .select("hi_a", "lo_a", "hi_b", "lo_b")
-        .distinct()
+        .cast("bigint")
+        .alias("n_hot_keys"),
     )
-    ham = cand.select(
-        (
-            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-        ).alias("h")
+    glob = buckets.agg(
+        (F.count_distinct(F.col("ah_hi"), F.col("ah_lo")))
+        .cast("bigint")
+        .alias("n_clusters"),
+        F.min("bucket_n").cast("bigint").alias("min_band_bucket"),
     )
-    stats = ham.agg(
+    stats = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
         F.coalesce(
-            F.sum(F.when(F.col("h") <= 3, 1).otherwise(0)), F.lit(0)
+            F.sum(F.when(F.col("hamming") <= 3, 1).otherwise(0)), F.lit(0)
         )
         .cast("bigint")
         .alias("n_verified_le3"),
-        F.coalesce(F.min("h"), F.lit(-1))
+        F.coalesce(F.min("hamming"), F.lit(-1))
         .cast("int")
         .alias("min_candidate_hamming"),
     )
-    nclusters = cl.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
-    )
     return (
-        nclusters.crossJoin(stats).crossJoin(hot)
+        glob.crossJoin(stats).crossJoin(hot)
         .select(
             "n_clusters",
             "n_candidate_pairs",
             "n_verified_le3",
             "min_candidate_hamming",
             F.col("n_hot").alias("n_hot_buckets_skipped"),
+            F.col("n_hot_keys").alias("n_hot_keys_skipped"),
+            "min_band_bucket",
         )
     )

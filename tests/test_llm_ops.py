@@ -1213,3 +1213,58 @@ def test_perceptual_census_reuses_cluster_exchange(spark):
     df.collect()  # AQE: reuse is visible in the FINAL plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_perceptual_near_dup_pairs_operator(spark):
+    """The pair retrieval operator: planted near-dups meet in a band
+    bucket and verify at their true Hamming distance; the hot-bucket
+    cap drops oversized buckets from the join. Also pins the reuse
+    discipline: the shared band-bucket frame must use a DETERMINISTIC
+    key-grain collapse (distinct), because a first()-style aggregate
+    blocks plan canonicalization and with it every ReusedExchange."""
+    from adb_south_caucasus_etl_spark.operators.multimodal import (
+        perceptual_frame_hash,
+        perceptual_near_dup_pairs,
+    )
+
+    base = list(range(64))
+    rows = [
+        (1, 0, bytearray(base)),
+        # 2 bits flipped vs base: pixel 31 (just below mean) pushed above
+        (2, 0, bytearray(base[:31] + [63] + base[32:])),
+        (3, 0, bytearray(reversed(base))),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, frame binary"
+    )
+    keys = perceptual_frame_hash(df)
+    pairs = {
+        ((r.hi_a, r.lo_a), (r.hi_b, r.lo_b)): r.hamming
+        for r in perceptual_near_dup_pairs(keys).collect()
+    }
+    byid = {r.doc_id: (r.ah_hi, r.ah_lo) for r in keys.collect()}
+    k1, k2, k3 = byid[1], byid[2], byid[3]
+    assert k1 != k2, "perturbation should flip at least one bit"
+    near = pairs.get((min(k1, k2), max(k1, k2)))
+    assert near is not None and 1 <= near <= 3, (pairs, byid)
+    # the Hamming-64 opposite shares no band: never even a candidate
+    assert (min(k1, k3), max(k1, k3)) not in pairs
+    # hot-bucket cap: with max_bucket=1, every bucket is oversized and
+    # no pair survives
+    assert perceptual_near_dup_pairs(keys, max_bucket=1).count() == 0
+
+
+def test_near_pairs_query_reuses_shared_buckets(spark):
+    """multimodal_perceptual_near_pairs fans four consumers (pair
+    probe/build, hot census, global mins) off one band-bucket frame;
+    the final adaptive plan must share it via ReusedExchange instead of
+    re-running the documents scan + Arrow chunker per consumer."""
+    from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+    df = WORKLOAD["multimodal_perceptual_near_pairs"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
