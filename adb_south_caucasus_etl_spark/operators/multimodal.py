@@ -607,17 +607,43 @@ def perceptual_near_dup_pairs(
         F.col("ah_hi").alias("hi_b"),
         F.col("ah_lo").alias("lo_b"),
     )
+    # FIRST-COLLISION dedup (the standard LSH trick): a pair sharing
+    # several bands would surface once per shared band; instead of a
+    # 4-column DISTINCT over the full candidate set — a second full
+    # shuffle of ~|pairs| rows, the dominant cost at scale since random
+    # 16-bit collisions alone produce ~4·N²/2^16 candidates — each pair
+    # is emitted ONLY from its lowest shared band, enforced as a cheap
+    # expression filter (earlier bands recomputed from the keys both
+    # sides already carry). Semantics note: a pair whose lowest shared
+    # band is HOT (skipped) is dropped with it even when a later cool
+    # band also collides — the hot-bucket skip already forfeits hot
+    # bands' pairs, and the census reports the skipped buckets/keys.
+    def _band(hi: F.Column, lo: F.Column, j: int) -> F.Column:
+        return (
+            lo.bitwiseAND(F.lit(65535)),
+            F.shiftrightunsigned(lo, 16),
+            hi.bitwiseAND(F.lit(65535)),
+            F.shiftrightunsigned(hi, 16),
+        )[j]
+
+    hi_a, lo_a = F.col("hi_a"), F.col("lo_a")
+    hi_b, lo_b = F.col("hi_b"), F.col("lo_b")
+    earlier_collision = F.lit(False)
+    for j in range(3):
+        earlier_collision = earlier_collision | (
+            (F.col("band_id") > j)
+            & (_band(hi_a, lo_a, j) == _band(hi_b, lo_b, j))
+        )
     cand = (
         a.join(b, ["band_id", "bv"])
         .filter(
-            (F.col("hi_a") < F.col("hi_b"))
-            | (
-                (F.col("hi_a") == F.col("hi_b"))
-                & (F.col("lo_a") < F.col("lo_b"))
+            (
+                (hi_a < hi_b)
+                | ((hi_a == hi_b) & (lo_a < lo_b))
             )
+            & ~earlier_collision
         )
         .select("hi_a", "lo_a", "hi_b", "lo_b")
-        .distinct()
     )
     return cand.withColumn(
         "hamming",

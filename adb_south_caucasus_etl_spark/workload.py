@@ -24191,13 +24191,21 @@ def multimodal_perceptual_dup_census(
     ),
     bmin AS (SELECT MIN(bucket_n) AS min_bucket FROM sized),
     cand AS (
-      SELECT DISTINCT a.ah_hi AS hi_a, a.ah_lo AS lo_a,
-                      b.ah_hi AS hi_b, b.ah_lo AS lo_b
+      -- first-collision dedup: a pair is emitted only from its LOWEST
+      -- shared band (earlier bands recomputed from the keys), so no
+      -- DISTINCT pass over the candidate set is needed
+      SELECT a.ah_hi AS hi_a, a.ah_lo AS lo_a,
+             b.ah_hi AS hi_b, b.ah_lo AS lo_b
       FROM sized a JOIN sized b
         ON a.band_id = b.band_id AND a.bv = b.bv
        AND (a.ah_hi < b.ah_hi
             OR (a.ah_hi = b.ah_hi AND a.ah_lo < b.ah_lo))
       WHERE a.bucket_n <= 1000 AND b.bucket_n <= 1000
+        AND NOT (
+          (a.band_id > 0 AND (a.ah_lo & 65535) = (b.ah_lo & 65535))
+          OR (a.band_id > 1 AND (a.ah_lo >> 16) = (b.ah_lo >> 16))
+          OR (a.band_id > 2 AND (a.ah_hi & 65535) = (b.ah_hi & 65535))
+        )
     ),
     ham AS (
       SELECT bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
