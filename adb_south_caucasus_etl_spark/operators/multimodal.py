@@ -439,6 +439,26 @@ def extract_pcm_features(
 #: all-pairs comparison
 AHASH_BANDS = 4
 
+#: default hot-bucket cap: band buckets with more keys than this are
+#: skipped by the pair join (a degenerate hot band would go quadratic)
+#: and MUST be reported by callers. ONE constant so the operator
+#: default, the census filter, and the SQL oracles cannot
+#: desynchronize the skip set from its mandated reporting.
+MAX_BAND_BUCKET = 1000
+
+
+def band_columns(hi: F.Column, lo: F.Column) -> tuple:
+    """The four 16-bit band slices of a 64-bit key split as
+    ``(hi, lo)`` BIGINT halves — THE band-layout definition, used by
+    the key projection, the bucket explode, and the first-collision
+    predicate alike so a layout change cannot desynchronize them."""
+    return (
+        lo.bitwiseAND(F.lit(65535)),
+        F.shiftrightunsigned(lo, 16),
+        hi.bitwiseAND(F.lit(65535)),
+        F.shiftrightunsigned(hi, 16),
+    )
+
 
 def perceptual_frame_hash(
     frames: DataFrame,
@@ -520,16 +540,14 @@ def perceptual_frame_hash(
         _pack(32).alias("ah_hi"),
         _pack(0).alias("ah_lo"),
     )
+    band_cols = band_columns(F.col("ah_hi"), F.col("ah_lo"))
     return keyed.select(
         id_col,
         idx_col,
         *keep_names,
         "ah_hi",
         "ah_lo",
-        F.col("ah_lo").bitwiseAND(F.lit(65535)).alias("band0"),
-        F.shiftrightunsigned("ah_lo", 16).alias("band1"),
-        F.col("ah_hi").bitwiseAND(F.lit(65535)).alias("band2"),
-        F.shiftrightunsigned("ah_hi", 16).alias("band3"),
+        *[c.alias(f"band{j}") for j, c in enumerate(band_cols)],
     )
 
 
@@ -563,7 +581,7 @@ def perceptual_band_buckets(keys: DataFrame) -> DataFrame:
 
 def perceptual_near_dup_pairs(
     keys: DataFrame | None = None,
-    max_bucket: int = 1000,
+    max_bucket: int = MAX_BAND_BUCKET,
     buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup PAIR retrieval over :func:`perceptual_frame_hash` keys:
@@ -590,49 +608,72 @@ def perceptual_near_dup_pairs(
     100 TB shape: one shuffle to key grain, one to band buckets, a
     bucket-bounded self-join, zero Python crossings.
     """
+    from pyspark.sql import Window
+
     if buckets is None:
         if keys is None:
             raise ValueError("pass keys or buckets")
         buckets = perceptual_band_buckets(keys)
-    cool = buckets.filter(F.col("bucket_n") <= max_bucket)
+    elif keys is not None:
+        raise ValueError(
+            "pass keys OR buckets, not both — silently preferring one "
+            "would pair the wrong key set"
+        )
+    # per-key hot-band bitmask (bit j set = the key's band-j bucket is
+    # hot), windowed on INSIDE the pair path so bucket consumers that
+    # don't need it (the hot census) keep their shared exchange with
+    # this one
+    hm = buckets.withColumn(
+        "hm",
+        F.sum(
+            F.when(
+                F.col("bucket_n") > max_bucket,
+                F.expr("shiftleft(1, band_id)"),
+            ).otherwise(F.lit(0))
+        )
+        .over(Window.partitionBy("ah_hi", "ah_lo"))
+        .cast("int"),
+    )
+    cool = hm.filter(F.col("bucket_n") <= max_bucket)
     a = cool.select(
         "band_id",
         "bv",
         F.col("ah_hi").alias("hi_a"),
         F.col("ah_lo").alias("lo_a"),
+        F.col("hm").alias("hm_a"),
     )
     b = cool.select(
         "band_id",
         "bv",
         F.col("ah_hi").alias("hi_b"),
         F.col("ah_lo").alias("lo_b"),
+        F.col("hm").alias("hm_b"),
     )
-    # FIRST-COLLISION dedup (the standard LSH trick): a pair sharing
-    # several bands would surface once per shared band; instead of a
-    # 4-column DISTINCT over the full candidate set — a second full
-    # shuffle of ~|pairs| rows, the dominant cost at scale since random
-    # 16-bit collisions alone produce ~4·N²/2^16 candidates — each pair
-    # is emitted ONLY from its lowest shared band, enforced as a cheap
-    # expression filter (earlier bands recomputed from the keys both
-    # sides already carry). Semantics note: a pair whose lowest shared
-    # band is HOT (skipped) is dropped with it even when a later cool
-    # band also collides — the hot-bucket skip already forfeits hot
-    # bands' pairs, and the census reports the skipped buckets/keys.
-    def _band(hi: F.Column, lo: F.Column, j: int) -> F.Column:
-        return (
-            lo.bitwiseAND(F.lit(65535)),
-            F.shiftrightunsigned(lo, 16),
-            hi.bitwiseAND(F.lit(65535)),
-            F.shiftrightunsigned(hi, 16),
-        )[j]
-
+    # FIRST-COOL-COLLISION dedup (the standard LSH trick, hotness-
+    # aware): a pair sharing several bands would surface once per
+    # shared band; instead of a 4-column DISTINCT over the full
+    # candidate set — a second full shuffle of ~|pairs| rows, the
+    # dominant cost at scale since random 16-bit collisions alone
+    # produce ~4·N²/2^16 candidates — each pair is emitted ONLY from
+    # its lowest COOL shared band, enforced as a cheap expression
+    # filter (earlier bands recomputed via band_columns from the keys
+    # both sides already carry; hotness from the per-key bitmask).
+    # Earlier-band collisions inside HOT buckets must NOT suppress —
+    # that band never emits, so suppressing here would silently lose a
+    # recoverable pair (a true near-dup sharing a hot band0 and a cool
+    # band1 is found via band1) — exactly the DISTINCT semantics this
+    # replaces, pair for pair.
     hi_a, lo_a = F.col("hi_a"), F.col("lo_a")
     hi_b, lo_b = F.col("hi_b"), F.col("lo_b")
-    earlier_collision = F.lit(False)
-    for j in range(3):
-        earlier_collision = earlier_collision | (
+    bands_a = band_columns(hi_a, lo_a)
+    bands_b = band_columns(hi_b, lo_b)
+    earlier_cool_collision = F.lit(False)
+    for j in range(AHASH_BANDS - 1):
+        earlier_cool_collision = earlier_cool_collision | (
             (F.col("band_id") > j)
-            & (_band(hi_a, lo_a, j) == _band(hi_b, lo_b, j))
+            & (bands_a[j] == bands_b[j])
+            & (F.col("hm_a").bitwiseAND(F.lit(1 << j)) == 0)
+            & (F.col("hm_b").bitwiseAND(F.lit(1 << j)) == 0)
         )
     cand = (
         a.join(b, ["band_id", "bv"])
@@ -641,7 +682,7 @@ def perceptual_near_dup_pairs(
                 (hi_a < hi_b)
                 | ((hi_a == hi_b) & (lo_a < lo_b))
             )
-            & ~earlier_collision
+            & ~earlier_cool_collision
         )
         .select("hi_a", "lo_a", "hi_b", "lo_b")
     )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.asof import asof_join
+from .operators.multimodal import MAX_BAND_BUCKET
 from .operators.topk import topk_per_group
 from .plans.cube import CubeQuery, compile_query, members
 from .sources.registry import Catalog
@@ -24137,7 +24138,7 @@ def multimodal_perceptual_dup_census(
 
 @register(
     "multimodal_perceptual_near_pairs",
-    """
+    f"""
     -- same ASCII byte==char equivalence + full-frame convention as
     -- multimodal_perceptual_dup_census
     WITH i AS (
@@ -24187,24 +24188,34 @@ def multimodal_perceptual_dup_census(
     hot AS (
       SELECT COUNT(DISTINCT (band_id, bv)) AS n_hot,
              COUNT(DISTINCT (ah_hi, ah_lo)) AS n_hot_keys
-      FROM sized WHERE bucket_n > 1000
+      FROM sized WHERE bucket_n > {MAX_BAND_BUCKET}
     ),
     bmin AS (SELECT MIN(bucket_n) AS min_bucket FROM sized),
+    marked AS (
+      SELECT *, SUM(CASE WHEN bucket_n > {MAX_BAND_BUCKET}
+                         THEN (1 << band_id) ELSE 0 END)
+                  OVER (PARTITION BY ah_hi, ah_lo) AS hot_mask
+      FROM sized
+    ),
     cand AS (
-      -- first-collision dedup: a pair is emitted only from its LOWEST
-      -- shared band (earlier bands recomputed from the keys), so no
-      -- DISTINCT pass over the candidate set is needed
+      -- first-COOL-collision dedup: a pair is emitted only from its
+      -- lowest COOL shared band (earlier bands recomputed from the
+      -- keys; hotness from the per-key bitmask) — no DISTINCT pass,
+      -- and a hot earlier band never suppresses, since it never emits
       SELECT a.ah_hi AS hi_a, a.ah_lo AS lo_a,
              b.ah_hi AS hi_b, b.ah_lo AS lo_b
-      FROM sized a JOIN sized b
+      FROM marked a JOIN marked b
         ON a.band_id = b.band_id AND a.bv = b.bv
        AND (a.ah_hi < b.ah_hi
             OR (a.ah_hi = b.ah_hi AND a.ah_lo < b.ah_lo))
-      WHERE a.bucket_n <= 1000 AND b.bucket_n <= 1000
+      WHERE a.bucket_n <= {MAX_BAND_BUCKET} AND b.bucket_n <= {MAX_BAND_BUCKET}
         AND NOT (
-          (a.band_id > 0 AND (a.ah_lo & 65535) = (b.ah_lo & 65535))
-          OR (a.band_id > 1 AND (a.ah_lo >> 16) = (b.ah_lo >> 16))
-          OR (a.band_id > 2 AND (a.ah_hi & 65535) = (b.ah_hi & 65535))
+          (a.band_id > 0 AND (a.ah_lo & 65535) = (b.ah_lo & 65535)
+             AND (a.hot_mask & 1) = 0 AND (b.hot_mask & 1) = 0)
+          OR (a.band_id > 1 AND (a.ah_lo >> 16) = (b.ah_lo >> 16)
+             AND (a.hot_mask & 2) = 0 AND (b.hot_mask & 2) = 0)
+          OR (a.band_id > 2 AND (a.ah_hi & 65535) = (b.ah_hi & 65535)
+             AND (a.hot_mask & 4) = 0 AND (b.hot_mask & 4) = 0)
         )
     ),
     ham AS (
@@ -24233,7 +24244,8 @@ def multimodal_perceptual_dup_census(
         "set is deduped across bands, and XOR bit_count verifies the "
         "true Hamming distance - near-dup search with NO all-pairs "
         "stage, the banded-LSH verify idiom of lsh_candidate_pairs "
-        "applied to the image domain. Buckets larger than 1000 keys "
+        "applied to the image domain. Buckets larger than "
+        f"{MAX_BAND_BUCKET} keys "
         "are skipped AND REPORTED (n_hot_buckets_skipped - no silent "
         "caps): a degenerate hot band (e.g. all-black frames) would "
         "otherwise go quadratic; the cap is deterministic so the "
@@ -24264,8 +24276,10 @@ def multimodal_perceptual_near_pairs(
     # the subtree and the documents scan + Arrow chunker executes once
     # through ReusedExchange (pytest-pinned).
     buckets = perceptual_band_buckets(ph)
-    pairs = perceptual_near_dup_pairs(buckets=buckets, max_bucket=1000)
-    hot = buckets.filter(F.col("bucket_n") > 1000).agg(
+    pairs = perceptual_near_dup_pairs(
+        buckets=buckets, max_bucket=MAX_BAND_BUCKET
+    )
+    hot = buckets.filter(F.col("bucket_n") > MAX_BAND_BUCKET).agg(
         F.coalesce(F.count_distinct(F.col("band_id"), F.col("bv")), F.lit(0))
         .cast("bigint")
         .alias("n_hot"),

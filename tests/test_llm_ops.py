@@ -1252,6 +1252,65 @@ def test_perceptual_near_dup_pairs_operator(spark):
     # hot-bucket cap: with max_bucket=1, every bucket is oversized and
     # no pair survives
     assert perceptual_near_dup_pairs(keys, max_bucket=1).count() == 0
+    # ambiguous call: silently preferring one input would pair the
+    # wrong key set
+    with pytest.raises(ValueError, match="not both"):
+        perceptual_near_dup_pairs(keys, buckets=keys)
+
+
+def test_near_dup_pairs_hot_band_does_not_suppress(spark):
+    """The first-collision dedup must be HOTNESS-AWARE: a true near-dup
+    pair whose lowest shared band is HOT (skipped from the join) must
+    still be emitted from a later cool shared band — suppressing on any
+    earlier collision regardless of hotness silently loses recoverable
+    pairs on degenerate-content corpora (the recall regression a review
+    pass caught before it shipped)."""
+    from adb_south_caucasus_etl_spark.operators.multimodal import (
+        perceptual_near_dup_pairs,
+    )
+
+    def key(b0, b1, b2, b3):
+        lo = (b1 << 16) | b0
+        hi = (b3 << 16) | b2
+        return (hi, lo, b0, b1, b2, b3)
+
+    # A and B: Hamming 1 (band2 differs by one bit), sharing band0=1
+    # (which 5 keys make HOT under max_bucket=4) and band1=5 (cool,
+    # only A and B). C/D/E pad band0's bucket and share nothing else.
+    rows = [
+        key(1, 5, 0, 9),   # A
+        key(1, 5, 1, 9),   # B  (band2: 0 vs 1 -> Hamming 1)
+        key(1, 70, 30, 40),  # C
+        key(1, 71, 31, 41),  # D
+        key(1, 72, 32, 42),  # E
+    ]
+    keys = spark.createDataFrame(
+        rows,
+        "ah_hi long, ah_lo long, band0 long, band1 long, "
+        "band2 long, band3 long",
+    )
+    got = {
+        ((r.hi_a, r.lo_a), (r.hi_b, r.lo_b)): r.hamming
+        for r in perceptual_near_dup_pairs(keys, max_bucket=4).collect()
+    }
+    a = (rows[0][0], rows[0][1])
+    b = (rows[1][0], rows[1][1])
+    pair = (min(a, b), max(a, b))
+    assert got.get(pair) == 1, (
+        f"near-dup pair lost to a hot earlier band: {got}"
+    )
+    # and each pair is still emitted exactly ONCE (A,B also share
+    # band1 AND band3: band1 is the lowest cool shared band, band3 must
+    # not re-emit) — the dict build above would mask duplicates, so
+    # count rows for the pair explicitly
+    n = (
+        perceptual_near_dup_pairs(keys, max_bucket=4)
+        .filter(
+            (F.col("hi_a") == pair[0][0]) & (F.col("lo_a") == pair[0][1])
+        )
+        .count()
+    )
+    assert n == 1, f"pair emitted {n} times"
 
 
 def test_near_pairs_query_reuses_shared_buckets(spark):
@@ -1267,4 +1326,8 @@ def test_near_pairs_query_reuses_shared_buckets(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    assert "ReusedExchange" in final, final
+    # >= 2: one reuse between the pair join's probe/build sides plus at
+    # least one for the census/mins consumers — a single ReusedExchange
+    # would mean the bucket subtree forked for some consumer and the
+    # documents scan + Arrow chunker runs more than once
+    assert final.count("ReusedExchange") >= 2, final
