@@ -24318,3 +24318,239 @@ def multimodal_perceptual_near_pairs(
             "min_band_bucket",
         )
     )
+
+
+@register(
+    "multimodal_perceptual_cross_doc",
+    f"""
+    -- same ASCII byte==char equivalence + full-frame convention as
+    -- multimodal_perceptual_dup_census
+    WITH i AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(0,
+               CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT)))
+               AS INTEGER) AS fi
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, fi, substring(text, fi * 64 + 1, 64) AS fc
+      FROM i
+    ),
+    px AS (
+      SELECT doc_id, fi, CAST(t.p AS INTEGER) AS p,
+             ascii(substring(fc, CAST(t.p AS INTEGER) + 1, 1)) AS v
+      FROM fr, (SELECT unnest(range(0, 64)) AS p) t
+    ),
+    s AS (
+      SELECT doc_id, fi, p, v,
+             SUM(v) OVER (PARTITION BY doc_id, fi) AS tot
+      FROM px
+    ),
+    k AS (
+      SELECT doc_id, fi,
+             SUM(CASE WHEN v * 64 > tot AND p >= 32
+                      THEN (CAST(1 AS BIGINT) << (p - 32))
+                      ELSE 0 END) AS ah_hi,
+             SUM(CASE WHEN v * 64 > tot AND p < 32
+                      THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS ah_lo
+      FROM s GROUP BY 1, 2
+    ),
+    kf AS (
+      SELECT doc_id, ah_hi, ah_lo, COUNT(*) AS cnt
+      FROM k GROUP BY 1, 2, 3
+    ),
+    kd AS (
+      SELECT ah_hi, ah_lo,
+             COUNT(*) OVER (PARTITION BY ah_hi, ah_lo) AS n_docs,
+             doc_id, cnt
+      FROM kf
+    ),
+    exact_links AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+             GREATEST(a.doc_id, b.doc_id) AS doc_b,
+             a.cnt * b.cnt AS links
+      FROM kd a JOIN kd b
+        ON a.ah_hi = b.ah_hi AND a.ah_lo = b.ah_lo
+       AND a.doc_id < b.doc_id
+      WHERE a.n_docs <= {MAX_BAND_BUCKET} AND b.n_docs <= {MAX_BAND_BUCKET}
+    ),
+    cl AS (SELECT ah_hi, ah_lo FROM k GROUP BY 1, 2),
+    bands AS (
+      SELECT b.band_id, CASE b.band_id
+               WHEN 0 THEN ah_lo & 65535 WHEN 1 THEN ah_lo >> 16
+               WHEN 2 THEN ah_hi & 65535 ELSE ah_hi >> 16 END AS bv,
+             ah_hi, ah_lo
+      FROM cl, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    sized AS (
+      SELECT band_id, bv, COUNT(*) OVER (PARTITION BY band_id, bv)
+               AS bucket_n, ah_hi, ah_lo
+      FROM bands
+    ),
+    marked AS (
+      SELECT *, SUM(CASE WHEN bucket_n > {MAX_BAND_BUCKET}
+                         THEN (1 << band_id) ELSE 0 END)
+                  OVER (PARTITION BY ah_hi, ah_lo) AS hot_mask
+      FROM sized
+    ),
+    nd AS (
+      SELECT a.ah_hi AS hi_a, a.ah_lo AS lo_a,
+             b.ah_hi AS hi_b, b.ah_lo AS lo_b
+      FROM marked a JOIN marked b
+        ON a.band_id = b.band_id AND a.bv = b.bv
+       AND (a.ah_hi < b.ah_hi
+            OR (a.ah_hi = b.ah_hi AND a.ah_lo < b.ah_lo))
+      WHERE a.bucket_n <= {MAX_BAND_BUCKET}
+        AND b.bucket_n <= {MAX_BAND_BUCKET}
+        AND NOT (
+          (a.band_id > 0 AND (a.ah_lo & 65535) = (b.ah_lo & 65535)
+             AND (a.hot_mask & 1) = 0 AND (b.hot_mask & 1) = 0)
+          OR (a.band_id > 1 AND (a.ah_lo >> 16) = (b.ah_lo >> 16)
+             AND (a.hot_mask & 2) = 0 AND (b.hot_mask & 2) = 0)
+          OR (a.band_id > 2 AND (a.ah_hi & 65535) = (b.ah_hi & 65535)
+             AND (a.hot_mask & 4) = 0 AND (b.hot_mask & 4) = 0)
+        )
+        AND bit_count(xor(a.ah_hi, b.ah_hi))
+            + bit_count(xor(a.ah_lo, b.ah_lo)) <= 3
+    ),
+    nd_links AS (
+      SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
+             GREATEST(x.doc_id, y.doc_id) AS doc_b,
+             x.cnt * y.cnt AS links
+      FROM nd JOIN kf x ON x.ah_hi = nd.hi_a AND x.ah_lo = nd.lo_a
+              JOIN kf y ON y.ah_hi = nd.hi_b AND y.ah_lo = nd.lo_b
+      WHERE x.doc_id <> y.doc_id
+    ),
+    rolled AS (
+      SELECT doc_a, doc_b,
+             CAST(COALESCE(SUM(CASE WHEN kind = 0 THEN links END), 0)
+                  AS BIGINT) AS exact_frame_links,
+             CAST(COALESCE(SUM(CASE WHEN kind = 1 THEN links END), 0)
+                  AS BIGINT) AS neardup_frame_links
+      FROM (
+        SELECT doc_a, doc_b, links, 0 AS kind FROM exact_links
+        UNION ALL
+        SELECT doc_a, doc_b, links, 1 AS kind FROM nd_links
+      ) GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, exact_frame_links, neardup_frame_links,
+           exact_frame_links + neardup_frame_links AS total_links
+    FROM rolled
+    ORDER BY total_links DESC, doc_a, doc_b
+    LIMIT 10
+    """,
+    doc="Cross-document perceptual overlap - the APPLICATION of the "
+        "near-dup machinery: for each document pair, how many frame "
+        "pairs are perceptually identical (same aHash key, cross-doc) "
+        "or near-identical (key pairs within Hamming 3 from the "
+        "hotness-aware banded retrieval), the repeated-intro/watermark "
+        "detector that decides which documents share boilerplate "
+        "media. Exact links roll up from doc-key grain (cnt_a*cnt_b "
+        "per shared key - never frame-grain pairs), near-dup links "
+        "map verified key pairs back through the same doc-key table; "
+        "keys in more than MAX_BAND_BUCKET documents are skipped by "
+        "the exact self-join under the shared hot cap (same constant, "
+        "same no-silent-caps discipline - the near-dup path inherits "
+        "the banded hot skip). Top-10 pairs by total links with a "
+        "total (links, doc_a, doc_b) tiebreak so LIMIT is "
+        "deterministic on both engines",
+)
+def multimodal_perceptual_cross_doc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.multimodal import (
+        perceptual_frame_hash,
+        perceptual_near_dup_pairs,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    frames = sample_frames(
+        with_binary_payload(docs), frame_bytes=64, stride=1
+    )
+    ph = perceptual_frame_hash(frames)
+    # doc-key grain: cnt frames of each perceptual key per document —
+    # every link count below is a product of these, never a
+    # frame-grain pair join
+    kf = ph.groupBy("doc_id", "ah_hi", "ah_lo").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # exact cross-doc links: per shared key, cnt_a * cnt_b; keys in
+    # more than MAX_BAND_BUCKET documents are skipped (hot-key cap,
+    # same constant and discipline as the banded pair join)
+    kd = kf.withColumn(
+        "n_docs",
+        F.count(F.lit(1)).over(Window.partitionBy("ah_hi", "ah_lo")),
+    ).filter(F.col("n_docs") <= MAX_BAND_BUCKET)
+    a = kd.select(
+        "ah_hi", "ah_lo",
+        F.col("doc_id").alias("da"), F.col("cnt").alias("ca"),
+    )
+    b = kd.select(
+        "ah_hi", "ah_lo",
+        F.col("doc_id").alias("db"), F.col("cnt").alias("cb"),
+    )
+    exact_links = (
+        a.join(b, ["ah_hi", "ah_lo"])
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            (F.col("ca") * F.col("cb")).alias("links"),
+            F.lit(0).alias("kind"),
+        )
+    )
+    # near-dup links: verified key pairs (Hamming 1..3 — equal keys are
+    # the exact path) mapped back through the doc-key table
+    nd = perceptual_near_dup_pairs(ph).filter(F.col("hamming") <= 3)
+    x = kf.select(
+        F.col("ah_hi").alias("hi_a"), F.col("ah_lo").alias("lo_a"),
+        F.col("doc_id").alias("dx"), F.col("cnt").alias("cx"),
+    )
+    y = kf.select(
+        F.col("ah_hi").alias("hi_b"), F.col("ah_lo").alias("lo_b"),
+        F.col("doc_id").alias("dy"), F.col("cnt").alias("cy"),
+    )
+    nd_links = (
+        nd.join(x, ["hi_a", "lo_a"])
+        .join(y, ["hi_b", "lo_b"])
+        .filter(F.col("dx") != F.col("dy"))
+        .select(
+            F.least("dx", "dy").alias("doc_a"),
+            F.greatest("dx", "dy").alias("doc_b"),
+            (F.col("cx") * F.col("cy")).alias("links"),
+            F.lit(1).alias("kind"),
+        )
+    )
+    rolled = (
+        exact_links.unionByName(nd_links)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("kind") == 0, F.col("links"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("exact_frame_links"),
+            F.coalesce(
+                F.sum(F.when(F.col("kind") == 1, F.col("links"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("neardup_frame_links"),
+        )
+    )
+    return (
+        rolled.withColumn(
+            "total_links",
+            F.col("exact_frame_links") + F.col("neardup_frame_links"),
+        )
+        .orderBy(
+            F.col("total_links").desc(), "doc_a", "doc_b"
+        )
+        .limit(10)
+    )
