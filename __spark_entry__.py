@@ -44,8 +44,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return cube_flagship_revenue(spark, SF0001)
 
 
-def _stamp_state() -> tuple[dict[str, int], set[str]]:
-    """Per-query driver-stamp count plus the set of latest-stamp-red queries.
+def _stamp_state() -> tuple[dict[str, int], set[str], dict[str, int]]:
+    """Per-query driver-stamp count, the set of latest-stamp-red queries,
+    and the round number of each query's most recent stamp.
 
     A stamp is any row in a CORRECTNESS_r*.json — green, rows-only
     (err == 'no_oracle'), or red: the point is the driver has looked.
@@ -53,10 +54,15 @@ def _stamp_state() -> tuple[dict[str, int], set[str]]:
     sentinel) or any of the match flags came back False; a query is
     latest-red when its most recent stamp is red — those must re-enter
     the window immediately so fixes get re-verified next round instead
-    of waiting behind the never-stamped backlog.
+    of waiting behind the never-stamped backlog. The latest-stamp round
+    feeds the freshness rotation (VERDICT r10 item 4): with the
+    never-stamped backlog at zero, idle window slots refresh the
+    oldest-stamped queries first, so stamp age climbs fleet-wide instead
+    of 53 queries riding their r1 stamp forever.
     """
     counts: dict[str, int] = {}
     latest: dict[str, bool] = {}
+    latest_round: dict[str, int] = {}
 
     def round_no(path: str) -> int:
         # sort by the PARSED round number — lexicographic order would put
@@ -75,8 +81,10 @@ def _stamp_state() -> tuple[dict[str, int], set[str]]:
             continue
         if not isinstance(rows, dict):
             continue
+        rno = round_no(path)
         for name, row in rows.items():
             counts[name] = counts.get(name, 0) + 1
+            latest_round[name] = rno
             red = False
             if isinstance(row, dict):
                 err = row.get("err")
@@ -86,7 +94,11 @@ def _stamp_state() -> tuple[dict[str, int], set[str]]:
                     if row.get(flag) is False:
                         red = True
             latest[name] = red
-    return counts, {name for name, red in latest.items() if red}
+    return (
+        counts,
+        {name for name, red in latest.items() if red},
+        latest_round,
+    )
 
 
 #: queries whose shipped plan changed OUTSIDE their @register block (an
@@ -100,12 +112,17 @@ def _stamp_state() -> tuple[dict[str, int], set[str]]:
 #: estimate headroom dropped for trusted sizes (VERDICT r09 item 8), so
 #: the derived physical grids of all four transitive call sites changed
 #: class again (results invariant — exact operators; oracle-green at
-#: sf0.001/0.01/0.1 this round). Prune each once its r10+ stamp lands:
+#: sf0.001/0.01/0.1 this round). The four r10 GEMM entries were pruned
+#: after their green r10 stamps (VERDICT r10 item 2). Current cohort:
+#: the three perceptual queries whose shared frame-hash pipeline is now
+#: materialized once per query via localCheckpoint inside
+#: operators/multimodal.py (VERDICT r10 item 1 — an operator-module
+#: rewrite the @register block hash cannot see). Prune each once its
+#: r11+ stamp lands:
 FORCE_RESTAMP = {
-    "dedup_embedding_cosine",
-    "knn_label_classify",
-    "ml_knn_confusion",
-    "ml_ranking_metrics",
+    "multimodal_perceptual_dup_census",
+    "multimodal_perceptual_near_pairs",
+    "multimodal_perceptual_cross_doc",
 }
 
 
@@ -162,7 +179,7 @@ PRIORITY_STAMP = {
 
 
 def _ordered_names() -> list[str]:
-    counts, reds = _stamp_state()
+    counts, reds, latest_round = _stamp_state()
     dirty = _dirty_names()
     reg_order = {name: i for i, name in enumerate(WORKLOAD)}
     return sorted(
@@ -172,6 +189,12 @@ def _ordered_names() -> list[str]:
             n not in dirty,
             counts.get(n, 0),
             n not in PRIORITY_STAMP,
+            # freshness rotation (VERDICT r10 item 4): with the backlog
+            # at zero, idle window slots refresh the OLDEST latest-stamp
+            # first, so min stamp age climbs every round instead of 53
+            # queries riding their r1 stamp while rotation chases only
+            # new work. Never jumps red/dirty or a lower stamp count.
+            latest_round.get(n, 0),
             reg_order[n],
         ),
     )

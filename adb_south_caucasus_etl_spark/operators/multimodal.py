@@ -89,6 +89,25 @@ def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(op, schema=BYTE_FEATURE_SCHEMA)
 
 
+def rebalance_for_python(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ahead of a Python crossing when the
+    input has FEWER partitions than the session's default parallelism.
+
+    A ``mapInPandas`` stage inherits its input's partitioning, and a
+    small single-file parquet scan yields ONE partition — so the whole
+    Arrow chunker runs single-threaded no matter how many cores the
+    session has (measured: the perceptual checkpoint stage dropped
+    ~2.4s -> sub-second at sf0.1 once the crossing ran on 32 tasks).
+    At 100 TB the scan already carries thousands of partitions, so the
+    guard makes this a no-op there — the shuffle is only paid exactly
+    when it is cheap (input smaller than one partition per core)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 #: output schema of sample_frames
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_len int"
 
@@ -522,8 +541,18 @@ def perceptual_frame_hash(
         *[c.alias(n) for n, c in keep.items()],
         *px,
     )
-    total = sum(F.col(f"__px{i}") for i in range(64))
-    bits = [(F.col(f"__px{i}") * 64 > total) for i in range(64)]
+    # the pixel sum is materialized as a COLUMN, not inlined: each of
+    # the 64 bit expressions references it, and an inline 64-term sum
+    # would blow the expression tree up to ~4k nodes (64 bits x 64-term
+    # sum) — measured ~1.5s of driver-side Catalyst analysis PER BUILD
+    # at any data size. As a non-cheap column used 64 times,
+    # CollapseProject keeps it shared and the tree stays ~500 nodes.
+    base = base.withColumn(
+        "__tot", sum(F.col(f"__px{i}") for i in range(64))
+    )
+    bits = [
+        (F.col(f"__px{i}") * 64 > F.col("__tot")) for i in range(64)
+    ]
 
     def _pack(lo_bit: int) -> F.Column:
         packed = F.lit(0).cast("long")
@@ -558,7 +587,14 @@ def perceptual_band_buckets(keys: DataFrame) -> DataFrame:
     bucket's member count windowed on as ``bucket_n``. One shuffle to
     key grain, one to band buckets; the shared input for both the pair
     join and the hot-bucket census, so a query computing both reads ONE
-    exchange."""
+    exchange.
+
+    ``keys`` needs only ``ah_hi``/``ah_lo``: when the ``band0..band3``
+    columns are absent (e.g. a doc-key aggregate that dropped them),
+    they are re-derived via :func:`band_columns` — the bands are pure
+    functions of the key, so the rebuild is exact and lets a caller
+    feed ONE materialized doc-key table to both the exact-link join and
+    the banded near-dup path instead of re-running the frame pipeline."""
     from pyspark.sql import Window
 
     # key-grain collapse via distinct over (key, bands) — the bands are
@@ -566,9 +602,17 @@ def perceptual_band_buckets(keys: DataFrame) -> DataFrame:
     # first()-style agg would plant a non-deterministic expression that
     # blocks plan canonicalization and with it every ReusedExchange
     # downstream consumers rely on
-    cl = keys.select(
-        "ah_hi", "ah_lo", "band0", "band1", "band2", "band3"
-    ).distinct()
+    if {"band0", "band1", "band2", "band3"} <= set(keys.columns):
+        cl = keys.select(
+            "ah_hi", "ah_lo", "band0", "band1", "band2", "band3"
+        ).distinct()
+    else:
+        derived = band_columns(F.col("ah_hi"), F.col("ah_lo"))
+        cl = keys.select(
+            "ah_hi",
+            "ah_lo",
+            *[c.alias(f"band{j}") for j, c in enumerate(derived)],
+        ).distinct()
     bands = cl.selectExpr(
         "ah_hi",
         "ah_lo",

@@ -1198,21 +1198,37 @@ def test_perceptual_frame_hash_planted_near_dups(spark):
     assert ham == 64
 
 
-def test_perceptual_census_reuses_cluster_exchange(spark):
-    """The census consumes the cluster aggregate from two scalar
-    branches; both must read ONE shared exchange (the bands branch
-    aggregates nd_eh precisely so pruning keeps the subtrees
-    canonically identical) — otherwise the documents scan + Arrow
-    chunker + 64-byte hash projection executes twice, a 2x linear scan
-    at 100 TB."""
+@pytest.mark.parametrize(
+    "name",
+    [
+        "multimodal_perceptual_dup_census",
+        "multimodal_perceptual_near_pairs",
+        "multimodal_perceptual_cross_doc",
+    ],
+)
+def test_perceptual_queries_pin_shared_frame(name, spark):
+    """VERDICT r10 item 1: each perceptual query MATERIALIZES its
+    shared frame-hash derivative once (eager localCheckpoint) so its
+    multi-key consumers stop re-running the documents scan + Arrow
+    chunker (9x/5x/3x observed). The final plan must therefore contain
+    ZERO parquet scans and ZERO Python stages — every consumer reads
+    the pinned RDD; the one real scan+chunk ran inside the checkpoint
+    job. ReusedExchange was the previous (insufficient) discipline:
+    consumers grouping by different keys fork above any shareable
+    exchange."""
     from adb_south_caucasus_etl_spark.workload import WORKLOAD
 
-    df = WORKLOAD["multimodal_perceptual_dup_census"].fn(
-        spark, "/root/testdata/sf0.001"
+    df = WORKLOAD[name].fn(spark, "/root/testdata/sf0.001")
+    df.collect()  # AQE: the honest shape is the FINAL plan
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
     )
-    df.collect()  # AQE: reuse is visible in the FINAL plan
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("MapInPandas") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 1, plan
 
 
 def test_perceptual_near_dup_pairs_operator(spark):
@@ -1313,21 +1329,38 @@ def test_near_dup_pairs_hot_band_does_not_suppress(spark):
     assert n == 1, f"pair emitted {n} times"
 
 
-def test_near_pairs_query_reuses_shared_buckets(spark):
-    """multimodal_perceptual_near_pairs fans four consumers (pair
-    probe/build, hot census, global mins) off one band-bucket frame;
-    the final adaptive plan must share it via ReusedExchange instead of
-    re-running the documents scan + Arrow chunker per consumer."""
-    from adb_south_caucasus_etl_spark.workload import WORKLOAD
-
-    df = WORKLOAD["multimodal_perceptual_near_pairs"].fn(
-        spark, "/root/testdata/sf0.001"
+def test_band_buckets_derives_bands_from_bare_keys(spark):
+    """perceptual_band_buckets over a frame WITHOUT band0..band3 (e.g.
+    a doc-key aggregate that dropped them) re-derives the bands from
+    the key via band_columns — byte-identical to the precomputed
+    columns, so a caller can feed one materialized doc-key table to
+    both link paths instead of re-running the frame pipeline."""
+    from adb_south_caucasus_etl_spark.operators.multimodal import (
+        band_columns,
+        perceptual_band_buckets,
     )
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    final = plan.split("== Initial Plan ==")[0]
-    # >= 2: one reuse between the pair join's probe/build sides plus at
-    # least one for the census/mins consumers — a single ReusedExchange
-    # would mean the bucket subtree forked for some consumer and the
-    # documents scan + Arrow chunker runs more than once
-    assert final.count("ReusedExchange") >= 2, final
+
+    keys = spark.createDataFrame(
+        [(0x1234_5678_9ABC_DEF0, 0x0FED_CBA9_8765_4321 & 0x7FFFFFFFFFFFFFFF),
+         (17, 65536 + 3)],
+        "ah_hi long, ah_lo long",
+    )
+    with_bands = keys.select(
+        "ah_hi",
+        "ah_lo",
+        *[
+            c.alias(f"band{j}")
+            for j, c in enumerate(
+                band_columns(F.col("ah_hi"), F.col("ah_lo"))
+            )
+        ],
+    )
+    a = {
+        tuple(r)
+        for r in perceptual_band_buckets(keys).collect()
+    }
+    b = {
+        tuple(r)
+        for r in perceptual_band_buckets(with_bands).collect()
+    }
+    assert a == b and len(a) == 8  # 2 keys x 4 bands
