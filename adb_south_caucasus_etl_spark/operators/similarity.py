@@ -522,8 +522,17 @@ def estimated_rows_exact(df: DataFrame) -> tuple[int, bool]:
         leaf = leaves.apply(0)
         if leaf.getClass().getSimpleName() == "LogicalRelation":
             try:
+                # footer truth is only TRUSTED for a SINGLE-root
+                # relation (ADVICE r10): a multi-root union scan whose
+                # first root alone was counted would yield an exact-
+                # labeled UNDER-count, shrinking the grid so per-cell
+                # GEMM memory bursts — the precise failure the estimate
+                # headroom exists to absorb. Catalog tables here are
+                # single-root; anything else falls through to the
+                # heuristic (trusted=False keeps the headroom).
+                roots = leaf.relation().location().rootPaths()
                 root = (
-                    leaf.relation().location().rootPaths().apply(0).toString()
+                    roots.apply(0).toString() if roots.size() == 1 else None
                 )
             except Exception:
                 root = None

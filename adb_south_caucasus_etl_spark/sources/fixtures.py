@@ -119,7 +119,19 @@ def _prune_stale_generations(root: str, prefix: str, keep: str) -> None:
 
     now = time.time()
     for path in _glob.glob(os.path.join(root, f"{prefix}_v*_*")):
-        if path == keep or ".stage-" in os.path.basename(path):
+        if path == keep:
+            # a signature can REVERT (testdata restored to a prior
+            # form), turning a tombstoned generation back into the keep
+            # target. Remove the stale marker (ADVICE r10): left in
+            # place, a LATER supersession would see an already-aged
+            # tombstone and rmtree on its very first observation — no
+            # grace window, the mid-scan reader protection gone.
+            try:
+                os.remove(os.path.join(path, _TOMBSTONE))
+            except OSError:
+                pass
+            continue
+        if ".stage-" in os.path.basename(path):
             continue
         marker = os.path.join(path, _TOMBSTONE)
         try:

@@ -156,15 +156,28 @@ def list_parquet_files(
     filesystem Spark can reach (local, HDFS, object stores). Driver
     metadata op, no data read. Shared by the compaction byte targeting
     below and the GEMM grid footer-truth sizing
-    (``operators/similarity._footer_truth``)."""
+    (``operators/similarity._footer_truth``).
+
+    Applies Spark's ``InMemoryFileIndex`` hidden-file rule to every
+    path segment BELOW ``path``: a segment starting with ``_`` or ``.``
+    (``_temporary`` job-commit debris, ``.staging`` dirs, dotfiles) is
+    invisible to Spark's reader, so counting it here would desync this
+    listing from what a scan actually reads — fatal for the
+    footer-truth path, which labels its result exact (ADVICE r10)."""
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    root_uri = fs.makeQualified(jvm_path).toUri().getPath().rstrip("/")
     it = fs.listFiles(jvm_path, True)
     files: list[tuple[str, int]] = []
     while it.hasNext():
         f = it.next()
-        if f.getPath().getName().endswith(".parquet"):
-            files.append((f.getPath().toUri().getPath(), f.getLen()))
+        p = f.getPath().toUri().getPath()
+        if not p.endswith(".parquet"):
+            continue
+        rel = p[len(root_uri):].lstrip("/") if p.startswith(root_uri) else p
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        files.append((p, f.getLen()))
     return files
 
 

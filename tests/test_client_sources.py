@@ -348,6 +348,21 @@ def test_fixture_stale_generations_are_pruned(spark, sf_dir):
         finally:
             os.rmdir(other)
             os.rmdir(inflight)
+        # signature REVERT (ADVICE r10): a generation that becomes the
+        # keep target again must have any leftover tombstone removed —
+        # otherwise a LATER supersession inherits the aged marker and
+        # the very next prune pass rmtrees it with no grace window
+        keep_marker = os.path.join(p, fx._TOMBSTONE)
+        with open(keep_marker, "w", encoding="utf-8") as fh:
+            fh.write("leftover\n")
+        old = time.time() - 2 * fx._PRUNE_GRACE_SECONDS
+        os.utime(keep_marker, (old, old))
+        _prune_stale_generations(root, "orders_by_month", p)
+        assert os.path.exists(p), "pruned the live generation"
+        assert not os.path.exists(keep_marker), (
+            "stale tombstone on the keep generation must be cleared so "
+            "a future supersession starts a fresh grace window"
+        )
     finally:
         if os.path.exists(fake_old):
             shutil.rmtree(fake_old, ignore_errors=True)

@@ -649,6 +649,19 @@ def test_estimated_rows_and_derived_grid(spark, sf_dir):
     est3, exact3 = estimated_rows_exact(sliced)
     assert (est3, exact3) == (sliced.count(), True)
     assert est3 < true
+    # ADVICE r10: footer truth is only trusted for SINGLE-root
+    # relations — a multi-root scan counted from rootPaths[0] alone
+    # would be an exact-labeled UNDER-count, shrinking the grid so
+    # per-cell GEMM memory bursts. A two-root read must fall through
+    # to the width heuristic (trusted=False keeps the headroom).
+    import os as _os
+
+    two_root = spark.read.parquet(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        _os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    est_mr, exact_mr = estimated_rows_exact(two_root)
+    assert exact_mr is False, (est_mr, exact_mr)
     nq, nc = derived_gemm_grid(emb, emb)
     floor = spark.sparkContext.defaultParallelism
     # the parallelism floor is work-damped: cells only multiply while

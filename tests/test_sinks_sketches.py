@@ -223,6 +223,41 @@ def test_rows_per_file_for_bytes_conversion(spark, tmp_path):
     assert 1 <= k1 <= k2, (k1, k2)
 
 
+def test_list_parquet_files_skips_hidden_debris(spark, tmp_path):
+    """ADVICE r10: the recursive listing must apply Spark's
+    InMemoryFileIndex hidden-file rule — path segments starting with
+    '_' or '.' below the root (``_temporary`` commit debris, dot-dirs)
+    are invisible to Spark's reader, so counting them would desync the
+    footer-truth row count from what a scan actually reads, with the
+    result mislabeled exact."""
+    import os
+
+    from adb_south_caucasus_etl_spark.sources.sinks import (
+        list_parquet_files,
+    )
+
+    src = str(tmp_path / "_underscored_root" / "tbl")
+    spark.range(100).write.mode("overwrite").parquet(src)
+    visible = list_parquet_files(spark, src)
+    assert visible and all(p.endswith(".parquet") for p, _ in visible)
+    # plant reader-invisible debris: a _temporary subtree, a dot-dir,
+    # and leading-underscore / dot files in the root itself
+    for d in ("_temporary/0/task", ".staging"):
+        os.makedirs(os.path.join(src, d), exist_ok=True)
+        with open(os.path.join(src, d, "part-x.parquet"), "wb") as fh:
+            fh.write(b"not really parquet")
+    for f in ("_debris.parquet", ".hidden.parquet"):
+        with open(os.path.join(src, f), "wb") as fh:
+            fh.write(b"junk")
+    after = list_parquet_files(spark, src)
+    assert sorted(after) == sorted(visible), (after, visible)
+    # the root's OWN ancestors may contain underscored segments (the
+    # rule applies only BELOW the listing root)
+    assert "_underscored_root" in after[0][0]
+    # and the surviving listing agrees with what Spark actually reads
+    assert spark.read.parquet(src).count() == 100
+
+
 def test_zorder_key_interleaves_bits(spark):
     from adb_south_caucasus_etl_spark.sources.sinks import zorder_key
 
