@@ -285,6 +285,83 @@ def unpartitioned_windows(df: DataFrame) -> tuple[list[str], list[str]]:
     return findings, notes
 
 
+#: physical node names of Python-crossing stages — each occurrence in a
+#: final plan is one more full execution of a Python pipeline over its
+#: input (Arrow/pickle transfer + worker compute); recomputing one of
+#: these over a data-scale scan is the VERDICT r10 recompute class
+PYTHON_STAGE_NODES = (
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "MapInArrow",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+)
+
+_SCAN_LOCATION_RE = None  # compiled lazily (module imports stay cheap)
+
+
+def scan_multiplicity(final_plan: str) -> tuple[dict[str, int], int]:
+    """Count how many times the FINAL executed plan re-reads each file
+    source and re-runs Python stages — the VERDICT r10 recompute class
+    that every other audit is blind to: a frame consumed by N
+    differently-keyed consumers forks above any canonically shareable
+    exchange, so the SAME scan + Python chunker executes N times. At
+    100 TB that is re-reading (and re-crossing into Python) the whole
+    corpus N times; the fix is materializing the shared derivative once
+    (eager ``localCheckpoint`` / scratch stage), after which the final
+    plan reads pinned RDDs and both counts drop.
+
+    Takes the final adaptive plan STRING (``executedPlan().toString()``
+    after an action, before any ``== Initial Plan ==`` section): the
+    recompute class is only honest post-AQE, where ReusedExchange /
+    stage reuse has already been applied — the analyzed logical tree
+    prints every reference and would flag legitimate reuse.
+
+    Returns ``(per-source scan counts, python stage count)``; bounded
+    dimension tables (nation/region — constant-size at every SF) are
+    excluded, a re-scan of those is broadcast-cheap forever."""
+    global _SCAN_LOCATION_RE
+    import re
+
+    if _SCAN_LOCATION_RE is None:
+        _SCAN_LOCATION_RE = re.compile(
+            r"Scan \w+ .*?Location: \w+\(\d+ paths?\)\[([^\],]+)"
+        )
+    counts: dict[str, int] = {}
+    for m in _SCAN_LOCATION_RE.finditer(final_plan):
+        base = m.group(1).rstrip("/").rsplit("/", 1)[-1]
+        if base.startswith(BOUNDED_DIM_PREFIXES):
+            continue
+        counts[base] = counts.get(base, 0) + 1
+    py = sum(final_plan.count(n) for n in PYTHON_STAGE_NODES)
+    return counts, py
+
+
+def scan_census_findings(
+    final_plan: str, max_repeats: int = 2
+) -> list[str]:
+    """Findings for :func:`scan_multiplicity`: any data-scale source
+    scanned more than ``max_repeats`` times, or more than
+    ``max_repeats`` Python-crossing stages, in one final plan. The
+    threshold tolerates the legitimate two-consumer shapes (a self-join
+    reading its table twice is plan-idiomatic; sharing it via an
+    explicit exchange is often slower than two pushed-down scans) while
+    catching the 3x+ recompute class. Queries with a written argument
+    go in the fleet test's allowlist, mirroring the broadcast audit."""
+    counts, py = scan_multiplicity(final_plan)
+    findings = [
+        f"source {src} scanned {n}x in the final plan"
+        for src, n in sorted(counts.items())
+        if n > max_repeats
+    ]
+    if py > max_repeats:
+        findings.append(
+            f"{py} Python-crossing stages in the final plan"
+        )
+    return findings
+
+
 def aggregate_grain_broadcasts(df: DataFrame) -> list[str]:
     """The documented false-negative census (module docstring): broadcast
     hints that classify bounded ONLY because a keyed Aggregate/Deduplicate

@@ -138,6 +138,97 @@ class TestImageMetadata:
         with pytest.raises(ValueError, match="pixel bytes"):
             encode_png_gray8(3, 3, b"\x00" * 8)
 
+    def test_decode_inverts_encode(self):
+        from adb_south_caucasus_etl_spark.operators.multimodal import (
+            decode_png_gray8,
+        )
+
+        px = bytes((i * 13 + 5) % 256 for i in range(16 * 16))
+        assert decode_png_gray8(encode_png_gray8(16, 16, px)) == (
+            16,
+            16,
+            px,
+        )
+        # corrupt / foreign inputs classify as None, never raise
+        for blob in (b"", b"garbage", b"\x89PNG\r\n\x1a\nxx"):
+            assert decode_png_gray8(blob) is None
+
+    def test_reencode_variant_same_pixels_different_bytes(self):
+        """VERDICT r10 item 6's planted adversary: a spec-legal
+        re-encode (split IDAT + ancillary tEXt) must differ at byte
+        level — exact hashes scatter it — while decoding to the SAME
+        pixels, so the decoded-pixel perceptual key unifies it."""
+        from adb_south_caucasus_etl_spark.operators.multimodal import (
+            decode_png_gray8,
+            png_reencode_variant,
+        )
+
+        px = bytes((i * 31) % 256 for i in range(16 * 16))
+        a = encode_png_gray8(16, 16, px)
+        b = png_reencode_variant(a)
+        assert a != b
+        assert b.count(b"IDAT") == 2 and b"tEXt" in b
+        assert decode_png_gray8(b) == (16, 16, px)
+        # and the variant stays spec-valid for the header parser too
+        fmt, w, h, depth, ctype, _n, valid = parse_image_header(b)
+        assert (fmt, w, h, depth, ctype, valid) == (
+            "png", 16, 16, 8, 0, True,
+        )
+
+    def test_reencode_lands_in_same_perceptual_cluster(self, spark):
+        """End-to-end re-encode unification: byte-different encodes of
+        the same pixels produce the SAME aHash key through the real
+        decode -> block-mean -> JVM hash pipeline, while an actually
+        different image produces a different key."""
+        from pyspark.sql import functions as F
+
+        from adb_south_caucasus_etl_spark.operators.multimodal import (
+            decoded_thumb_frames,
+            perceptual_frame_hash,
+            png_reencode_variant,
+        )
+
+        px1 = bytes((r * 5 + c * 3) % 256 for r in range(16) for c in range(16))
+        px2 = bytes(
+            (255 - (r * 5 + c * 3)) % 256 for r in range(16) for c in range(16)
+        )
+        a = encode_png_gray8(16, 16, px1)
+        rows = [
+            (1, a),
+            (2, png_reencode_variant(a)),
+            (3, encode_png_gray8(16, 16, px2)),
+        ]
+        imgs = spark.createDataFrame(rows, "img_id long, payload binary")
+        frames = decoded_thumb_frames(imgs, id_col="img_id")
+        keys = {
+            r.img_id: (r.ah_hi, r.ah_lo)
+            for r in perceptual_frame_hash(
+                frames, id_col="img_id"
+            ).collect()
+        }
+        assert keys[1] == keys[2], keys
+        assert keys[1] != keys[3], keys
+
+    def test_gray8_block_mean_integer_algebra(self):
+        from adb_south_caucasus_etl_spark.operators.multimodal import (
+            gray8_block_mean,
+        )
+
+        # 16x16 -> 8x8 via 2x2 blocks: mean = sum // 4, row-major
+        px = bytes((r * 16 + c) % 256 for r in range(16) for c in range(16))
+        bm = gray8_block_mean(16, 16, px)
+        assert bm is not None and len(bm) == 64
+        i, j = 3, 5
+        expect = (
+            px[(2 * i) * 16 + 2 * j]
+            + px[(2 * i) * 16 + 2 * j + 1]
+            + px[(2 * i + 1) * 16 + 2 * j]
+            + px[(2 * i + 1) * 16 + 2 * j + 1]
+        ) // 4
+        assert bm[i * 8 + j] == expect
+        # off-grid dimensions classify out instead of mis-slicing
+        assert gray8_block_mean(15, 16, px[:240]) is None
+
 
 class TestPolymorphicUdtf:
     def test_schema_follows_spec(self, spark):

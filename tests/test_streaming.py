@@ -42,6 +42,53 @@ def test_streaming_dedup_keeps_one_per_key(spark, sf_dir):
     assert out.select("user_id").distinct().count() == n_users
 
 
+def test_streaming_perceptual_dedup_unifies_byte_variants(spark, sf_dir):
+    """VERDICT r10 item 7: the live composition of the JVM aHash
+    projection with dropDuplicatesWithinWatermark must (a) drain under
+    availableNow to EXACTLY the batch-side perceptual key set, and (b)
+    actually unify byte-DIFFERENT frames — at least one surviving key
+    carries more than one byte variant, and none carries more than the
+    5 planted variants."""
+    from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+    out = WORKLOAD["streaming_perceptual_dedup"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "stream drained empty"
+    variants = [r.n_byte_variants for r in rows]
+    assert max(variants) > 1, (
+        "no key unified multiple byte variants — the near-dup claim "
+        "is untested"
+    )
+    assert max(variants) <= 5 and min(variants) >= 1, variants
+    # key set == batch algebra's key set (the join in the query is
+    # inner, so a phantom stream key would have been dropped — check
+    # the count against an independent batch recompute instead)
+    from adb_south_caucasus_etl_spark.operators.multimodal import (
+        perceptual_frame_hash,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    g = F.pmod(F.col("user_id"), F.lit(50))
+    vr = F.pmod(F.col("event_id"), F.lit(5)).cast("int")
+    pat6 = F.translate(F.lpad(F.bin(g), 6, "0"), "10", "x0")
+    var = F.element_at(F.array(*[F.lit(c) for c in "abcde"]), vr + 1)
+    frames = ev.select(
+        F.col("event_id").alias("fid"),
+        F.lit(0).alias("fi"),
+        F.encode(
+            F.concat(F.substring(F.repeat(pat6, 11), 1, 63), var),
+            "utf-8",
+        ).alias("frame"),
+    )
+    batch_keys = (
+        perceptual_frame_hash(frames, id_col="fid", idx_col="fi")
+        .select("ah_hi", "ah_lo")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == batch_keys, (len(rows), batch_keys)
+
+
 def test_sessionize_gap_boundaries(spark):
     import datetime as dt
 
