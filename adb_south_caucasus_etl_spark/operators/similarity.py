@@ -377,30 +377,6 @@ def gemm_grid(
     return nq, nc
 
 
-def _field_width_bytes(field: T.StructField) -> int:
-    """Rough in-memory width of one field, for rows-from-bytes fallback
-    estimation. Arrays honor a ``dim`` entry in the column metadata (the
-    embedding convention ``ivf_topk`` also reads); everything else uses
-    fixed order-of-magnitude defaults — grid sizing only needs the row
-    count to the right order, since blocks scale with its square root."""
-    dt = field.dataType
-    if isinstance(dt, T.ArrayType):
-        dim = None
-        try:
-            meta = field.metadata or {}
-            dim = int(meta["dim"]) if "dim" in meta else None
-        except (TypeError, ValueError, KeyError):
-            dim = None
-        return 8 * (dim if dim and dim > 0 else 32)
-    if isinstance(dt, T.StringType):
-        return 24
-    if isinstance(dt, T.BinaryType):
-        return 256
-    if isinstance(dt, (T.StructType, T.MapType)):
-        return 64
-    return 8
-
-
 #: per-root-path cache of (file_bytes, footer_rows) — base-table truth
 #: is immutable for a session's lifetime and several blocked operators
 #: size grids over the same table (embeddings, documents). Failures
@@ -458,14 +434,13 @@ def _plan_classes(node) -> set[str]:
 
 
 def estimated_rows_exact(df: DataFrame) -> tuple[int, bool]:
-    """Catalyst's row-count estimate for ``df`` WITHOUT running a data
-    job in the common cases — the stats feed for
-    :func:`derived_gemm_grid` (VERDICT r08 item 5). Returns
-    ``(rows, trusted)`` where ``trusted`` means the value carries no
-    UNDER-estimation risk (a defined rowCount statistic, an exact
-    count, or a footer-true parquet row count) — callers may then
-    spend their full byte budget instead of reserving estimate
-    headroom (VERDICT r09 item 8).
+    """EXACT row count for ``df`` WITHOUT running a data job in the
+    common cases — the stats feed for :func:`derived_gemm_grid`
+    (VERDICT r08 item 5). Returns ``(rows, trusted)``; since VERDICT
+    r10 item 8 retired the last width-heuristic path, EVERY resolution
+    is exact and ``trusted`` is always True (kept in the signature so
+    call sites read naturally; the estimate headroom it used to gate is
+    deleted).
 
     Resolution order:
 
@@ -482,32 +457,28 @@ def estimated_rows_exact(df: DataFrame) -> tuple[int, bool]:
       Footer truth would only be an upper bound, and a grid sized from
       an upper bound overshoots cells by the SQUARE of the selectivity
       (a 1% slice would get ~10^4x the cells its work needs);
-    - last resort: ``sizeInBytes`` divided by a schema-derived row
-      width, which UNDER-estimates parquet scans by the compression
-      ratio (``trusted=False`` → the caller keeps its headroom) —
-      acceptable for grid sizing, where the block count moves with
-      sqrt(rows) and the parallelism floor covers the low end.
+    - everything else (multi-leaf joins/unions, multi-root relations,
+      Generate fan-outs, non-parquet sources): ONE exact ``count()``,
+      with :func:`_counted`'s hidden-job warning when the lineage is
+      non-trivial. The retired fallback divided COMPRESSED parquet
+      bytes by an in-memory schema width, under-estimating rows by the
+      compression ratio — and the per-cell GEMM matrix grows with the
+      SQUARE of that error; one visible count is strictly cheaper than
+      a burst cell or the permanent 4x cell-count tax the old headroom
+      charged every derived grid.
 
-    Two classes of bogus ``sizeInBytes`` route to one exact ``count()``
-    job instead (a partial-count aggregate — no data shuffle beyond
+    The count() is a partial-count aggregate — no data shuffle beyond
     whatever the frame's OWN lineage requires, so a join-derived frame
     does pay its joins here; callers sizing a grid for an expensive
     lineage should derive from the stats-bearing base tables and pass
-    the grid explicitly, as ``ml_ranking_metrics`` does):
-
-    - frames rooted in a stat-less leaf (LogicalRDD from
-      ``createDataFrame`` / ``localCheckpoint``): the leaf reports the
-      planner's unknown sentinel (``spark.sql.defaultSizeInBytes`` =
-      Long.MaxValue), possibly SCALED DOWN by filter selectivities above
-      it — so detection must inspect the plan's LEAVES, not threshold
-      the byte count (a 0.05-selective filter over a sentinel leaf
-      yields ~4.6e17 "bytes": plausible-looking, still bogus);
-    - implausibly large fallback results (> 2^44 ≈ 1.7e13 rows, beyond
-      any 100 TB table): Catalyst's join/aggregate ``sizeInBytes``
-      MULTIPLIES child sizes without key stats, so a modest join output
-      can estimate at zettabytes — a grid derived from it overflows the
-      block-id int cast (caught live: a 2k-row threshold frame estimated
-      9.5e19 blocks)."""
+    the grid explicitly, as ``ml_ranking_metrics`` does. Frames rooted
+    in a stat-less leaf (LogicalRDD from ``createDataFrame`` /
+    ``localCheckpoint``) are detected by LEAF inspection, never by
+    thresholding the byte count: the leaf reports the planner's unknown
+    sentinel (``spark.sql.defaultSizeInBytes`` = Long.MaxValue),
+    possibly SCALED DOWN by filter selectivities above it, so a
+    0.05-selective filter over a sentinel leaf yields ~4.6e17
+    plausible-looking bytes."""
     qe = df._jdf.queryExecution()
     stats = qe.optimizedPlan().stats()
     rc = stats.rowCount()
@@ -517,19 +488,16 @@ def estimated_rows_exact(df: DataFrame) -> tuple[int, bool]:
     for i in range(leaves.size()):
         if leaves.apply(i).getClass().getSimpleName() == "LogicalRDD":
             return max(1, _counted(df, "stat-less LogicalRDD leaf")), True
-    size_in_bytes = int(str(stats.sizeInBytes()))
     if leaves.size() == 1:
         leaf = leaves.apply(0)
         if leaf.getClass().getSimpleName() == "LogicalRelation":
             try:
-                # footer truth is only TRUSTED for a SINGLE-root
-                # relation (ADVICE r10): a multi-root union scan whose
-                # first root alone was counted would yield an exact-
-                # labeled UNDER-count, shrinking the grid so per-cell
-                # GEMM memory bursts — the precise failure the estimate
-                # headroom exists to absorb. Catalog tables here are
-                # single-root; anything else falls through to the
-                # heuristic (trusted=False keeps the headroom).
+                # footer truth is only used for a SINGLE-root relation
+                # (ADVICE r10): a multi-root union scan whose first
+                # root alone was counted would be an exact-labeled
+                # UNDER-count, shrinking the grid so per-cell GEMM
+                # memory bursts. Catalog tables here are single-root;
+                # anything else takes the exact-count path below.
                 roots = leaf.relation().location().rootPaths()
                 root = (
                     roots.apply(0).toString() if roots.size() == 1 else None
@@ -547,9 +515,7 @@ def estimated_rows_exact(df: DataFrame) -> tuple[int, bool]:
             #   of the selectivity — run one exact count instead (a
             #   scan+filter lineage: column-pruned, predicate-pushed,
             #   the cheap case the _counted warning deliberately
-            #   exempts);
-            # - anything else (Generate fan-out, …): no bound either
-            #   way — fall through to the width heuristic.
+            #   exempts).
             nodes = _plan_classes(qe.optimizedPlan())
             pure = {"Project", "SubqueryAlias", "LogicalRelation"}
             if root is not None and nodes <= pure | {"Filter"}:
@@ -558,11 +524,11 @@ def estimated_rows_exact(df: DataFrame) -> tuple[int, bool]:
                     if nodes <= pure:
                         return truth[1], True
                     return max(1, _counted(df, "filtered scan")), True
-    width = max(8, sum(_field_width_bytes(f) for f in df.schema.fields))
-    est = max(1, size_in_bytes // width)
-    if est > 1 << 44:  # estimation blow-up, not a real table size
-        return max(1, _counted(df, "implausible sizeInBytes estimate")), True
-    return est, False
+    # everything else: ONE exact count, visible via _counted's warning
+    # when the lineage is non-trivial (VERDICT r10 item 8 — the width
+    # heuristic and the 4x headroom that absorbed its compression-ratio
+    # error are retired; see the docstring)
+    return max(1, _counted(df, "no stat-true shape")), True
 
 
 def _counted(df: DataFrame, why: str) -> int:
@@ -598,47 +564,28 @@ def estimated_rows(df: DataFrame) -> int:
     return estimated_rows_exact(df)[0]
 
 
-#: safety divisor on the per-cell byte budget ONLY when a side's size is
-#: the schema-width ESTIMATE (no rowCount statistic, no parquet footer
-#: truth, no exact count): that fallback divides COMPRESSED parquet
-#: bytes by in-memory width, under-estimating rows by the compression
-#: ratio — and the per-cell matrix grows with the SQUARE of that error
-#: (a 5x-compressed table would burst a naive 256 MB budget to 6.4 GB).
-#: Headroom of 4 absorbs ratios up to 2x per side. Sides with
-#: footer-true / stat-true / counted sizes pay NO headroom (VERDICT r09
-#: item 8): their grids spend the full budget instead of ~2x extra
-#: cells.
-ESTIMATE_BUDGET_HEADROOM = 4
-
-
 def derived_gemm_grid(
     queries: DataFrame,
     corpus: DataFrame,
     cell_budget_bytes: int = 256 << 20,
 ) -> tuple[int, int]:
-    """Stat-driven default grid for the blocked-GEMM operators: byte
-    budget for :func:`gemm_grid` (shrunk by
-    :data:`ESTIMATE_BUDGET_HEADROOM` only when either side's row count
-    is a width-heuristic guess — footer-true parquet sizes, defined
-    rowCount statistics, and exact-count fallbacks spend the full
-    budget), sizes from :func:`estimated_rows_exact`, parallelism floor
+    """Stat-driven default grid for the blocked-GEMM operators: exact
+    sizes from :func:`estimated_rows_exact` spending the FULL byte
+    budget (the estimate headroom died with the width heuristic —
+    VERDICT r10 item 8: every resolution path is now exact, so there is
+    no compression-ratio under-count left to absorb), parallelism floor
     from the session's ``defaultParallelism`` — so call sites that pass
     no explicit grid stay right from local[32] test SFs through a
     1000-executor 100 TB run without edits."""
     sc = queries.sparkSession.sparkContext
-    est_q, exact_q = estimated_rows_exact(queries)
+    est_q, _ = estimated_rows_exact(queries)
     # same frame on both sides (self-pairs, self-kNN): one estimate, and
     # at most one exact-count fallback job instead of two identical ones
-    est_c, exact_c = (
-        (est_q, exact_q)
-        if corpus is queries
-        else estimated_rows_exact(corpus)
-    )
-    headroom = 1 if (exact_q and exact_c) else ESTIMATE_BUDGET_HEADROOM
+    est_c = est_q if corpus is queries else estimated_rows_exact(corpus)[0]
     return gemm_grid(
         est_q,
         est_c,
-        max(1, cell_budget_bytes // headroom),
+        cell_budget_bytes,
         min_cells=max(1, sc.defaultParallelism),
     )
 

@@ -649,11 +649,12 @@ def test_estimated_rows_and_derived_grid(spark, sf_dir):
     est3, exact3 = estimated_rows_exact(sliced)
     assert (est3, exact3) == (sliced.count(), True)
     assert est3 < true
-    # ADVICE r10: footer truth is only trusted for SINGLE-root
-    # relations — a multi-root scan counted from rootPaths[0] alone
-    # would be an exact-labeled UNDER-count, shrinking the grid so
-    # per-cell GEMM memory bursts. A two-root read must fall through
-    # to the width heuristic (trusted=False keeps the headroom).
+    # ADVICE r10: footer truth is only used for SINGLE-root relations —
+    # a multi-root scan counted from rootPaths[0] alone would be an
+    # exact-labeled UNDER-count, shrinking the grid so per-cell GEMM
+    # memory bursts. A two-root read must take the exact-count path
+    # (VERDICT r10 item 8 retired the width heuristic) and see BOTH
+    # roots' rows.
     import os as _os
 
     two_root = spark.read.parquet(
@@ -661,7 +662,10 @@ def test_estimated_rows_and_derived_grid(spark, sf_dir):
         _os.path.join(sf_dir, "embeddings.parquet"),
     )
     est_mr, exact_mr = estimated_rows_exact(two_root)
-    assert exact_mr is False, (est_mr, exact_mr)
+    assert (est_mr, exact_mr) == (two_root.count(), True), (
+        est_mr, exact_mr,
+    )
+    assert est_mr > true  # not the single-root footer count
     nq, nc = derived_gemm_grid(emb, emb)
     floor = spark.sparkContext.defaultParallelism
     # the parallelism floor is work-damped: cells only multiply while
