@@ -93,12 +93,14 @@ def test_ordering_puts_red_then_dirty_then_never_stamped(monkeypatch):
     names = list(entry.WORKLOAD)
     red, dirty, fresh = names[0], names[1], names[2]
     stamped_clean = names[3]
+    old_stamp, new_stamp = names[4], names[5]
     monkeypatch.setattr(
         entry,
         "_stamp_state",
         lambda: (
-            {red: 2, dirty: 3, stamped_clean: 1},
+            {red: 2, dirty: 3, stamped_clean: 1, old_stamp: 1, new_stamp: 1},
             {red},
+            {red: 9, dirty: 9, stamped_clean: 1, old_stamp: 2, new_stamp: 8},
         ),
     )
     monkeypatch.setattr(entry, "_dirty_names", lambda: {dirty})
@@ -108,6 +110,12 @@ def test_ordering_puts_red_then_dirty_then_never_stamped(monkeypatch):
     assert ordered.index(fresh) < ordered.index(stamped_clean), (
         "never-stamped must precede stamped-clean"
     )
+    # freshness rotation (VERDICT r10 item 4): within an equal stamp
+    # count, the OLDEST latest-stamp refreshes first — regardless of
+    # registration order (stamped_clean/old_stamp/new_stamp all carry
+    # count 1; their latest rounds are 1 < 2 < 8)
+    assert ordered.index(stamped_clean) < ordered.index(old_stamp)
+    assert ordered.index(old_stamp) < ordered.index(new_stamp)
 
 
 def test_force_restamp_entries_are_real_queries():
@@ -144,7 +152,7 @@ def test_live_dirty_set_is_sane(monkeypatch):
     with open(sidecar_path, encoding="utf-8") as fh:
         sidecar = json.load(fh)
     assert dirty <= set(sidecar) | entry.FORCE_RESTAMP
-    counts, _ = entry._stamp_state()
+    counts, _, _ = entry._stamp_state()
     stamped = {n for n, c in counts.items() if c > 0 and n in entry.WORKLOAD}
     uncovered = stamped - set(sidecar)
     if uncovered:
