@@ -749,6 +749,93 @@ def perceptual_frame_hash(
     )
 
 
+def pcm_energy_hash(
+    clips: DataFrame,
+    id_col: str = "vec_id",
+    payload_col: str = "payload",
+    n_samples: int = 64,
+    keep: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """64-bit ENERGY-ENVELOPE perceptual key per PCM clip — the audio
+    sibling of :func:`perceptual_frame_hash`: bit ``i`` of the key is
+    ``|sample_i| * 64 > sum(|samples|)`` (derandomized integer compare
+    over int16 magnitudes), so the key captures WHERE the energy sits
+    in the clip and is INVARIANT to phase inversion (``s -> -s``
+    preserves every magnitude) — a real audio transform that scatters
+    exact byte hashes. Near-identical clips (inversion, sub-LSB dither)
+    keep the key or drift by a few bits; the four 16-bit band columns
+    make the output directly composable with
+    :func:`perceptual_band_buckets` / :func:`perceptual_near_dup_pairs`
+    for Hamming<=3 retrieval without an all-pairs stage.
+
+    Everything is JVM expression arithmetic over the binary payload:
+    little-endian int16 parse per sample
+    (``conv(hex(substring(payload, 2i+1, 1)))`` low byte + ``256 *``
+    high byte, two's-complement fixup), magnitude, and the same
+    bit-packing algebra as the image hash — restatable verbatim by a
+    SQL oracle over the quantized integers (the PCM roundtrip
+    discipline). Clips whose byte length is not exactly
+    ``2 * n_samples`` are filtered (curation classifies them first).
+    The magnitude sum is materialized as a COLUMN (the
+    perceptual_frame_hash analysis lesson: inlining it into all 64 bit
+    expressions costs ~1.5s of Catalyst analysis per build).
+
+    100 TB shape: clip-grain linear scan, no shuffle, no Python."""
+    keep = keep or {}
+    keep_names = list(keep)
+
+    def byte_at(pos: int) -> F.Column:
+        return F.conv(
+            F.hex(F.substring(F.col(payload_col), pos, 1)), 16, 10
+        ).cast("long")
+
+    es = []
+    for i in range(n_samples):
+        u = byte_at(2 * i + 1) + byte_at(2 * i + 2) * 256
+        s = F.when(u >= 32768, u - 65536).otherwise(u)
+        es.append(F.abs(s).alias(f"__e{i}"))
+    base = (
+        clips.filter(
+            F.length(F.col(payload_col)) == 2 * n_samples
+        )
+        .select(
+            F.col(id_col),
+            *[c.alias(n) for n, c in keep.items()],
+            *es,
+        )
+        .withColumn(
+            "__tot", sum(F.col(f"__e{i}") for i in range(n_samples))
+        )
+    )
+    bits = [
+        (F.col(f"__e{i}") * 64 > F.col("__tot"))
+        for i in range(n_samples)
+    ]
+
+    def _pack(lo_bit: int) -> F.Column:
+        packed = F.lit(0).cast("long")
+        for i in range(lo_bit, lo_bit + 32):
+            packed = packed + F.when(
+                bits[i], F.shiftleft(F.lit(1).cast("long"), i - lo_bit)
+            ).otherwise(F.lit(0).cast("long"))
+        return packed
+
+    keyed = base.select(
+        id_col,
+        *keep_names,
+        _pack(32).alias("ah_hi"),
+        _pack(0).alias("ah_lo"),
+    )
+    band_cols = band_columns(F.col("ah_hi"), F.col("ah_lo"))
+    return keyed.select(
+        id_col,
+        *keep_names,
+        "ah_hi",
+        "ah_lo",
+        *[c.alias(f"band{j}") for j, c in enumerate(band_cols)],
+    )
+
+
 def perceptual_band_buckets(keys: DataFrame) -> DataFrame:
     """Band-bucket frame for near-dup retrieval: ``keys``
     (:func:`perceptual_frame_hash` output, any grain) collapsed to KEY

@@ -24913,3 +24913,112 @@ def streaming_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return keys.join(bk, ["ah_hi", "ah_lo"])
+
+
+@register(
+    "multimodal_pcm_perceptual_census",
+    """
+    -- mirror of the Spark pipeline over the QUANTIZED integers (the
+    -- PCM roundtrip discipline of multimodal_pcm_features): sample_i =
+    -- half-away round of component_i * 1000; the phase-inverted
+    -- variant negates every sample (byte-different unless all-zero);
+    -- the energy-envelope key is the aHash algebra over |sample|.
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS s
+      FROM embeddings
+    ),
+    both_ AS (
+      SELECT s FROM q
+      UNION ALL
+      SELECT list_transform(s, x -> -x) FROM q
+    ),
+    np AS (
+      SELECT COUNT(*) AS n_clips, COUNT(DISTINCT s) AS n_pl FROM both_
+    ),
+    rows_ AS (
+      SELECT vec_id, CAST(generate_subscripts(s, 1) - 1 AS INTEGER) AS p,
+             abs(unnest(s)) AS e
+      FROM q
+    ),
+    t AS (
+      SELECT vec_id, p, e, SUM(e) OVER (PARTITION BY vec_id) AS tot
+      FROM rows_
+    ),
+    k AS (
+      SELECT vec_id,
+             SUM(CASE WHEN e * 64 > tot AND p >= 32
+                      THEN (CAST(1 AS BIGINT) << (p - 32))
+                      ELSE 0 END) AS ah_hi,
+             SUM(CASE WHEN e * 64 > tot AND p < 32
+                      THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS ah_lo
+      FROM t GROUP BY 1
+    ),
+    nk AS (SELECT COUNT(DISTINCT (ah_hi, ah_lo)) AS n_keys FROM k)
+    SELECT CAST(n_clips AS BIGINT) AS n_clips,
+           CAST(n_pl AS BIGINT) AS n_distinct_payloads,
+           CAST(n_keys AS BIGINT) AS n_perceptual_clusters,
+           CAST(n_pl - n_keys AS BIGINT) AS payloads_merged,
+           ROUND(1.0 - CAST(n_keys AS DOUBLE) / n_clips, 6) + 0.0
+             AS perceptual_dup_rate
+    FROM np, nk
+    """,
+    doc="Perceptual dedup for AUDIO - the third modality of the "
+        "perceptual family (image aHash, frame aHash, now PCM): every "
+        "embedding packs into REAL little-endian int16 PCM "
+        "(pack_pcm16), a PHASE-INVERTED variant (every sample negated "
+        "- byte-different, magnitude-identical; the classic transform "
+        "exact hashing scatters) rides beside it, and "
+        "pcm_energy_hash keys both on the 64-bit energy-envelope "
+        "aHash (bit i = |sample_i|*64 > sum|samples|, pure JVM int16 "
+        "parse + integer compare, zero Python in the hash path). The "
+        "census proves inversion unification in driver-checked "
+        "output: clips double payloads but clusters stay at the "
+        "energy-profile count, payloads_merged = the inverted "
+        "variants absorbed. Band columns make the keys directly "
+        "composable with perceptual_band_buckets / "
+        "perceptual_near_dup_pairs for banded Hamming<=3 retrieval. "
+        "Oracle restates quantization + magnitude algebra over the "
+        "embedding definition (the PCM roundtrip discipline), so the "
+        "stamp certifies pack -> parse -> hash end-to-end. At 100 TB: "
+        "one linear clip-grain scan, one 8-byte-key shuffle",
+)
+def multimodal_pcm_perceptual_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.multimodal import pack_pcm16, pcm_energy_hash
+
+    emb = Catalog(spark, sf_dir).embeddings
+    a = pack_pcm16(emb)
+    inverted = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    b = pack_pcm16(inverted)
+    clips = (
+        a.select((F.col("vec_id") * 2).alias("clip_id"), "payload")
+        .unionByName(
+            b.select(
+                (F.col("vec_id") * 2 + 1).alias("clip_id"), "payload"
+            )
+        )
+    )
+    ph = pcm_energy_hash(
+        clips, id_col="clip_id", keep={"pm": F.md5(F.col("payload"))}
+    )
+    n_clip = F.count(F.lit(1)).cast("bigint")
+    n_pl = F.count_distinct(F.col("pm")).cast("bigint")
+    n_cl = F.count_distinct(F.col("ah_hi"), F.col("ah_lo")).cast(
+        "bigint"
+    )
+    return ph.agg(
+        n_clip.alias("n_clips"),
+        n_pl.alias("n_distinct_payloads"),
+        n_cl.alias("n_perceptual_clusters"),
+        (n_pl - n_cl).alias("payloads_merged"),
+        (
+            F.round(F.lit(1.0) - n_cl.cast("double") / n_clip, 6) + 0.0
+        ).alias("perceptual_dup_rate"),
+    )

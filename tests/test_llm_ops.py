@@ -1346,6 +1346,57 @@ def test_near_dup_pairs_hot_band_does_not_suppress(spark):
     assert n == 1, f"pair emitted {n} times"
 
 
+def test_pcm_energy_hash_invariants(spark):
+    """The audio perceptual key: (a) phase inversion (negate every
+    sample) keeps the key bit-for-bit — magnitudes are unchanged — even
+    though the payload bytes differ; (b) moving energy to different
+    samples changes the key; (c) the output bands compose with the
+    generic banded pair retrieval (a 1-bit energy tweak meets its
+    original in a bucket at its true Hamming distance)."""
+    import numpy as np
+
+    from adb_south_caucasus_etl_spark.operators.multimodal import (
+        pcm_energy_hash,
+        perceptual_near_dup_pairs,
+    )
+
+    base = np.zeros(64, dtype="<i2")
+    base[5] = 20000
+    base[40] = -15000
+    inv = (-base.astype(np.int32)).astype("<i2")
+    other = np.zeros(64, dtype="<i2")
+    other[7] = 20000
+    other[40] = -15000  # one energy position moved vs base
+    rows = [
+        (1, base.tobytes()),
+        (2, inv.tobytes()),
+        (3, other.tobytes()),
+        (4, b"\x00" * 10),  # wrong length: filtered, not failed
+    ]
+    assert rows[0][1] != rows[1][1]  # inversion really differs in bytes
+    clips = spark.createDataFrame(rows, "clip_id long, payload binary")
+    got = {
+        r.clip_id: (r.ah_hi, r.ah_lo)
+        for r in pcm_energy_hash(clips, id_col="clip_id").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == got[2], got  # phase inversion unified
+    assert got[1] != got[3], got
+    # expected bits: exactly the above-mean samples (5, 40) for base
+    assert got[1] == (1 << (40 - 32), 1 << 5), got
+    # banded retrieval composability: base vs other differ at 2 bits
+    # (positions 5 and 7) and share bands 1-3 -> one candidate pair
+    keys = pcm_energy_hash(clips, id_col="clip_id").select(
+        "ah_hi", "ah_lo", "band0", "band1", "band2", "band3"
+    )
+    pairs = {
+        ((r.hi_a, r.lo_a), (r.hi_b, r.lo_b)): r.hamming
+        for r in perceptual_near_dup_pairs(keys).collect()
+    }
+    pair = (min(got[1], got[3]), max(got[1], got[3]))
+    assert pairs.get(pair) == 2, pairs
+
+
 def test_band_buckets_derives_bands_from_bare_keys(spark):
     """perceptual_band_buckets over a frame WITHOUT band0..band3 (e.g.
     a doc-key aggregate that dropped them) re-derives the bands from
