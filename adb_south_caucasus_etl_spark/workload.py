@@ -25022,3 +25022,175 @@ def multimodal_pcm_perceptual_census(
             F.round(F.lit(1.0) - n_cl.cast("double") / n_clip, 6) + 0.0
         ).alias("perceptual_dup_rate"),
     )
+
+
+@register(
+    "multimodal_pcm_near_pairs",
+    f"""
+    -- PCM-key variant of multimodal_perceptual_near_pairs: the key
+    -- derivation is the energy-envelope algebra of
+    -- multimodal_pcm_perceptual_census; the banded retrieval (bucket
+    -- join, hotness-aware first-cool-collision dedup, XOR bit_count
+    -- verify, hot-cap reporting) is restated verbatim.
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS s
+      FROM embeddings
+    ),
+    rows_ AS (
+      SELECT vec_id, CAST(generate_subscripts(s, 1) - 1 AS INTEGER) AS p,
+             abs(unnest(s)) AS e
+      FROM q
+    ),
+    t AS (
+      SELECT vec_id, p, e, SUM(e) OVER (PARTITION BY vec_id) AS tot
+      FROM rows_
+    ),
+    k AS (
+      SELECT vec_id,
+             SUM(CASE WHEN e * 64 > tot AND p >= 32
+                      THEN (CAST(1 AS BIGINT) << (p - 32))
+                      ELSE 0 END) AS ah_hi,
+             SUM(CASE WHEN e * 64 > tot AND p < 32
+                      THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS ah_lo
+      FROM t GROUP BY 1
+    ),
+    cl AS (SELECT ah_hi, ah_lo FROM k GROUP BY 1, 2),
+    bands AS (
+      SELECT b.band_id, CASE b.band_id
+               WHEN 0 THEN ah_lo & 65535 WHEN 1 THEN ah_lo >> 16
+               WHEN 2 THEN ah_hi & 65535 ELSE ah_hi >> 16 END AS bv,
+             ah_hi, ah_lo
+      FROM cl, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    sized AS (
+      SELECT band_id, bv, COUNT(*) OVER (PARTITION BY band_id, bv)
+               AS bucket_n, ah_hi, ah_lo
+      FROM bands
+    ),
+    hot AS (
+      SELECT COUNT(DISTINCT (band_id, bv)) AS n_hot,
+             COUNT(DISTINCT (ah_hi, ah_lo)) AS n_hot_keys
+      FROM sized WHERE bucket_n > {MAX_BAND_BUCKET}
+    ),
+    bmin AS (SELECT MIN(bucket_n) AS min_bucket FROM sized),
+    marked AS (
+      SELECT *, SUM(CASE WHEN bucket_n > {MAX_BAND_BUCKET}
+                         THEN (1 << band_id) ELSE 0 END)
+                  OVER (PARTITION BY ah_hi, ah_lo) AS hot_mask
+      FROM sized
+    ),
+    cand AS (
+      SELECT a.ah_hi AS hi_a, a.ah_lo AS lo_a,
+             b.ah_hi AS hi_b, b.ah_lo AS lo_b
+      FROM marked a JOIN marked b
+        ON a.band_id = b.band_id AND a.bv = b.bv
+       AND (a.ah_hi < b.ah_hi
+            OR (a.ah_hi = b.ah_hi AND a.ah_lo < b.ah_lo))
+      WHERE a.bucket_n <= {MAX_BAND_BUCKET} AND b.bucket_n <= {MAX_BAND_BUCKET}
+        AND NOT (
+          (a.band_id > 0 AND (a.ah_lo & 65535) = (b.ah_lo & 65535)
+             AND (a.hot_mask & 1) = 0 AND (b.hot_mask & 1) = 0)
+          OR (a.band_id > 1 AND (a.ah_lo >> 16) = (b.ah_lo >> 16)
+             AND (a.hot_mask & 2) = 0 AND (b.hot_mask & 2) = 0)
+          OR (a.band_id > 2 AND (a.ah_hi & 65535) = (b.ah_hi & 65535)
+             AND (a.hot_mask & 4) = 0 AND (b.hot_mask & 4) = 0)
+        )
+    ),
+    ham AS (
+      SELECT bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+               AS h
+      FROM cand
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(COALESCE(SUM(CASE WHEN h <= 3 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_verified_le3,
+           CAST(COALESCE(MIN(h), -1) AS INTEGER)
+             AS min_candidate_hamming,
+           (SELECT CAST(n_hot AS BIGINT) FROM hot)
+             AS n_hot_buckets_skipped,
+           (SELECT CAST(n_hot_keys AS BIGINT) FROM hot)
+             AS n_hot_keys_skipped,
+           (SELECT CAST(min_bucket AS BIGINT) FROM bmin)
+             AS min_band_bucket
+    FROM ham
+    """,
+    doc="Near-dup PAIR retrieval for AUDIO - pcm_energy_hash keys "
+        "(energy-envelope aHash over int16 magnitudes) fed through "
+        "the SAME generic banded machinery as the image family "
+        "(perceptual_band_buckets -> perceptual_near_dup_pairs: "
+        "pigeonhole 16-bit band buckets, hotness-aware first-cool-"
+        "collision dedup, XOR bit_count verify, buckets over "
+        "MAX_BAND_BUCKET keys skipped AND REPORTED). One operator "
+        "family, three modalities - the composability the band-column "
+        "contract exists for. The shared bucket frame is pinned "
+        "(eager localCheckpoint) so the pack_pcm16 Python stage and "
+        "the hash projection run once, not once per consumer (the "
+        "r11 scan-census discipline). Clip grain collapses to key "
+        "grain before banding, so join cost is bucket-bounded "
+        "regardless of clip multiplicity",
+)
+def multimodal_pcm_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        pack_pcm16,
+        pcm_energy_hash,
+        perceptual_band_buckets,
+        perceptual_near_dup_pairs,
+        rebalance_for_python,
+    )
+
+    emb = rebalance_for_python(Catalog(spark, sf_dir).embeddings)
+    ph = pcm_energy_hash(pack_pcm16(emb), id_col="vec_id")
+    # ONE pinned band-bucket frame for all four consumers (pair join
+    # probe+build, hot census, global mins): without the pin each
+    # consumer re-runs the pack_pcm16 mapInPandas + the 64-sample hash
+    # (the scan-census recompute class)
+    buckets = perceptual_band_buckets(ph).localCheckpoint(eager=True)
+    pairs = perceptual_near_dup_pairs(
+        buckets=buckets, max_bucket=MAX_BAND_BUCKET
+    )
+    hot = buckets.filter(F.col("bucket_n") > MAX_BAND_BUCKET).agg(
+        F.coalesce(
+            F.count_distinct(F.col("band_id"), F.col("bv")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_hot"),
+        F.coalesce(
+            F.count_distinct(F.col("ah_hi"), F.col("ah_lo")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_hot_keys"),
+    )
+    glob = buckets.agg(
+        F.count_distinct(F.col("ah_hi"), F.col("ah_lo"))
+        .cast("bigint")
+        .alias("n_clusters"),
+        F.min("bucket_n").cast("bigint").alias("min_band_bucket"),
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("hamming") <= 3, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_verified_le3"),
+        F.coalesce(F.min("hamming"), F.lit(-1))
+        .cast("int")
+        .alias("min_candidate_hamming"),
+    )
+    return (
+        glob.crossJoin(stats)
+        .crossJoin(hot)
+        .select(
+            "n_clusters",
+            "n_candidate_pairs",
+            "n_verified_le3",
+            "min_candidate_hamming",
+            F.col("n_hot").alias("n_hot_buckets_skipped"),
+            F.col("n_hot_keys").alias("n_hot_keys_skipped"),
+            "min_band_bucket",
+        )
+    )
