@@ -993,3 +993,77 @@ def perceptual_near_dup_pairs(
             + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
         ).cast("int"),
     )
+
+
+#: consecutive-frame Hamming distance above which a shot boundary is
+#: declared — shared by :func:`shot_segments`, its registered query and
+#: the DuckDB oracle so all three state the same segmentation
+SHOT_CUT_HAMMING = 16
+
+
+def shot_segments(
+    keys: DataFrame,
+    threshold: int = SHOT_CUT_HAMMING,
+    id_col: str = "doc_id",
+    idx_col: str = "frame_idx",
+) -> DataFrame:
+    """Temporal shot segmentation over :func:`perceptual_frame_hash`
+    output — the video shot-boundary-detection SHAPE on the engine's
+    frame pipeline: frames of one document are ordered by ``idx_col``,
+    the XOR ``bit_count`` Hamming distance between each frame's 64-bit
+    aHash and its predecessor's is the cut signal, and a NEW shot opens
+    wherever that distance exceeds ``threshold`` (a run of
+    perceptually-similar frames = one shot; the first frame always
+    opens shot 0). A real video pipeline swaps the fake codec upstream
+    (``sample_frames``) for libav decode; the segmentation algebra —
+    lag, popcount, running cut sum — does not change.
+
+    Returns SHOT grain: one row per ``(doc_id, shot_id)`` with
+    ``shot_len`` (frames), ``first_idx`` (the shot's opening frame
+    index — the keyframe a sampler would keep) and ``cut_ham`` (the
+    Hamming distance of the cut that opened the shot; NULL for shot 0,
+    which no cut opened).
+
+    100 TB shape: ONE shuffle partitioned by document (frames per doc
+    are codec-bounded, so no skew cliff), two ordered window passes
+    over each doc's frames fused into the same sort, then a combinable
+    group-by on (doc, shot) — no Python crossing, no self-join.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    prev_hi = F.lag("ah_hi").over(w)
+    prev_lo = F.lag("ah_lo").over(w)
+    lagged = keys.select(
+        id_col,
+        idx_col,
+        "ah_hi",
+        "ah_lo",
+        (
+            F.bit_count(F.col("ah_hi").bitwiseXOR(prev_hi))
+            + F.bit_count(F.col("ah_lo").bitwiseXOR(prev_lo))
+        )
+        .cast("int")
+        .alias("ham"),
+    )
+    cut = F.when(F.col("ham").isNull(), F.lit(0)).otherwise(
+        (F.col("ham") > threshold).cast("int")
+    )
+    flagged = lagged.select(
+        id_col,
+        idx_col,
+        "ham",
+        cut.alias("cut"),
+    ).withColumn(
+        "shot_id",
+        F.sum("cut").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy(id_col, "shot_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("shot_len"),
+        F.min(idx_col).cast("int").alias("first_idx"),
+        F.max(F.when(F.col("cut") == 1, F.col("ham")))
+        .cast("int")
+        .alias("cut_ham"),
+    )

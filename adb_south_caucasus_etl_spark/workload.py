@@ -25194,3 +25194,136 @@ def multimodal_pcm_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_band_bucket",
         )
     )
+
+
+@register(
+    "multimodal_shot_boundaries",
+    """
+    -- same ASCII byte==char equivalence + full-frame convention as
+    -- multimodal_perceptual_dup_census; threshold 16 is
+    -- multimodal.SHOT_CUT_HAMMING, stated identically on both engines
+    WITH i AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(0,
+               CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT)))
+               AS INTEGER) AS fi
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, fi, substring(text, fi * 64 + 1, 64) AS fc
+      FROM i
+    ),
+    px AS (
+      SELECT doc_id, fi, CAST(t.p AS INTEGER) AS p,
+             ascii(substring(fc, CAST(t.p AS INTEGER) + 1, 1)) AS v
+      FROM fr, (SELECT unnest(range(0, 64)) AS p) t
+    ),
+    s AS (
+      SELECT doc_id, fi, p, v,
+             SUM(v) OVER (PARTITION BY doc_id, fi) AS tot
+      FROM px
+    ),
+    k AS (
+      SELECT doc_id, fi,
+             SUM(CASE WHEN v * 64 > tot AND p >= 32
+                      THEN (CAST(1 AS BIGINT) << (p - 32))
+                      ELSE 0 END) AS ah_hi,
+             SUM(CASE WHEN v * 64 > tot AND p < 32
+                      THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS ah_lo
+      FROM s GROUP BY 1, 2
+    ),
+    lagd AS (
+      SELECT doc_id, fi, ah_hi, ah_lo,
+             LAG(ah_hi) OVER w AS ph, LAG(ah_lo) OVER w AS pl
+      FROM k WINDOW w AS (PARTITION BY doc_id ORDER BY fi)
+    ),
+    cuts AS (
+      SELECT doc_id, fi,
+             CASE WHEN ph IS NULL THEN NULL
+                  ELSE bit_count(xor(ah_hi, ph)) + bit_count(xor(ah_lo, pl))
+             END AS ham
+      FROM lagd
+    ),
+    flagged AS (
+      SELECT doc_id, fi, ham,
+             CASE WHEN ham IS NULL THEN 0
+                  WHEN ham > 16 THEN 1 ELSE 0 END AS cut
+      FROM cuts
+    ),
+    shots_f AS (
+      SELECT doc_id, fi, ham, cut,
+             SUM(cut) OVER (PARTITION BY doc_id ORDER BY fi
+                            ROWS UNBOUNDED PRECEDING) AS shot_id
+      FROM flagged
+    ),
+    seg AS (
+      SELECT doc_id, shot_id, COUNT(*) AS shot_len,
+             MAX(CASE WHEN cut = 1 THEN ham END) AS cut_ham
+      FROM shots_f GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_shots, SUM(shot_len) AS n_frames,
+             MAX(shot_len) AS max_shot_len,
+             COALESCE(MAX(cut_ham), -1) AS max_cut_ham
+      FROM seg GROUP BY 1
+    )
+    SELECT CAST(n_shots AS BIGINT) AS n_shots,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+           CAST(MAX(max_shot_len) AS BIGINT) AS max_shot_len,
+           CAST(MAX(max_cut_ham) AS INTEGER) AS max_cut_ham
+    FROM per_doc GROUP BY 1
+    """,
+    doc="Temporal SHOT segmentation - the video shot-boundary-"
+        "detection shape over the perceptual frame pipeline "
+        "(operators/multimodal.shot_segments): frames of one document "
+        "ordered by index, consecutive-frame aHash Hamming distance "
+        "(XOR bit_count, pure JVM arithmetic) as the cut signal, a new "
+        "shot wherever it exceeds SHOT_CUT_HAMMING=16, so a shot is a "
+        "run of perceptually-similar frames and its first frame is the "
+        "keyframe a sampler keeps. Reports the per-document shot-count "
+        "distribution (n_docs per n_shots) with frame totals, the "
+        "longest within-shot run and the strongest opening cut - all "
+        "integer algebra, restated verbatim by the oracle. 100 TB "
+        "shape: one shuffle partitioned by doc (frames per doc codec-"
+        "bounded), both ordered windows fused into one sort, then two "
+        "combinable group-bys; no self-join, no Python beyond the "
+        "shared Arrow chunker",
+)
+def multimodal_shot_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.multimodal import (
+        perceptual_frame_hash,
+        rebalance_for_python,
+        sample_frames,
+        shot_segments,
+        with_binary_payload,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    frames = sample_frames(
+        rebalance_for_python(with_binary_payload(docs)),
+        frame_bytes=64,
+        stride=1,
+    )
+    seg = shot_segments(perceptual_frame_hash(frames))
+    per_doc = seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shots"),
+        F.sum("shot_len").alias("n_frames"),
+        F.max("shot_len").alias("max_shot_len"),
+        F.coalesce(F.max("cut_ham"), F.lit(-1)).alias("max_cut_ham"),
+    )
+    return per_doc.groupBy("n_shots").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+        F.max("max_shot_len").cast("bigint").alias("max_shot_len"),
+        F.max("max_cut_ham").cast("int").alias("max_cut_ham"),
+    ).select(
+        F.col("n_shots").cast("bigint").alias("n_shots"),
+        "n_docs",
+        "total_frames",
+        "max_shot_len",
+        "max_cut_ham",
+    )

@@ -1432,3 +1432,44 @@ def test_band_buckets_derives_bands_from_bare_keys(spark):
         for r in perceptual_band_buckets(with_bands).collect()
     }
     assert a == b and len(a) == 8  # 2 keys x 4 bands
+
+
+def test_shot_segments_planted_cuts(spark):
+    """Shot segmentation over a planted frame sequence: a run of
+    identical frames is ONE shot (Hamming 0 between neighbors), a
+    1-pixel re-encode stays inside the shot (same key), and a reversed-
+    ramp frame (Hamming 64) opens a new one; shot 0 carries no cut_ham
+    and each later shot records the distance of the cut that opened
+    it; per-doc windows never leak across documents."""
+    from adb_south_caucasus_etl_spark.operators.multimodal import (
+        perceptual_frame_hash,
+        shot_segments,
+    )
+
+    base = list(range(64))
+    noisy = [1] + base[1:]  # same aHash key as base
+    other = list(reversed(base))  # Hamming 64 from base
+    rows = [
+        # doc 1: base, base, noisy  | cut | other, other  -> 2 shots
+        (1, 0, bytearray(base)),
+        (1, 1, bytearray(base)),
+        (1, 2, bytearray(noisy)),
+        (1, 3, bytearray(other)),
+        (1, 4, bytearray(other)),
+        # doc 2: one frame -> 1 shot, no cut
+        (2, 0, bytearray(other)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, frame binary"
+    )
+    seg = shot_segments(perceptual_frame_hash(df)).collect()
+    bykey = {(r.doc_id, r.shot_id): r for r in seg}
+    assert set(bykey) == {(1, 0), (1, 1), (2, 0)}
+    assert bykey[(1, 0)].shot_len == 3
+    assert bykey[(1, 0)].first_idx == 0
+    assert bykey[(1, 0)].cut_ham is None
+    assert bykey[(1, 1)].shot_len == 2
+    assert bykey[(1, 1)].first_idx == 3
+    assert bykey[(1, 1)].cut_ham == 64
+    assert bykey[(2, 0)].shot_len == 1
+    assert bykey[(2, 0)].cut_ham is None
