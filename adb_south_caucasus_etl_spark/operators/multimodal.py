@@ -1067,3 +1067,117 @@ def shot_segments(
         .cast("int")
         .alias("cut_ham"),
     )
+
+
+#: per-key total-frame cap for the temporal-alignment frame join — a key
+#: carried by more frames than this is degenerate boilerplate (all-black
+#: frames, blank lines) whose matches say nothing about copying; skipped
+#: keys MUST be reported by callers (no silent caps). Shared by the
+#: operator, the registered query and the DuckDB oracle.
+MAX_ALIGN_KEY_FRAMES = 64
+
+
+def frame_key_counts(keys: DataFrame) -> DataFrame:
+    """Frame-grain key table for temporal alignment: the
+    :func:`perceptual_frame_hash` output narrowed to
+    ``(doc_id, frame_idx, ah_hi, ah_lo)`` with each key's TOTAL frame
+    count windowed on as ``key_n`` — the shared input for both the
+    hot-key census and the cool-key match join, so a query computing
+    both pins ONE frame (the near_pairs bucket discipline at frame
+    grain)."""
+    from pyspark.sql import Window
+
+    return keys.select(
+        "doc_id", "frame_idx", "ah_hi", "ah_lo"
+    ).withColumn(
+        "key_n",
+        F.count(F.lit(1)).over(Window.partitionBy("ah_hi", "ah_lo")),
+    )
+
+
+def temporal_alignment_pairs(
+    kf: DataFrame,
+    max_key_frames: int = MAX_ALIGN_KEY_FRAMES,
+) -> DataFrame:
+    """Offset-consistent copied-segment detection between documents —
+    the video copy-detection SHAPE over perceptual frame keys: frames
+    of two documents matching on their 64-bit aHash vote for the index
+    offset ``fa - fb``; a run of CONSECUTIVE frame indexes at one
+    offset is an aligned segment (the gaps-and-islands grouping
+    ``fa - row_number()``), and the pair's ``best_run`` is its longest
+    such segment — a shared intro, a quoted block, a re-broadcast clip.
+    Exact frame links (any census) cannot distinguish a scattered
+    coincidence from a copied RUN; offset consistency can.
+
+    ``kf`` is :func:`frame_key_counts` output (pin it when the caller
+    also censuses hot keys). Keys carried by more than
+    ``max_key_frames`` frames are SKIPPED — a degenerate key (all-black
+    frame) would otherwise fan out quadratically — and callers must
+    REPORT the skips (no silent caps).
+
+    Returns PAIR grain, ``doc_a < doc_b``: ``best_run`` (longest
+    aligned segment, frames), ``best_offset`` (smallest offset
+    achieving it — deterministic under ties), ``n_matches`` (all
+    matched frame pairs), ``n_offsets`` (distinct offsets seen).
+
+    100 TB shape: one shuffle on 8-byte keys for the match join (key
+    fan-out bounded by the cap), one on (pair, offset) for the island
+    window, then combinable group-bys — no all-pairs stage, no Python.
+    """
+    from pyspark.sql import Window
+
+    cool = kf.filter(F.col("key_n") <= max_key_frames)
+    a = cool.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("frame_idx").alias("fa"),
+        "ah_hi",
+        "ah_lo",
+    )
+    b = cool.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("frame_idx").alias("fb"),
+        "ah_hi",
+        "ah_lo",
+    )
+    m = (
+        a.join(b, ["ah_hi", "ah_lo"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "fa",
+            (F.col("fa") - F.col("fb")).alias("off"),
+        )
+    )
+    # gaps-and-islands: within (pair, offset) the matched fa values are
+    # unique (one key per frame), so consecutive indexes share
+    # fa - row_number() — each island is one aligned segment
+    wr = Window.partitionBy("doc_a", "doc_b", "off").orderBy("fa")
+    runs = m.withColumn("grp", F.col("fa") - F.row_number().over(wr))
+    rg = runs.groupBy("doc_a", "doc_b", "off", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    po = rg.groupBy("doc_a", "doc_b", "off").agg(
+        F.max("run_len").alias("run_max"),
+        F.sum("run_len").alias("n_m"),
+    )
+    # lexicographic struct max = (longest run, then SMALLEST offset) —
+    # a deterministic argmax with no second join
+    pair = po.groupBy("doc_a", "doc_b").agg(
+        F.max(
+            F.struct(
+                F.col("run_max").alias("r"),
+                (-F.col("off")).alias("no"),
+            )
+        ).alias("best"),
+        F.sum("n_m").alias("n_matches"),
+        F.count(F.lit(1)).alias("n_offsets"),
+    )
+    return pair.select(
+        "doc_a",
+        "doc_b",
+        F.col("best.r").cast("bigint").alias("best_run"),
+        (-F.col("best.no")).cast("int").alias("best_offset"),
+        F.col("n_matches").cast("bigint").alias("n_matches"),
+        F.col("n_offsets").cast("bigint").alias("n_offsets"),
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.asof import asof_join
-from .operators.multimodal import MAX_BAND_BUCKET
+from .operators.multimodal import MAX_ALIGN_KEY_FRAMES, MAX_BAND_BUCKET
 from .operators.topk import topk_per_group
 from .plans.cube import CubeQuery, compile_query, members
 from .sources.registry import Catalog
@@ -25326,4 +25326,171 @@ def multimodal_shot_boundaries(
         "total_frames",
         "max_shot_len",
         "max_cut_ham",
+    )
+
+
+@register(
+    "multimodal_temporal_alignment",
+    f"""
+    -- same ASCII byte==char equivalence + full-frame convention as
+    -- multimodal_perceptual_dup_census; the per-key frame cap is
+    -- multimodal.MAX_ALIGN_KEY_FRAMES, stated identically on both
+    -- engines (skips REPORTED, no silent caps)
+    WITH i AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(0,
+               CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT)))
+               AS INTEGER) AS fi
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, fi, substring(text, fi * 64 + 1, 64) AS fc
+      FROM i
+    ),
+    px AS (
+      SELECT doc_id, fi, CAST(t.p AS INTEGER) AS p,
+             ascii(substring(fc, CAST(t.p AS INTEGER) + 1, 1)) AS v
+      FROM fr, (SELECT unnest(range(0, 64)) AS p) t
+    ),
+    s AS (
+      SELECT doc_id, fi, p, v,
+             SUM(v) OVER (PARTITION BY doc_id, fi) AS tot
+      FROM px
+    ),
+    k AS (
+      SELECT doc_id, fi,
+             SUM(CASE WHEN v * 64 > tot AND p >= 32
+                      THEN (CAST(1 AS BIGINT) << (p - 32))
+                      ELSE 0 END) AS ah_hi,
+             SUM(CASE WHEN v * 64 > tot AND p < 32
+                      THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS ah_lo
+      FROM s GROUP BY 1, 2
+    ),
+    kc AS (
+      SELECT doc_id, fi, ah_hi, ah_lo,
+             COUNT(*) OVER (PARTITION BY ah_hi, ah_lo) AS key_n
+      FROM k
+    ),
+    hot AS (
+      SELECT COUNT(DISTINCT (ah_hi, ah_lo)) AS n_hot_keys,
+             COUNT(*) AS n_hot_frames
+      FROM kc WHERE key_n > {MAX_ALIGN_KEY_FRAMES}
+    ),
+    cool AS (SELECT * FROM kc WHERE key_n <= {MAX_ALIGN_KEY_FRAMES}),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fi AS fa,
+             a.fi - b.fi AS off
+      FROM cool a JOIN cool b
+        ON a.ah_hi = b.ah_hi AND a.ah_lo = b.ah_lo
+      WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, off, fa,
+             fa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, off
+                                     ORDER BY fa) AS grp
+      FROM m
+    ),
+    rg AS (
+      SELECT doc_a, doc_b, off, grp, COUNT(*) AS run_len
+      FROM runs GROUP BY 1, 2, 3, 4
+    ),
+    po AS (
+      SELECT doc_a, doc_b, off, MAX(run_len) AS run_max,
+             SUM(run_len) AS n_m
+      FROM rg GROUP BY 1, 2, 3
+    ),
+    pair AS (
+      SELECT doc_a, doc_b, MAX(run_max) AS best_run,
+             SUM(n_m) AS n_matches, COUNT(*) AS n_offsets
+      FROM po GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT p.doc_a, p.doc_b, p.best_run, p.n_matches, p.n_offsets,
+             MIN(o.off) AS best_offset
+      FROM pair p JOIN po o
+        ON p.doc_a = o.doc_a AND p.doc_b = o.doc_b
+       AND o.run_max = p.best_run
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    top AS (
+      SELECT * FROM best
+      ORDER BY best_run DESC, n_matches DESC, doc_a, doc_b
+      LIMIT 10
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a,
+           CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(best_run AS BIGINT) AS best_run,
+           CAST(best_offset AS INTEGER) AS best_offset,
+           CAST(n_matches AS BIGINT) AS n_matches,
+           CAST(n_offsets AS BIGINT) AS n_offsets,
+           (SELECT CAST(n_hot_keys AS BIGINT) FROM hot)
+             AS n_hot_keys_skipped,
+           (SELECT CAST(n_hot_frames AS BIGINT) FROM hot)
+             AS n_hot_frames_skipped
+    FROM top
+    """,
+    doc="Offset-consistent copied-segment detection - the video copy-"
+        "detection shape over perceptual frame keys (operators/"
+        "multimodal.temporal_alignment_pairs): frames of two documents "
+        "matching on their 64-bit aHash vote for the index offset "
+        "fa - fb, consecutive indexes at one offset form an aligned "
+        "segment (gaps-and-islands), and a pair's best_run is its "
+        "longest - a shared intro or re-broadcast clip that scattered "
+        "exact links (multimodal_perceptual_cross_doc) cannot "
+        "distinguish from coincidence. Top-10 pairs by (best_run, "
+        "n_matches, doc_a, doc_b) - a total order - with the hot-key "
+        "skip census carried on every row (keys in more than "
+        f"{MAX_ALIGN_KEY_FRAMES} frames are degenerate boilerplate; "
+        "skipped AND reported - no silent caps). The frame-key table "
+        "is pinned once (localCheckpoint) and feeds the hot census and "
+        "both join sides; one key-join shuffle (fan-out cap-bounded), "
+        "one (pair, offset) window shuffle, then combinable group-bys",
+)
+def multimodal_temporal_alignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.multimodal import (
+        MAX_ALIGN_KEY_FRAMES,
+        frame_key_counts,
+        perceptual_frame_hash,
+        rebalance_for_python,
+        sample_frames,
+        temporal_alignment_pairs,
+        with_binary_payload,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    frames = sample_frames(
+        rebalance_for_python(with_binary_payload(docs)),
+        frame_bytes=64,
+        stride=1,
+    )
+    # ONE pinned frame-grain key table feeds the hot census and both
+    # sides of the match join (the near_pairs bucket discipline): the
+    # documents scan + Arrow chunker run exactly once per query
+    kf = frame_key_counts(perceptual_frame_hash(frames)).localCheckpoint(
+        eager=True
+    )
+    hot = kf.filter(F.col("key_n") > MAX_ALIGN_KEY_FRAMES).agg(
+        F.coalesce(
+            F.count_distinct(F.col("ah_hi"), F.col("ah_lo")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_hot_keys_skipped"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hot_frames_skipped"),
+    )
+    pairs = temporal_alignment_pairs(kf)
+    top = pairs.orderBy(
+        F.desc("best_run"), F.desc("n_matches"), "doc_a", "doc_b"
+    ).limit(10)
+    return top.crossJoin(hot).select(
+        "doc_a",
+        "doc_b",
+        "best_run",
+        "best_offset",
+        "n_matches",
+        "n_offsets",
+        "n_hot_keys_skipped",
+        "n_hot_frames_skipped",
     )

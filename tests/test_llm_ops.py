@@ -1473,3 +1473,46 @@ def test_shot_segments_planted_cuts(spark):
     assert bykey[(1, 1)].cut_ham == 64
     assert bykey[(2, 0)].shot_len == 1
     assert bykey[(2, 0)].cut_ham is None
+
+
+def test_temporal_alignment_planted_runs(spark):
+    """Offset-consistent alignment over planted frame keys: a copied
+    3-frame segment at one offset is ONE run of 3 (not three scattered
+    links), a same-key match at a different offset stays a run of 1,
+    ties on best_run resolve to the SMALLEST offset, and a key above
+    the per-key frame cap is skipped entirely."""
+    from adb_south_caucasus_etl_spark.operators.multimodal import (
+        frame_key_counts,
+        temporal_alignment_pairs,
+    )
+
+    K = lambda i: (0, 1 << i)  # distinct 64-bit keys
+    rows = [
+        # doc 1: keys A B C D E at frames 0..4
+        *[(1, fi, *K(fi)) for fi in range(5)],
+        # doc 2: B C D copied at frames 10..12 (offset -9), A again at
+        # frame 20 (offset -20, scattered)
+        (2, 10, *K(1)),
+        (2, 11, *K(2)),
+        (2, 12, *K(3)),
+        (2, 20, *K(0)),
+        # docs 3/4 share a hot key H in 3 frames total (> cap 2)
+        (3, 0, *K(62)),
+        (4, 0, *K(62)),
+        (4, 1, *K(62)),
+    ]
+    keys = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, ah_hi long, ah_lo long"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r
+        for r in temporal_alignment_pairs(
+            frame_key_counts(keys), max_key_frames=2
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2)}  # hot-key pair (3,4) skipped
+    p = pairs[(1, 2)]
+    assert p.best_run == 3
+    assert p.best_offset == -9
+    assert p.n_matches == 4
+    assert p.n_offsets == 2
