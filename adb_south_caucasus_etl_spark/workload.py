@@ -25494,3 +25494,213 @@ def multimodal_temporal_alignment(
         "n_hot_keys_skipped",
         "n_hot_frames_skipped",
     )
+
+
+@register(
+    "search_hybrid_rrf",
+    r"""
+    -- hybrid retrieval: the probe query is fixed — its TEXT form is the
+    -- three BM25 terms, its EMBEDDING form is document 0's vector
+    -- (embeddings.vec_id is the document key; both tables share id space)
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+               AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    bm25 AS (
+      SELECT tf.doc_id,
+             SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN df ON tf.tok = df.tok
+      CROSS JOIN stats
+      WHERE tf.tok IN ('data', 'spark', 'query') AND tf.doc_id <> 0
+      GROUP BY 1
+    ),
+    lexr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+               ORDER BY ROUND(s, 5) DESC, doc_id) AS rank_lex
+      FROM bm25 QUALIFY rank_lex <= 50
+    ),
+    t AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM t
+    ),
+    q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id,
+             ROUND(list_sum(list_transform(range(1, len(v) + 1),
+                   i -> v[i] * qv[i])) / (nrm * qn), 4) AS s
+      FROM n, q WHERE vec_id <> 0
+    ),
+    semr AS (
+      SELECT vec_id, ROW_NUMBER() OVER (
+               ORDER BY s DESC, vec_id) AS rank_sem
+      FROM sem QUALIFY rank_sem <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.vec_id) AS id,
+             COALESCE(l.rank_lex, -1) AS rank_lex,
+             COALESCE(s.rank_sem, -1) AS rank_sem,
+             ROUND(COALESCE(1.0 / (60 + l.rank_lex), 0.0)
+                   + COALESCE(1.0 / (60 + s.rank_sem), 0.0), 6) AS rrf
+      FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.vec_id
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(rank_lex AS INTEGER) AS rank_lex,
+           CAST(rank_sem AS INTEGER) AS rank_sem,
+           rrf
+    FROM fused ORDER BY rrf DESC, id LIMIT 10
+    """,
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al.): "
+        "a BM25 lexical ranking (text_bm25_topk's scorer summed over "
+        "the probe terms) and an embedding-cosine semantic ranking "
+        "(probe vector = document 0's embedding; vec_id is the "
+        "document key) each produce a top-50 list, and a document's "
+        "fused score is sum(1 / (60 + rank)) over the lists it appears "
+        "in - the standard engine-agnostic fusion that needs NO score "
+        "calibration between modalities. Ranks are assigned over "
+        "ROUNDED scores (round-5 BM25, round-4 cosine) so a 1-ulp "
+        "cross-engine ln/dot drift cannot flip a rank; RRF itself is "
+        "integer-rank arithmetic. Both rankings bound their frame "
+        "before ranking (top-50 TakeOrderedAndProject, then a window "
+        "over 50 rows) - no data-scale single-partition window. 100 TB "
+        "shape: the lexical side is the inverted-index build (linear "
+        "shuffles), the semantic side one broadcast probe pass; fusion "
+        "joins two 50-row lists",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    toks = docs.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    bm25 = (
+        tf.filter(
+            F.col("tok").isin("data", "spark", "query")
+            & (F.col("doc_id") != 0)
+        )
+        .join(dl, "doc_id")
+        .join(df_t, "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s")
+        )
+    )
+    # bound the frame BEFORE ranking: top-50 via TakeOrderedAndProject,
+    # then the row_number window runs over <=50 rows (GlobalLimit-
+    # bounded — never a data-scale single-partition window); rank over
+    # the ROUNDED score so a 1-ulp ln drift cannot flip a rank
+    lex50 = (
+        bm25.select("doc_id", F.round("s", 5).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(50)
+    )
+    lexr = lex50.withColumn(
+        "rank_lex",
+        F.row_number().over(
+            Window.orderBy(F.desc("s"), "doc_id")
+        ),
+    ).select("doc_id", "rank_lex")
+
+    emb = cat.embeddings
+    t = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    n = t.withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr("aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")
+        ),
+    )
+    # the probe is exactly one row (vec_id = 0); the no-op LIMIT makes
+    # that bound VISIBLE to the broadcast auditor (GlobalLimit in the
+    # hinted subtree — the literal-id-cut discipline)
+    q = (
+        n.filter(F.col("vec_id") == 0)
+        .select(F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        .limit(1)
+    )
+    sem = (
+        n.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, "
+                    "(a, x) -> a + x)"
+                )
+                / (F.col("nrm") * F.col("qn")),
+                4,
+            ).alias("s"),
+        )
+    )
+    sem50 = sem.orderBy(F.desc("s"), "vec_id").limit(50)
+    semr = sem50.withColumn(
+        "rank_sem",
+        F.row_number().over(
+            Window.orderBy(F.desc("s"), "vec_id")
+        ),
+    ).select("vec_id", "rank_sem")
+
+    fused = lexr.join(
+        semr, lexr["doc_id"] == semr["vec_id"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id"))
+        .cast("bigint")
+        .alias("id"),
+        F.coalesce(F.col("rank_lex"), F.lit(-1)).cast("int").alias(
+            "rank_lex"
+        ),
+        F.coalesce(F.col("rank_sem"), F.lit(-1)).cast("int").alias(
+            "rank_sem"
+        ),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank_sem")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "id").limit(10)
