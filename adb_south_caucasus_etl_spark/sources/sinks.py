@@ -261,3 +261,32 @@ def zorder_key(cols: Sequence[str], bits: int = 16):
             one = F.shiftright(F.col(c).cast("long"), bit).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(one, pos))
     return z
+
+
+def expire_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    partition_dirs: Sequence[str],
+) -> int:
+    """Partition RETENTION expire: drop whole hive partition directories
+    (``col=value`` names relative to ``table_dir``) via the filesystem —
+    the metadata-only mechanism Hive/Iceberg retention uses under the
+    hood. Surviving data is not rewritten or even read: at 100 TB,
+    expiring 300 of 3000 day-directories touches exactly those 300
+    directory entries, never the other 99%'s bytes (a filtered-rewrite
+    "expire" would re-shuffle the entire table to delete 10% of it).
+    Returns the number of directories actually removed (a name that is
+    already gone counts 0 — expire is idempotent)."""
+    import os
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(table_dir).getFileSystem(hconf)
+    removed = 0
+    for name in partition_dirs:
+        p = HPath(os.path.join(table_dir, name))
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed += 1
+    return removed

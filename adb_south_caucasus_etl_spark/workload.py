@@ -25704,3 +25704,87 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "id").limit(10)
+
+
+@register(
+    "maintenance_retention_expire",
+    """
+    -- retention window: keep the trailing 7 event days, expire the rest
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date FROM events
+    ),
+    c AS (SELECT MAX(event_date) - 6 AS cutoff FROM d),
+    kept AS (
+      SELECT CAST(event_date AS VARCHAR) AS event_date,
+             COUNT(*) AS n_rows
+      FROM d, c WHERE event_date >= cutoff GROUP BY 1
+    ),
+    drp AS (
+      SELECT CAST(COUNT(DISTINCT event_date) AS BIGINT) AS n_dates_dropped,
+             CAST(COUNT(*) AS BIGINT) AS n_rows_dropped
+      FROM d, c WHERE event_date < cutoff
+    )
+    SELECT kept.event_date, kept.n_rows,
+           drp.n_dates_dropped, drp.n_rows_dropped
+    FROM kept, drp
+    """,
+    doc="Partition RETENTION expire - the lakehouse maintenance op "
+        "that ages out old data: a day-partitioned copy of the events "
+        "fact is staged fresh (static overwrite), the trailing-7-day "
+        "cutoff is computed from the data, and every expired "
+        "event_date= directory is dropped METADATA-ONLY via the "
+        "filesystem (sources/sinks.expire_partitions - the Hive/"
+        "Iceberg retention mechanism; surviving data is neither "
+        "rewritten nor read, which is the entire point at 100 TB where "
+        "a filtered-rewrite expire would shuffle the whole table to "
+        "delete 10% of it). Evidence is the read-back per-day census "
+        "of what SURVIVED on disk plus the dropped-date/row counts, "
+        "pinned by the oracle to the raw events table - losslessness "
+        "of the kept window and completeness of the expiry are both "
+        "hash-stamped",
+)
+def maintenance_retention_expire(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime as _dt
+    import os as _os
+
+    from .sources.sinks import expire_partitions
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select(F.to_date("ts").alias("event_date"), "event_id")
+    base = _scratch_dir("retention", sf_dir)
+    tbl = _os.path.join(base, "events_retained")
+    # stage fresh each run (static overwrite truncates the table), so a
+    # rerun starts from the full history before expiring again
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(tbl)
+    # bounded: 1-row scalar aggregate (the max event date)
+    max_d = ev.agg(F.max("event_date").alias("m")).first()["m"]
+    cutoff = max_d - _dt.timedelta(days=6)
+    # bounded: date-grain distinct (~30 rows at any SF — the calendar
+    # span, not the fact volume)
+    dates = [
+        r["event_date"]
+        for r in ev.select("event_date").distinct().collect()
+    ]
+    expire_partitions(
+        spark,
+        tbl,
+        [
+            f"event_date={d.isoformat()}"
+            for d in sorted(dates)
+            if d < cutoff
+        ],
+    )
+    kept = (
+        spark.read.parquet(tbl)
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    dropped = ev.filter(F.col("event_date") < F.lit(cutoff)).agg(
+        F.coalesce(F.count_distinct("event_date"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dates_dropped"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_dropped"),
+    )
+    return kept.crossJoin(dropped)

@@ -332,3 +332,50 @@ class TestThetaKll:
         for yr in exact:
             for g, e in zip(got[yr], exact[yr]):
                 assert abs(g - e) / e < 0.02, (yr, got[yr], exact[yr])
+
+
+def test_expire_partitions_metadata_only(spark, tmp_path):
+    """Retention expire drops exactly the named hive directories, is
+    idempotent (a name already gone counts 0), and never touches the
+    surviving partitions' files (same file paths before and after)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adb_south_caucasus_etl_spark.sources.sinks import (
+        expire_partitions,
+    )
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        (F.col("id") % 5).cast("string").alias("p"), "id"
+    )
+    df.write.mode("overwrite").partitionBy("p").parquet(tbl)
+    survivors_before = {
+        r["f"]
+        for r in spark.read.parquet(tbl)
+        .filter(F.col("p") >= 2)
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        # bounded: file-manifest grain (a handful of staged files)
+        .collect()
+    }
+    n = expire_partitions(spark, tbl, ["p=0", "p=1", "p=9"])
+    assert n == 2  # p=9 never existed
+    assert expire_partitions(spark, tbl, ["p=0", "p=1"]) == 0  # idempotent
+    back = spark.read.parquet(tbl)
+    # hive inference types the partition column INT ("0".."4" parse)
+    assert sorted(
+        int(r["p"]) for r in back.select("p").distinct().collect()
+    ) == [2, 3, 4]
+    assert back.count() == 60
+    survivors_after = {
+        r["f"]
+        for r in back.select(
+            F.col("_metadata.file_path").alias("f")
+        ).distinct()
+        # bounded: file-manifest grain
+        .collect()
+    }
+    assert survivors_after == survivors_before
+    assert not os.path.exists(os.path.join(tbl, "p=0"))
