@@ -110,3 +110,102 @@ def kmeans_lloyd(
     return assigned.select(
         F.col("__id").alias(id_col), "cluster_id", "dist2"
     )
+
+
+def top_principal_component(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 3,
+) -> DataFrame:
+    """Top principal component of an embedding table by POWER ITERATION
+    — the spectral sibling of :func:`kmeans_lloyd`, same Spark pattern:
+    the iterate ``v`` lives on the driver (dim doubles — bounded
+    control-plane state), each step broadcasts it into the plan as
+    LITERALS, and the matvec ``w = Cᵀ(Cv)`` comes back from one
+    combiner-friendly per-dimension aggregation (never materializing
+    the dim×dim covariance). Centering means and the per-step ``w`` are
+    the only driver round-trips (dim doubles each).
+
+    Determinism: ``v₀ = 1/√dim`` (all-positive, so the returned sign is
+    the eigenvector's correlation with the uniform direction), a fixed
+    iteration budget, and pure float arithmetic whose operand ORDER an
+    external oracle can restate — each step is two grouped sums, no
+    argmin/tie-break anywhere, so unlike Lloyd's assignments the result
+    is oracle-roundable (drift is 1-ulp-per-sum class, absorbed by
+    round-4).
+
+    Returns dim rows ``(dim, loading, eigval)``: the unit top
+    eigenvector of the sample covariance ``(1/n) Σ (x-μ)(x-μ)ᵀ`` after
+    ``iterations`` steps, with the Rayleigh-style eigenvalue estimate
+    ``‖w‖/n`` computed IN Spark (the final normalize is a crossJoin
+    with the norm aggregate, not a driver step).
+
+    100 TB shape: the centered corpus is materialized once
+    (localCheckpoint — the iterative-ML caching discipline); each
+    iteration is one JVM-expression pass for the scores plus one
+    posexplode aggregation for the matvec, shuffling dim partial sums
+    per mapper. Driver traffic = dim doubles per iteration.
+    """
+    import math
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__v"
+        ),
+    )
+    # per-dim means: dim rows back to the driver
+    mean_rows = (
+        base.select(F.posexplode("__v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: dim aggregate rows (control plane)
+    )
+    mean_rows.sort(key=lambda r: r["pos"])
+    mu = [r["m"] for r in mean_rows]
+    n = mean_rows[0]["n"]
+    dim = len(mu)
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    # centered corpus, pinned ONCE — every iteration reads the
+    # lineage-truncated RDD instead of re-scanning the source
+    cent = base.select(
+        "__id",
+        F.zip_with("__v", mu_lit, lambda x, m: x - m).alias("__c"),
+    ).localCheckpoint(eager=True)
+
+    v = [1.0 / math.sqrt(dim)] * dim
+
+    def w_frame(v_now: list[float]) -> DataFrame:
+        v_lit = F.array(*[F.lit(float(x)) for x in v_now])
+        scored = cent.select(
+            "__c",
+            F.aggregate(
+                F.zip_with("__c", v_lit, lambda c, b: c * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__s"),
+        )
+        return (
+            scored.select(F.posexplode("__c").alias("pos", "c"), "__s")
+            .groupBy("pos")
+            .agg(F.sum(F.col("c") * F.col("__s")).alias("w"))
+        )
+
+    for _ in range(iterations - 1):
+        rows = w_frame(v).collect()  # bounded: dim aggregate rows
+        rows.sort(key=lambda r: r["pos"])
+        nrm = math.sqrt(sum(r["w"] * r["w"] for r in rows))
+        v = [r["w"] / nrm for r in rows]
+
+    # final step stays IN Spark: normalize w against its own norm
+    # aggregate and attach the eigenvalue estimate ||w|| / n
+    w = w_frame(v)
+    nw = w.agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__nw")
+    )
+    return w.crossJoin(F.broadcast(nw)).select(
+        F.col("pos").cast("int").alias("dim"),
+        (F.col("w") / F.col("__nw")).alias("loading"),
+        (F.col("__nw") / F.lit(float(n))).alias("eigval"),
+    )

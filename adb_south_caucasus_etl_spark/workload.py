@@ -25788,3 +25788,68 @@ def maintenance_retention_expire(
         F.count(F.lit(1)).cast("bigint").alias("n_rows_dropped"),
     )
     return kept.crossJoin(dropped)
+
+
+@register(
+    "embedding_pca_power",
+    """
+    -- 3 power-iteration steps on the sample covariance of the 64-dim
+    -- embedding fixture; v0 = 1/sqrt(64) = 0.125 exactly, so both
+    -- engines start from the identical literal
+    WITH e AS (
+      SELECT vec_id, CAST(t.d AS INTEGER) AS d,
+             CAST(embedding[CAST(t.d AS INTEGER) + 1] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(0, 64)) AS d) t
+    ),
+    m AS (SELECT d, AVG(x) AS m, COUNT(*) AS n FROM e GROUP BY 1),
+    c AS (SELECT e.vec_id, e.d, e.x - m.m AS c FROM e JOIN m ON e.d = m.d),
+    nn AS (SELECT MAX(n) AS n FROM m),
+    s1 AS (SELECT vec_id, SUM(c * 0.125) AS s FROM c GROUP BY 1),
+    w1 AS (SELECT c.d, SUM(c.c * s1.s) AS w
+           FROM c JOIN s1 ON c.vec_id = s1.vec_id GROUP BY 1),
+    n1 AS (SELECT sqrt(SUM(w * w)) AS nw FROM w1),
+    v1 AS (SELECT d, w / nw AS v FROM w1, n1),
+    s2 AS (SELECT c.vec_id, SUM(c.c * v1.v) AS s
+           FROM c JOIN v1 ON c.d = v1.d GROUP BY 1),
+    w2 AS (SELECT c.d, SUM(c.c * s2.s) AS w
+           FROM c JOIN s2 ON c.vec_id = s2.vec_id GROUP BY 1),
+    n2 AS (SELECT sqrt(SUM(w * w)) AS nw FROM w2),
+    v2 AS (SELECT d, w / nw AS v FROM w2, n2),
+    s3 AS (SELECT c.vec_id, SUM(c.c * v2.v) AS s
+           FROM c JOIN v2 ON c.d = v2.d GROUP BY 1),
+    w3 AS (SELECT c.d, SUM(c.c * s3.s) AS w
+           FROM c JOIN s3 ON c.vec_id = s3.vec_id GROUP BY 1),
+    n3 AS (SELECT sqrt(SUM(w * w)) AS nw FROM w3)
+    SELECT CAST(w3.d AS INTEGER) AS dim,
+           ROUND(w3.w / n3.nw, 4) + 0.0 AS loading,
+           ROUND(n3.nw / nn.n, 4) AS eigval
+    FROM w3, n3, nn
+    """,
+    doc="Top principal component by POWER ITERATION (operators/"
+        "clustering.top_principal_component) - the spectral sibling of "
+        "ml_kmeans_lloyd, same iterative-ML-on-Spark pattern: the "
+        "iterate lives on the driver (dim doubles), each step "
+        "broadcasts it as literals, and the matvec w = C'(Cv) comes "
+        "back from one combiner-friendly per-dimension aggregation - "
+        "the dim x dim covariance is NEVER materialized. Deterministic "
+        "v0 = 1/sqrt(64) (all-positive, fixing the sign), fixed 3-step "
+        "budget, centered corpus pinned once (localCheckpoint); the "
+        "final normalize + Rayleigh eigenvalue (||w||/n) stay IN Spark "
+        "via a crossJoin with the norm aggregate. Unlike Lloyd (whose "
+        "argmin assignments make a float oracle impossible), every "
+        "step here is two grouped sums - the oracle restates the exact "
+        "iteration and round-4 absorbs summation-order drift. 100 TB "
+        "shape: one JVM-expression pass + one posexplode aggregation "
+        "per step, dim partial sums per mapper, dim doubles of driver "
+        "traffic per iteration",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import top_principal_component
+
+    emb = Catalog(spark, sf_dir).embeddings
+    pc = top_principal_component(emb, iterations=3)
+    return pc.select(
+        "dim",
+        (F.round("loading", 4) + 0.0).alias("loading"),
+        F.round("eigval", 4).alias("eigval"),
+    )

@@ -1516,3 +1516,37 @@ def test_temporal_alignment_planted_runs(spark):
     assert p.best_offset == -9
     assert p.n_matches == 4
     assert p.n_offsets == 2
+
+
+def test_top_principal_component_matches_numpy(spark):
+    """3-step power iteration on an anisotropic synthetic cloud must
+    align with numpy's dominant covariance eigenvector (the spectral
+    gap here is wide, so 3 steps converge far past the tolerance) and
+    the Rayleigh eigenvalue estimate must match numpy's top eigenvalue;
+    the returned vector is unit-norm."""
+    import numpy as np
+
+    from adb_south_caucasus_etl_spark.operators.clustering import (
+        top_principal_component,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n = 8, 200
+    u = np.ones(dim) / np.sqrt(dim)
+    x = np.outer(rng.randn(n) * 5.0, u) + rng.randn(n, dim) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    out = top_principal_component(df, iterations=3).collect()
+    got = np.array(
+        [r["loading"] for r in sorted(out, key=lambda r: r["dim"])]
+    )
+    eig_got = out[0]["eigval"]
+    xf = x.astype(np.float32).astype(np.float64)  # the stored precision
+    cov = np.cov(xf, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    assert abs(float(np.dot(got, top))) > 0.999
+    assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-9
+    assert abs(eig_got - float(vals[-1])) / float(vals[-1]) < 0.05
