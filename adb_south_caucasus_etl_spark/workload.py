@@ -25853,3 +25853,100 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("loading", 4) + 0.0).alias("loading"),
         F.round("eigval", 4).alias("eigval"),
     )
+
+
+@register(
+    "ml_woe_iv_bins",
+    """
+    -- equal-width binning is exact cross-engine: both engines evaluate
+    -- the identical IEEE expression on identical doubles, so FLOOR
+    -- boundaries cannot disagree (an ntile/quantile binning would hang
+    -- rank semantics on float sort ties instead)
+    WITH s AS (
+      SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+    ),
+    b AS (
+      SELECT CAST(LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10)), 9)
+               AS INTEGER) AS bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders, s
+    ),
+    g AS (
+      SELECT bin, SUM(1 - bad) AS n_good, SUM(bad) AS n_bad
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_good) AS tg, SUM(n_bad) AS tb FROM g),
+    w AS (
+      SELECT bin, n_good, n_bad,
+             ln(((n_good + 0.5) / (tg + 5.0))
+                / ((n_bad + 0.5) / (tb + 5.0))) AS woe,
+             ((n_good + 0.5) / (tg + 5.0) - (n_bad + 0.5) / (tb + 5.0))
+               * ln(((n_good + 0.5) / (tg + 5.0))
+                    / ((n_bad + 0.5) / (tb + 5.0))) AS iv
+      FROM g, t
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(n_good AS BIGINT) AS n_good,
+           CAST(n_bad AS BIGINT) AS n_bad,
+           ROUND(woe, 6) + 0.0 AS woe,
+           ROUND(iv, 6) + 0.0 AS iv_term,
+           ROUND(SUM(iv) OVER (), 6) AS iv_total
+    FROM w
+    """,
+    doc="Weight-of-Evidence / Information-Value feature binning - the "
+        "classic credit-scoring feature audit: o_totalprice is cut "
+        "into 10 equal-width bins (two scalar min/max aggregates "
+        "broadcast into one linear pass - no sort, no quantile, so the "
+        "binning is scale-free AND float-exact cross-engine), the "
+        "binary label is o_orderstatus = 'F', and each bin reports its "
+        "Laplace-smoothed (+0.5) WoE = ln(good-share / bad-share) and "
+        "IV contribution, with the fleet IV total windowed over the "
+        "10-row bin grain (aggregate-bounded). ln drift is the usual "
+        "1-ulp class, absorbed by round-6; smoothing makes empty bins "
+        "well-defined. 100 TB shape: one broadcast of 2 doubles, one "
+        "combinable group-by on a 10-value key",
+)
+def ml_woe_iv_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    s = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    b = o.crossJoin(F.broadcast(s)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / 10)
+            ),
+            F.lit(9).cast("long"),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    g = b.groupBy("bin").agg(
+        F.sum(1 - F.col("bad")).alias("n_good"),
+        F.sum("bad").alias("n_bad"),
+    )
+    t = g.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    gs = (F.col("n_good") + 0.5) / (F.col("tg") + 5.0)
+    bs = (F.col("n_bad") + 0.5) / (F.col("tb") + 5.0)
+    w = g.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("n_good").cast("bigint").alias("n_good"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.log(gs / bs).alias("woe"),
+        ((gs - bs) * F.log(gs / bs)).alias("iv"),
+    )
+    # fleet IV total as an aggregate + broadcast crossJoin (NOT a
+    # global window: the single-partition exchange it plants sits above
+    # projections the funnel detector cannot see through)
+    tot = w.agg(F.round(F.sum("iv"), 6).alias("iv_total"))
+    return w.select(
+        "bin",
+        "n_good",
+        "n_bad",
+        (F.round("woe", 6) + 0.0).alias("woe"),
+        (F.round("iv", 6) + 0.0).alias("iv_term"),
+    ).crossJoin(F.broadcast(tot))
