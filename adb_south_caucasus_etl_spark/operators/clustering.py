@@ -199,13 +199,34 @@ def top_principal_component(
         v = [r["w"] / nrm for r in rows]
 
     # final step stays IN Spark: normalize w against its own norm
-    # aggregate and attach the eigenvalue estimate ||w|| / n
+    # aggregate and attach the eigenvalue estimate ||w|| / n plus its
+    # explained-variance share against the total variance
+    # trace(C) = sum(c^2) / n, read from the same pinned corpus
     w = w_frame(v)
     nw = w.agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__nw")
     )
-    return w.crossJoin(F.broadcast(nw)).select(
-        F.col("pos").cast("int").alias("dim"),
-        (F.col("w") / F.col("__nw")).alias("loading"),
-        (F.col("__nw") / F.lit(float(n))).alias("eigval"),
+    totvar = cent.agg(
+        (
+            F.sum(
+                F.aggregate(
+                    F.transform("__c", lambda c: c * c),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            / F.lit(float(n))
+        ).alias("__tv")
+    )
+    return (
+        w.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(totvar))
+        .select(
+            F.col("pos").cast("int").alias("dim"),
+            (F.col("w") / F.col("__nw")).alias("loading"),
+            (F.col("__nw") / F.lit(float(n))).alias("eigval"),
+            (F.col("__nw") / F.lit(float(n)) / F.col("__tv")).alias(
+                "var_share"
+            ),
+        )
     )

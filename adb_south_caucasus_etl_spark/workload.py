@@ -25819,11 +25819,13 @@ def maintenance_retention_expire(
            FROM c JOIN v2 ON c.d = v2.d GROUP BY 1),
     w3 AS (SELECT c.d, SUM(c.c * s3.s) AS w
            FROM c JOIN s3 ON c.vec_id = s3.vec_id GROUP BY 1),
-    n3 AS (SELECT sqrt(SUM(w * w)) AS nw FROM w3)
+    n3 AS (SELECT sqrt(SUM(w * w)) AS nw FROM w3),
+    tv AS (SELECT SUM(c * c) AS ss FROM c)
     SELECT CAST(w3.d AS INTEGER) AS dim,
            ROUND(w3.w / n3.nw, 4) + 0.0 AS loading,
-           ROUND(n3.nw / nn.n, 4) AS eigval
-    FROM w3, n3, nn
+           ROUND(n3.nw / nn.n, 4) AS eigval,
+           ROUND((n3.nw / nn.n) / (tv.ss / nn.n), 4) AS var_share
+    FROM w3, n3, nn, tv
     """,
     doc="Top principal component by POWER ITERATION (operators/"
         "clustering.top_principal_component) - the spectral sibling of "
@@ -25852,6 +25854,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         (F.round("loading", 4) + 0.0).alias("loading"),
         F.round("eigval", 4).alias("eigval"),
+        F.round("var_share", 4).alias("var_share"),
     )
 
 
@@ -25950,3 +25953,163 @@ def ml_woe_iv_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("woe", 6) + 0.0).alias("woe"),
         (F.round("iv", 6) + 0.0).alias("iv_term"),
     ).crossJoin(F.broadcast(tot))
+
+
+@register(
+    "multimodal_keyframe_census",
+    """
+    -- same frame/hash/shot conventions as multimodal_shot_boundaries
+    WITH i AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(0,
+               CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT)))
+               AS INTEGER) AS fi
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, fi, substring(text, fi * 64 + 1, 64) AS fc
+      FROM i
+    ),
+    px AS (
+      SELECT doc_id, fi, CAST(t.p AS INTEGER) AS p,
+             ascii(substring(fc, CAST(t.p AS INTEGER) + 1, 1)) AS v
+      FROM fr, (SELECT unnest(range(0, 64)) AS p) t
+    ),
+    s AS (
+      SELECT doc_id, fi, p, v,
+             SUM(v) OVER (PARTITION BY doc_id, fi) AS tot
+      FROM px
+    ),
+    k AS (
+      SELECT doc_id, fi,
+             SUM(CASE WHEN v * 64 > tot AND p >= 32
+                      THEN (CAST(1 AS BIGINT) << (p - 32))
+                      ELSE 0 END) AS ah_hi,
+             SUM(CASE WHEN v * 64 > tot AND p < 32
+                      THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS ah_lo
+      FROM s GROUP BY 1, 2
+    ),
+    lagd AS (
+      SELECT doc_id, fi, ah_hi, ah_lo,
+             LAG(ah_hi) OVER w AS ph, LAG(ah_lo) OVER w AS pl
+      FROM k WINDOW w AS (PARTITION BY doc_id ORDER BY fi)
+    ),
+    cuts AS (
+      SELECT doc_id, fi,
+             CASE WHEN ph IS NULL THEN 0
+                  WHEN bit_count(xor(ah_hi, ph))
+                       + bit_count(xor(ah_lo, pl)) > 16
+                  THEN 1 ELSE 0 END AS cut
+      FROM lagd
+    ),
+    shots_f AS (
+      SELECT doc_id, fi,
+             SUM(cut) OVER (PARTITION BY doc_id ORDER BY fi
+                            ROWS UNBOUNDED PRECEDING) AS shot_id
+      FROM cuts
+    ),
+    seg AS (
+      SELECT doc_id, shot_id, MIN(fi) AS first_idx
+      FROM shots_f GROUP BY 1, 2
+    ),
+    kf AS (
+      SELECT k.ah_hi, k.ah_lo
+      FROM seg JOIN k
+        ON k.doc_id = seg.doc_id AND k.fi = seg.first_idx
+    ),
+    a AS (
+      SELECT COUNT(*) AS n_frames,
+             COUNT(DISTINCT (ah_hi, ah_lo)) AS n_all_clusters
+      FROM k
+    ),
+    b AS (SELECT COUNT(*) AS n_keyframes FROM seg),
+    c2 AS (
+      SELECT COUNT(DISTINCT (ah_hi, ah_lo)) AS n_keyframe_clusters
+      FROM kf
+    )
+    SELECT CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_keyframes AS BIGINT) AS n_keyframes,
+           ROUND(n_keyframes * 1.0 / n_frames, 6) AS keep_rate,
+           CAST(n_all_clusters AS BIGINT) AS n_all_clusters,
+           CAST(n_keyframe_clusters AS BIGINT) AS n_keyframe_clusters,
+           ROUND(n_keyframe_clusters * 1.0 / n_all_clusters, 6)
+             AS cluster_coverage
+    FROM a, b, c2
+    """,
+    doc="Keyframe-sampling census - the APPLICATION of shot "
+        "segmentation: keeping one frame per shot (its first - the "
+        "keyframe multimodal.shot_segments reports as first_idx) is "
+        "the standard way a training pipeline subsamples video, and "
+        "this query stamps what that sampler preserves: the keep rate "
+        "(keyframes / frames) and the perceptual-vocabulary coverage "
+        "(distinct aHash clusters among keyframes vs among ALL frames "
+        "- how much visual variety survives the subsampling). The "
+        "pinned frame-key table feeds the shot window, the keyframe "
+        "join-back, and both cluster counts - corpus scanned and "
+        "chunked once. 100 TB shape: one doc-partitioned window "
+        "shuffle, one (doc, idx) equi-join at shot grain, two "
+        "combinable distinct-aggregates on 8-byte keys",
+)
+def multimodal_keyframe_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.multimodal import (
+        perceptual_frame_hash,
+        rebalance_for_python,
+        sample_frames,
+        shot_segments,
+        with_binary_payload,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    frames = sample_frames(
+        rebalance_for_python(with_binary_payload(docs)),
+        frame_bytes=64,
+        stride=1,
+    )
+    # ONE pinned frame-grain key table feeds the shot window, the
+    # keyframe join-back and both cluster censuses (the near_pairs
+    # discipline): the documents scan + Arrow chunker run exactly once
+    ph = (
+        perceptual_frame_hash(frames)
+        .select("doc_id", "frame_idx", "ah_hi", "ah_lo")
+        .localCheckpoint(eager=True)
+    )
+    seg = shot_segments(ph)
+    kf = seg.select(
+        "doc_id", F.col("first_idx").alias("frame_idx")
+    ).join(ph, ["doc_id", "frame_idx"])
+    a = ph.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.count_distinct(F.col("ah_hi"), F.col("ah_lo"))
+        .cast("bigint")
+        .alias("n_all_clusters"),
+    )
+    b = seg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keyframes")
+    )
+    c2 = kf.agg(
+        F.count_distinct(F.col("ah_hi"), F.col("ah_lo"))
+        .cast("bigint")
+        .alias("n_keyframe_clusters")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(c2)
+        .select(
+            "n_frames",
+            "n_keyframes",
+            F.round(
+                F.col("n_keyframes") * 1.0 / F.col("n_frames"), 6
+            ).alias("keep_rate"),
+            "n_all_clusters",
+            "n_keyframe_clusters",
+            F.round(
+                F.col("n_keyframe_clusters")
+                * 1.0
+                / F.col("n_all_clusters"),
+                6,
+            ).alias("cluster_coverage"),
+        )
+    )
