@@ -149,6 +149,12 @@ def top_principal_component(
     """
     import math
 
+    if iterations < 2:
+        raise ValueError(
+            "top_principal_component needs iterations >= 2: the "
+            "zero-variance guard lives on the driver-side normalize, "
+            "and a 1-step run would skip it and emit 0/0 NULL loadings"
+        )
     base = df.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
@@ -196,6 +202,17 @@ def top_principal_component(
         rows = w_frame(v).collect()  # bounded: dim aggregate rows
         rows.sort(key=lambda r: r["pos"])
         nrm = math.sqrt(sum(r["w"] * r["w"] for r in rows))
+        if nrm == 0.0:
+            # zero-variance corpus (all rows identical, or a single
+            # row): the covariance is the zero matrix and there is no
+            # principal direction — fail loudly instead of dividing by
+            # zero here or emitting 0/0 NULL loadings from the final
+            # in-Spark normalize
+            raise ValueError(
+                "top_principal_component: zero-variance corpus — the "
+                "centered matvec vanished, no principal direction "
+                "exists"
+            )
         v = [r["w"] / nrm for r in rows]
 
     # final step stays IN Spark: normalize w against its own norm

@@ -286,7 +286,10 @@ def expire_partitions(
     removed = 0
     for name in partition_dirs:
         p = HPath(os.path.join(table_dir, name))
-        if fs.exists(p):
-            fs.delete(p, True)
+        # count only CONFIRMED deletes: fs.delete returns false on
+        # failure (permissions, concurrent writer) and the contract is
+        # "directories actually removed" — a retention job must not be
+        # told data is gone while it survives on disk
+        if fs.exists(p) and fs.delete(p, True):
             removed += 1
     return removed

@@ -9301,6 +9301,54 @@ def cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time-range window frames, schema-drift union.
 
 
+def _bm25_term_scores(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """Per-(term, doc) BM25 scores (k1=1.2, b=0.75, Robertson-Sparck
+    Jones IDF) over the corpus — THE scorer shared by ``text_bm25_topk``
+    and ``search_hybrid_rrf`` so a k1/b/IDF tuning happens in exactly
+    one place on the Spark side (each query's oracle still restates it,
+    per the self-contained-oracle convention). Composed from the same
+    linear shuffles as ``text_inverted_index_stats``: tf, dl, df
+    aggregations plus a 1-row broadcast scalar for avgdl."""
+    toks = docs.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.filter(F.col("tok").isin(*terms))
+        .join(dl, "doc_id")
+        .join(df_t, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            "doc_id",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score"),
+        )
+    )
+
+
 @register(
     "text_bm25_topk",
     r"""
@@ -9348,44 +9396,7 @@ def cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
-    toks = docs.filter(
-        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-            "tok"
-        ),
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
-    )
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.filter(F.col("tok").isin("data", "spark", "query"))
-        .join(dl, "doc_id")
-        .join(df_t, "tok")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "tok",
-            "doc_id",
-            (
-                F.log(
-                    1
-                    + (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                )
-                * (F.col("tf") * 2.2)
-                / (
-                    F.col("tf")
-                    + 1.2
-                    * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("score"),
-        )
-    )
+    scored = _bm25_term_scores(docs, ("data", "spark", "query"))
     return topk_per_group(
         scored, ["tok"], [F.col("score").desc(), F.col("doc_id").asc()], 3,
         rank_col="rank",
@@ -25429,6 +25440,15 @@ def multimodal_shot_boundaries(
            (SELECT CAST(n_hot_frames AS BIGINT) FROM hot)
              AS n_hot_frames_skipped
     FROM top
+    UNION ALL
+    -- no-silent-caps sentinel: when zero pairs survive, one row still
+    -- carries the hot-key skip census (doc_a = doc_b = -1)
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS INTEGER),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           (SELECT CAST(n_hot_keys AS BIGINT) FROM hot),
+           (SELECT CAST(n_hot_frames AS BIGINT) FROM hot)
+    WHERE (SELECT COUNT(*) FROM top) = 0
     """,
     doc="Offset-consistent copied-segment detection - the video copy-"
         "detection shape over perceptual frame keys (operators/"
@@ -25484,7 +25504,7 @@ def multimodal_temporal_alignment(
     top = pairs.orderBy(
         F.desc("best_run"), F.desc("n_matches"), "doc_a", "doc_b"
     ).limit(10)
-    return top.crossJoin(hot).select(
+    out = top.crossJoin(hot).select(
         "doc_a",
         "doc_b",
         "best_run",
@@ -25494,6 +25514,28 @@ def multimodal_temporal_alignment(
         "n_hot_keys_skipped",
         "n_hot_frames_skipped",
     )
+    # no-silent-caps even when NOTHING survives: if zero pairs exist
+    # (e.g. every shared key is hot boilerplate) the top-10 frame is
+    # empty and would swallow the skip census with it — emit one
+    # sentinel row (doc_a = doc_b = -1) carrying the census instead;
+    # both pair subtrees share their exchanges (ReusedExchange) and kf
+    # is pinned, so the guard adds no scan
+    has = top.agg(F.count(F.lit(1)).alias("__n"))
+    sentinel = (
+        hot.crossJoin(F.broadcast(has))
+        .filter(F.col("__n") == 0)
+        .select(
+            F.lit(-1).cast("bigint").alias("doc_a"),
+            F.lit(-1).cast("bigint").alias("doc_b"),
+            F.lit(0).cast("bigint").alias("best_run"),
+            F.lit(0).cast("int").alias("best_offset"),
+            F.lit(0).cast("bigint").alias("n_matches"),
+            F.lit(0).cast("bigint").alias("n_offsets"),
+            "n_hot_keys_skipped",
+            "n_hot_frames_skipped",
+        )
+    )
+    return out.unionByName(sentinel)
 
 
 @register(
@@ -25586,46 +25628,13 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cat = Catalog(spark, sf_dir)
-    docs = cat.documents
-    toks = docs.filter(
-        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-            "tok"
-        ),
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
-    )
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # the SAME scorer as text_bm25_topk (shared helper), summed over the
+    # probe terms per doc; doc 0 IS the query, so it leaves the ranking
     bm25 = (
-        tf.filter(
-            F.col("tok").isin("data", "spark", "query")
-            & (F.col("doc_id") != 0)
-        )
-        .join(dl, "doc_id")
-        .join(df_t, "tok")
-        .crossJoin(F.broadcast(stats))
+        _bm25_term_scores(cat.documents, ("data", "spark", "query"))
+        .filter(F.col("doc_id") != 0)
         .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.log(
-                    1
-                    + (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                )
-                * (F.col("tf") * 2.2)
-                / (
-                    F.col("tf")
-                    + 1.2
-                    * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("s")
-        )
+        .agg(F.sum("score").alias("s"))
     )
     # bound the frame BEFORE ranking: top-50 via TakeOrderedAndProject,
     # then the row_number window runs over <=50 rows (GlobalLimit-
