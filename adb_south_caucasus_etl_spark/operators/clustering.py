@@ -117,6 +117,7 @@ def top_principal_component(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iterations: int = 3,
+    orthogonal_to: list[float] | None = None,
 ) -> DataFrame:
     """Top principal component of an embedding table by POWER ITERATION
     — the spectral sibling of :func:`kmeans_lloyd`, same Spark pattern:
@@ -179,6 +180,36 @@ def top_principal_component(
         "__id",
         F.zip_with("__v", mu_lit, lambda x, m: x - m).alias("__c"),
     ).localCheckpoint(eager=True)
+
+    if orthogonal_to is not None:
+        # DEFLATION for lower components: iterate in the subspace
+        # orthogonal to a previously-found unit direction u by removing
+        # each row's projection, c := c - (c·u)u. The projection is a
+        # NAMED column (the aHash CollapseProject lesson: an inlined
+        # 64-term sum referenced dim times explodes the expression
+        # tree), and the deflated corpus is re-pinned so the iterations
+        # below read one frame either way.
+        if len(orthogonal_to) != dim:
+            raise ValueError(
+                "orthogonal_to must have one loading per dimension: "
+                f"got {len(orthogonal_to)}, corpus is {dim}-dim"
+            )
+        u_lit = F.array(*[F.lit(float(x)) for x in orthogonal_to])
+        proj = F.aggregate(
+            F.zip_with("__c", u_lit, lambda c, u: c * u),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cent = (
+            cent.select("__id", "__c", proj.alias("__p"))
+            .select(
+                "__id",
+                F.zip_with(
+                    "__c", u_lit, lambda c, u: c - F.col("__p") * u
+                ).alias("__c"),
+            )
+            .localCheckpoint(eager=True)
+        )
 
     v = [1.0 / math.sqrt(dim)] * dim
 

@@ -1550,3 +1550,45 @@ def test_top_principal_component_matches_numpy(spark):
     assert abs(float(np.dot(got, top))) > 0.999
     assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-9
     assert abs(eig_got - float(vals[-1])) / float(vals[-1]) < 0.05
+
+
+def test_second_principal_component_deflation(spark):
+    """Deflated power iteration must recover numpy's SECOND covariance
+    eigenvector on a planted two-direction cloud, stay unit-norm, and
+    be orthogonal to the first component it was deflated against."""
+    import numpy as np
+
+    from adb_south_caucasus_etl_spark.operators.clustering import (
+        top_principal_component,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, n = 8, 300
+    u1 = np.zeros(dim); u1[0] = 1.0
+    u2 = np.zeros(dim); u2[1] = 1.0
+    x = (
+        np.outer(rng.randn(n) * 5.0, u1)
+        + np.outer(rng.randn(n) * 2.0, u2)
+        + rng.randn(n, dim) * 0.1
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    pc1 = top_principal_component(df, iterations=3).collect()
+    l1 = [r["loading"] for r in sorted(pc1, key=lambda r: r["dim"])]
+    pc2 = top_principal_component(
+        df, iterations=3, orthogonal_to=l1
+    ).collect()
+    l2 = np.array(
+        [r["loading"] for r in sorted(pc2, key=lambda r: r["dim"])]
+    )
+    cov = np.cov(
+        x.astype(np.float32).astype(np.float64), rowvar=False, bias=True
+    )
+    vals, vecs = np.linalg.eigh(cov)
+    assert abs(float(np.dot(l2, vecs[:, -2]))) > 0.999
+    assert abs(float(np.linalg.norm(l2)) - 1.0) < 1e-9
+    assert abs(float(np.dot(np.array(l1), l2))) < 1e-9
+    eig2 = pc2[0]["eigval"]
+    assert abs(eig2 - float(vals[-2])) / float(vals[-2]) < 0.05
