@@ -114,16 +114,11 @@ def _stamp_state() -> tuple[dict[str, int], set[str], dict[str, int]]:
 #: class again (results invariant — exact operators; oracle-green at
 #: sf0.001/0.01/0.1 this round). The four r10 GEMM entries were pruned
 #: after their green r10 stamps (VERDICT r10 item 2). Current cohort:
-#: the three perceptual queries whose shared frame-hash pipeline is now
-#: materialized once per query via localCheckpoint inside
-#: operators/multimodal.py (VERDICT r10 item 1 — an operator-module
-#: rewrite the @register block hash cannot see). Prune each once its
-#: r11+ stamp lands:
-FORCE_RESTAMP = {
-    "multimodal_perceptual_dup_census",
-    "multimodal_perceptual_near_pairs",
-    "multimodal_perceptual_cross_doc",
-}
+#: the three r10 perceptual entries (shared frame-hash pipeline pinned
+#: via localCheckpoint in operators/multimodal.py) were pruned after
+#: their green r11 stamps landed (VERDICT r11 round ritual). Currently
+#: empty — no operator-module rewrite is pending a restamp.
+FORCE_RESTAMP: set[str] = set()
 
 
 def _dirty_names() -> set[str]:
