@@ -112,12 +112,74 @@ def kmeans_lloyd(
     )
 
 
-def top_principal_component(
+def center_corpus(
     df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float], int]:
+    """Centered, localCheckpoint-PINNED embedding corpus — the shared
+    setup of every spectral operator here (:func:`top_principal_component`
+    and the blocked :func:`top_k_principal_components`). Returns
+    ``(cent, mu, n)``: the pinned ``(__id, __c)`` frame, the per-dim
+    means, and the row count.
+
+    Split out so multi-component queries (PC2 by deflation, top-k
+    subspace iteration) center and pin ONCE instead of once per
+    component (ADVICE r11: embedding_pca_second rebuilt the pin twice).
+
+    Input validation (ADVICE r11): an empty corpus raises a descriptive
+    ValueError instead of IndexError, and ragged vectors — per-dim
+    non-null counts that disagree, i.e. NULL cells or mixed lengths —
+    raise instead of silently skewing the means and eigenvalues. Rows
+    whose ENTIRE vector is NULL never reach posexplode (Spark drops
+    them), so they are excluded from the corpus by construction, which
+    the count check cannot and should not flag."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__v"
+        ),
+    )
+    # per-dim means: dim rows back to the driver
+    mean_rows = (
+        base.select(F.posexplode("__v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"), F.count("x").alias("n"))
+        .collect()  # bounded: dim aggregate rows (control plane)
+    )
+    if not mean_rows:
+        raise ValueError(
+            "center_corpus: empty embedding corpus — no rows with a "
+            "non-null vector, so there is no mean to center on"
+        )
+    counts = {r["n"] for r in mean_rows}
+    if len(counts) != 1:
+        raise ValueError(
+            "center_corpus: ragged corpus — per-dimension non-null "
+            f"counts disagree ({sorted(counts)}): vectors have mixed "
+            "lengths or NULL cells, which would silently skew the "
+            "covariance"
+        )
+    mean_rows.sort(key=lambda r: r["pos"])
+    mu = [r["m"] for r in mean_rows]
+    n = mean_rows[0]["n"]
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    # centered corpus, pinned ONCE — every iteration reads the
+    # lineage-truncated RDD instead of re-scanning the source
+    cent = base.select(
+        "__id",
+        F.zip_with("__v", mu_lit, lambda x, m: x - m).alias("__c"),
+    ).localCheckpoint(eager=True)
+    return cent, mu, n
+
+
+def top_principal_component(
+    df: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iterations: int = 3,
     orthogonal_to: list[float] | None = None,
+    centered: tuple[DataFrame, list[float], int] | None = None,
 ) -> DataFrame:
     """Top principal component of an embedding table by POWER ITERATION
     — the spectral sibling of :func:`kmeans_lloyd`, same Spark pattern:
@@ -147,6 +209,11 @@ def top_principal_component(
     iteration is one JVM-expression pass for the scores plus one
     posexplode aggregation for the matvec, shuffling dim partial sums
     per mapper. Driver traffic = dim doubles per iteration.
+
+    Pass ``centered=`` (the :func:`center_corpus` triple) to reuse an
+    already-pinned corpus across components — PC2-by-deflation and the
+    audit twins call this twice on the same table, and without reuse
+    each call re-scans, re-centers, and re-pins (ADVICE r11).
     """
     import math
 
@@ -156,30 +223,14 @@ def top_principal_component(
             "zero-variance guard lives on the driver-side normalize, "
             "and a 1-step run would skip it and emit 0/0 NULL loadings"
         )
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-            "__v"
-        ),
-    )
-    # per-dim means: dim rows back to the driver
-    mean_rows = (
-        base.select(F.posexplode("__v").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
-        .collect()  # bounded: dim aggregate rows (control plane)
-    )
-    mean_rows.sort(key=lambda r: r["pos"])
-    mu = [r["m"] for r in mean_rows]
-    n = mean_rows[0]["n"]
+    if centered is None:
+        if df is None:
+            raise ValueError(
+                "top_principal_component needs either df= or centered="
+            )
+        centered = center_corpus(df, id_col=id_col, vec_col=vec_col)
+    cent, mu, n = centered
     dim = len(mu)
-    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
-    # centered corpus, pinned ONCE — every iteration reads the
-    # lineage-truncated RDD instead of re-scanning the source
-    cent = base.select(
-        "__id",
-        F.zip_with("__v", mu_lit, lambda x, m: x - m).alias("__c"),
-    ).localCheckpoint(eager=True)
 
     if orthogonal_to is not None:
         # DEFLATION for lower components: iterate in the subspace
