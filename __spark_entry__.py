@@ -168,6 +168,7 @@ PRIORITY_STAMP = {
     "sketch_hll_error_audit",
     "sketch_quantile_rank_audit",
     "ann_ivf_recall_audit",
+    "ann_ivf_trained_recall_audit",
     "simhash_determinism_audit",
     "ml_kmeans_assign_audit",
 }

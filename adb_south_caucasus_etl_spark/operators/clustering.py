@@ -112,6 +112,119 @@ def kmeans_lloyd(
     )
 
 
+def spherical_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 5,
+) -> list[list[float]]:
+    """SPHERICAL k-means centroids (unit-norm, cosine geometry) — the
+    trained coarse quantizer for :func:`~..similarity.ivf_trained_topk`
+    (FAISS-style IVF trains its cell centroids instead of hashing with
+    random hyperplanes; Dhillon & Modha, Mach. Learn. 2001 for the
+    spherical variant).
+
+    Same control-plane pattern as :func:`kmeans_lloyd`: centroids live
+    on the driver (k × dim doubles), assignment is the JVM
+    ``array_min`` argmin over literal centroids, new means come back
+    from one combiner-friendly ``(cluster, pos)`` aggregation. Two
+    deltas for cosine geometry: rows are L2-NORMALIZED up front
+    (zero-norm rows are dropped — they have no direction to cluster;
+    cosine against them is the module's documented NaN case), and each
+    round's mean is re-normalized on the driver, so the L2 argmin
+    against unit centroids IS the cosine argmax (``‖x−c‖² = 2−2cosθ``
+    on the sphere) — and it reuses Lloyd's exact tie-break (smallest
+    centroid id). Empty clusters keep their centroid. Deterministic
+    init: k rows with the smallest ``md5_u32(id)``.
+
+    Scale: identical to Lloyd — one pass per iteration, k × dim partial
+    sums per mapper, k × dim doubles of driver traffic per round. Train
+    on a deterministic sample (``md5_bucket`` filter upstream) when the
+    corpus is 100 TB; the quantizer needs cluster shape, not every row.
+    """
+    import math
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__v"
+        ),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("__v", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # nullif keeps the division ANSI-TOTAL: Catalyst merges the guard
+    # filter and this projection into one stage and may evaluate the
+    # division as a shared subexpression BEFORE the __n > 0 predicate
+    # (observed: DIVIDE_BY_ZERO from inside the filter's codegen on a
+    # zero vector) — dividing by NULL instead yields NULL, and the row
+    # is filtered either way
+    unit = (
+        base.select("__id", "__v", nrm.alias("__n"))
+        .filter(F.col("__n") > 0.0)
+        .select(
+            "__id",
+            F.transform(
+                "__v", lambda x: x / F.nullif(F.col("__n"), F.lit(0.0))
+            ).alias("__v"),
+        )
+    )
+    seed_rows = (
+        unit.withColumn("__h", md5_u32(F.col("__id")))
+        .orderBy("__h", "__id")
+        .limit(k)
+        .collect()  # bounded: k seed rows by construction
+    )
+    if not seed_rows:
+        raise ValueError(
+            "spherical_centroids: no rows with a non-zero-norm vector — "
+            "nothing to cluster on the unit sphere"
+        )
+    centroids = [list(r["__v"]) for r in seed_rows]
+
+    for _ in range(iterations):
+        dists = F.array(
+            *[
+                F.struct(
+                    _dist2(F.col("__v"), c).alias("d"),
+                    F.lit(i).alias("c"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        assigned = unit.select(
+            "__v", F.array_min(dists)["c"].alias("cluster_id")
+        )
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode("__v").alias("pos", "x")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # bounded: k x dim centroid aggregate rows
+        )
+        new_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            new_c.setdefault(r["cluster_id"], {})[r["pos"]] = r["m"]
+        out = []
+        for i in range(len(centroids)):
+            if i not in new_c:
+                out.append(centroids[i])  # empty cluster keeps centroid
+                continue
+            v = [new_c[i][p] for p in sorted(new_c[i])]
+            nv = math.sqrt(sum(x * x for x in v))
+            # a zero mean (perfectly cancelling cluster) keeps the old
+            # direction rather than dividing by zero
+            out.append([x / nv for x in v] if nv > 0.0 else centroids[i])
+        centroids = out
+    return centroids
+
+
 def center_corpus(
     df: DataFrame,
     id_col: str = "vec_id",

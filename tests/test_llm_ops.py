@@ -597,6 +597,89 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall {recall} below gate"
 
 
+def test_ivf_trained_recall_vs_exact(spark, sf_dir):
+    """The trained-centroid IVF must clear a STRICTLY HIGHER recall
+    floor (0.9) than the sign-LSH variant's 0.8 on the same corpus —
+    the point of training the quantizer (VERDICT r11 item 2). Measured
+    0.94 at sf0.001, the gate's worst SF."""
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        ivf_trained_topk,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_exact(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_trained_topk(
+            emb, q, k=10, n_cells=16, nprobe=8, spill=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"trained-IVF recall {recall} below gate"
+
+
+def test_ivf_trained_exploits_planted_clusters(spark):
+    """On CLUSTERED data (the case the quantizer is trained FOR), a
+    single probed cell with no spill already recovers the exact top-k:
+    8 well-separated planted directions, every neighbor of a query
+    lives in the query's own cell. Also pins determinism (two runs,
+    identical output) and the zero-norm contract (a zero vector is
+    dropped from the index, never crashes training)."""
+    import numpy as np
+
+    from adb_south_caucasus_etl_spark.operators.clustering import (
+        spherical_centroids,
+    )
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        ivf_trained_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    dirs = rng.randn(8, 32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    for i in range(160):
+        base = dirs[i % 8]
+        v = base + rng.randn(32) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    rows.append((999, [0.0] * 32))  # zero-norm: dropped from the index
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    cents = spherical_centroids(df, k=8, iterations=5)
+    assert all(
+        abs(sum(x * x for x in c) - 1.0) < 1e-9 for c in cents
+    ), "centroids must be unit-norm"
+    assert cents == spherical_centroids(df, k=8, iterations=5)
+
+    q = df.filter(F.col("vec_id") < 4)
+    # exact baseline over the non-degenerate corpus: cosine against the
+    # zero vector is NaN, which the exact ranker sorts FIRST (the
+    # module's documented NaN contract) while the trained index drops
+    # zero-norm rows as unreachable — the documented divergence
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_exact(
+            df.filter(F.col("vec_id") != 999), q, k=5
+        ).collect()
+    }
+    approx_rows = ivf_trained_topk(
+        df, q, k=5, n_cells=8, nprobe=1, spill=1
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    assert all(r.neighbor_id != 999 for r in approx_rows), (
+        "zero-norm vector must be dropped from the trained index"
+    )
+    assert approx == exact, (
+        "nprobe=1 on well-separated clusters must already be exact: "
+        f"missing {sorted(exact - approx)}"
+    )
+
+
 def test_estimated_rows_and_derived_grid(spark, sf_dir):
     """VERDICT r08 item 5: blocked-GEMM grids derive from Catalyst stats
     when the caller passes no explicit grid. Exact on rowCount-bearing
