@@ -1675,3 +1675,53 @@ def test_second_principal_component_deflation(spark):
     assert abs(float(np.dot(np.array(l1), l2))) < 1e-9
     eig2 = pc2[0]["eigval"]
     assert abs(eig2 - float(vals[-2])) / float(vals[-2]) < 0.05
+
+
+def test_corpus_dedup_pipeline_reconciles(spark):
+    """The megapipeline's accounting ledger must RECONCILE: per stage
+    kept + removed ≡ in, each stage's n_in is the previous stage's
+    n_kept (no doc appears or vanishes between boundaries), the split
+    partitions the survivors exactly, and every count agrees with the
+    stage's scratch-parquet table on disk (the ledger reports what was
+    actually materialized, not what the plan intended)."""
+    import os
+
+    from adb_south_caucasus_etl_spark.workload import (
+        WORKLOAD,
+        _scratch_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        WORKLOAD["corpus_dedup_pipeline"].fn(spark, sf).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage for r in rows] == [
+        "normalize",
+        "exact_dedup",
+        "span_dedup",
+        "neardup_cc",
+        "decontaminate",
+        "split",
+    ]
+    for r in rows:
+        assert r.n_kept + r.n_removed == r.n_in, r
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_in == prev.n_kept, (prev, cur)
+    split = rows[-1]
+    assert split.n_train + split.n_val == split.n_kept
+    assert rows[0].n_in > 0 and split.n_kept > 0
+    # monotone: a dedup pipeline never grows the corpus
+    assert all(a.n_kept >= b.n_kept for a, b in zip(rows, rows[1:]))
+
+    base = _scratch_dir("corpus_dedup", sf)
+    on_disk = {
+        "normalize": "norm",
+        "exact_dedup": "exact",
+        "span_dedup": "spanned",
+        "neardup_cc": "canon",
+        "decontaminate": "decont",
+    }
+    for r in rows[:-1]:
+        path = os.path.join(base, on_disk[r.stage])
+        assert spark.read.parquet(path).count() == r.n_kept, r.stage
