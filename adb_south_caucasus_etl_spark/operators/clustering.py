@@ -442,3 +442,181 @@ def top_principal_component(
             ),
         )
     )
+
+
+def top_k_principal_components(
+    df: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 3,
+    centered: tuple[DataFrame, list[float], int] | None = None,
+) -> DataFrame:
+    """Top-``k`` principal components by BLOCKED ORTHOGONAL ITERATION
+    (subspace iteration — Golub & Van Loan §8.2): the k-column iterate
+    ``V`` lives on the driver (dim × k doubles — control plane), each
+    round is ONE k-column matvec ``W = Cᵀ(C V)`` over the pinned
+    centered corpus (k dot products per row, then one posexplode
+    aggregation emitting k sums per dimension — the covariance is never
+    materialized), followed by re-orthonormalization via MODIFIED
+    GRAM-SCHMIDT. Sequential deflation (:func:`top_principal_component`
+    ``orthogonal_to=``) pays one full driver round-trip PER COMPONENT
+    per step; here every component advances in the same pass (VERDICT
+    r11 item 6).
+
+    Determinism and oracle-roundability, same contract as PC1: ``V₀``
+    is the exact-literal block-indicator basis (column j = 1/√(dim/k)
+    on its own dim/k-chunk — requires ``dim % k == 0``), the iteration
+    budget is fixed, and every step is grouped sums + MGS divisions an
+    external oracle restates verbatim; round-4 absorbs the
+    1-ulp-per-sum drift. Intermediate MGS rounds run on the driver
+    (dim × k doubles in, same out); the FINAL round's matvec and MGS
+    stay IN Spark — the residual norms of that MGS are exactly the
+    ``R_jj`` of the QR, so ``eigval_j = R_jj / n`` (the orthogonal-
+    iteration eigenvalue estimate) rides the same frame for free. A
+    rank-deficient corpus (some R_jj = 0) yields NULL loadings for the
+    dead component via the nullif-guarded divide (ANSI-total, same
+    speculative-evaluation rationale as :func:`spherical_centroids`);
+    the driver-side MGS rounds raise on it first with a descriptive
+    error.
+
+    Returns k × dim rows ``(component, dim, loading, eigval)``,
+    component 1-based in decreasing-eigenvalue order.
+
+    100 TB shape: per round, one JVM-expression pass for the k scores
+    plus one posexplode aggregation shuffling dim × k partial sums per
+    mapper; driver traffic dim × k doubles. The final MGS is k(k+1)/2
+    scalar aggregates over a PINNED dim-row frame (localCheckpoint —
+    without the pin each aggregate would re-run the matvec).
+    """
+    import math
+
+    if iterations < 2:
+        raise ValueError(
+            "top_k_principal_components needs iterations >= 2 (the "
+            "same driver-side zero-variance guard argument as "
+            "top_principal_component)"
+        )
+    if centered is None:
+        if df is None:
+            raise ValueError(
+                "top_k_principal_components needs either df= or "
+                "centered="
+            )
+        centered = center_corpus(df, id_col=id_col, vec_col=vec_col)
+    cent, mu, n = centered
+    dim = len(mu)
+    if k < 1 or k > dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    if dim % k != 0:
+        raise ValueError(
+            f"dim ({dim}) must be divisible by k ({k}) so the "
+            "block-indicator V0 is an exact SQL literal"
+        )
+    block = dim // k
+    val = 1.0 / math.sqrt(block)
+    v = [
+        [val if i // block == j else 0.0 for i in range(dim)]
+        for j in range(k)
+    ]  # k columns of length dim
+
+    def w_frame(v_now: list[list[float]]) -> DataFrame:
+        scores = [
+            F.aggregate(
+                F.zip_with(
+                    "__c",
+                    F.array(*[F.lit(float(x)) for x in v_now[j]]),
+                    lambda c, b: c * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"__s{j + 1}")
+            for j in range(k)
+        ]
+        scored = cent.select("__c", *scores)
+        return (
+            scored.select(
+                F.posexplode("__c").alias("pos", "c"),
+                *[f"__s{j + 1}" for j in range(k)],
+            )
+            .groupBy("pos")
+            .agg(
+                *[
+                    F.sum(F.col("c") * F.col(f"__s{j + 1}")).alias(
+                        f"w{j + 1}"
+                    )
+                    for j in range(k)
+                ]
+            )
+        )
+
+    def mgs_driver(
+        cols: list[list[float]],
+    ) -> list[list[float]]:
+        qs: list[list[float]] = []
+        for j in range(k):
+            u = list(cols[j])
+            for q in qs:
+                p = sum(u[i] * q[i] for i in range(dim))
+                u = [u[i] - p * q[i] for i in range(dim)]
+            nrm = math.sqrt(sum(x * x for x in u))
+            if nrm == 0.0:
+                raise ValueError(
+                    "top_k_principal_components: rank-deficient corpus "
+                    f"— MGS residual of component {j + 1} vanished; "
+                    "fewer than k principal directions exist"
+                )
+            qs.append([x / nrm for x in u])
+        return qs
+
+    for _ in range(iterations - 1):
+        rows = w_frame(v).collect()  # bounded: dim x k aggregate rows
+        rows.sort(key=lambda r: r["pos"])
+        v = mgs_driver(
+            [[r[f"w{j + 1}"] for r in rows] for j in range(k)]
+        )
+
+    # final round stays IN Spark: matvec, pin the dim-row frame, then
+    # MGS as chained scalar-aggregate broadcast crossJoins
+    cur = w_frame(v).localCheckpoint(eager=True)
+    qcols: list[str] = []
+    for j in range(1, k + 1):
+        ucol = f"__u{j}"
+        cur = cur.withColumn(ucol, F.col(f"w{j}"))
+        for qc in qcols:
+            p = cur.agg(
+                F.sum(F.col(ucol) * F.col(qc)).alias("__p")
+            )
+            cur = (
+                cur.crossJoin(F.broadcast(p))
+                .withColumn(
+                    ucol, F.col(ucol) - F.col("__p") * F.col(qc)
+                )
+                .drop("__p")
+            )
+        nj = cur.agg(
+            F.sqrt(F.sum(F.col(ucol) * F.col(ucol))).alias(f"__r{j}")
+        )
+        cur = cur.crossJoin(F.broadcast(nj)).withColumn(
+            f"__q{j}",
+            F.col(ucol) / F.nullif(F.col(f"__r{j}"), F.lit(0.0)),
+        )
+        qcols.append(f"__q{j}")
+        # re-pin so the next component's aggregates read 64 rows, not a
+        # growing crossJoin lineage
+        cur = cur.localCheckpoint(eager=True)
+
+    stack_args = ", ".join(
+        f"{j}, __q{j}, __r{j}" for j in range(1, k + 1)
+    )
+    return cur.select(
+        F.col("pos").cast("int").alias("dim"),
+        F.expr(
+            f"stack({k}, {stack_args}) AS (component, loading, __rr)"
+        ),
+    ).select(
+        F.col("component").cast("int").alias("component"),
+        "dim",
+        "loading",
+        (F.col("__rr") / F.lit(float(n))).alias("eigval"),
+    )

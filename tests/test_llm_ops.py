@@ -1725,3 +1725,51 @@ def test_corpus_dedup_pipeline_reconciles(spark):
     for r in rows[:-1]:
         path = os.path.join(base, on_disk[r.stage])
         assert spark.read.parquet(path).count() == r.n_kept, r.stage
+
+
+def test_top_k_principal_components_match_numpy(spark):
+    """Blocked orthogonal iteration (k=4) on a planted 4-direction
+    anisotropic cloud must align with numpy's top-4 covariance
+    eigenvectors (>0.999 per component — VERDICT r11 item 6's done
+    bar), return a pairwise-orthonormal basis, and estimate each
+    eigenvalue within 5% via the final MGS residual norms."""
+    import numpy as np
+
+    from adb_south_caucasus_etl_spark.operators.clustering import (
+        top_k_principal_components,
+    )
+
+    rng = np.random.RandomState(5)
+    dim, n, k = 16, 400, 4
+    basis = np.linalg.qr(rng.randn(dim, k))[0].T  # 4 orthonormal dirs
+    strengths = [8.0, 4.0, 2.0, 1.0]
+    x = sum(
+        np.outer(rng.randn(n) * s, b) for s, b in zip(strengths, basis)
+    ) + rng.randn(n, dim) * 0.02
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    out = top_k_principal_components(df, k=k, iterations=6).collect()
+    got = np.zeros((k, dim))
+    eig = {}
+    for r in out:
+        got[r["component"] - 1, r["dim"]] = r["loading"]
+        eig[r["component"]] = r["eigval"]
+    cov = np.cov(
+        x.astype(np.float32).astype(np.float64), rowvar=False, bias=True
+    )
+    vals, vecs = np.linalg.eigh(cov)
+    for j in range(k):
+        truth = vecs[:, -1 - j]
+        assert abs(float(np.dot(got[j], truth))) > 0.999, (
+            f"component {j + 1} misaligned"
+        )
+        assert (
+            abs(eig[j + 1] - float(vals[-1 - j])) / float(vals[-1 - j])
+            < 0.05
+        ), f"eigval {j + 1} off"
+    gram = got @ got.T
+    assert np.allclose(gram, np.eye(k), atol=1e-9), (
+        "loadings must be orthonormal"
+    )
