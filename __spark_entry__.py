@@ -8,8 +8,9 @@ Ordering: the driver's correctness gate stamps a bounded window of
 ``queries()`` entries per round (r2 stamped exactly the first 50 in
 registration order, leaving 77 queries with only local verification).
 ``queries()``/``oracle_sql()`` therefore emit entries sorted by
-(latest-stamp-red first, DIRTY second, ascending driver-stamp count,
-registration order) — computed from the ``CORRECTNESS_r*.json`` files
+(latest-stamp-red first, DIRTY second, never-stamped third, then
+OLDEST latest-stamp round, stamp count, registration order) — computed
+from the ``CORRECTNESS_r*.json`` files
 the driver leaves at the repo root plus the ``STAMP_SOURCES.json``
 sidecar (``tools/stamp_sources.py rebuild``, git-reconstructed
 hash-at-last-stamp per query). A query whose most recent stamp was red
@@ -183,14 +184,20 @@ def _ordered_names() -> list[str]:
         key=lambda n: (
             n not in reds,
             n not in dirty,
+            counts.get(n, 0) != 0,
+            # freshness rotation (VERDICT r10 item 4, fixed r12): with
+            # the never-stamped backlog at zero, idle window slots
+            # refresh the OLDEST latest-stamp first, so min stamp age
+            # climbs every round. The r11 key put TOTAL stamp count
+            # before age, which inverted the drain once the oldest
+            # cohort was also the most-stamped (the r2-era 40 carry
+            # r1+r2 stamps = count 2, so every count-1 query from r3/r4
+            # outranked them and the r2 bucket would never empty —
+            # exactly what VERDICT r11 item 1 requires). Age now
+            # dominates; count breaks ties within an age bucket.
+            latest_round.get(n, 0),
             counts.get(n, 0),
             n not in PRIORITY_STAMP,
-            # freshness rotation (VERDICT r10 item 4): with the backlog
-            # at zero, idle window slots refresh the OLDEST latest-stamp
-            # first, so min stamp age climbs every round instead of 53
-            # queries riding their r1 stamp while rotation chases only
-            # new work. Never jumps red/dirty or a lower stamp count.
-            latest_round.get(n, 0),
             reg_order[n],
         ),
     )
