@@ -29,8 +29,11 @@ operators/similarity.py ivf_topk) and Lloyd only refines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .curation import md5_u32
 
@@ -44,6 +47,40 @@ def _dist2(vec, centroid: list[float]):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def cell_topn_udf(centroids: list[list[float]], n: int):
+    """Vectorized top-``n``-nearest-cells assignment against UNIT-norm
+    centroids: one Arrow-batched numpy matmul per batch, descending dot
+    product, ties to the smallest cell id (stable argsort — exactly
+    ``kmeans_lloyd``'s struct tie-break extended past the argmin).
+    Ranking by dot against unit centroids is invariant to positive row
+    scale, so callers can feed RAW vectors (no pre-normalization); an
+    all-zero vector ties everywhere and deterministically probes cells
+    ``0..n-1``.
+
+    This is the same deliberate, measured Python-UDF exception as
+    ``similarity._table_buckets_udf``, for the same two reasons
+    compounded: the per-centroid literal-expression formulation costs
+    one py4j call per scalar at plan build (~14 s for the trained-IVF
+    query at 16×64 literals across two join sides and five training
+    iterations), and the one-parse higher-order ``transform``
+    alternative fixes the build but EXECUTES interpreted — Spark's HOF
+    path evaluates the lambda per element with no codegen, measured
+    ~2 s per 2000×16×64 assignment pass. The (batch × dim) @
+    (dim × k) matmul is both the fast and the scale-shaped path."""
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def topn(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        v = np.asarray(vs.tolist(), dtype=np.float64)  # (n_rows, dim)
+        sims = v @ C.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series(order.astype("int32").tolist())
+
+    return topn
 
 
 def kmeans_lloyd(
@@ -126,8 +163,10 @@ def spherical_centroids(
     spherical variant).
 
     Same control-plane pattern as :func:`kmeans_lloyd`: centroids live
-    on the driver (k × dim doubles), assignment is the JVM
-    ``array_min`` argmin over literal centroids, new means come back
+    on the driver (k × dim doubles), assignment is a vectorized
+    Arrow-batched matmul argmax (:func:`cell_topn_udf` — the measured
+    fast path; the JVM literal/HOF formulations lose at plan build and
+    interpreted execution respectively), new means come back
     from one combiner-friendly ``(cluster, pos)`` aggregation. Two
     deltas for cosine geometry: rows are L2-NORMALIZED up front
     (zero-norm rows are dropped — they have no direction to cluster;
@@ -164,6 +203,12 @@ def spherical_centroids(
     # (observed: DIVIDE_BY_ZERO from inside the filter's codegen on a
     # zero vector) — dividing by NULL instead yields NULL, and the row
     # is filtered either way
+    # pinned ONCE (the iterative-ML caching discipline, as in
+    # center_corpus): the seed job and every Lloyd round read the
+    # lineage-truncated RDD instead of re-running the scan + the
+    # interpreted-HOF normalization (~0.7 s/pass at sf0.1 — it was
+    # re-executed 6x). At 100 TB train on a md5_bucket sample upstream;
+    # the pin then holds the sample, not the corpus.
     unit = (
         base.select("__id", "__v", nrm.alias("__n"))
         .filter(F.col("__n") > 0.0)
@@ -173,6 +218,7 @@ def spherical_centroids(
                 "__v", lambda x: x / F.nullif(F.col("__n"), F.lit(0.0))
             ).alias("__v"),
         )
+        .localCheckpoint(eager=True)
     )
     seed_rows = (
         unit.withColumn("__h", md5_u32(F.col("__id")))
@@ -188,17 +234,13 @@ def spherical_centroids(
     centroids = [list(r["__v"]) for r in seed_rows]
 
     for _ in range(iterations):
-        dists = F.array(
-            *[
-                F.struct(
-                    _dist2(F.col("__v"), c).alias("d"),
-                    F.lit(i).alias("c"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
+        # vectorized assignment (see cell_topn_udf): argmax dot against
+        # unit centroids over unit rows == the L2 argmin, one Arrow
+        # matmul per batch instead of interpreted per-element lambdas
+        assign = cell_topn_udf(centroids, 1)
         assigned = unit.select(
-            "__v", F.array_min(dists)["c"].alias("cluster_id")
+            "__v",
+            F.element_at(assign(F.col("__v")), 1).alias("cluster_id"),
         )
         means = (
             assigned.select(

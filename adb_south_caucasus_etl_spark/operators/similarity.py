@@ -318,16 +318,19 @@ def ivf_trained_topk(
     knob, not the plan.
 
     Plan shape: training is ``train_iterations`` control-plane rounds
-    (k × dim driver doubles each); cell assignment on both sides is a
-    JVM ``array_sort`` over literal-centroid distance structs (the
-    argmin tie-break of kmeans_lloyd, extended to top-``spill``/
-    ``nprobe`` via slice) — no Python, no UDF; the candidate join is an
+    (k × dim driver doubles each); cell assignment on both sides is
+    one Arrow-batched numpy matmul (``clustering.cell_topn_udf`` —
+    kmeans_lloyd's argmin tie-break extended to top-``spill``/
+    ``nprobe`` via stable argsort; the same measured Python-UDF
+    exception as ``_table_buckets_udf``, see its docstring for the
+    build-time AND interpreted-HOF numbers the JVM formulations lose
+    to); the candidate join is an
     equi-join on the cell id, shuffle ∝ collisions; neither side is
     broadcast-hinted (same AQE rationale as ivf_topk). Zero-norm
     vectors have no direction: they are dropped from the INDEX side
     (unreachable by cosine anyway under this module's NaN contract)
-    and a zero-norm QUERY probes the cells nearest the origin ties
-    resolve to (deterministic, returns its k NaN-ranked candidates).
+    and a zero-norm QUERY ties everywhere and deterministically
+    probes cells ``0..nprobe-1`` (stable-argsort tie-break).
     """
     from .clustering import spherical_centroids
 
@@ -339,30 +342,7 @@ def ivf_trained_topk(
         iterations=train_iterations,
     )
 
-    def cells(vec, n: int):
-        """Top-``n`` nearest cells of a unit-normalized vector column, as
-        an exploded int column: array_sort over (dist², cell_id) structs
-        sorts by distance then smallest id — kmeans_lloyd's exact
-        tie-break, extended past the argmin."""
-        dists = F.array(
-            *[
-                F.struct(
-                    _dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias(
-                        "d"
-                    ),
-                    F.lit(i).alias("c"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        # unit centroids: argmin ‖x−c‖² == argmax x·c; sort DESC on the
-        # dot by negating (array_sort is ASC on the first struct field)
-        neg = F.transform(
-            dists, lambda s: F.struct((-s["d"]).alias("d"), s["c"].alias("c"))
-        )
-        return F.transform(
-            F.slice(F.array_sort(neg), 1, n), lambda s: s["c"]
-        )
+    from .clustering import cell_topn_udf
 
     def normed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         v = as_double(F.col(vec_col))
@@ -370,42 +350,27 @@ def ivf_trained_topk(
             F.col(id_col).alias(out_id), v.alias(out_vec)
         ).withColumn(f"{out_vec}_n", _norm(F.col(out_vec)))
 
-    # nullif keeps both normalizations ANSI-TOTAL: the guard filter and
-    # the division can be fused by Catalyst into one codegen stage that
-    # evaluates the division speculatively (see clustering.
-    # spherical_centroids) — NULL-divide is a no-op row the filter (or
-    # the when-branch) already excludes
+    # cell ranking by dot against UNIT centroids is invariant to
+    # positive row scale, so both sides feed their RAW vectors to the
+    # assignment UDF — no per-row normalization, no division to guard
+    # (a zero-norm query ties everywhere and deterministically probes
+    # cells 0..nprobe-1; zero-norm corpus rows are filtered per the
+    # index contract)
+    spill_cells = cell_topn_udf(centroids, spill)
+    probe_cells = cell_topn_udf(centroids, nprobe)
     c = normed(corpus, "neighbor_id", "cv")
     cu = c.filter(F.col("cv_n") > 0.0).select(
         "neighbor_id",
         "cv",
         "cv_n",
-        F.explode(
-            cells(
-                F.transform(
-                    "cv", lambda x: x / F.nullif(F.col("cv_n"), F.lit(0.0))
-                ),
-                spill,
-            )
-        ).alias("__cell"),
+        F.explode(spill_cells(F.col("cv"))).alias("__cell"),
     )
     q = normed(queries, "query_id", "qv")
     qu = q.select(
         "query_id",
         "qv",
         "qv_n",
-        F.explode(
-            cells(
-                F.when(
-                    F.col("qv_n") > 0.0,
-                    F.transform(
-                        "qv",
-                        lambda x: x / F.nullif(F.col("qv_n"), F.lit(0.0)),
-                    ),
-                ).otherwise(F.col("qv")),
-                nprobe,
-            )
-        ).alias("__cell"),
+        F.explode(probe_cells(F.col("qv"))).alias("__cell"),
     )
     candidates = (
         cu.join(qu, "__cell")

@@ -57,6 +57,14 @@ ALLOWLIST: dict[str, str] = {
         "run over the same table ON PURPOSE (the audit compares them); "
         "each pipeline executes once."
     ),
+    "ann_ivf_trained_recall_audit": (
+        "4 embeddings scans, 2 Python stages: same shape and argument "
+        "as ann_ivf_recall_audit — the trained-cell probe (Arrow "
+        "matmul assignment) and the exact-cosine yardstick are two "
+        "different pipelines compared on purpose; each executes once. "
+        "Training jobs run eagerly before the final plan and read a "
+        "pinned unit-vector frame, not the parquet."
+    ),
 }
 
 
