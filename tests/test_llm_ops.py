@@ -1773,3 +1773,73 @@ def test_top_k_principal_components_match_numpy(spark):
     assert np.allclose(gram, np.eye(k), atol=1e-9), (
         "loadings must be orthonormal"
     )
+
+
+def test_dbscan_embed_planted_structure(spark):
+    """DBSCAN must recover planted variable-density structure built
+    from EXACT orthonormal geometry (no RNG): two tight clumps (every
+    member core, one cluster each, no cross-clump edges), one border
+    point whose only epsilon-neighbor is a single clump-A member
+    (attached to clump A's min-id cluster), and an isolated pair (each
+    end one neighbor — noise under min_neighbors=2, the stragglers a
+    centroid method would force into a cell)."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F  # noqa: F401 (local clarity)
+    from adb_south_caucasus_etl_spark.operators.dedup import (
+        connected_components,
+    )
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    dim = 16
+    E = np.eye(dim)
+    c30, s30 = math.cos(math.pi / 6), math.sin(math.pi / 6)
+    # clump A around axis e0: pairwise cos = 0.75/0.866 — all edges
+    A = [E[0]] + [c30 * E[0] + s30 * E[1 + i] for i in range(3)]
+    # clump B around axis e4 (disjoint basis): same shape
+    B = [E[4]] + [c30 * E[4] + s30 * E[5 + i] for i in range(3)]
+    # border: cos 0.48 to A[1] only; 0.48*0.866=0.4157 to A[0] and
+    # 0.48*0.75=0.36 to A[2]/A[3] — both below the 0.42 threshold
+    h = 0.48 * A[1] + math.sqrt(1 - 0.48**2) * E[8]
+    # isolated pair on axis e9: one 0.866 edge, degree 1 each
+    I0, I1 = E[9], c30 * E[9] + s30 * E[10]
+    rows = (
+        [(i, [float(x) for x in v]) for i, v in enumerate(A)]
+        + [(10 + i, [float(x) for x in v]) for i, v in enumerate(B)]
+        + [(20, [float(x) for x in h]), (30, [float(x) for x in I0]),
+           (31, [float(x) for x in I1])]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    pairs = cosine_pairs_blocked(df, threshold=0.42).select(
+        "id_a", "id_b"
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (30, 31) in got
+    assert all((i, j) in got for i in range(4) for j in range(i + 1, 4))
+    assert not any(x < 10 <= y < 20 for x, y in got)
+    assert (1, 20) in got and (0, 20) not in got
+
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).select(F.col("id_a").alias("node"), F.col("id_b").alias("nbr"))
+    deg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("n"))
+    core = deg.filter(F.col("n") >= 2).select("node")
+    ce = pairs.join(
+        core.select(F.col("node").alias("id_a")), "id_a", "left_semi"
+    ).join(core.select(F.col("node").alias("id_b")), "id_b", "left_semi")
+    cc = connected_components(ce.select("id_a", "id_b"))
+    labels = {r.node: r.label for r in cc.collect()}
+    cores = {r.node for r in core.collect()}
+    assert {labels[i] for i in range(4)} == {0}
+    assert {labels[10 + i] for i in range(4)} == {10}
+    assert cores == set(range(4)) | {10 + i for i in range(4)}, (
+        "border and isolated-pair points must not be core"
+    )
