@@ -903,3 +903,93 @@ def jaccard_pairs_ppjoin(
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-shingle CONTAINMENT pairs (Broder, SEQUENCES'97):
+    ``containment(src ⊆ dst) = |S_src ∩ S_dst| / |S_src|`` — the
+    ASYMMETRIC near-dup signal symmetric Jaccard structurally misses: a
+    short document quoted wholesale inside a long one has containment
+    ≈ 1 while its Jaccard is diluted by the long side's size (a 200-
+    token article inside a 10k-token page scores J ≈ 0.02). Returns
+    DIRECTED rows ``(src_id, dst_id, containment, jaccard)`` with
+    ``containment >= threshold``, both metrics rounded to 4; the
+    Jaccard rides along so consumers can see exactly which pairs are
+    containment-only catches.
+
+    Same inverted-index formulation, shuffle plan, and ``max_df``
+    stop-shingle cap as :func:`jaccard_pairs` (consistent denominators
+    over the capped universe): the undirected intersection is computed
+    ONCE per (a < b) pair and emitted in both directions with each
+    side's own size as the denominator — no second join, no second
+    shuffle. Scale shape identical to jaccard_pairs: |shuffle| ∝
+    co-occurring shingles, never n².
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        sized_src = (
+            sh.select(
+                "__id",
+                "__s",
+                F.count(F.lit(1))
+                .over(Window.partitionBy("__s"))
+                .alias("__df"),
+            )
+            .filter(F.col("__df") <= max_df)
+            .select("__id", "__s")
+        )
+    else:
+        sized_src = sh.select("__id", "__s")
+    sized = sized_src.select(
+        "__id",
+        "__s",
+        F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"),
+    )
+    ex = sized.repartition(F.col("__s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.any_value(F.col("a.__n")).alias("__na"),
+            F.any_value(F.col("b.__n")).alias("__nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+                4,
+            ),
+        )
+    )
+    directed = scored.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        F.round(F.col("__inter") / F.col("__na"), 4).alias("containment"),
+        "jaccard",
+    ).unionByName(
+        scored.select(
+            F.col("id_b").alias("src_id"),
+            F.col("id_a").alias("dst_id"),
+            F.round(F.col("__inter") / F.col("__nb"), 4).alias(
+                "containment"
+            ),
+            "jaccard",
+        )
+    )
+    return directed.filter(F.col("containment") >= threshold)

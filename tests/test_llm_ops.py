@@ -1843,3 +1843,34 @@ def test_dbscan_embed_planted_structure(spark):
     assert cores == set(range(4)) | {10 + i for i in range(4)}, (
         "border and isolated-pair points must not be core"
     )
+
+
+def test_containment_catches_quote_inclusion(spark):
+    """A short document quoted wholesale inside a long one must be a
+    containment catch (short ⊆ long ≈ 1.0) while the symmetric Jaccard
+    stays diluted below any near-dup threshold — the asymmetric signal
+    the operator exists for. The reverse direction (long ⊆ short) must
+    NOT clear the threshold."""
+    from adb_south_caucasus_etl_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"tok{i} w{i} z{i}" for i in range(60))
+    long = filler + " " + short + " " + " ".join(
+        f"tail{i} y{i}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.src_id, r.dst_id): r
+        for r in containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.6
+        ).collect()
+    }
+    assert set(rows) == {(1, 2)}, rows
+    r = rows[(1, 2)]
+    assert r.containment >= 0.99
+    assert r.jaccard < 0.1, "Jaccard must stay diluted by the long side"
