@@ -1874,3 +1874,42 @@ def test_containment_catches_quote_inclusion(spark):
     r = rows[(1, 2)]
     assert r.containment >= 0.99
     assert r.jaccard < 0.1, "Jaccard must stay diluted by the long side"
+
+
+def test_rake_keywords_hand_computed(spark):
+    """RAKE on a hand-computable document: 'deep learning models the
+    deep learning stack a stack' with stopwords {a, the} splits into
+    phrases [deep learning models], [deep learning stack], [stack].
+    freq/degree: deep 2/6, learning 2/6, models 1/3, stack 2/4 → word
+    scores 3, 3, 3, 2; phrase scores: 9, 8, 2."""
+    from adb_south_caucasus_etl_spark.workload import WORKLOAD  # noqa: F401
+
+    from pyspark.sql import Window  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(0, "deep learning models the deep learning stack a stack")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("__rake_probe")
+    # drive the registered query body over the probe frame by calling
+    # the same operator pipeline inline (the registered query is pinned
+    # to the fixture; this pins the algorithm on verifiable numbers)
+    import adb_south_caucasus_etl_spark.workload as wl
+
+    out = {}
+    # reuse the query implementation with a monkeypatched catalog frame
+    class _Cat:
+        documents = df
+
+    orig = wl.Catalog
+    try:
+        wl.Catalog = lambda *a, **k: _Cat()  # type: ignore[assignment]
+        rows = wl.text_rake_keywords(spark, "unused").collect()
+    finally:
+        wl.Catalog = orig
+    out = {(r.phrase): (r.score, r.rank) for r in rows}
+    assert out == {
+        "deep learning models": (9.0, 1),
+        "deep learning stack": (8.0, 2),
+        "stack": (2.0, 3),
+    }, out
