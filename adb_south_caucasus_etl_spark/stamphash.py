@@ -47,9 +47,43 @@ def _sha(text: str) -> str:
 
 def register_blocks(workload_src: str) -> dict[str, str]:
     """Map query name -> exact source block (decorators through function
-    end) for every ``@register("name", ...)``-decorated function."""
+    end) for every ``@register("name", ...)``-decorated function.
+
+    ADVICE r12: when the decorator's ORACLE argument is not a plain
+    string literal — a helper call like ``_pca_topk_oracle(...)`` or an
+    f-string interpolating a module constant like ``MAX_BAND_BUCKET`` —
+    the oracle's effective text lives OUTSIDE the block, so a
+    helper/constant edit used to ship with a stale green stamp unless
+    someone remembered FORCE_RESTAMP. Here every module-level
+    function/constant referenced from the decorator args is APPENDED to
+    the block (sorted by name, NUL-separated), so editing
+    ``_pca_topk_oracle`` dirties ``embedding_pca_topk`` and
+    ``embedding_pca_project`` automatically."""
     tree = ast.parse(workload_src)
     lines = workload_src.splitlines()
+
+    # module-level definitions a decorator arg may reference: functions
+    # (oracle generators) and simple constant assignments (f-string
+    # interpolands); source segments keyed by name
+    toplevel: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            toplevel[node.name] = "\n".join(
+                lines[node.lineno - 1 : node.end_lineno]
+            )
+        elif isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    toplevel[tgt.id] = "\n".join(
+                        lines[node.lineno - 1 : node.end_lineno]
+                    )
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            toplevel[node.target.id] = "\n".join(
+                lines[node.lineno - 1 : node.end_lineno]
+            )
+
     out: dict[str, str] = {}
     for node in tree.body:
         if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
@@ -64,9 +98,20 @@ def register_blocks(workload_src: str) -> dict[str, str]:
                 and isinstance(dec.args[0].value, str)
             ):
                 start = min(d.lineno for d in node.decorator_list)
-                out[dec.args[0].value] = "\n".join(
-                    lines[start - 1 : node.end_lineno]
+                block = "\n".join(lines[start - 1 : node.end_lineno])
+                # fold in decorator-referenced module-level sources
+                refs = sorted(
+                    {
+                        n.id
+                        for arg in list(dec.args[1:])
+                        + [kw.value for kw in dec.keywords]
+                        for n in ast.walk(arg)
+                        if isinstance(n, ast.Name) and n.id in toplevel
+                    }
                 )
+                for name in refs:
+                    block += "\x00" + name + "\x00" + toplevel[name]
+                out[dec.args[0].value] = block
                 break
     return out
 
