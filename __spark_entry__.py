@@ -117,9 +117,13 @@ def _stamp_state() -> tuple[dict[str, int], set[str], dict[str, int]]:
 #: after their green r10 stamps (VERDICT r10 item 2). Current cohort:
 #: the three r10 perceptual entries (shared frame-hash pipeline pinned
 #: via localCheckpoint in operators/multimodal.py) were pruned after
-#: their green r11 stamps landed (VERDICT r11 round ritual). Currently
-#: empty — no operator-module rewrite is pending a restamp.
-FORCE_RESTAMP: set[str] = set()
+#: their green r11 stamps landed (VERDICT r11 round ritual). Current
+#: cohort (r13): ann_ivf_trained_topk — operators/similarity.py gained a
+#: NULL-query-vector guard inside ivf_trained_topk (ADVICE r12; results
+#: invariant on the non-NULL fixture, plan gained one filter), which the
+#: block hash cannot see; its recall-audit twin re-enters automatically
+#: via its own block edit (countDistinct n_queries).
+FORCE_RESTAMP: set[str] = {"ann_ivf_trained_topk"}
 
 
 def _dirty_names() -> set[str]:

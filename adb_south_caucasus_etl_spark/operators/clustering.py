@@ -181,6 +181,19 @@ def spherical_centroids(
     sums per mapper, k × dim doubles of driver traffic per round. Train
     on a deterministic sample (``md5_bucket`` filter upstream) when the
     corpus is 100 TB; the quantizer needs cluster shape, not every row.
+
+    Determinism caveat (ADVICE r12): init and iteration budget are
+    fixed, but each round's means come from ``F.avg`` partial
+    aggregates whose FLOAT COMBINE ORDER follows the partition layout —
+    trained centroids are bit-stable only for a fixed partitioning
+    (local[32] with pinned shuffle partitions in this repo's gates).
+    Across cluster configs the centroids can differ in final ulps,
+    which can flip a cell-boundary assignment; downstream recall floors
+    must therefore carry a margin (the IVF twin stamps 0.94 vs a 0.9
+    floor), not assume bit-identical centroids. Making the mean
+    order-insensitive would need fixed-point/decimal sums — not worth
+    the cast cost for a quantizer whose QUALITY, not bit pattern, is
+    the contract.
     """
     import math
 

@@ -365,7 +365,14 @@ def ivf_trained_topk(
         "cv_n",
         F.explode(spill_cells(F.col("cv"))).alias("__cell"),
     )
-    q = normed(queries, "query_id", "qv")
+    # NULL query vectors never reach the assignment UDF (ADVICE r12: a
+    # NULL row makes np.asarray(vs.tolist()) an object array and the
+    # matmul raises an opaque Arrow-UDF error for the whole job) — a
+    # NULL vector has no direction to probe with, so the row is dropped,
+    # matching the module's NaN/zero-norm contract
+    q = normed(queries, "query_id", "qv").filter(
+        F.col("qv").isNotNull()
+    )
     qu = q.select(
         "query_id",
         "qv",
