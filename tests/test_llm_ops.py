@@ -1913,3 +1913,134 @@ def test_rake_keywords_hand_computed(spark):
         "deep learning stack": (8.0, 2),
         "stack": (2.0, 3),
     }, out
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (round 13, VERDICT r12 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_pq_recall_vs_exact(spark, sf_dir):
+    """The full FAISS pipeline (trained cells + PQ residual codes + ADC
+    + exact re-rank) must clear the SAME 0.9 floor as the trained IVF —
+    PQ compresses postings 16x and the re-rank must buy the precision
+    back. Measured 0.94 at sf0.001, the gate's worst SF."""
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_exact(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_topk(
+            emb, q, k=10, n_cells=16, nprobe=8, spill=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF-PQ recall {recall} below gate"
+
+
+def test_pq_codebook_training_deterministic_and_degenerate():
+    """Driver-side PQ Lloyd is a pure function of the (md5-ordered)
+    sample: identical books across runs; a sample with fewer distinct
+    sub-vectors than ksub pads by repetition instead of crashing; a
+    non-divisible dim raises the documented error."""
+    import numpy as np
+
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        _pq_train_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    S = rng.randn(64, 16)
+    b1 = _pq_train_codebooks(S, m=4, ksub=8)
+    b2 = _pq_train_codebooks(S, m=4, ksub=8)
+    assert (b1 == b2).all(), "codebook training must be deterministic"
+    assert b1.shape == (4, 8, 4)
+
+    tiny = np.tile(rng.randn(3, 8), (5, 1))  # only 3 distinct rows
+    bt = _pq_train_codebooks(tiny, m=2, ksub=8)
+    assert bt.shape == (2, 8, 4)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        _pq_train_codebooks(S, m=5, ksub=8)
+
+
+def test_ivf_pq_exact_when_codebooks_lossless(spark):
+    """ADC-math pin: with fewer distinct vectors than ksub, Lloyd init
+    covers every residual sub-vector exactly and each keeps its own
+    codeword, so PQ reconstruction is LOSSLESS and the ADC ordering is
+    the true inner-product ordering — the pipeline must then reproduce
+    the exact top-k even before re-rank can correct anything. Also pins
+    the zero-norm-corpus and NULL-query contracts."""
+    import numpy as np
+
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.randn(16)]) for i in range(12)
+    ]
+    rows.append((100, [0.0] * 16))  # zero-norm: dropped from the index
+    rows.append((101, None))  # NULL query vector: dropped, never crashes
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    live = df.filter(F.col("vec_id") < 100)
+    q = df.filter((F.col("vec_id") < 3) | (F.col("vec_id") == 101))
+    # baseline over NON-NULL queries only: the exact ranker emits rows
+    # for a NULL query (NULL cosine, rank by tie-break) while the PQ
+    # index drops it — the documented divergence under test below
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_exact(
+            live, q.filter(F.col("vec_id") < 3), k=4
+        ).collect()
+    }
+    approx_rows = ivf_pq_topk(
+        df,
+        q,
+        k=4,
+        n_cells=4,
+        nprobe=4,  # probe everything: isolates the PQ/ADC stage
+        spill=1,
+        m_subvectors=4,
+        ksub=16,
+        pq_train_rows=64,
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    assert all(r.neighbor_id != 100 for r in approx_rows), (
+        "zero-norm vector must be dropped from the PQ index"
+    )
+    assert all(r.query_id != 101 for r in approx_rows), (
+        "NULL query vector must be dropped before cell assignment"
+    )
+    assert approx == exact, (
+        f"lossless codebooks must reproduce exact top-k: "
+        f"missing {sorted(exact - approx)}, extra {sorted(approx - exact)}"
+    )
+
+
+def test_ivf_pq_memory_audit_first_principles(spark, sf_dir):
+    """The memory audit's numbers must agree with first principles:
+    16 code bytes per replica (min==max), spill x (16+8) = 48 index
+    bytes per vector, 264 float32 bytes, 5.5x compression."""
+    from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+    row = WORKLOAD["ann_ivf_pq_memory_audit"].fn(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.code_bytes_per_replica == 16
+    assert r.index_bytes_per_vector == 48
+    assert r.float32_bytes_per_vector == 264
+    assert r.n_replicas == 2 * r.n_vectors
+    assert abs(r.compression_ratio - round(264 / 48, 4)) < 1e-9
