@@ -58,7 +58,17 @@ def register_blocks(workload_src: str) -> dict[str, str]:
     function/constant referenced from the decorator args is APPENDED to
     the block (sorted by name, NUL-separated), so editing
     ``_pca_topk_oracle`` dirties ``embedding_pca_topk`` and
-    ``embedding_pca_project`` automatically."""
+    ``embedding_pca_project`` automatically.
+
+    r13 extension: PRIVATE module-level helpers (``_``-prefixed, e.g.
+    ``_corpus_dedup_pipeline_impl``, ``_scratch_dir``, ``_round2``)
+    referenced from the function BODY are folded in too, transitively —
+    a shared pipeline body factored out of three variant blocks must
+    dirty all three when edited. PUBLIC module-level names (Catalog,
+    register, WORKLOAD) stay excluded on the coarseness rationale the
+    module docstring gives for deep hashes: they are covered by their
+    own pytest surface, and folding them in would dirty all 400+
+    queries on any docstring touch."""
     tree = ast.parse(workload_src)
     lines = workload_src.splitlines()
 
@@ -99,17 +109,37 @@ def register_blocks(workload_src: str) -> dict[str, str]:
             ):
                 start = min(d.lineno for d in node.decorator_list)
                 block = "\n".join(lines[start - 1 : node.end_lineno])
-                # fold in decorator-referenced module-level sources
-                refs = sorted(
-                    {
-                        n.id
-                        for arg in list(dec.args[1:])
-                        + [kw.value for kw in dec.keywords]
-                        for n in ast.walk(arg)
-                        if isinstance(n, ast.Name) and n.id in toplevel
-                    }
+                # decorator args: fold ANY referenced module-level name
+                # (oracle helpers, constants); body: fold PRIVATE
+                # module-level helpers only, transitively
+                refs = {
+                    n.id
+                    for arg in list(dec.args[1:])
+                    + [kw.value for kw in dec.keywords]
+                    for n in ast.walk(arg)
+                    if isinstance(n, ast.Name) and n.id in toplevel
+                }
+                refs.update(
+                    n.id
+                    for stmt in node.body
+                    for n in ast.walk(stmt)
+                    if isinstance(n, ast.Name)
+                    and n.id.startswith("_")
+                    and n.id in toplevel
                 )
-                for name in refs:
+                # transitive closure: a folded helper's own private refs
+                work = list(refs)
+                while work:
+                    for n in ast.walk(ast.parse(toplevel[work.pop()])):
+                        if (
+                            isinstance(n, ast.Name)
+                            and n.id.startswith("_")
+                            and n.id in toplevel
+                            and n.id not in refs
+                        ):
+                            refs.add(n.id)
+                            work.append(n.id)
+                for name in sorted(refs):
                     block += "\x00" + name + "\x00" + toplevel[name]
                 out[dec.args[0].value] = block
                 break

@@ -2044,3 +2044,99 @@ def test_ivf_pq_memory_audit_first_principles(spark, sf_dir):
     assert r.float32_bytes_per_vector == 264
     assert r.n_replicas == 2 * r.n_vectors
     assert abs(r.compression_ratio - round(264 / 48, 4)) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "qname,tag,stages",
+    [
+        (
+            "corpus_dedup_pipeline_lsh",
+            "corpus_dedup_lsh",
+            [
+                "normalize",
+                "exact_dedup",
+                "span_dedup",
+                "neardup_cc",
+                "decontaminate",
+                "split",
+            ],
+        ),
+        (
+            "corpus_dedup_pipeline_semantic",
+            "corpus_dedup_sem",
+            [
+                "normalize",
+                "exact_dedup",
+                "span_dedup",
+                "neardup_cc",
+                "semantic_cc",
+                "decontaminate",
+                "split",
+            ],
+        ),
+    ],
+)
+def test_corpus_dedup_variants_reconcile(spark, qname, tag, stages):
+    """The LSH and semantic megapipeline variants must satisfy the SAME
+    ledger invariants as the exact pipeline (kept + removed ≡ in, chain
+    continuity, exact split partition, monotone corpus, on-disk counts)
+    — the swap changes WHICH docs are removed, never the accounting."""
+    import os
+
+    from adb_south_caucasus_etl_spark.workload import (
+        WORKLOAD,
+        _scratch_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        WORKLOAD[qname].fn(spark, sf).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage for r in rows] == stages
+    for r in rows:
+        assert r.n_kept + r.n_removed == r.n_in, r
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_in == prev.n_kept, (prev, cur)
+    split = rows[-1]
+    assert split.n_train + split.n_val == split.n_kept
+    assert rows[0].n_in > 0 and split.n_kept > 0
+    assert all(a.n_kept >= b.n_kept for a, b in zip(rows, rows[1:]))
+
+    base = _scratch_dir(tag, sf)
+    on_disk = {
+        "normalize": "norm",
+        "exact_dedup": "exact",
+        "span_dedup": "spanned",
+        "neardup_cc": "canon",
+        "semantic_cc": "semcanon",
+        "decontaminate": "decont",
+    }
+    for r in rows[:-1]:
+        path = os.path.join(base, on_disk[r.stage])
+        assert spark.read.parquet(path).count() == r.n_kept, r.stage
+
+
+def test_lsh_pair_stage_recall_floor(spark):
+    """The agreement twin's floor, pinned locally: the LSH pair stage
+    recovers >= 0.9 of the exact J >= 0.7 pairs (measured 1.0 — post-
+    span-dedup near-dups sit deep in the banded S-curve's safe zone),
+    and the semantic stage actually removes documents at this SF (the
+    stage is live, not vacuously green)."""
+    from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+    sf = "/root/testdata/sf0.001"
+    row = WORKLOAD["corpus_dedup_pipeline_lsh_agreement"].fn(
+        spark, sf
+    ).collect()
+    assert len(row) == 1 and bool(row[0].recall_ok)
+
+    sem = {
+        r.stage: r
+        for r in WORKLOAD["corpus_dedup_pipeline_semantic"].fn(
+            spark, sf
+        ).collect()
+    }
+    assert sem["semantic_cc"].n_removed >= 1, (
+        "semantic stage removed nothing at sf0.001 — threshold drifted?"
+    )
