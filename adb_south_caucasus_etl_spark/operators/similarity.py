@@ -1420,12 +1420,12 @@ def ivf_pq_index(
         .localCheckpoint(eager=True)
     )
 
-    # bounded collect: pq_train_rows × dim doubles of training sample
     sample_rows = (
         unit.withColumn("__h", md5_u32(F.col("neighbor_id")))
         .orderBy("__h", "neighbor_id")
         .limit(pq_train_rows)
         .select("uv")
+        # bounded: pq_train_rows x dim doubles of PQ training sample
         .collect()
     )
     S = np.asarray([list(r["uv"]) for r in sample_rows], dtype=np.float64)

@@ -65,6 +65,16 @@ ALLOWLIST: dict[str, str] = {
         "Training jobs run eagerly before the final plan and read a "
         "pinned unit-vector frame, not the parquet."
     ),
+    "ann_ivf_pq_recall_audit": (
+        "4 embeddings scans, 8 Python stages: the IVF-PQ probe "
+        "(encode UDF, probe-cell UDF, ADC applyInPandas) and the "
+        "exact-cosine yardstick are two different pipelines compared "
+        "on purpose; each executes once, over a pinned 10-row query "
+        "frame (pinning dropped the census from 9 scans to 4 — the "
+        "remaining four are the two corpus-side pipelines' pruned "
+        "projections). Training and the corpus unit-normalization run "
+        "eagerly before the final plan against pinned frames."
+    ),
 }
 
 
