@@ -708,3 +708,18 @@ def test_null_join_keys_filtered_before_exchange(spark):
     # filter (null branch -> false) evaluated AT THE SCAN
     assert "THEN false ELSE isnotnull" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_pq_candidates_equi_join_no_cartesian(spark):
+    """ann_ivf_pq_topk (round 13): the candidate stage must be an
+    EQUI-join on the cell id (shuffle ∝ collisions), the ADC stage one
+    applyInPandas (FlatMapGroupsInPandas) over (query, cell) groups,
+    and the re-rank a per-id equi-join — nothing all-pairs anywhere in
+    the final plan. BroadcastNestedLoopJoin appears only if a join
+    loses its keys; CartesianProduct never."""
+    plan = _final_plan(WORKLOAD["ann_ivf_pq_topk"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan  # the ADC stage
+    # final top-k rides a per-query window, not a global sort
+    assert "row_number()" in plan, plan
