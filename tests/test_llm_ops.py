@@ -2140,3 +2140,48 @@ def test_lsh_pair_stage_recall_floor(spark):
     assert sem["semantic_cc"].n_removed >= 1, (
         "semantic stage removed nothing at sf0.001 — threshold drifted?"
     )
+
+
+def test_ivf_pq_full_probe_full_rerank_is_exact(spark):
+    """End-to-end invariant independent of PQ quality: probing EVERY
+    cell and re-ranking a shortlist at least as large as the corpus
+    must reproduce the exact top-k for every query — the candidate and
+    shortlist stages may only LOSE recall via pruning, never corrupt
+    scores (re-rank cosines are computed from full vectors). Also pins
+    the output contract: ranks contiguous from 1, cosine non-increasing
+    per query."""
+    import numpy as np
+
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    rng = np.random.RandomState(29)
+    rows = [(i, [float(x) for x in rng.randn(24)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 6)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_exact(df, q, k=5).collect()
+    }
+    out = ivf_pq_topk(
+        df,
+        q,
+        k=5,
+        n_cells=4,
+        nprobe=4,  # probe everything
+        spill=1,
+        m_subvectors=6,
+        ksub=8,
+        rerank=100,  # > corpus: shortlist prunes nothing
+        pq_train_rows=64,
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in out} == exact
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1)), qid
+        cos = [r.cosine for r in rs]
+        assert all(a >= b for a, b in zip(cos, cos[1:])), (qid, cos)
