@@ -1479,12 +1479,16 @@ def ivf_pq_topk(
     (m × ksub dots), then every candidate in the group scores as
     ``q·c_cell + Σ_b T[b][code_b]`` — m table lookups per candidate
     instead of a dim-length dot against a vector that no longer exists
-    in the index. Implemented as ``applyInPandas`` over
-    ``groupBy(query_id, __cell)``: the grain that amortizes the table,
-    exactly one shuffle of the candidate set, numpy fancy-indexing
-    inside the batch. Candidates reached via two cells keep their MAX
-    ADC score (one combiner-friendly groupBy), then a per-query window
-    keeps the ``rerank`` best for exact re-scoring.
+    in the index. Implemented as a COGROUPED ``applyInPandas`` on
+    ``(query_id, __cell)``: the candidate side shuffles only
+    ``(query, cell, neighbor, codes)`` and the query VECTOR arrives
+    once per group through the probe side — carrying qv per candidate
+    row would weigh ~9× the PQ payload at dim 64 and forfeit the
+    index compression in flight. One shuffle of the candidate set,
+    numpy fancy-indexing inside the batch. Candidates reached via two
+    cells keep their MAX ADC score (one combiner-friendly groupBy),
+    then a per-query window keeps the ``rerank`` best for exact
+    re-scoring.
 
     Scale: the index carries m code bytes per replica instead of 4·dim
     — at 100 TB of float32 embeddings that is the difference between an
@@ -1535,30 +1539,63 @@ def ivf_pq_topk(
         F.explode(probe_cells(F.col("qv"))).alias("__cell"),
     )
 
-    cand = index.join(qu, "__cell").filter(
+    # candidates carry ONLY (query_id, cell, neighbor_id, codes) into the
+    # ADC shuffle — the query VECTOR ships once per (query, cell) group
+    # through the cogroup's probe side, not once per candidate row (at
+    # dim 64 a per-row qv would weigh ~9× the PQ payload itself and
+    # forfeit most of the index compression in flight). The slim probe
+    # list is built as an INDEPENDENT expression tree from `q` (not a
+    # projection of `qu`) so the join and the cogroup don't share
+    # attribute ids — same deterministic UDF, Spark's ambiguous-self-
+    # join check rejects the shared-lineage form
+    probe_slim = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        )
+        .filter(F.col("qv").isNotNull())
+        .select(
+            "query_id",
+            F.explode(probe_cells(F.col("qv"))).alias("__cell"),
+        )
+    )
+    cand = index.join(probe_slim, "__cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
 
-    def adc(pdf: pd.DataFrame) -> pd.DataFrame:
-        qv = np.asarray(pdf["qv"].iloc[0], dtype=np.float64)
-        cell = int(pdf["__cell"].iloc[0])
+    def adc(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf) or not len(qpdf):
+            # probe-only group (query probed an empty cell): no candidates
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "adc": pd.Series([], dtype="float64"),
+                }
+            )
+        qv = np.asarray(qpdf["qv"].iloc[0], dtype=np.float64)
+        cell = int(qpdf["__cell"].iloc[0])
         base = float(qv @ C[cell])
         # T[b][j] = q_b · codebook[b][j] — built once per group
         Tt = np.stack(
             [qv[b * dsub : (b + 1) * dsub] @ B[b].T for b in range(m)]
         )
-        K = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+        K = np.asarray(cpdf["codes"].tolist(), dtype=np.int64)
         scores = base + Tt[np.arange(m)[None, :], K].sum(axis=1)
         return pd.DataFrame(
             {
-                "query_id": pdf["query_id"],
-                "neighbor_id": pdf["neighbor_id"],
+                "query_id": cpdf["query_id"],
+                "neighbor_id": cpdf["neighbor_id"],
                 "adc": scores,
             }
         )
 
-    scored = cand.groupBy("query_id", "__cell").applyInPandas(
-        adc, "query_id bigint, neighbor_id bigint, adc double"
+    scored = (
+        cand.groupBy("query_id", "__cell")
+        .cogroup(qu.groupBy("query_id", "__cell"))
+        .applyInPandas(
+            adc, "query_id bigint, neighbor_id bigint, adc double"
+        )
     )
     # a (query, neighbor) pair reached via two spilled cells keeps its
     # best ADC estimate (residuals differ per cell)

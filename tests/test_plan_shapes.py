@@ -720,6 +720,8 @@ def test_ivf_pq_candidates_equi_join_no_cartesian(spark):
     plan = _final_plan(WORKLOAD["ann_ivf_pq_topk"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "FlatMapGroupsInPandas" in plan, plan  # the ADC stage
+    # the ADC stage: cogrouped so the query VECTOR ships once per
+    # (query, cell) group instead of once per candidate row
+    assert "FlatMapCoGroupsInPandas" in plan, plan
     # final top-k rides a per-query window, not a global sort
     assert "row_number()" in plan, plan
