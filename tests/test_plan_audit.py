@@ -103,6 +103,14 @@ BROADCAST_DATA_SCALE_OK = {
         "1-row summaries) broadcast back into the residual pass",
         "leaves": ("LogicalRDD",),
     },
+    "ann_ivf_pq_recall_audit": {
+        "why": "the 10-row probe set (literal id cut + limit(10)) is "
+        "localCheckpoint-pinned so four consumers share one execution "
+        "(scan census, round 13) — the pin makes the exact yardstick's "
+        "broadcast hint a LogicalRDD leaf whose GlobalLimit bound the "
+        "auditor can no longer see",
+        "leaves": ("LogicalRDD",),
+    },
     # (the former literal-id-cut entries — semdedup centroids, hard
     # negatives, cosine_topk_exact / ann_ivf probes — now pass on merit:
     # the cuts carry an explicit no-op LIMIT, so the hinted subtrees
