@@ -1338,13 +1338,20 @@ def _pq_encode_udf(books: "np.ndarray", centroids: list[list[float]]):
     B = books
     C = np.asarray(centroids, dtype=np.float64)
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    if ksub > 128:
+        raise ValueError(
+            f"ivf_pq: ksub {ksub} exceeds the tinyint code range — the "
+            "posting payload is array<tinyint> so the stored index "
+            "genuinely carries the 1 byte/code the memory audit stamps"
+        )
+
+    @F.pandas_udf(T.ArrayType(T.ByteType()))
     def enc(vs: pd.Series, cells: pd.Series) -> pd.Series:
         if not len(vs):
             return pd.Series([], dtype=object)
         X = np.asarray(vs.tolist(), dtype=np.float64)
         R = X - C[cells.to_numpy(dtype=np.int64)]
-        codes = np.empty((len(R), m), dtype=np.int32)
+        codes = np.empty((len(R), m), dtype=np.int8)
         for b in range(m):
             rb = R[:, b * dsub : (b + 1) * dsub]
             d2 = ((rb[:, None, :] - B[b][None, :, :]) ** 2).sum(axis=2)
