@@ -1518,7 +1518,6 @@ def ivf_pq_topk(
     and rationale as :func:`ivf_trained_topk`)."""
     if rerank is None:
         rerank = 20 * k
-    from .clustering import cell_topn_udf
 
     index, centroids, books = ivf_pq_index(
         corpus,
@@ -1531,6 +1530,40 @@ def ivf_pq_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+    return _pq_probe_topk(
+        index,
+        centroids,
+        books,
+        corpus,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def _pq_probe_topk(
+    index: DataFrame,
+    centroids: list[list[float]],
+    books: "np.ndarray",
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    rerank: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SERVE half of IVF-PQ, shared by :func:`ivf_pq_topk` (build +
+    serve in one call) and the persisted-index path (:func:`ivf_pq_load`
+    → serve): probe → ADC cogroup → max-ADC dedup → shortlist → exact
+    re-rank. Splitting build from serve is the deployment shape — an
+    index is a PERSISTED artifact built once and served many times, not
+    something retrained per query."""
+    from .clustering import cell_topn_udf
+
     C = np.asarray(centroids, dtype=np.float64)
     B = books
     m, _ksub, dsub = books.shape
@@ -1648,3 +1681,71 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_pq_persist(
+    path: str,
+    index: DataFrame,
+    centroids: list[list[float]],
+    books: "np.ndarray",
+) -> None:
+    """Write the IVF-PQ index as three parquet tables under ``path`` —
+    the deployment artifact :func:`ivf_pq_load` serves from:
+
+    - ``postings``: (neighbor_id, __cell, codes array<tinyint>) — the
+      data-scale table, written as-is (at 100 TB, partition/bucket it
+      by ``__cell`` so a probe prunes to its cells' files);
+    - ``centroids``: (cell, centroid array<double>) — n_cells rows;
+    - ``codebooks``: (block, code, codeword array<double>) — m × ksub
+      rows.
+
+    Everything the serve path needs is IN the artifact: a reader on a
+    different cluster (or a later run) reconstructs the quantizers from
+    two bounded parquet tables and never retrains."""
+    import os as _os
+
+    index.write.mode("overwrite").parquet(_os.path.join(path, "postings"))
+    spark = index.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    m, ksub, _dsub = books.shape
+    spark.createDataFrame(
+        [
+            (b, j, [float(x) for x in books[b, j]])
+            for b in range(m)
+            for j in range(ksub)
+        ],
+        "block int, code int, codeword array<double>",
+    ).write.mode("overwrite").parquet(_os.path.join(path, "codebooks"))
+
+
+def ivf_pq_load(
+    spark, path: str
+) -> tuple[DataFrame, list[list[float]], "np.ndarray"]:
+    """Read back an :func:`ivf_pq_persist` artifact: the postings stay
+    a DataFrame (data-scale, never collected); centroids and codebooks
+    are bounded quantizer metadata (n_cells × dim and m × ksub × dsub
+    doubles) reconstructed onto the driver — the same control-plane
+    class the trainer held them in."""
+    import os as _os
+
+    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    # bounded: n_cells centroid rows (quantizer metadata)
+    cent_rows = spark.read.parquet(
+        _os.path.join(path, "centroids")
+    ).collect()
+    cent_rows.sort(key=lambda r: r["cell"])
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    # bounded: m x ksub codebook rows (quantizer metadata)
+    book_rows = spark.read.parquet(
+        _os.path.join(path, "codebooks")
+    ).collect()
+    m = 1 + max(r["block"] for r in book_rows)
+    ksub = 1 + max(r["code"] for r in book_rows)
+    dsub = len(book_rows[0]["codeword"])
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in book_rows:
+        books[r["block"], r["code"]] = r["codeword"]
+    return postings, centroids, books

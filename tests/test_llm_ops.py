@@ -2185,3 +2185,32 @@ def test_ivf_pq_full_probe_full_rerank_is_exact(spark):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1)), qid
         cos = [r.cosine for r in rs]
         assert all(a >= b for a, b in zip(cos, cos[1:])), (qid, cos)
+
+
+def test_ivf_pq_persisted_serve_identical_to_in_memory(spark, sf_dir):
+    """The persisted-index serve path must return EXACTLY what the
+    build-and-serve path returns — the artifact round-trip (postings
+    parquet + quantizer tables → driver) loses nothing: centroids and
+    codebooks are float64 in and out of parquet, codes are tinyint, and
+    the serve tail is the same code. This is the strongest check a
+    rows-only ANN query can carry."""
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+    from adb_south_caucasus_etl_spark.workload import WORKLOAD
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") < 5).limit(5)
+    mem = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ivf_pq_topk(
+            emb, q, k=10, n_cells=16, nprobe=8, spill=2
+        ).collect()
+    }
+    served = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in WORKLOAD["ann_ivf_pq_persisted_serve"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert served == mem
