@@ -1397,7 +1397,7 @@ def ivf_pq_index(
     (no direction → unreachable by cosine). Corpus vectors are
     unit-normalized before residual encoding so ADC's inner products
     ARE cosines up to the query's own scale."""
-    from .clustering import cell_topn_udf, spherical_centroids
+    from .clustering import spherical_centroids
     from .curation import md5_u32
 
     centroids = spherical_centroids(
@@ -1409,22 +1409,11 @@ def ivf_pq_index(
     )
     C = np.asarray(centroids, dtype=np.float64)
 
-    v = as_double(F.col(vec_col))
-    base = corpus.select(
-        F.col(id_col).alias("neighbor_id"), v.alias("__v")
-    ).withColumn("__n", _norm(F.col("__v")))
-    # unit-normalize (nullif keeps the division ANSI-total, as in
-    # spherical_centroids); pinned ONCE — the sample collect and the
-    # encode pass both read the truncated lineage
-    unit = (
-        base.filter(F.col("__n") > 0.0)
-        .select(
-            "neighbor_id",
-            F.transform(
-                "__v", lambda x: x / F.nullif(F.col("__n"), F.lit(0.0))
-            ).alias("uv"),
-        )
-        .localCheckpoint(eager=True)
+    # unit-normalize (shared _unit_vectors, so build and append encode
+    # byte-identically); pinned ONCE — the sample collect and the encode
+    # pass both read the truncated lineage
+    unit = _unit_vectors(corpus, id_col, vec_col).localCheckpoint(
+        eager=True
     )
 
     sample_rows = (
@@ -1443,9 +1432,29 @@ def ivf_pq_index(
         S - C[prim], m_subvectors, ksub, iterations=pq_iterations
     )
 
+    index = _pq_encode_postings(unit, centroids, books, spill)
+    return index, centroids, books
+
+
+def _pq_encode_postings(
+    unit: DataFrame,
+    centroids: list[list[float]],
+    books: "np.ndarray",
+    spill: int,
+) -> DataFrame:
+    """ENCODE-ONLY half of the index build, shared by :func:`ivf_pq_index`
+    (train + encode) and :func:`ivf_pq_append` (encode new vectors against
+    FROZEN quantizers — the FAISS ``add()`` contract): spill-assign each
+    unit vector to its ``spill`` nearest cells and product-quantize the
+    per-cell residual. ``unit`` is (neighbor_id, uv) with uv already
+    unit-norm. Pure function of (vectors, quantizers) — appending B to an
+    index built on A yields byte-identical postings to encoding A∪B
+    against A's quantizers (pytest-pinned)."""
+    from .clustering import cell_topn_udf
+
     spill_cells = cell_topn_udf(centroids, spill)
     enc = _pq_encode_udf(books, centroids)
-    index = unit.select(
+    return unit.select(
         "neighbor_id",
         "uv",
         F.explode(spill_cells(F.col("uv"))).alias("__cell"),
@@ -1454,7 +1463,24 @@ def ivf_pq_index(
         "__cell",
         enc(F.col("uv"), F.col("__cell")).alias("codes"),
     )
-    return index, centroids, books
+
+
+def _unit_vectors(
+    corpus: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id → neighbor_id, vec → unit-norm uv), dropping zero-norm/NULL
+    rows per the module contract — the shared normalization in front of
+    every PQ encode so build and append agree byte-for-byte."""
+    v = as_double(F.col(vec_col))
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), v.alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
+    return base.filter(F.col("__n") > 0.0).select(
+        "neighbor_id",
+        F.transform(
+            "__v", lambda x: x / F.nullif(F.col("__n"), F.lit(0.0))
+        ).alias("uv"),
+    )
 
 
 def ivf_pq_topk(
@@ -1555,13 +1581,35 @@ def _pq_probe_topk(
     rerank: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prune_cells: bool = False,
+    max_adc_group: int | None = None,
 ) -> DataFrame:
     """The SERVE half of IVF-PQ, shared by :func:`ivf_pq_topk` (build +
     serve in one call) and the persisted-index path (:func:`ivf_pq_load`
     → serve): probe → ADC cogroup → max-ADC dedup → shortlist → exact
     re-rank. Splitting build from serve is the deployment shape — an
     index is a PERSISTED artifact built once and served many times, not
-    something retrained per query."""
+    something retrained per query.
+
+    ``prune_cells=True`` (the persisted-serve default): the distinct
+    probed cell set (bounded by n_cells rows no matter how many queries
+    — a control-plane collect) becomes a static ``__cell IN (...)``
+    filter on the postings; against an :func:`ivf_pq_persist` artifact
+    that filter is a PARTITION filter, so only the probed cells'
+    directories are ever opened (plan-pinned in tests/test_plan_shapes).
+
+    ``max_adc_group`` bounds the ADC cogroup under cell skew (VERDICT
+    r13 item 3): one group holds every posting of one (query, cell) —
+    at 100 TB a hot cell would put an unbounded pandas frame in one
+    task. Cells whose posting count exceeds the bound are split into
+    ``ceil(count/bound)`` salt buckets keyed by a hash of the posting
+    id; the probe side replicates (query, cell, qv) once per bucket.
+    Output is byte-identical to the unsalted plan: ADC is per-row
+    deterministic and the max-ADC dedup downstream already merges a
+    pair reached in multiple groups (pytest-pinned on a skewed
+    fixture). The per-cell bucket counts are one combiner aggregate
+    over the postings (n_cells rows, broadcast to both cogroup
+    sides)."""
     from .clustering import cell_topn_udf
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -1599,6 +1647,16 @@ def _pq_probe_topk(
             F.explode(probe_cells(F.col("qv"))).alias("__cell"),
         )
     )
+    if prune_cells:
+        # bounded: distinct probed cells ≤ n_cells rows (quantizer-
+        # grain control plane), turned into a STATIC IN filter so the
+        # partitioned postings scan prunes to the probed directories
+        probed = sorted(
+            r["__cell"]
+            for r in probe_slim.select("__cell").distinct().collect()
+        )
+        index = index.filter(F.col("__cell").isin(probed))
+
     cand = index.join(probe_slim, "__cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -1630,9 +1688,46 @@ def _pq_probe_topk(
             }
         )
 
+    cand_side, probe_side = cand, qu
+    group_keys = ["query_id", "__cell"]
+    if max_adc_group:
+        # hot-cell bound: split any cell whose posting count exceeds
+        # the bound into ceil(count/bound) salt buckets. The probe side
+        # replicates per bucket (qv ships nsalts times for a hot cell —
+        # the price of a bounded task); empty cells drop out of the
+        # inner join, which only removes probe-only groups that emit
+        # nothing anyway.
+        sizes = index.groupBy("__cell").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(max_adc_group))
+            .cast("int")
+            .alias("__nsalts")
+        )
+        # __nsalts is dropped after deriving __salt: both cogroup sides
+        # join the SAME sizes frame, and a surviving shared attribute
+        # would trip Spark's ambiguous-self-join check at the cogroup
+        cand_side = (
+            cand.join(F.broadcast(sizes), "__cell")
+            .withColumn(
+                "__salt",
+                F.pmod(
+                    F.xxhash64("neighbor_id"), F.col("__nsalts")
+                ).cast("int"),
+            )
+            .drop("__nsalts")
+        )
+        probe_side = (
+            qu.join(F.broadcast(sizes), "__cell")
+            .withColumn(
+                "__salt",
+                F.explode(F.sequence(F.lit(0), F.col("__nsalts") - 1)),
+            )
+            .drop("__nsalts")
+        )
+        group_keys = ["query_id", "__cell", "__salt"]
+
     scored = (
-        cand.groupBy("query_id", "__cell")
-        .cogroup(qu.groupBy("query_id", "__cell"))
+        cand_side.groupBy(*group_keys)
+        .cogroup(probe_side.groupBy(*group_keys))
         .applyInPandas(
             adc, "query_id bigint, neighbor_id bigint, adc double"
         )
@@ -1692,9 +1787,12 @@ def ivf_pq_persist(
     """Write the IVF-PQ index as three parquet tables under ``path`` —
     the deployment artifact :func:`ivf_pq_load` serves from:
 
-    - ``postings``: (neighbor_id, __cell, codes array<tinyint>) — the
-      data-scale table, written as-is (at 100 TB, partition/bucket it
-      by ``__cell`` so a probe prunes to its cells' files);
+    - ``postings``: (neighbor_id, codes array<tinyint>) PARTITIONED BY
+      ``__cell`` — one directory per cell, so a serve that probes
+      ``nprobe`` cells prunes the scan to those cells' files
+      (PartitionFilters at the source, pinned by
+      ``tests/test_plan_shapes.py``) and :func:`ivf_pq_append` drops
+      new files into existing cell directories without rewriting them;
     - ``centroids``: (cell, centroid array<double>) — n_cells rows;
     - ``codebooks``: (block, code, codeword array<double>) — m × ksub
       rows.
@@ -1704,7 +1802,9 @@ def ivf_pq_persist(
     two bounded parquet tables and never retrains."""
     import os as _os
 
-    index.write.mode("overwrite").parquet(_os.path.join(path, "postings"))
+    index.write.mode("overwrite").partitionBy("__cell").parquet(
+        _os.path.join(path, "postings")
+    )
     spark = index.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -1731,7 +1831,15 @@ def ivf_pq_load(
     class the trainer held them in."""
     import os as _os
 
-    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    postings = spark.read.parquet(
+        _os.path.join(path, "postings")
+    ).withColumn(
+        # partition-column type inference already yields int for the
+        # cell ids; the cast pins the contract against inference-config
+        # drift so serve-from-disk stays byte-identical to in-memory
+        "__cell",
+        F.col("__cell").cast("int"),
+    )
     # bounded: n_cells centroid rows (quantizer metadata)
     cent_rows = spark.read.parquet(
         _os.path.join(path, "centroids")
@@ -1749,3 +1857,42 @@ def ivf_pq_load(
     for r in book_rows:
         books[r["block"], r["code"]] = r["codeword"]
     return postings, centroids, books
+
+
+def ivf_pq_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    spill: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add ``new_vectors`` to a persisted IVF-PQ index
+    WITHOUT retraining — the FAISS ``IndexIVFPQ.add()`` contract
+    (VERDICT r13 item 2): the stored centroids and codebooks are loaded
+    (two bounded quantizer tables), the new vectors are unit-normalized,
+    spill-assigned, and residual-encoded against the FROZEN quantizers
+    (:func:`_pq_encode_postings` — the exact code path the original
+    build used), and the new postings are APPENDED into the existing
+    ``partitionBy(__cell)`` layout: new files land inside existing cell
+    directories, nothing already written is rewritten or moved.
+
+    Why this is the deployment shape at 100 TB: a corpus grows daily,
+    but retraining quantizers re-encodes EVERY posting (a full-index
+    rewrite); encode-only append touches just the new rows, and because
+    encoding is a pure function of (vector, quantizers), append-then-
+    serve is byte-identical to build-on-the-union-with-the-same-
+    quantizers-then-serve (pytest-pinned). The cost of frozen
+    quantizers is drift: if the appended distribution moves away from
+    the training sample, recall decays — the driver-stamped
+    ``ann_ivf_pq_append_recall_audit`` re-stamps the same 0.9 recall
+    floor ON the appended index, so drift past the floor is a red
+    stamp, not a silent decay."""
+    import os as _os
+
+    _postings, centroids, books = ivf_pq_load(spark, path)
+    unit = _unit_vectors(new_vectors, id_col, vec_col)
+    delta = _pq_encode_postings(unit, centroids, books, spill)
+    delta.write.mode("append").partitionBy("__cell").parquet(
+        _os.path.join(path, "postings")
+    )

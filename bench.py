@@ -92,9 +92,16 @@ def main() -> None:
     for name in HEADLINE:
         times[name] = min_of_n(name, reraise=True)
 
-    # full per-query sweep (1 iteration each): every registered query, so
-    # round-over-round regressions are visible per operator, not just for
-    # the headline set. Failures record null rather than erasing the bench.
+    # full per-query sweep: every registered query, so round-over-round
+    # regressions are visible per operator, not just for the headline set.
+    # Queries whose FIRST run exceeds SLOW_SECOND_PASS_SEC get one more run
+    # and record the min — single-shot numbers above that wall carry enough
+    # first-touch JIT / GC-geometry noise to fake 2–9× regressions (r13's
+    # alloc_largest_remainder read 4.64 s in-sweep vs 0.83 s isolated;
+    # VERDICT r13 item 8), while sub-2 s queries are cheap enough that the
+    # noise never crosses a triage threshold. Failures record null rather
+    # than erasing the bench.
+    SLOW_SECOND_PASS_SEC = 2.0
     full: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for name, entry in WORKLOAD.items():
@@ -106,7 +113,18 @@ def main() -> None:
             entry.fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            full[name] = round(time.time() - t0, 3)
+            t = round(time.time() - t0, 3)
+            if t > SLOW_SECOND_PASS_SEC and not name.startswith(
+                "streaming_"
+            ):
+                # second pass for slow batch queries; streaming walls are
+                # micro-batch start/stop latency, a re-run measures nothing
+                t0 = time.time()
+                entry.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                t = min(t, round(time.time() - t0, 3))
+            full[name] = t
         except Exception as exc:  # noqa: BLE001 — bench must survive one bad query
             full[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
@@ -164,6 +182,7 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     full_report = {
         "iterations_headline": ITERATIONS,
+        "sweep_second_pass_over_sec": SLOW_SECOND_PASS_SEC,
         # headline duplicated into the artifact so tools/bench_compare.py
         # can diff rounds from BENCH_FULL.json alone (it used to live only
         # in the printed tail, forcing commit-message archaeology)
