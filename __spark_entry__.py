@@ -122,8 +122,19 @@ def _stamp_state() -> tuple[dict[str, int], set[str], dict[str, int]]:
 #: NULL-query-vector guard inside ivf_trained_topk (ADVICE r12; results
 #: invariant on the non-NULL fixture, plan gained one filter), which the
 #: block hash cannot see; its recall-audit twin re-enters automatically
-#: via its own block edit (countDistinct n_queries).
-FORCE_RESTAMP: set[str] = {"ann_ivf_trained_topk"}
+#: via its own block edit (countDistinct n_queries). Current cohort
+#: (r14): the three IVF-PQ entries whose build path was refactored in
+#: operators/similarity.py (ivf_pq_index's normalize+encode split into
+#: the shared _unit_vectors/_pq_encode_postings used by ivf_pq_append;
+#: results invariant — the append-identity pytest pins byte-equality —
+#: but the blocks can't see the module edit). ann_ivf_pq_persisted_serve
+#: re-enters automatically via its own block edit (pruned+salted serve).
+FORCE_RESTAMP: set[str] = {
+    "ann_ivf_trained_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_recall_audit",
+    "ann_ivf_pq_memory_audit",
+}
 
 
 def _dirty_names() -> set[str]:
