@@ -111,6 +111,37 @@ BROADCAST_DATA_SCALE_OK = {
         "auditor can no longer see",
         "leaves": ("LogicalRDD",),
     },
+    "ann_ivf_pq_append_recall_audit": {
+        "why": "same shape as ann_ivf_pq_recall_audit: the 10-row probe "
+        "set (literal id cut + limit(10)) is localCheckpoint-pinned and "
+        "feeds both the exact yardstick and the appended-index serve — "
+        "the exact side's query broadcast becomes a LogicalRDD leaf "
+        "whose GlobalLimit bound the auditor can no longer see",
+        "leaves": ("LogicalRDD",),
+    },
+    # the three planted-cluster recall audits (round 14): the planted
+    # fixture is localCheckpoint-pinned (_planted_embeddings — one
+    # broadcast join + zip_with shared by the exact and approximate
+    # sides), and the 10-row probe cut (limit(10)) on top of it is
+    # pinned again; the exact yardstick's PROBE broadcast is therefore
+    # a LogicalRDD leaf whose GlobalLimit bound is invisible. The
+    # corpus side is never broadcast — the hint sits on the 10-row
+    # query frame only (similarity.cosine_topk_exact:83).
+    "ann_ivf_planted_recall_audit": {
+        "why": "pinned 10-row probe cut over the pinned planted "
+        "fixture — GlobalLimit bound invisible behind two pins",
+        "leaves": ("LogicalRDD",),
+    },
+    "ann_ivf_trained_planted_recall_audit": {
+        "why": "pinned 10-row probe cut over the pinned planted "
+        "fixture — GlobalLimit bound invisible behind two pins",
+        "leaves": ("LogicalRDD",),
+    },
+    "ann_ivf_pq_planted_recall_audit": {
+        "why": "pinned 10-row probe cut over the pinned planted "
+        "fixture — GlobalLimit bound invisible behind two pins",
+        "leaves": ("LogicalRDD",),
+    },
     # (the former literal-id-cut entries — semdedup centroids, hard
     # negatives, cosine_topk_exact / ann_ivf probes — now pass on merit:
     # the cuts carry an explicit no-op LIMIT, so the hinted subtrees
