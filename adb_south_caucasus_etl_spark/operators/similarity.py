@@ -1583,6 +1583,7 @@ def _pq_probe_topk(
     vec_col: str = "embedding",
     prune_cells: bool = False,
     max_adc_group: int | None = None,
+    cell_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """The SERVE half of IVF-PQ, shared by :func:`ivf_pq_topk` (build +
     serve in one call) and the persisted-index path (:func:`ivf_pq_load`
@@ -1607,9 +1608,13 @@ def _pq_probe_topk(
     Output is byte-identical to the unsalted plan: ADC is per-row
     deterministic and the max-ADC dedup downstream already merges a
     pair reached in multiple groups (pytest-pinned on a skewed
-    fixture). The per-cell bucket counts are one combiner aggregate
-    over the postings (n_cells rows, broadcast to both cogroup
-    sides)."""
+    fixture). The per-cell bucket counts come from ``cell_sizes``
+    (n_cells rows — the artifact's persisted ``cellsizes`` table, kept
+    current by :func:`ivf_pq_append`) when provided, else from one
+    combiner aggregate over the postings; either way n_cells rows
+    broadcast to both cogroup sides. Serving from the persisted table
+    is the 100 TB shape — the fallback aggregate re-scans the
+    data-scale postings once per serve batch."""
     from .clustering import cell_topn_udf
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -1697,11 +1702,19 @@ def _pq_probe_topk(
         # the price of a bounded task); empty cells drop out of the
         # inner join, which only removes probe-only groups that emit
         # nothing anyway.
-        sizes = index.groupBy("__cell").agg(
-            F.ceil(F.count(F.lit(1)) / F.lit(max_adc_group))
-            .cast("int")
-            .alias("__nsalts")
-        )
+        if cell_sizes is not None:
+            sizes = cell_sizes.select(
+                "__cell",
+                F.ceil(F.col("n_postings") / F.lit(max_adc_group))
+                .cast("int")
+                .alias("__nsalts"),
+            )
+        else:
+            sizes = index.groupBy("__cell").agg(
+                F.ceil(F.count(F.lit(1)) / F.lit(max_adc_group))
+                .cast("int")
+                .alias("__nsalts")
+            )
         # __nsalts is dropped after deriving __salt: both cogroup sides
         # join the SAME sizes frame, and a surviving shared attribute
         # would trip Spark's ambiguous-self-join check at the cogroup
@@ -1795,7 +1808,12 @@ def ivf_pq_persist(
       new files into existing cell directories without rewriting them;
     - ``centroids``: (cell, centroid array<double>) — n_cells rows;
     - ``codebooks``: (block, code, codeword array<double>) — m × ksub
-      rows.
+      rows;
+    - ``cellsizes``: (__cell, n_postings) — n_cells rows of posting
+      counts, so a salted serve (``max_adc_group``) sizes its ADC
+      buckets WITHOUT re-scanning the data-scale postings (at 100 TB
+      that count pass costs a full index scan per serve batch;
+      :func:`ivf_pq_append` keeps the table current incrementally).
 
     Everything the serve path needs is IN the artifact: a reader on a
     different cluster (or a later run) reconstructs the quantizers from
@@ -1805,6 +1823,9 @@ def ivf_pq_persist(
     index.write.mode("overwrite").partitionBy("__cell").parquet(
         _os.path.join(path, "postings")
     )
+    index.groupBy("__cell").agg(
+        F.count(F.lit(1)).alias("n_postings")
+    ).write.mode("overwrite").parquet(_os.path.join(path, "cellsizes"))
     spark = index.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -1892,7 +1913,40 @@ def ivf_pq_append(
 
     _postings, centroids, books = ivf_pq_load(spark, path)
     unit = _unit_vectors(new_vectors, id_col, vec_col)
-    delta = _pq_encode_postings(unit, centroids, books, spill)
+    delta = _pq_encode_postings(
+        unit, centroids, books, spill
+    ).localCheckpoint(eager=True)
     delta.write.mode("append").partitionBy("__cell").parquet(
         _os.path.join(path, "postings")
     )
+    # keep the cellsizes table current: old counts + delta counts —
+    # bounded both sides (n_cells rows each), and the delta is pinned
+    # above so the encode never runs twice. collect-rewrite instead of
+    # read-union-overwrite: parquet overwrite TRUNCATES the source dir
+    # before the reading job runs (self-overwrite reads zero rows).
+    sizes_path = _os.path.join(path, "cellsizes")
+    # bounded: n_cells rows of (cell, count) quantizer-grain metadata
+    old = {
+        r["__cell"]: r["n_postings"]
+        for r in spark.read.parquet(sizes_path).collect()
+    }
+    # bounded: n_cells rows — the delta's per-cell counts
+    for r in delta.groupBy("__cell").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect():
+        old[r["__cell"]] = old.get(r["__cell"], 0) + r["n"]
+    spark.createDataFrame(
+        sorted(old.items()), "__cell int, n_postings bigint"
+    ).write.mode("overwrite").parquet(sizes_path)
+
+
+def ivf_pq_cell_sizes(spark, path: str) -> DataFrame:
+    """The artifact's ``cellsizes`` table (__cell, n_postings — n_cells
+    rows of quantizer-grain metadata, written by :func:`ivf_pq_persist`
+    and kept current by :func:`ivf_pq_append`): pass it to
+    :func:`_pq_probe_topk` as ``cell_sizes`` so a salted serve sizes
+    its ADC buckets from n_cells rows instead of re-counting the
+    data-scale postings per serve batch."""
+    import os as _os
+
+    return spark.read.parquet(_os.path.join(path, "cellsizes"))

@@ -2409,3 +2409,72 @@ def test_trained_semantic_agreement_floor_and_liveness(spark):
     ).collect()
     sem = [r for r in rows if r.stage == "semantic_cc"][0]
     assert sem.n_removed > 0, sem
+
+
+def test_ivf_pq_cellsizes_table_current_and_equivalent(spark, sf_dir):
+    """The artifact's cellsizes table (what a salted serve sizes its ADC
+    buckets from WITHOUT re-scanning the postings): (a) equals the
+    groupBy-count truth of the postings right after build AND right
+    after an append (ivf_pq_append maintains it incrementally), and (b)
+    serving with the persisted table is byte-identical to serving with
+    the in-flight aggregate — same buckets, same groups, same output."""
+    import os
+    import shutil
+
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        _pq_probe_topk,
+        ivf_pq_append,
+        ivf_pq_cell_sizes,
+        ivf_pq_index,
+        ivf_pq_load,
+        ivf_pq_persist,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    base = "/tmp/adb_sc_test_pq_sizes"
+    shutil.rmtree(base, ignore_errors=True)
+
+    index, cents, books = ivf_pq_index(
+        even, n_cells=16, spill=2, m_subvectors=16, ksub=64
+    )
+    ivf_pq_persist(base, index, cents, books)
+
+    def truth():
+        return {
+            (r["__cell"], r["n"])
+            for r in spark.read.parquet(os.path.join(base, "postings"))
+            .groupBy("__cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def stored():
+        return {
+            (r["__cell"], r["n_postings"])
+            for r in ivf_pq_cell_sizes(spark, base).collect()
+        }
+
+    assert stored() == truth()
+    ivf_pq_append(spark, base, odd)
+    assert stored() == truth()
+
+    postings, c2, b2 = ivf_pq_load(spark, base)
+    q = emb.filter(F.col("vec_id") < 5).limit(5)
+    via_table = {
+        tuple(r)
+        for r in _pq_probe_topk(
+            postings, c2, b2, emb, q, k=10, nprobe=8, rerank=200,
+            max_adc_group=64, cell_sizes=ivf_pq_cell_sizes(spark, base),
+        ).collect()
+    }
+    via_count = {
+        tuple(r)
+        for r in _pq_probe_topk(
+            postings, c2, b2, emb, q, k=10, nprobe=8, rerank=200,
+            max_adc_group=64,
+        ).collect()
+    }
+    assert via_table == via_count and len(via_table) == 50
+    shutil.rmtree(base, ignore_errors=True)
