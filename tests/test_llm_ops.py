@@ -2478,3 +2478,63 @@ def test_ivf_pq_cellsizes_table_current_and_equivalent(spark, sf_dir):
     }
     assert via_table == via_count and len(via_table) == 50
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_ingest_postings_equal_batch_append(spark, sf_dir):
+    """Micro-batch invariance of the streaming index ingest, pinned at
+    the POSTING grain: after the streamed drain
+    (streaming_ivf_pq_ingest_ledger — foreachBatch ivf_pq_append over
+    the odd-id stream), the artifact's postings and cellsizes must be
+    byte-equal to a BATCH append of the same rows onto an identically-
+    built index — encoding is a pure per-row function of (vector,
+    frozen quantizers), so batching must not matter."""
+    import os
+    import shutil
+
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        ivf_pq_append,
+        ivf_pq_index,
+        ivf_pq_persist,
+    )
+    from adb_south_caucasus_etl_spark.workload import (
+        WORKLOAD,
+        _scratch_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = WORKLOAD["streaming_ivf_pq_ingest_ledger"].fn(
+        spark, sf
+    ).collect()[0]
+    assert row.n_before + row.n_added == row.n_after
+    assert row.sizes_consistent
+    streamed = os.path.join(_scratch_dir("stream_ivf_pq_ingest", sf), "v1")
+
+    emb = Catalog(spark, sf).embeddings
+    base = "/tmp/adb_sc_test_pq_stream_ref"
+    shutil.rmtree(base, ignore_errors=True)
+    index, cents, books = ivf_pq_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        n_cells=16, spill=2, m_subvectors=16, ksub=64,
+    )
+    ivf_pq_persist(base, index, cents, books)
+    ivf_pq_append(spark, base, emb.filter(F.col("vec_id") % 2 == 1))
+
+    def postings(path):
+        return {
+            (r["neighbor_id"], r["__cell"], tuple(r["codes"]))
+            for r in spark.read.parquet(
+                os.path.join(path, "postings")
+            ).collect()
+        }
+
+    def sizes(path):
+        return {
+            (r["__cell"], r["n_postings"])
+            for r in spark.read.parquet(
+                os.path.join(path, "cellsizes")
+            ).collect()
+        }
+
+    assert postings(streamed) == postings(base)
+    assert sizes(streamed) == sizes(base)
+    shutil.rmtree(base, ignore_errors=True)
