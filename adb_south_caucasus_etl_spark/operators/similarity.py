@@ -1950,3 +1950,43 @@ def ivf_pq_cell_sizes(spark, path: str) -> DataFrame:
     import os as _os
 
     return spark.read.parquet(_os.path.join(path, "cellsizes"))
+
+
+def ivf_pq_compact(
+    spark,
+    path: str,
+    max_rows_per_file: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Small-file compaction of an IVF-PQ postings layout, in place —
+    the maintenance half of the append lifecycle: every
+    :func:`ivf_pq_append` (and every streaming micro-batch ingest)
+    lands at least one new file in each touched cell directory, and a
+    year of daily appends turns the probe's partition-pruned read into
+    an open()-storm. Delegates to
+    :func:`~..sources.sinks.compact_partitioned_parquet` (repartition
+    on the cell id — one task per cell, ``maxRecordsPerFile`` rolls the
+    output, so each cell directory ends at ``ceil(rows_cell / k)``
+    files) into a sibling directory, then swaps it in; the quantizer
+    and cellsizes tables are untouched (compaction moves bytes, never
+    changes a posting — the roundtrip query stamps that invariant).
+    At 100 TB run it per-cell-subset on a schedule, exactly like the
+    `maintenance_compact_*` family this borrows from."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.sinks import compact_partitioned_parquet
+
+    postings = _os.path.join(path, "postings")
+    tmp = postings + "__compacting"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    compact_partitioned_parquet(
+        spark,
+        postings,
+        tmp,
+        "__cell",
+        max_rows_per_file=max_rows_per_file,
+        target_file_bytes=target_file_bytes,
+    )
+    _shutil.rmtree(postings)
+    _os.rename(tmp, postings)

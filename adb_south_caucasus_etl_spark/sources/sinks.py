@@ -175,7 +175,19 @@ def list_parquet_files(
         if not p.endswith(".parquet"):
             continue
         rel = p[len(root_uri):].lstrip("/") if p.startswith(root_uri) else p
-        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+        # Spark's InMemoryFileIndex hidden rule EXEMPTS partition
+        # directories: a segment like `__cell=0` is underscore-prefixed
+        # but perfectly visible to a scan (the rule is
+        # `startsWith("_") && !contains("=")`). Without the exemption,
+        # every hive layout whose partition column starts with an
+        # underscore listed as 0 bytes — which silently turned the
+        # byte-targeted compactor into a one-row-per-file shredder
+        # (rows_per_file_for_bytes degraded to 1; caught by the IVF-PQ
+        # postings compaction roundtrip, r14).
+        if any(
+            seg.startswith(("_", ".")) and "=" not in seg
+            for seg in rel.split("/")
+        ):
             continue
         files.append((p, f.getLen()))
     return files
