@@ -1658,6 +1658,7 @@ def _pq_probe_topk(
         # partitioned postings scan prunes to the probed directories
         probed = sorted(
             r["__cell"]
+            # bounded: distinct probed cells ≤ n_cells rows
             for r in probe_slim.select("__cell").distinct().collect()
         )
         index = index.filter(F.col("__cell").isin(probed))
