@@ -116,8 +116,28 @@ BROADCAST_DATA_SCALE_OK = {
         "set (literal id cut + limit(10)) is localCheckpoint-pinned and "
         "feeds both the exact yardstick and the appended-index serve — "
         "the exact side's query broadcast becomes a LogicalRDD leaf "
-        "whose GlobalLimit bound the auditor can no longer see",
-        "leaves": ("LogicalRDD",),
+        "whose GlobalLimit bound the auditor can no longer see; the "
+        "cellsizes leaf is the artifact's persisted ADC-bucket table — "
+        "n_cells rows of quantizer-grain metadata by construction "
+        "(ivf_pq_persist writes one row per cell), a bound that lives "
+        "in the artifact contract, not in the plan",
+        "leaves": ("LogicalRDD", "cellsizes"),
+    },
+    # the two serve-from-artifact queries broadcast the same persisted
+    # cellsizes table (n_cells rows by the ivf_pq_persist contract —
+    # the whole point is sizing ADC buckets WITHOUT re-scanning the
+    # data-scale postings, so the bound is artifact-semantic and
+    # invisible to the plan auditor):
+    "ann_ivf_pq_persisted_serve": {
+        "why": "persisted cellsizes table — n_cells rows of "
+        "quantizer-grain metadata by the ivf_pq_persist contract",
+        "leaves": ("cellsizes",),
+    },
+    "ann_ivf_pq_append_serve": {
+        "why": "persisted cellsizes table — n_cells rows of "
+        "quantizer-grain metadata by the ivf_pq_persist contract, "
+        "kept current by ivf_pq_append",
+        "leaves": ("cellsizes",),
     },
     # the three planted-cluster recall audits (round 14): the planted
     # fixture is localCheckpoint-pinned (_planted_embeddings — one
