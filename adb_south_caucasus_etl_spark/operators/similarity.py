@@ -1584,6 +1584,7 @@ def _pq_probe_topk(
     prune_cells: bool = False,
     max_adc_group: int | None = None,
     cell_sizes: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """The SERVE half of IVF-PQ, shared by :func:`ivf_pq_topk` (build +
     serve in one call) and the persisted-index path (:func:`ivf_pq_load`
@@ -1614,7 +1615,16 @@ def _pq_probe_topk(
     combiner aggregate over the postings; either way n_cells rows
     broadcast to both cogroup sides. Serving from the persisted table
     is the 100 TB shape — the fallback aggregate re-scans the
-    data-scale postings once per serve batch."""
+    data-scale postings once per serve batch.
+
+    ``tombstones`` (the artifact's logical-delete table,
+    :func:`ivf_pq_delete`): postings of deleted ids are anti-joined out
+    BEFORE the candidate stage, so a deleted vector is unreturnable the
+    moment its tombstone lands — physical removal is deferred to
+    :func:`ivf_pq_compact` reclaim. The persisted ``cell_sizes`` may
+    overcount tombstoned postings until reclaim; that only makes the
+    salting bound conservative (more buckets than needed), never
+    wrong."""
     from .clustering import cell_topn_udf
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -1662,6 +1672,17 @@ def _pq_probe_topk(
             for r in probe_slim.select("__cell").distinct().collect()
         )
         index = index.filter(F.col("__cell").isin(probed))
+
+    if tombstones is not None:
+        # logical deletes: anti-join the tombstoned ids out before any
+        # candidate is generated (AQE broadcasts the small build side
+        # on its own — no hint, the tombstone set is delete-sized, not
+        # index-sized)
+        index = index.join(
+            tombstones.select("neighbor_id").distinct(),
+            "neighbor_id",
+            "left_anti",
+        )
 
     cand = index.join(probe_slim, "__cell").filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -1958,36 +1979,104 @@ def ivf_pq_compact(
     path: str,
     max_rows_per_file: int | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    reclaim: bool = True,
 ) -> None:
     """Small-file compaction of an IVF-PQ postings layout, in place —
     the maintenance half of the append lifecycle: every
     :func:`ivf_pq_append` (and every streaming micro-batch ingest)
     lands at least one new file in each touched cell directory, and a
     year of daily appends turns the probe's partition-pruned read into
-    an open()-storm. Delegates to
-    :func:`~..sources.sinks.compact_partitioned_parquet` (repartition
-    on the cell id — one task per cell, ``maxRecordsPerFile`` rolls the
-    output, so each cell directory ends at ``ceil(rows_cell / k)``
-    files) into a sibling directory, then swaps it in; the quantizer
-    and cellsizes tables are untouched (compaction moves bytes, never
-    changes a posting — the roundtrip query stamps that invariant).
-    At 100 TB run it per-cell-subset on a schedule, exactly like the
+    an open()-storm. Uses the
+    :func:`~..sources.sinks.compact_partitioned_parquet` mechanism
+    (repartition on the cell id — one task per cell,
+    ``maxRecordsPerFile`` rolls the output, so each cell directory ends
+    at ``ceil(rows_cell / k)`` files) into a sibling directory, then
+    swaps it in.
+
+    ``reclaim=True`` (default) additionally makes this the PHYSICAL
+    half of the delete path: tombstoned postings
+    (:func:`ivf_pq_delete`) are anti-joined out during the rewrite —
+    the one pass that was already moving every byte — the ``cellsizes``
+    table is refreshed from the compacted output (delete-aware bucket
+    sizing), and the tombstones table is cleared. Quantizer tables are
+    never touched; with no tombstones the posting multiset is
+    byte-preserved (the roundtrip query stamps that invariant). At
+    100 TB run it per-cell-subset on a schedule, exactly like the
     `maintenance_compact_*` family this borrows from."""
     import os as _os
     import shutil as _shutil
 
-    from ..sources.sinks import compact_partitioned_parquet
+    from ..sources.sinks import rows_per_file_for_bytes
 
     postings = _os.path.join(path, "postings")
     tmp = postings + "__compacting"
     _shutil.rmtree(tmp, ignore_errors=True)
-    compact_partitioned_parquet(
-        spark,
-        postings,
-        tmp,
-        "__cell",
-        max_rows_per_file=max_rows_per_file,
-        target_file_bytes=target_file_bytes,
+    if max_rows_per_file is None:
+        max_rows_per_file = rows_per_file_for_bytes(
+            spark, postings, target_file_bytes
+        )
+    df = spark.read.parquet(postings)
+    ts = ivf_pq_tombstones(spark, path) if reclaim else None
+    if ts is not None:
+        df = df.join(
+            ts.select("neighbor_id").distinct(),
+            "neighbor_id",
+            "left_anti",
+        )
+    # the compact_partitioned_parquet mechanism, inlined so the reclaim
+    # filter rides the same single rewrite pass
+    (
+        df.repartition("__cell")
+        .write.option("maxRecordsPerFile", int(max_rows_per_file))
+        .mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(tmp)
     )
     _shutil.rmtree(postings)
     _os.rename(tmp, postings)
+    if reclaim:
+        # refresh the bucket-sizing metadata from the compacted truth
+        # (one combiner aggregate over the just-rewritten postings) and
+        # clear the now-applied tombstones
+        spark.read.parquet(postings).groupBy("__cell").agg(
+            F.count(F.lit(1)).alias("n_postings")
+        ).write.mode("overwrite").parquet(
+            _os.path.join(path, "cellsizes")
+        )
+        _shutil.rmtree(
+            _os.path.join(path, "tombstones"), ignore_errors=True
+        )
+
+
+def ivf_pq_delete(spark, path: str, ids: DataFrame, id_col: str = "vec_id") -> None:
+    """LSM-style LOGICAL delete from a persisted IVF-PQ index: append
+    the ids to the artifact's ``tombstones`` table (one small parquet
+    append — O(deleted ids), no index bytes touched). The serve path
+    anti-joins tombstones before the candidate stage, so a deleted
+    vector stops being returned IMMEDIATELY; the bytes are reclaimed
+    later by :func:`ivf_pq_compact` (reclaim=True), which drops
+    tombstoned postings during its rewrite and clears the table — the
+    delete/compact split every log-structured store uses (deletes must
+    be O(1) online, physical removal belongs to maintenance). Without
+    this, removing a vector from a ``partitionBy(__cell)`` layout means
+    rewriting its cells synchronously — unbounded write amplification
+    on the serving path at 100 TB."""
+    import os as _os
+
+    ids.select(
+        F.col(id_col).cast("long").alias("neighbor_id")
+    ).distinct().write.mode("append").parquet(
+        _os.path.join(path, "tombstones")
+    )
+
+
+def ivf_pq_tombstones(spark, path: str) -> DataFrame | None:
+    """The artifact's tombstones table (neighbor_id — ids logically
+    deleted since the last reclaim), or ``None`` when nothing has been
+    deleted. Pass to :func:`_pq_probe_topk` as ``tombstones``."""
+    import os as _os
+
+    p = _os.path.join(path, "tombstones")
+    if not _os.path.isdir(p):
+        return None
+    return spark.read.parquet(p)

@@ -2538,3 +2538,89 @@ def test_streaming_ingest_postings_equal_batch_append(spark, sf_dir):
     assert postings(streamed) == postings(base)
     assert sizes(streamed) == sizes(base)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ivf_pq_delete_tombstone_serve_equals_reclaimed_serve(
+    spark, sf_dir
+):
+    """The delete path's two contracts, pinned: (a) no tombstoned id
+    ever appears as a neighbor the moment the tombstone lands (logical
+    delete is immediate), and (b) serving THROUGH tombstones is
+    byte-identical to serving the physically RECLAIMED index
+    (ivf_pq_compact applies tombstones in its rewrite) — logical and
+    physical deletion agree exactly, so reclaim can run whenever
+    maintenance wants without changing a single served result. Also
+    pins the reclaim bookkeeping: refreshed cellsizes equal the
+    compacted truth and the tombstones table is consumed."""
+    import os
+    import shutil
+
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        _pq_probe_topk,
+        ivf_pq_append,
+        ivf_pq_cell_sizes,
+        ivf_pq_compact,
+        ivf_pq_delete,
+        ivf_pq_index,
+        ivf_pq_load,
+        ivf_pq_persist,
+        ivf_pq_tombstones,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    base = "/tmp/adb_sc_test_pq_delete"
+    shutil.rmtree(base, ignore_errors=True)
+    index, cents, books = ivf_pq_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        n_cells=16, spill=2, m_subvectors=16, ksub=64,
+    )
+    ivf_pq_persist(base, index, cents, books)
+    ivf_pq_append(spark, base, emb.filter(F.col("vec_id") % 2 == 1))
+    deleted = emb.filter(F.col("vec_id") % 10 == 3)
+    ivf_pq_delete(spark, base, deleted)
+
+    q = emb.filter(F.col("vec_id") < 5).limit(5)
+    postings, c2, b2 = ivf_pq_load(spark, base)
+    with_ts = _pq_probe_topk(
+        postings, c2, b2, emb, q, k=10, nprobe=8, rerank=200,
+        tombstones=ivf_pq_tombstones(spark, base),
+    ).collect()
+    assert len(with_ts) == 50
+    deleted_ids = {
+        r["vec_id"]
+        # bounded: 10% id cut of the embeddings fixture (test-only)
+        for r in deleted.select("vec_id").collect()
+    }
+    assert not {r.neighbor_id for r in with_ts} & deleted_ids
+
+    ivf_pq_compact(spark, base, reclaim=True)
+    assert not os.path.isdir(os.path.join(base, "tombstones"))
+    postings2, c3, b3 = ivf_pq_load(spark, base)
+    reclaimed = _pq_probe_topk(
+        postings2, c3, b3, emb, q, k=10, nprobe=8, rerank=200,
+    ).collect()
+    key = lambda rows: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in rows
+    }
+    assert key(with_ts) == key(reclaimed)
+
+    sizes = {
+        (r["__cell"], r["n_postings"])
+        for r in ivf_pq_cell_sizes(spark, base).collect()
+    }
+    truth = {
+        (r["__cell"], r["n"])
+        for r in spark.read.parquet(os.path.join(base, "postings"))
+        .groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sizes == truth
+    # reclaimed postings contain no deleted id at all (physical removal)
+    n_del = (
+        spark.read.parquet(os.path.join(base, "postings"))
+        .filter(F.col("neighbor_id").isin(list(deleted_ids)))
+        .count()
+    )
+    assert n_del == 0
+    shutil.rmtree(base, ignore_errors=True)

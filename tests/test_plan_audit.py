@@ -139,6 +139,13 @@ BROADCAST_DATA_SCALE_OK = {
         "kept current by ivf_pq_append",
         "leaves": ("cellsizes",),
     },
+    "ann_ivf_pq_delete_serve": {
+        "why": "persisted cellsizes table — n_cells rows of "
+        "quantizer-grain metadata by the ivf_pq_persist contract "
+        "(tombstoned postings may be overcounted until reclaim, which "
+        "only makes the salting bound conservative)",
+        "leaves": ("cellsizes",),
+    },
     # the three planted-cluster recall audits (round 14): the planted
     # fixture is localCheckpoint-pinned (_planted_embeddings — one
     # broadcast join + zip_with shared by the exact and approximate
