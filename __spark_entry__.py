@@ -129,12 +129,13 @@ def _stamp_state() -> tuple[dict[str, int], set[str], dict[str, int]]:
 #: results invariant — the append-identity pytest pins byte-equality —
 #: but the blocks can't see the module edit). ann_ivf_pq_persisted_serve
 #: re-enters automatically via its own block edit (pruned+salted serve).
-FORCE_RESTAMP: set[str] = {
-    "ann_ivf_trained_topk",
-    "ann_ivf_pq_topk",
-    "ann_ivf_pq_recall_audit",
-    "ann_ivf_pq_memory_audit",
-}
+#: The r14 cohort (ann_ivf_trained_topk + three IVF-PQ entries) was pruned
+#: after its four r14 stamps landed (2 hash-green audits + 2 rows-only
+#: by declared necessity — VERDICT r14 round ritual). Current cohort
+#: (r15): empty — the r15 optimization round's operator-module edits are
+#: restamped via their own sidecar-hash dirtiness where the @register
+#: block changed, or listed here when only the operator module moved.
+FORCE_RESTAMP: set[str] = set()
 
 
 def _dirty_names() -> set[str]:

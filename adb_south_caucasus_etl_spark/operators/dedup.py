@@ -136,46 +136,47 @@ def jaccard_pairs(
     Inverted-index join: |output shuffle| ∝ co-occurring shingles, not n².
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
 
-    Scale choices (measured at sf0.1, see BENCH):
+    Scale choices (measured at sf0.1, see BENCH; reshaped r15 — guide
+    §2.3/§2.4, "shuffle fewer bytes / remove shuffles outright"):
     - shingles are ``xxhash64``-ed to int64 *before* the shuffle — 8-byte
       join keys instead of ~30-byte strings (collision odds at 64 bits are
       ~m²/2⁶⁵, irrelevant below ~10⁹ distinct shingles);
-    - shingle-set sizes come from a zero-shuffle window count over the
-      already-id-partitioned shingle rows and ride through the self-join as
-      payload columns — no separate size table, no extra joins;
-    - one explicit repartition on the shingle key feeds BOTH self-join
-      sides via a single ReusedExchange (verified in the physical plan —
-      this is what the lambda-free pipeline buys);
+    - the df-cap window's hash partitioning on the shingle key IS the
+      join partitioning: both self-join sides (and the sizes branch)
+      consume the ONE ``__s`` exchange via AQE stage reuse — no explicit
+      repartition, and the window's ``__s`` sort already satisfies the
+      sort-merge requirement. The r14 shape carried per-doc sizes as a
+      second full-shingle-row window (an extra ``__id`` exchange + sort
+      over every shingle row) and re-materialized an explicit
+      ``repartition(__s)`` that duplicated the partitioning the window
+      exchange already provided — 4 full-data exchanges; this shape
+      moves the same rows through 2;
+    - per-doc set sizes are a combiner aggregate over the SAME capped
+      subtree (ReusedExchange; partial aggregation reduces map-side to
+      one row per doc per partition) joined onto the already-aggregated
+      pair table — at bench scale AQE broadcasts the size table, at
+      corpus scale the joins shuffle pair-grain rows, never shingle-grain;
     - ``max_df`` (document-frequency cap) drops shingles present in more
       than that many documents BEFORE the join — the standard guard
       against stop-shingles, whose posting lists make the join quadratic
       (a shingle in p docs yields p·(p-1)/2 pairs). Jaccard is then
       computed over the capped shingle universe on both the numerator and
-      the per-doc set sizes (consistent denominators). The df-count
-      window's hash partitioning on the shingle key is reused directly by
-      both self-join sides (AQE stage reuse), and the capped per-doc sizes
-      reduce map-side to one row per doc and join onto the already-
-      aggregated pair table — so the cap costs ONE extra full shingle-row
-      exchange (the __s window), not the three of the naive
-      window-df → window-sizes → repartition chain. Leave None when the
-      shingle unit already discriminates.
+      the per-doc set sizes (consistent denominators). Leave None when
+      the shingle unit already discriminates.
     """
     sh = exploded_shingles(df, id_col, text_col, n, unit)
     if max_df is not None:
-        # df per shingle via ONE window over __s, then the capped per-doc
-        # sizes ride the shingle rows as window payload (__id window) into
-        # the join — consistent denominators over the capped universe.
-        # Spark shares work within one plan ONLY through ReusedExchange
-        # on identical exchanges: the r2-r5 shape (separate sizes table +
-        # two joins onto the pair table) recomputed the whole shingle
-        # pipeline FOUR times (plan-verified: zero ReusedExchange — each
-        # join side and each sizes branch re-exploded the corpus), which
-        # is where the r1→r5 bench drift came from. Carrying sizes as
-        # payload costs one extra full-shingle exchange but computes the
-        # pipeline ONCE, with both self-join sides reading the same
-        # explicit repartition (ReusedExchange, plan-asserted in
-        # test_plan_shapes.py).
-        sized_src = (
+        # df per shingle via ONE window over __s; the filtered output
+        # keeps the window's hashpartitioning(__s), which the self-join
+        # below consumes directly (no repartition). Spark shares work
+        # within one plan ONLY through ReusedExchange on identical
+        # exchanges: all three consumers (join side a, join side b, the
+        # sizes branch) hang off this one subtree, so the explode/window
+        # pipeline's exchanges materialize once and are re-read — the
+        # re-executed per-consumer work is the local sort+window over
+        # the reused shuffle output, CPU that scales out, versus the
+        # r14 shape's two extra full-data network passes.
+        capped = (
             sh.select(
                 "__id",
                 "__s",
@@ -187,15 +188,9 @@ def jaccard_pairs(
             .select("__id", "__s")
         )
     else:
-        sized_src = sh.select("__id", "__s")
-    sized = sized_src.select(
-        "__id",
-        "__s",
-        F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"),
-    )
-    ex = sized.repartition(F.col("__s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    scored = (
+        capped = sh.select("__id", "__s")
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
         a.join(
             b,
             (F.col("a.__s") == F.col("b.__s"))
@@ -204,11 +199,23 @@ def jaccard_pairs(
         .groupBy(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
         )
-        .agg(
-            F.count(F.lit(1)).alias("__inter"),
-            F.any_value(F.col("a.__n")).alias("__na"),
-            F.any_value(F.col("b.__n")).alias("__nb"),
-        )
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    # capped per-doc set sizes: combiner aggregate on the reused capped
+    # subtree (map-side partial reduces shingle rows to doc rows), then
+    # two equi-joins onto the PAIR-grain table — identical __na/__nb
+    # values to the retired payload-window form (exact integer counts)
+    sizes = capped.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    scored = inter.join(
+        sizes.select(
+            F.col("__id").alias("id_a"), F.col("__n").alias("__na")
+        ),
+        "id_a",
+    ).join(
+        sizes.select(
+            F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
+        ),
+        "id_b",
     )
     return (
         scored.withColumn(
@@ -378,10 +385,18 @@ def connected_components(
     ``"ignore"``. For graphs whose diameter can be deep, use
     ``connected_components_star`` (O(log n)-ish rounds, diameter-free).
     """
+    # materialize the (possibly very expensive) edge pipeline exactly
+    # once BEFORE symmetrizing (r15, guide §3.3 "materialise an
+    # intermediate"): the union below references ``edges`` twice, and
+    # pinning only the union made the pin job execute the upstream pair
+    # pipeline once per branch — exchange reuse dedups the shuffles but
+    # every operator above the last exchange (window/sort/joins) ran
+    # 2x. Pinning pair-grain rows is cheap; the union then duplicates a
+    # projection over the checkpointed RDD, nothing upstream.
+    edges = edges.localCheckpoint(eager=True)
     fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
     rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
-    # materialize the (possibly very expensive) edge pipeline exactly once;
-    # every propagation round reads the checkpointed rows, not the lineage
+    # every propagation round reads checkpointed rows, not the lineage
     sym = fwd.union(rev).localCheckpoint(eager=True)
     # seed one hop ahead: label(n) = min(n, min over neighbors)
     labels = sym.groupBy("node").agg(
@@ -394,24 +409,28 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("__nlabel"))
         )
-        new_labels = (
+        # the convergence signal rides the SAME select as the new label
+        # (r15): comparing new-vs-old needs no second join — the old
+        # label is an input attribute of this projection. The count then
+        # scans the already-pinned rows (one cheap job) instead of
+        # re-joining two checkpointed frames (a shuffle join per round).
+        newl = F.least(
+            F.col("label"),
+            F.coalesce(F.col("__nlabel"), F.col("label")),
+        )
+        flagged = (
             labels.join(prop, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("__nlabel"), F.col("label")),
-                ).alias("label"),
+                newl.alias("__newl"),
+                (newl != F.col("label")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "__new")
-            .join(labels, "node")
-            .filter(F.col("__new") != F.col("label"))
-            .count()
+        changed = flagged.filter(F.col("__chg")).count()
+        labels = flagged.select(
+            "node", F.col("__newl").alias("label")
         )
-        labels = new_labels
         if changed == 0:
             converged = True
             break
@@ -468,6 +487,12 @@ def connected_components_star(
     earlier are restored from the original node set with label = their
     star minimum (left join + coalesce).
     """
+    # pin the (possibly very expensive) edge pipeline once up front —
+    # this function references ``edges`` FOUR times (two union branches
+    # for the node set, two for canonicalization); without the pin the
+    # pair pipeline's post-exchange operators executed once per
+    # reference (r15, guide §3.3)
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))

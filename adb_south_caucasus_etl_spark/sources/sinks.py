@@ -183,9 +183,14 @@ def list_parquet_files(
         # underscore listed as 0 bytes — which silently turned the
         # byte-targeted compactor into a one-row-per-file shredder
         # (rows_per_file_for_bytes degraded to 1; caught by the IVF-PQ
-        # postings compaction roundtrip, r14).
+        # postings compaction roundtrip, r14). The `=` exemption is
+        # UNDERSCORE-ONLY (ADVICE r14): Spark hides dot-prefixed
+        # segments unconditionally, so a `.foo=bar` segment must stay
+        # hidden here too or the listing would count files a scan
+        # never reads.
         if any(
-            seg.startswith(("_", ".")) and "=" not in seg
+            seg.startswith(".")
+            or (seg.startswith("_") and "=" not in seg)
             for seg in rel.split("/")
         ):
             continue
