@@ -151,6 +151,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
+        # pinned (r15): four consumers (two degree union branches, the
+        # orientation join, the n_edges ledger count) each re-ran the
+        # distinct's final hash aggregate over the full canonicalized
+        # edge stream — at this query's grain that is the output of the
+        # co-purchase self-join, the widest frame in the plan
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -180,6 +186,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+        # pinned (r15, guide §3.3): three consumers (both wedge sides
+        # and the closing list) re-ran the edge-build + degree joins
+        # above the reused exchanges; the pin materializes m oriented
+        # 16-byte edges once. (Contrast pagerank_integer's NOTE — there
+        # the loop subtrees reuse one exchange and a pin LOSES; here
+        # each consumer re-executed two joins, measured ~20% off the
+        # whole query at sf0.1.)
+        .localCheckpoint(eager=True)
     )
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")

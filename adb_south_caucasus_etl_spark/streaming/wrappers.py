@@ -9,6 +9,7 @@ watermark) and are exercised by tests with a file source + memory sink.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,6 +20,43 @@ from ..sources.registry import (
     _table_path,
     ensure_ltz_timestamps,
 )
+
+#: shuffle partitions for STREAMING starts (r15). Every stateful
+#: streaming operator instantiates one state store PER shuffle
+#: partition, and each store pays an open/commit/snapshot cycle per
+#: micro-batch — with the batch session's partition count (32 here) the
+#: fixture-sized streams spent 2-3x more wall in state-store bookkeeping
+#: than in data (measured: stream-stream interval join at sf0.1,
+#: min-of-2 — 32 partitions 5.9 s, 8 partitions 2.5 s; values
+#: identical, each key group lives wholly in one partition either way).
+#: Unlike batch shuffles, this number is not AQE-coalescible and gets
+#: PINNED into the query's checkpoint, so production sizes it from
+#: expected STATE VOLUME (~100 MB-1 GB per store), not core count —
+#: that is what the env override is for at 100 TB. The local default 8
+#: is a state-size decision for the bounded fixtures (KBs of state),
+#: never raises the session value (min), and leaves batch queries
+#: untouched.
+STREAM_SHUFFLE_ENV = "SPARK_GRAFT_STREAM_SHUFFLE"
+
+
+@contextlib.contextmanager
+def stream_shuffle_scope(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` down to the streaming
+    state-store sizing (see ``STREAM_SHUFFLE_ENV``) around a stream's
+    start→awaitTermination window; the batch value is restored on exit.
+    The conf is read at query START (and pinned into the checkpoint),
+    so the scope must cover the whole drain, not just ``.start()``."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        want = int(os.environ.get(STREAM_SHUFFLE_ENV, "8"))
+        eff = str(min(int(old), want)) if want > 0 else old
+    except ValueError:
+        eff = old
+    spark.conf.set("spark.sql.shuffle.partitions", eff)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_events_stream(
@@ -222,14 +260,15 @@ def run_to_memory(
 ) -> DataFrame:
     """Drive a (bounded) stream to completion into a memory sink and return
     the materialized result — the test/smoke harness for the wrappers."""
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(spark):
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -247,14 +286,15 @@ def stream_to_parquet_refresh(
     def _write(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(path)
 
-    q = (
-        stream_df.writeStream.outputMode("complete")
-        .foreachBatch(_write)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(spark):
+        q = (
+            stream_df.writeStream.outputMode("complete")
+            .foreachBatch(_write)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def topk_values_tws_stream(
