@@ -126,12 +126,18 @@ def test_shard_assign_no_exchange_before_agg(spark):
 
 
 def test_repetition_stats_single_scan_generate_bare(spark):
-    """The Generate (explode) must not carry the 2-gram transform through
-    it (the measured 60× trap): array stats come from a separate
-    projection joined back, and the doc scan is shared."""
+    """All statistics are per-document, so the final plan must be one
+    shuffle-free projection over one documents scan: no Generate
+    (the old explode -> double groupBy -> join-back path shuffled every
+    token row twice; its Generate additionally risked carrying the
+    2-gram transform through it, the measured 60x trap) and no
+    Exchange at all — top_cnt comes from the longest equal run of the
+    sorted token array, evaluated row-side."""
     plan = _final_plan(WORKLOAD["text_repetition_stats"].fn(spark, SF))
-    gen = re.search(r"Generate explode[^\n]*", plan)
-    assert gen and "transform" not in gen.group(0), gen and gen.group(0)
+    assert "Generate" not in plan, plan
+    assert "Exchange" not in plan, plan
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    assert len(scans) == 1, scans
 
 
 def test_rollup_serve_reads_only_rollup(spark):
