@@ -2015,10 +2015,10 @@ def ivf_pq_append(
     sizes_path = _os.path.join(path, "cellsizes")
     counts = sorted(
         (r["__cell"], r["n"])
-        # bounded: n_cells rows of (cell, count) metadata
         for r in spark.read.parquet(_os.path.join(path, "postings"))
         .groupBy("__cell")
         .agg(F.count(F.lit(1)).alias("n"))
+        # bounded: n_cells rows of (cell, count) metadata
         .collect()
     )
     spark.createDataFrame(

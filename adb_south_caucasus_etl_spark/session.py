@@ -38,7 +38,30 @@ def get_spark(app_name: str = "adb_south_caucasus_etl_spark") -> SparkSession:
         # keeps unix_micros()/window() applicable regardless of which writer
         # produced the files (the driver testdata has shipped both flavors)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Let the planner pick shuffled-hash join where its size
+        # conditions hold instead of defaulting to sort-merge (the
+        # optimization-guide baseline): SHJ skips both per-partition
+        # sorts, and AQE's local-map threshold converts SMJ->SHJ at
+        # runtime when every post-shuffle partition is provably small.
+        # Queries whose CLAIM is sort-merge-specific (bucketed scan
+        # satisfying SMJ's ordering with zero exchange/sort) pin it
+        # with an explicit MERGE hint — picking the strategy
+        # deliberately either way. Measured r15 (interleaved min-of-3
+        # suite): ~8% off a 10-query mix; env knobs because the right
+        # threshold is memory-geometry-dependent on a real cluster.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
+        # Answer MIN/MAX/COUNT-shaped scans from parquet footer
+        # statistics instead of reading row groups — the ledger/census
+        # queries in this workload count just-written scratch tables,
+        # and at 100 TB a footer read is O(files), not O(bytes).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # local mode = executors live IN the driver JVM, so this is the
