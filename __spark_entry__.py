@@ -132,10 +132,48 @@ def _stamp_state() -> tuple[dict[str, int], set[str], dict[str, int]]:
 #: The r14 cohort (ann_ivf_trained_topk + three IVF-PQ entries) was pruned
 #: after its four r14 stamps landed (2 hash-green audits + 2 rows-only
 #: by declared necessity — VERDICT r14 round ritual). Current cohort
-#: (r15): empty — the r15 optimization round's operator-module edits are
-#: restamped via their own sidecar-hash dirtiness where the @register
-#: block changed, or listed here when only the operator module moved.
-FORCE_RESTAMP: set[str] = set()
+#: (r15): the optimization round's operator-module edits — every query
+#: whose EXECUTED PLAN changed while its @register block did not:
+#: the jaccard_pairs restructure + connected_components pin/flag-fold
+#: (operators/dedup.py), the IVF-PQ persist/append/compact/probe pass
+#: cuts (operators/similarity.py), and the triangle-count pins
+#: (operators/graph.py). Results verified invariant locally (full
+#: 434/434 oracle sweep + per-query tri-SF checks, OPTIMIZATION_r15.md)
+#: — listed so the driver restamps them too. Blocks edited this round
+#: (attribution, maintenance ×2, ml_dbscan, text_repetition, pagerank
+#: ×2, 3 streaming sites) re-enter via sidecar-hash dirtiness. The
+#: streaming stream_shuffle_scope consumers are NOT listed: the scoped
+#: conf changes state-store partitioning only, which is not observable
+#: in any result (all 26 streaming queries re-verified), and listing
+#: ~20 more would crowd the oldest-cohort drain out of the 50-slot
+#: window.
+FORCE_RESTAMP: set[str] = {
+    "neardup_jaccard_pairs",
+    "neardup_char_ngram_jaccard",
+    "neardup_clusters",
+    "neardup_clusters_star",
+    "neardup_survivors",
+    "er_entity_canonicalize",
+    "curation_split_leakage_audit",
+    "dedup_cross_modal_overlap",
+    "dedup_lexical_semantic_overlap",
+    "corpus_dedup_pipeline",
+    "corpus_dedup_pipeline_lsh",
+    "corpus_dedup_pipeline_lsh_agreement",
+    "corpus_dedup_pipeline_semantic",
+    "corpus_dedup_pipeline_semantic_trained",
+    "corpus_dedup_pipeline_semantic_trained_agreement",
+    "ann_ivf_pq_persisted_serve",
+    "ann_ivf_pq_append_serve",
+    "ann_ivf_pq_append_ledger",
+    "ann_ivf_pq_append_recall_audit",
+    "ann_ivf_pq_delete_serve",
+    "ann_ivf_pq_delete_reclaim_ledger",
+    "ann_ivf_pq_compact_roundtrip",
+    "ann_ivf_pq_planted_recall_audit",
+    "streaming_ivf_pq_ingest_ledger",
+    "graph_triangle_count",
+}
 
 
 def _dirty_names() -> set[str]:
