@@ -169,6 +169,18 @@ BROADCAST_DATA_SCALE_OK = {
         "fixture — GlobalLimit bound invisible behind two pins",
         "leaves": ("LogicalRDD",),
     },
+    # greedy set cover (round 15): each step's argmax row is
+    # localCheckpoint-pinned to break the exponential re-execution of
+    # the greedy cascade (3 lazy consumers per step), so the
+    # new-coverage broadcast hint now sits over a LogicalRDD leaf whose
+    # limit(1) bound the auditor can no longer see — exactly one row
+    # per step by construction.
+    "curation_greedy_coverage": {
+        "why": "pinned 1-row greedy argmax (orderBy + limit(1), "
+        "checkpointed per step) broadcast into the new-coverage join — "
+        "the GlobalLimit bound is behind the pin",
+        "leaves": ("LogicalRDD",),
+    },
     # (the former literal-id-cut entries — semdedup centroids, hard
     # negatives, cosine_topk_exact / ann_ivf probes — now pass on merit:
     # the cuts carry an explicit no-op LIMIT, so the hinted subtrees
