@@ -181,6 +181,19 @@ BROADCAST_DATA_SCALE_OK = {
         "the GlobalLimit bound is behind the pin",
         "leaves": ("LogicalRDD",),
     },
+    # rank-1 ALS (round 15): the brand-factor half-step is
+    # localCheckpoint-pinned (it feeds both the next user half-step and
+    # the prediction join), so its two broadcast hints now sit over a
+    # LogicalRDD leaf whose grouping-by-p_brand Aggregate bound the
+    # auditor can no longer see — at most |p_brand distinct values|
+    # rows (25 brand labels in the TPC-H generator's domain).
+    "ml_als_rank1": {
+        "why": "pinned brand-grain factor table (groupBy p_brand "
+        "aggregate, <= brand-domain rows) broadcast into the user "
+        "half-step and the prediction join — the Aggregate bound is "
+        "behind the pin",
+        "leaves": ("LogicalRDD",),
+    },
     # (the former literal-id-cut entries — semdedup centroids, hard
     # negatives, cosine_topk_exact / ann_ivf probes — now pass on merit:
     # the cuts carry an explicit no-op LIMIT, so the hinted subtrees
