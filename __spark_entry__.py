@@ -163,6 +163,14 @@ FORCE_RESTAMP: set[str] = {
     "corpus_dedup_pipeline_semantic",
     "corpus_dedup_pipeline_semantic_trained",
     "corpus_dedup_pipeline_semantic_trained_agreement",
+    # r15 third window: ivf_pq_index/persist control-plane restructure
+    # (shared pinned unit frame + overlapped metadata jobs) — results
+    # verified bit-identical (centroid identity pytest + 14/14 oracle),
+    # listed so the driver restamps the three family members not
+    # already below.
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_recall_audit",
+    "ann_ivf_pq_memory_audit",
     "ann_ivf_pq_persisted_serve",
     "ann_ivf_pq_append_serve",
     "ann_ivf_pq_append_ledger",

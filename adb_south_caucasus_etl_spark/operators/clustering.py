@@ -155,6 +155,7 @@ def spherical_centroids(
     vec_col: str = "embedding",
     k: int = 16,
     iterations: int = 5,
+    unit: DataFrame | None = None,
 ) -> list[list[float]]:
     """SPHERICAL k-means centroids (unit-norm, cosine geometry) — the
     trained coarse quantizer for :func:`~..similarity.ivf_trained_topk`
@@ -182,6 +183,16 @@ def spherical_centroids(
     on a deterministic sample (``md5_bucket`` filter upstream) when the
     corpus is 100 TB; the quantizer needs cluster shape, not every row.
 
+    ``unit`` (r15, guide §1.2 — don't compute things twice): a caller
+    that ALREADY holds the unit-normalized, zero-norm-filtered, PINNED
+    ``(id, vec)`` frame (``similarity._unit_vectors`` output — its
+    ``zip_with(v,v,x*y)`` norm is expression-for-expression the same
+    float pipeline as the ``transform(v,x*x)`` norm here, so the values
+    are bit-identical) passes it in and the trainer skips its own
+    normalize+checkpoint pass entirely: one corpus scan and one
+    checkpoint job serve both the trainer and the caller's encode
+    stage. Columns are taken positionally as (id, vec).
+
     Determinism caveat (ADVICE r12): init and iteration budget are
     fixed, but each round's means come from ``F.avg`` partial
     aggregates whose FLOAT COMBINE ORDER follows the partition layout —
@@ -195,7 +206,18 @@ def spherical_centroids(
     the cast cost for a quantizer whose QUALITY, not bit pattern, is
     the contract.
     """
-    import math
+    if unit is not None:
+        uid, uvec = unit.columns[0], unit.columns[1]
+        unit = unit.select(
+            F.col(uid).alias("__id"), F.col(uvec).alias("__v")
+        )
+        seed_rows = (
+            unit.withColumn("__h", md5_u32(F.col("__id")))
+            .orderBy("__h", "__id")
+            .limit(k)
+            .collect()  # bounded: k seed rows by construction
+        )
+        return _spherical_rounds(unit, seed_rows, k, iterations)
 
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -239,6 +261,18 @@ def spherical_centroids(
         .limit(k)
         .collect()  # bounded: k seed rows by construction
     )
+    return _spherical_rounds(unit, seed_rows, k, iterations)
+
+
+def _spherical_rounds(
+    unit: DataFrame, seed_rows, k: int, iterations: int
+) -> list[list[float]]:
+    """The Lloyd rounds of :func:`spherical_centroids` over a pinned
+    unit-norm ``(__id, __v)`` frame — split out so the caller-supplied-
+    ``unit`` fast path and the normalize-here path run the exact same
+    loop (bit-identical means, same tie-breaks)."""
+    import math
+
     if not seed_rows:
         raise ValueError(
             "spherical_centroids: no rows with a non-zero-norm vector — "

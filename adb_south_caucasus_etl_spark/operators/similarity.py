@@ -1397,33 +1397,52 @@ def ivf_pq_index(
     (no direction → unreachable by cosine). Corpus vectors are
     unit-normalized before residual encoding so ADC's inner products
     ARE cosines up to the query's own scale."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .clustering import spherical_centroids
     from .curation import md5_u32
 
-    centroids = spherical_centroids(
-        corpus,
-        id_col=id_col,
-        vec_col=vec_col,
-        k=n_cells,
-        iterations=train_iterations,
-    )
-    C = np.asarray(centroids, dtype=np.float64)
-
-    # unit-normalize (shared _unit_vectors, so build and append encode
-    # byte-identically); pinned ONCE — the sample collect and the encode
-    # pass both read the truncated lineage
+    # unit-normalize ONCE (shared _unit_vectors, so build and append
+    # encode byte-identically); pinned ONCE — and, new in r15, the
+    # COARSE TRAINER consumes the same pin (its own normalization is
+    # expression-for-expression the same float pipeline, so centroids
+    # are bit-identical; verified vs the committed stamps) instead of
+    # re-scanning + re-normalizing + re-checkpointing the corpus.
     unit = _unit_vectors(corpus, id_col, vec_col).localCheckpoint(
         eager=True
     )
 
-    sample_rows = (
-        unit.withColumn("__h", md5_u32(F.col("neighbor_id")))
-        .orderBy("__h", "neighbor_id")
-        .limit(pq_train_rows)
-        .select("uv")
-        # bounded: pq_train_rows x dim doubles of PQ training sample
-        .collect()
-    )
+    def _train_coarse() -> list[list[float]]:
+        return spherical_centroids(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=n_cells,
+            iterations=train_iterations,
+            unit=unit,
+        )
+
+    def _collect_sample() -> list:
+        return (
+            unit.withColumn("__h", md5_u32(F.col("neighbor_id")))
+            .orderBy("__h", "neighbor_id")
+            .limit(pq_train_rows)
+            .select("uv")
+            # bounded: pq_train_rows x dim doubles of PQ training sample
+            .collect()
+        )
+
+    # The PQ training SAMPLE is a pure function of the pinned unit rows
+    # (only the residuals below need the trained centroids), so its
+    # TakeOrdered job overlaps the coarse-training rounds instead of
+    # queueing behind them (guide §2.6 — overlap independent jobs; both
+    # read the same checkpointed RDD, so neither recomputes anything).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cent_fut = pool.submit(_train_coarse)
+        samp_fut = pool.submit(_collect_sample)
+        centroids = cent_fut.result()
+        sample_rows = samp_fut.result()
+    C = np.asarray(centroids, dtype=np.float64)
     S = np.asarray([list(r["uv"]) for r in sample_rows], dtype=np.float64)
     # primary-cell residuals, numpy-side (argmax dot == cell_topn's first
     # element: stable argsort desc and np.argmax share the first-tie rule)
@@ -1871,10 +1890,12 @@ def ivf_pq_persist(
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
 
-    index.write.mode("overwrite").partitionBy("__cell").parquet(
-        _os.path.join(path, "postings")
-    )
     spark = index.sparkSession
+
+    def _write_postings() -> None:
+        index.write.mode("overwrite").partitionBy("__cell").parquet(
+            _os.path.join(path, "postings")
+        )
 
     def _write_cellsizes() -> None:
         # partition-column-only aggregate over the written artifact:
@@ -1902,12 +1923,19 @@ def ivf_pq_persist(
             "block int, code int, codeword array<double>",
         ).write.mode("overwrite").parquet(_os.path.join(path, "codebooks"))
 
+    # r15: the two quantizer writes are independent of the postings
+    # write (they serialize driver-held metadata), so all three run
+    # concurrently; ONLY cellsizes waits on the written postings it
+    # derives from. One data-scale job latency hides two metadata jobs
+    # (guide §2.6).
     with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = [
-            pool.submit(f)
-            for f in (_write_cellsizes, _write_centroids, _write_codebooks)
+        post_fut = pool.submit(_write_postings)
+        meta_futs = [
+            pool.submit(f) for f in (_write_centroids, _write_codebooks)
         ]
-        for f in futs:
+        post_fut.result()
+        sizes_fut = pool.submit(_write_cellsizes)
+        for f in (*meta_futs, sizes_fut):
             f.result()
 
 

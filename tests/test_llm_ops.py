@@ -680,6 +680,30 @@ def test_ivf_trained_exploits_planted_clusters(spark):
     )
 
 
+def test_spherical_centroids_shared_unit_bit_identical(spark, sf_dir):
+    """The r15 shared-unit fast path (caller passes the pinned
+    ``_unit_vectors`` frame so trainer and encoder split one scan +
+    checkpoint) must produce BIT-IDENTICAL centroids to the
+    normalize-inside path: the two normalizations are expression-for-
+    expression the same float pipeline (``zip_with(v,v,x*y)`` vs
+    ``transform(v,x*x)``), and ivf_pq_index's stamped ledgers/audits
+    ride on that equality."""
+    from adb_south_caucasus_etl_spark.operators.clustering import (
+        spherical_centroids,
+    )
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        _unit_vectors,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    old = spherical_centroids(emb, k=16, iterations=5)
+    unit = _unit_vectors(emb, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    new = spherical_centroids(emb, k=16, iterations=5, unit=unit)
+    assert old == new
+
+
 def test_estimated_rows_and_derived_grid(spark, sf_dir):
     """VERDICT r08 item 5: blocked-GEMM grids derive from Catalyst stats
     when the caller passes no explicit grid. Exact on rowCount-bearing
