@@ -694,10 +694,20 @@ def perceptual_frame_hash(
             "perceptual_frame_hash packs one bit per payload byte into a "
             f"64-bit key; frame_bytes must be 64, got {frame_bytes}"
         )
+    # every per-pixel expression is built as ONE generated-SQL parse
+    # (F.expr) instead of a loop of F.* calls: each F.* call is a py4j
+    # driver↔JVM round trip, and the ~1500 calls the loop form made
+    # cost ~1.5 s of PLAN CONSTRUCTION per build at any data size
+    # (measured r15; same cost class as clustering.lit_double_array).
+    # The parsed strings spell out the exact tree the F.* calls built —
+    # conv(hex(substring)) per byte, CASE WHEN per bit — so the
+    # analyzed/optimized plan is unchanged (diffed in r15).
+    fcol = f"`{frame_col}`"
     px = [
-        F.conv(F.hex(F.substring(F.col(frame_col), i + 1, 1)), 16, 10)
-        .cast("long")
-        .alias(f"__px{i}")
+        F.expr(
+            f"cast(conv(hex(substring({fcol}, {i + 1}, 1)), 16, 10) "
+            f"as bigint) as __px{i}"
+        )
         for i in range(64)
     ]
     keep = keep or {}
@@ -717,19 +727,18 @@ def perceptual_frame_hash(
     # at any data size. As a non-cheap column used 64 times,
     # CollapseProject keeps it shared and the tree stays ~500 nodes.
     base = base.withColumn(
-        "__tot", sum(F.col(f"__px{i}") for i in range(64))
+        "__tot",
+        F.expr("0 + " + " + ".join(f"__px{i}" for i in range(64))),
     )
-    bits = [
-        (F.col(f"__px{i}") * 64 > F.col("__tot")) for i in range(64)
-    ]
 
     def _pack(lo_bit: int) -> F.Column:
-        packed = F.lit(0).cast("long")
-        for i in range(lo_bit, lo_bit + 32):
-            packed = packed + F.when(
-                bits[i], F.shiftleft(F.lit(1).cast("long"), i - lo_bit)
-            ).otherwise(F.lit(0).cast("long"))
-        return packed
+        terms = " + ".join(
+            f"(CASE WHEN __px{i} * 64 > __tot "
+            f"THEN shiftleft(cast(1 as bigint), {i - lo_bit}) "
+            f"ELSE cast(0 as bigint) END)"
+            for i in range(lo_bit, lo_bit + 32)
+        )
+        return F.expr(f"cast(0 as bigint) + {terms}")
 
     keyed = base.select(
         id_col,
@@ -784,16 +793,32 @@ def pcm_energy_hash(
     keep = keep or {}
     keep_names = list(keep)
 
-    def byte_at(pos: int) -> F.Column:
-        return F.conv(
-            F.hex(F.substring(F.col(payload_col), pos, 1)), 16, 10
-        ).cast("long")
+    # generated-SQL construction (one F.expr parse per column) for the
+    # same reason as perceptual_frame_hash above: the loop form's ~2500
+    # py4j calls cost ~3 s of plan construction per build. The strings
+    # spell out the exact tree the F.* calls built (the unsigned-sample
+    # subexpression u is inlined three times into the CASE, exactly as
+    # the Column reuse produced); analyzed/optimized plan unchanged.
+    pcol = f"`{payload_col}`"
 
-    es = []
-    for i in range(n_samples):
-        u = byte_at(2 * i + 1) + byte_at(2 * i + 2) * 256
-        s = F.when(u >= 32768, u - 65536).otherwise(u)
-        es.append(F.abs(s).alias(f"__e{i}"))
+    def _u(i: int) -> str:
+        lo = (
+            f"cast(conv(hex(substring({pcol}, {2 * i + 1}, 1)), 16, 10) "
+            f"as bigint)"
+        )
+        hi = (
+            f"cast(conv(hex(substring({pcol}, {2 * i + 2}, 1)), 16, 10) "
+            f"as bigint)"
+        )
+        return f"({lo} + {hi} * 256)"
+
+    es = [
+        F.expr(
+            f"abs(CASE WHEN {_u(i)} >= 32768 THEN {_u(i)} - 65536 "
+            f"ELSE {_u(i)} END) as __e{i}"
+        )
+        for i in range(n_samples)
+    ]
     base = (
         clips.filter(
             F.length(F.col(payload_col)) == 2 * n_samples
@@ -804,21 +829,21 @@ def pcm_energy_hash(
             *es,
         )
         .withColumn(
-            "__tot", sum(F.col(f"__e{i}") for i in range(n_samples))
+            "__tot",
+            F.expr(
+                "0 + " + " + ".join(f"__e{i}" for i in range(n_samples))
+            ),
         )
     )
-    bits = [
-        (F.col(f"__e{i}") * 64 > F.col("__tot"))
-        for i in range(n_samples)
-    ]
 
     def _pack(lo_bit: int) -> F.Column:
-        packed = F.lit(0).cast("long")
-        for i in range(lo_bit, lo_bit + 32):
-            packed = packed + F.when(
-                bits[i], F.shiftleft(F.lit(1).cast("long"), i - lo_bit)
-            ).otherwise(F.lit(0).cast("long"))
-        return packed
+        terms = " + ".join(
+            f"(CASE WHEN __e{i} * 64 > __tot "
+            f"THEN shiftleft(cast(1 as bigint), {i - lo_bit}) "
+            f"ELSE cast(0 as bigint) END)"
+            for i in range(lo_bit, lo_bit + 32)
+        )
+        return F.expr(f"cast(0 as bigint) + {terms}")
 
     keyed = base.select(
         id_col,

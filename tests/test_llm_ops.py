@@ -1492,6 +1492,64 @@ def test_near_dup_pairs_hot_band_does_not_suppress(spark):
     assert n == 1, f"pair emitted {n} times"
 
 
+def test_perceptual_hash_keys_match_numpy_reference(spark):
+    """Every bit position of both 64-bit perceptual keys pinned against
+    an independent numpy restatement over deterministic pseudo-random
+    payloads (md5-derived bytes, so the fixture exercises arbitrary
+    byte values incl. >=0x80 and int16 sign fixups). Guards the r15
+    generated-SQL expression construction — the parsed strings must
+    keep spelling the exact per-byte/per-sample integer algebra the
+    F.* loop form built (optimized plans diffed identical in r15; this
+    pins the VALUES independent of construction form)."""
+    import hashlib
+
+    import numpy as np
+
+    from adb_south_caucasus_etl_spark.operators.multimodal import (
+        pcm_energy_hash,
+        perceptual_frame_hash,
+    )
+
+    def det_bytes(seed: int, n: int) -> bytes:
+        out = b""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    def ref_key(mags: list[int]) -> tuple[int, int]:
+        tot = sum(mags)
+        hi = sum(
+            1 << (i - 32) for i in range(32, 64) if mags[i] * 64 > tot
+        )
+        lo = sum(1 << i for i in range(32) if mags[i] * 64 > tot)
+        return hi, lo
+
+    # image path: payload bytes ARE the pixels
+    rows = [(s, 0, det_bytes(s, 64)) for s in range(50)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, frame binary"
+    )
+    got = {
+        r.doc_id: (r.ah_hi, r.ah_lo)
+        for r in perceptual_frame_hash(df).collect()
+    }
+    for s, _, payload in rows:
+        assert got[s] == ref_key(list(payload)), f"frame seed {s}"
+
+    # audio path: little-endian int16 parse + magnitude
+    arows = [(s, det_bytes(1000 + s, 128)) for s in range(50)]
+    adf = spark.createDataFrame(arows, "clip_id long, payload binary")
+    agot = {
+        r.clip_id: (r.ah_hi, r.ah_lo)
+        for r in pcm_energy_hash(adf, id_col="clip_id").collect()
+    }
+    for s, payload in arows:
+        mags = [int(abs(v)) for v in np.frombuffer(payload, "<i2").astype(np.int64)]
+        assert agot[s] == ref_key(mags), f"clip seed {s}"
+
+
 def test_pcm_energy_hash_invariants(spark):
     """The audio perceptual key: (a) phase inversion (negate every
     sample) keeps the key bit-for-bit — magnitudes are unchanged — even
