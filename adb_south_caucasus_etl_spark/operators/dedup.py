@@ -96,27 +96,38 @@ def exploded_shingles(
     The output stays partitioned by ``__id`` — downstream per-doc aggregates
     (shingle-set size, MinHash mins) add no shuffle either.
     """
+    # generated-SQL construction (r16, the §18/§19 one-parse precedent):
+    # this operator is built by EVERY jaccard/minhash consumer, and the
+    # Column-function form cost ~0.35-0.5 s of driver py4j round trips
+    # per build (one driver↔JVM call per F.* node). selectExpr takes the
+    # whole projection as strings — one py4j call per select — and the
+    # parsed expressions resolve to the IDENTICAL tree (diffed plan-for-
+    # plan against the retired form; oracle-verified at 3 SFs).
+    # Identifiers are backtick-quoted with embedded backticks doubled.
+    qid = "`%s`" % id_col.replace("`", "``")
+    qtext = "`%s`" % text_col.replace("`", "``")
     if unit == "word":
-        units = F.split(F.trim(F.col(text_col)), r"\s+")
+        units_sql = f"split(trim({qtext}), '\\\\s+')"
     elif unit == "char":
-        units = F.split(F.col(text_col), "")
+        units_sql = f"split({qtext}, '')"
     else:
         raise ValueError(f"unit must be word|char, got {unit!r}")
-    tok = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(units).alias("__p", "__t"),
-    ).select("__id", "__p", F.xxhash64("__t").alias("__h0"))
-    w = Window.partitionBy("__id").orderBy("__p")
-    leads = [F.lead("__h0", k).over(w).alias(f"__h{k}") for k in range(1, n)]
-    folded = tok.select("__id", "__p", "__h0", *leads)
+    tok = df.selectExpr(
+        f"{qid} AS __id", f"posexplode({units_sql}) AS (__p, __t)"
+    ).selectExpr("__id", "__p", "xxhash64(__t) AS __h0")
+    over = "OVER (PARTITION BY __id ORDER BY __p)"
+    leads = [
+        f"lead(__h0, {k}) {over} AS __h{k}" for k in range(1, n)
+    ]
+    folded = tok.selectExpr("__id", "__p", "__h0", *leads)
     # keep positions that start a full n-shingle; position 0 always survives
     # so a doc with < n tokens contributes one shorter-fold shingle
     # (xxhash64 skips null inputs, so missing leads just shorten the fold)
-    keep = F.col(f"__h{n - 1}").isNotNull() | (F.col("__p") == 0)
-    shingle = F.xxhash64(*[f"__h{k}" for k in range(n)])
+    keep = f"__h{n - 1} IS NOT NULL OR __p = 0"
+    shingle = "xxhash64(%s)" % ", ".join(f"__h{k}" for k in range(n))
     return (
         folded.filter(keep)
-        .select("__id", shingle.alias("__s"))
+        .selectExpr("__id", f"{shingle} AS __s")
         .distinct()  # zero-exchange: clustering on (__id,__s) ⊇ __id holds
     )
 
@@ -249,8 +260,10 @@ def _minhash_wide(
     columns (not an array) so callers can derive band hashes lambda-free.
     """
     sh = exploded_shingles(df, id_col, text_col, n)
+    # one SQL parse per min column (r16 — §18/§19 one-parse precedent):
+    # the Column-function form made 4 py4j round trips per seed
     mins = [
-        F.min(F.xxhash64("__s", F.lit(i))).alias(f"__h{i}")
+        F.expr(f"min(xxhash64(__s, {i})) AS __h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("__id").agg(*mins)
@@ -305,22 +318,23 @@ def lsh_candidate_pairs(
     # signatures" variant, which recomputes or caches the signature subtree
     # three times. At petabyte scale flip to the slim variant with an
     # explicitly materialized signature table.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[f"__h{bi * rows + r}" for r in range(rows)]
-                ).alias("bhash"),
-            )
-            for bi in range(bands)
-        ]
+    # one SQL parse for the whole band array and one for the signature
+    # (r16 — §18/§19 one-parse precedent; the struct/lit loop made ~6
+    # py4j round trips per band)
+    band_structs = ", ".join(
+        "struct({bi} AS band, xxhash64({cols}) AS bhash)".format(
+            bi=bi,
+            cols=", ".join(f"__h{bi * rows + r}" for r in range(rows)),
+        )
+        for bi in range(bands)
     )
-    sig_arr = F.array(*[f"__h{i}" for i in range(num_hashes)])
-    banded = wide.select(
+    sig_arr = "array(%s)" % ", ".join(
+        f"__h{i}" for i in range(num_hashes)
+    )
+    banded = wide.selectExpr(
         "__id",
-        sig_arr.alias("__sig"),
-        F.explode(band_structs).alias("__b"),
+        f"{sig_arr} AS __sig",
+        f"explode(array({band_structs})) AS __b",
     ).select("__id", "__sig", "__b.band", "__b.bhash")
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -339,15 +353,12 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(num_hashes)),
-        4,
+    # one SQL parse (r16): Python-lambda HOFs cost several py4j round
+    # trips per lambda at build time; the SQL arrow form parses to the
+    # same LambdaFunction tree (plan-identical, value-identical)
+    est = F.expr(
+        "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+        f" eq -> eq)) / {float(num_hashes)!r}D, 4)"
     )
     return (
         cand.withColumn("est_jaccard", est)
@@ -388,19 +399,26 @@ def connected_components(
     ``"ignore"``. For graphs whose diameter can be deep, use
     ``connected_components_star`` (O(log n)-ish rounds, diameter-free).
     """
-    # materialize the (possibly very expensive) edge pipeline exactly
-    # once BEFORE symmetrizing (r15, guide §3.3 "materialise an
-    # intermediate"): the union below references ``edges`` twice, and
-    # pinning only the union made the pin job execute the upstream pair
-    # pipeline once per branch — exchange reuse dedups the shuffles but
-    # every operator above the last exchange (window/sort/joins) ran
-    # 2x. Pinning pair-grain rows is cheap; the union then duplicates a
-    # projection over the checkpointed RDD, nothing upstream.
-    edges = edges.localCheckpoint(eager=True)
-    fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-    rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
-    # every propagation round reads checkpointed rows, not the lineage
-    sym = fwd.union(rev).localCheckpoint(eager=True)
+    # symmetrize in ONE pass over the (possibly very expensive) edge
+    # pipeline and pin the result (r16): the r15 shape pinned edges
+    # first (so the union's two branches would not re-execute the
+    # upstream pair pipeline) and then pinned the union — two
+    # SEQUENTIAL eager jobs. An explode of the two orientations emits
+    # the identical row multiset in a single pass, so one pin job does
+    # the work of both; every propagation round reads checkpointed
+    # rows, not the lineage.
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).alias("node"), F.col(dst).alias("nbr")
+                ),
+                F.struct(
+                    F.col(dst).alias("node"), F.col(src).alias("nbr")
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.node", "__e.nbr").localCheckpoint(eager=True)
     # seed one hop ahead: label(n) = min(n, min over neighbors)
     labels = sym.groupBy("node").agg(
         F.least(F.col("node"), F.min("nbr")).alias("label")
@@ -491,16 +509,16 @@ def connected_components_star(
     star minimum (left join + coalesce).
     """
     # pin the (possibly very expensive) edge pipeline once up front —
-    # this function references ``edges`` FOUR times (two union branches
-    # for the node set, two for canonicalization); without the pin the
-    # pair pipeline's post-exchange operators executed once per
-    # reference (r15, guide §3.3)
+    # this function references ``edges`` FOUR times (two explode
+    # orientations for the node set, two for canonicalization); without
+    # the pin the pair pipeline's post-exchange operators executed once
+    # per reference (r15, guide §3.3)
     edges = edges.localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        edges.select(
+            F.explode(F.array(F.col(src), F.col(dst))).alias("node")
+        )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # canonical high→low orientation, no self-loops, distinct
     e = (
@@ -510,8 +528,17 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # the node set and the canonical edge set are independent reads of
+    # the pinned edges — pin them CONCURRENTLY (guide §2.6) so the two
+    # fixed job latencies overlap instead of queueing
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _nf = _pool.submit(lambda: nodes.localCheckpoint(eager=True))
+        _ef = _pool.submit(lambda: e.localCheckpoint(eager=True))
+        nodes = _nf.result()
+        e = _ef.result()
 
     def _checksum(df: DataFrame) -> tuple:
         # bit_xor is order-independent and overflow-free (ANSI-safe, unlike

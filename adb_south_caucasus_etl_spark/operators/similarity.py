@@ -1852,6 +1852,7 @@ def ivf_pq_persist(
     index: DataFrame,
     centroids: list[list[float]],
     books: "np.ndarray",
+    write_cellsizes: bool = True,
 ) -> None:
     """Write the IVF-PQ index as three parquet tables under ``path`` —
     the deployment artifact :func:`ivf_pq_load` serves from:
@@ -1928,14 +1929,25 @@ def ivf_pq_persist(
     # concurrently; ONLY cellsizes waits on the written postings it
     # derives from. One data-scale job latency hides two metadata jobs
     # (guide §2.6).
+    #
+    # ``write_cellsizes=False`` (r16, guide §1.2 — don't compute things
+    # you throw away): a caller that IMMEDIATELY follows this persist
+    # with :func:`ivf_pq_append` skips the cellsizes job here — the
+    # append's self-healing recount rewrites the table from the on-disk
+    # truth anyway, so the persist-time table would never be read. Only
+    # for that call shape: until the first append lands, the artifact
+    # has no cellsizes table (a serve in that window must fall back to
+    # the postings aggregate).
     with ThreadPoolExecutor(max_workers=3) as pool:
         post_fut = pool.submit(_write_postings)
         meta_futs = [
             pool.submit(f) for f in (_write_centroids, _write_codebooks)
         ]
         post_fut.result()
-        sizes_fut = pool.submit(_write_cellsizes)
-        for f in (*meta_futs, sizes_fut):
+        sizes_futs = (
+            [pool.submit(_write_cellsizes)] if write_cellsizes else []
+        )
+        for f in (*meta_futs, *sizes_futs):
             f.result()
 
 

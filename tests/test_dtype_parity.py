@@ -62,8 +62,10 @@ ORACLED = sorted(n for n in WORKLOAD if WORKLOAD[n].oracle is not None)
 
 
 @pytest.mark.parametrize("name", ORACLED)
-def test_dtype_kind_parity(spark, duck, name):
-    sdf = WORKLOAD[name].fn(spark, SF).limit(0).toPandas()
+def test_dtype_kind_parity(spark, duck, fleet, name):
+    # shared fleet build (conftest._FleetCache): same fn() frame as the
+    # other sweeps, limit(0) keeps this check execution-free
+    sdf = fleet.df(name).limit(0).toPandas()
     ddf = duck.sql(
         f"SELECT * FROM ({WORKLOAD[name].oracle}) __t LIMIT 0"
     ).df()

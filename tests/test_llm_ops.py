@@ -2601,6 +2601,51 @@ def test_ivf_pq_cellsizes_table_current_and_equivalent(spark, sf_dir):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_ivf_pq_persist_deferred_cellsizes_restored_by_append(
+    spark, sf_dir
+):
+    """``ivf_pq_persist(write_cellsizes=False)`` (r16): a caller that
+    immediately appends skips the persist-time cellsizes job — the
+    table must be ABSENT right after the persist and equal to the
+    groupBy-count truth of the full post-append postings right after
+    ``ivf_pq_append``'s self-healing recount."""
+    import os
+    import shutil
+
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        ivf_pq_append,
+        ivf_pq_cell_sizes,
+        ivf_pq_index,
+        ivf_pq_persist,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    base = "/tmp/adb_sc_test_pq_sizes_deferred"
+    shutil.rmtree(base, ignore_errors=True)
+
+    index, cents, books = ivf_pq_index(
+        even, n_cells=16, spill=2, m_subvectors=16, ksub=64
+    )
+    ivf_pq_persist(base, index, cents, books, write_cellsizes=False)
+    assert not os.path.exists(os.path.join(base, "cellsizes"))
+    ivf_pq_append(spark, base, odd)
+    truth = {
+        (r["__cell"], r["n"])
+        for r in spark.read.parquet(os.path.join(base, "postings"))
+        .groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stored = {
+        (r["__cell"], r["n_postings"])
+        for r in ivf_pq_cell_sizes(spark, base).collect()
+    }
+    assert stored == truth
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_streaming_ingest_postings_equal_batch_append(spark, sf_dir):
     """Micro-batch invariance of the streaming index ingest, pinned at
     the POSTING grain: after the streamed drain

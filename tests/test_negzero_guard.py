@@ -70,9 +70,12 @@ def duck_con():
 
 
 @pytest.mark.parametrize("name", sorted(WORKLOAD))
-def test_no_negative_zero_rendering(name, spark, duck_con):
+def test_no_negative_zero_rendering(name, spark, duck_con, fleet):
     spec = WORKLOAD[name]
-    spark_bad = _negzero_cells(spec.fn(spark, SF).toPandas())
+    # shared fleet build+execution (conftest._FleetCache): this sweep's
+    # toPandas is THE one execution the plan-audit and scan-census
+    # sweeps read their final plans from
+    spark_bad = _negzero_cells(fleet.pdf(name))
     assert not spark_bad, (
         f"{name}: Spark renders -0.0 in column(s) {spark_bad} — "
         "normalize with `ROUND(...) + 0.0` on BOTH engines"

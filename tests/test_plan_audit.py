@@ -22,11 +22,14 @@ Per-query plan-shape claims live in test_plan_shapes.py; this file is the
 backstop that newly added queries cannot dodge (it iterates WORKLOAD, so a
 query added without a shape test is still smell-checked).
 
-Plans are built at sf0.001 without executing the batch queries
-(``executedPlan`` materializes the pre-execution AQE plan, enough for smell
-detection). Queries with eager build-time side effects (sinks, rollup
-refreshes, streaming replays) still run them — at sf0.001 that costs
-seconds and keeps the audit honest end-to-end.
+Plans are read from the shared fleet cache (tests/conftest.py): every
+query is built once and executed once at sf0.001 for the WHOLE suite, and
+this audit reads the AQE-FINAL plan of that execution — the same honest
+artifact test_scan_census always gated on. (Before r16 this file built
+all 434 queries a second time and read pre-execution plans; the rebuild
+re-ran every eager build-time side effect — index builds, staged
+pipeline writes — once per sweep and pushed the suite past the driver's
+pytest budget.)
 """
 
 import pytest
@@ -375,6 +378,14 @@ def _single_partition_over_raw_rows(plan: str) -> list[str]:
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
+        # AQE-final plans print `ReusedExchange [...], Exchange
+        # SinglePartition, ...` REFERENCE lines; the exchange itself is
+        # audited where it is defined (its own `Exchange
+        # SinglePartition` line with its real child below) — a
+        # reference line's following lines belong to a different
+        # subtree entirely
+        if "ReusedExchange" in ln:
+            continue
         below = "\n".join(lines[i + 1 : i + 4])
         # an exchange fed by an Aggregate (bounded manifest) or a
         # LocalLimit (a LIMIT funnel — per-partition capped before the
@@ -386,11 +397,16 @@ def _single_partition_over_raw_rows(plan: str) -> list[str]:
 
 
 @pytest.mark.parametrize("name", sorted(WORKLOAD))
-def test_no_scale_smells(spark, name):
-    # one build per query: plan smells and the driver schema contract
-    # are both checked on the same DataFrame (side-effectful queries —
-    # sinks, rollup refreshes, streaming replays — run only once)
-    df = WORKLOAD[name].fn(spark, SF)
+def test_no_scale_smells(spark, fleet, name):
+    # shared fleet build (conftest._FleetCache): plan smells and the
+    # driver schema contract are checked on the same DataFrame the
+    # other sweeps use (side-effectful queries — sinks, rollup
+    # refreshes, streaming replays — run once per SUITE now, not once
+    # per sweep). The physical checks read the AQE-FINAL plan (r16):
+    # the smells (CartesianProduct, BatchEvalPython, SinglePartition
+    # funnels) survive adaptive re-planning, and the final plan is the
+    # honest artifact — the same standard test_scan_census always used.
+    df = fleet.df(name)
     bad = [
         f.name
         for f in df.schema.fields
@@ -401,7 +417,7 @@ def test_no_scale_smells(spark, name):
         "canonicalizer cannot hash Array/Map/Struct/Binary cells; emit "
         "a canonical string (array_join/to_json) or explode to rows"
     )
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = fleet.final_plan(name)
     for smell in SMELLS:
         assert smell not in plan, f"{name}: {smell} in plan\n{plan}"
     if name not in SINGLE_PARTITION_OVER_ROWS_OK:

@@ -79,15 +79,11 @@ ALLOWLIST: dict[str, str] = {
 
 
 @pytest.mark.parametrize("name", sorted(WORKLOAD))
-def test_scan_multiplicity(name, spark):
-    df = WORKLOAD[name].fn(spark, SF)
-    df.collect()
-    plan = (
-        df._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-        .split("== Initial Plan ==")[0]
-    )
+def test_scan_multiplicity(name, spark, fleet):
+    # shared fleet build+execution (conftest._FleetCache): same final
+    # adaptive plan as before, executed once per suite instead of once
+    # per sweep
+    plan = fleet.final_plan(name)
     scans, py = scan_multiplicity(plan)
     findings = []
     for src, n in sorted(scans.items()):
