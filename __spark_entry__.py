@@ -181,6 +181,11 @@ FORCE_RESTAMP: set[str] = {
     "ann_ivf_pq_planted_recall_audit",
     "streaming_ivf_pq_ingest_ledger",
     "graph_triangle_count",
+    # r16: connected_components symmetrizes via one explode pass (plan
+    # change in every CC consumer; the other consumers are already
+    # listed above for the r15/r16 jaccard reshapes) — results verified
+    # oracle-green at sf0.01.
+    "ml_dbscan_embed",
 }
 
 

@@ -54,10 +54,25 @@ def lit_double_array(values) -> "F.Column":
     form (SQL has no inf/nan double literal)."""
     vals = [float(x) for x in values]
     if all(math.isfinite(x) for x in vals):
-        return F.expr(
-            "array(" + ",".join(repr(x) + "D" for x in vals) + ")"
-        )
+        return F.expr(_double_array_sql_unchecked(vals))
     return F.array(*[F.lit(x) for x in vals])
+
+
+def _double_array_sql_unchecked(vals: list[float]) -> str:
+    return "array(" + ",".join(repr(x) + "D" for x in vals) + ")"
+
+
+def double_array_sql(values) -> str | None:
+    """SQL text of an ``array<double>`` literal (same bit-identical
+    ``repr`` contract as :func:`lit_double_array`), for callers that
+    embed the literal inside a LARGER generated expression so the whole
+    thing costs ONE parse (r16 — the §18/§19 one-parse class extended
+    from leaf literals to composite expressions). Returns ``None`` for
+    non-finite values — the caller must fall back to the Column form."""
+    vals = [float(x) for x in values]
+    if all(math.isfinite(x) for x in vals):
+        return _double_array_sql_unchecked(vals)
+    return None
 
 
 def _dist2(vec, centroid: list[float]):
@@ -131,15 +146,33 @@ def kmeans_lloyd(
 
     assigned = None
     for _ in range(iterations):
-        dists = F.array(
-            *[
-                F.struct(
-                    _dist2(F.col("__v"), c).alias("d"),
-                    F.lit(i).alias("c"),
+        # whole distance array in ONE SQL parse per round (r16 — the
+        # §18/§19 one-parse class): the Column form made ~8 py4j round
+        # trips per centroid per round. Resolved tree identical (same
+        # zip_with/aggregate chain, same summation order — the stamped
+        # inertia rounding is untouched); non-finite centroids (never
+        # produced by the mean update, defensive only) fall back.
+        arrs = [double_array_sql(c) for c in centroids]
+        if all(a is not None for a in arrs):
+            dists = F.expr(
+                "array(%s)"
+                % ",".join(
+                    f"struct(aggregate(zip_with(__v, {arr}, (a, b) ->"
+                    " (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+                    f" AS d, {i} AS c)"
+                    for i, arr in enumerate(arrs)
                 )
-                for i, c in enumerate(centroids)
-            ]
-        )
+            )
+        else:
+            dists = F.array(
+                *[
+                    F.struct(
+                        _dist2(F.col("__v"), c).alias("d"),
+                        F.lit(i).alias("c"),
+                    )
+                    for i, c in enumerate(centroids)
+                ]
+            )
         best = F.array_min(dists)
         assigned = base.select(
             "__id",
@@ -489,15 +522,21 @@ def top_principal_component(
     v = [1.0 / math.sqrt(dim)] * dim
 
     def w_frame(v_now: list[float]) -> DataFrame:
-        v_lit = lit_double_array(v_now)
-        scored = cent.select(
-            "__c",
-            F.aggregate(
-                F.zip_with("__c", v_lit, lambda c, b: c * b),
+        # one SQL parse (r16 — §18/§19 one-parse class), Column fallback
+        # for non-finite iterates (never produced by the MGS normalize)
+        arr = double_array_sql(v_now)
+        if arr is not None:
+            score = F.expr(
+                f"aggregate(zip_with(__c, {arr}, (c, b) -> c * b),"
+                " 0.0D, (acc, x) -> acc + x) AS __s"
+            )
+        else:
+            score = F.aggregate(
+                F.zip_with("__c", lit_double_array(v_now), lambda c, b: c * b),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            ).alias("__s"),
-        )
+            ).alias("__s")
+        scored = cent.select("__c", score)
         return (
             scored.select(F.posexplode("__c").alias("pos", "c"), "__s")
             .groupBy("pos")
@@ -632,18 +671,32 @@ def top_k_principal_components(
     ]  # k columns of length dim
 
     def w_frame(v_now: list[list[float]]) -> DataFrame:
-        scores = [
-            F.aggregate(
-                F.zip_with(
-                    "__c",
-                    lit_double_array(v_now[j]),
-                    lambda c, b: c * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"__s{j + 1}")
-            for j in range(k)
-        ]
+        # one SQL parse per score column (r16 — §18/§19 one-parse
+        # class): literal array + both lambdas in one string; resolved
+        # tree and summation order identical to the Column form
+        scores = []
+        for j in range(k):
+            arr = double_array_sql(v_now[j])
+            if arr is not None:
+                scores.append(
+                    F.expr(
+                        f"aggregate(zip_with(__c, {arr}, (c, b) ->"
+                        " c * b), 0.0D, (acc, x) -> acc + x)"
+                        f" AS __s{j + 1}"
+                    )
+                )
+            else:
+                scores.append(
+                    F.aggregate(
+                        F.zip_with(
+                            "__c",
+                            lit_double_array(v_now[j]),
+                            lambda c, b: c * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias(f"__s{j + 1}")
+                )
         scored = cent.select("__c", *scores)
         return (
             scored.select(

@@ -255,6 +255,32 @@ def interval_join_stream(
     return lw.join(rw, cond, how)
 
 
+def _log_stream_phase(q, label: str) -> None:
+    """One-line drain profile to stderr (VERDICT r15 item 7): micro-batch
+    count and total state rows, so a perf reading of a streaming query
+    can split fixed micro-batch latency from state-store cost without
+    re-instrumenting. stderr, never stdout — the bench contract tails
+    stdout for one JSON line."""
+    import sys
+
+    try:
+        prog = q.lastProgress
+        if not prog:
+            return
+        state_rows = sum(
+            int(s.get("numRowsTotal", 0) or 0)
+            for s in prog.get("stateOperators", []) or []
+        )
+        print(
+            f"[stream-phase] {label}: batches={int(prog.get('batchId', -1)) + 1}"
+            f" state_rows={state_rows}",
+            file=sys.stderr,
+            flush=True,
+        )
+    except Exception:  # noqa: BLE001 — observability must never fail a drain
+        pass
+
+
 def run_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:
@@ -269,6 +295,7 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+    _log_stream_phase(q, name)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -295,6 +322,7 @@ def stream_to_parquet_refresh(
             .start()
         )
         q.awaitTermination()
+    _log_stream_phase(q, "parquet_refresh")
 
 
 def topk_values_tws_stream(

@@ -48,12 +48,22 @@ class _FleetCache:
         if name not in self._dfs:
             from adb_south_caucasus_etl_spark.workload import WORKLOAD
 
-            self._dfs[name] = WORKLOAD[name].fn(self._spark, SF_SMALL)
+            df = WORKLOAD[name].fn(self._spark, SF_SMALL)
+            # execute IMMEDIATELY, atomically with the build: queries
+            # that read scratch artifacts written during fn() hold a
+            # file listing that goes STALE if a functional test running
+            # between the sweeps rewrites the same scratch directory
+            # (overwrite deletes the listed files) — a deferred
+            # toPandas then dies with FAILED_READ_FILE.FILE_NOT_EXIST.
+            # Executing here pins the result while the artifact is
+            # live; nothing is cached on failure so a retry rebuilds.
+            pdf = df.toPandas()
+            self._dfs[name] = df
+            self._pdfs[name] = pdf
         return self._dfs[name]
 
     def pdf(self, name: str):
-        if name not in self._pdfs:
-            self._pdfs[name] = self.df(name).toPandas()
+        self.df(name)
         return self._pdfs[name]
 
     def final_plan(self, name: str) -> str:
