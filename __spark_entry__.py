@@ -186,6 +186,12 @@ FORCE_RESTAMP: set[str] = {
     # listed above for the r15/r16 jaccard reshapes) — results verified
     # oracle-green at sf0.01.
     "ml_dbscan_embed",
+    # r16: pagerank_integer loop joins pinned to SHUFFLE_HASH via
+    # per-join hints (operators/graph.py — @register blocks untouched);
+    # integer arithmetic, strategy is value-neutral, oracle-green at
+    # sf0.01 and bit-identical A/B'd in-session.
+    "graph_pagerank_integer",
+    "graph_ppr_integer",
 }
 
 
