@@ -1951,28 +1951,17 @@ def ivf_pq_persist(
             f.result()
 
 
-def ivf_pq_load(
+def _load_quantizers(
     spark, path: str
-) -> tuple[DataFrame, list[list[float]], "np.ndarray"]:
-    """Read back an :func:`ivf_pq_persist` artifact: the postings stay
-    a DataFrame (data-scale, never collected); centroids and codebooks
-    are bounded quantizer metadata (n_cells × dim and m × ksub × dsub
-    doubles) reconstructed onto the driver — the same control-plane
-    class the trainer held them in."""
+) -> tuple[list[list[float]], "np.ndarray"]:
+    """Reconstruct the two bounded quantizer tables of an
+    :func:`ivf_pq_persist` artifact onto the driver (n_cells × dim and
+    m × ksub × dsub doubles) — shared by :func:`ivf_pq_load` and the
+    :func:`ivf_pq_append` load path, which needs the quantizers but not
+    the data-scale postings frame. The two collects are independent
+    one-task jobs — run concurrently (guide §2.6) so a load pays one
+    fixed job latency, not two."""
     import os as _os
-
-    postings = spark.read.parquet(
-        _os.path.join(path, "postings")
-    ).withColumn(
-        # partition-column type inference already yields int for the
-        # cell ids; the cast pins the contract against inference-config
-        # drift so serve-from-disk stays byte-identical to in-memory
-        "__cell",
-        F.col("__cell").cast("int"),
-    )
-    # the two bounded quantizer collects are independent one-task jobs —
-    # run them concurrently (guide §2.6) so a load pays one fixed job
-    # latency, not two
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
@@ -1998,6 +1987,29 @@ def ivf_pq_load(
     books = np.zeros((m, ksub, dsub), dtype=np.float64)
     for r in book_rows:
         books[r["block"], r["code"]] = r["codeword"]
+    return centroids, books
+
+
+def ivf_pq_load(
+    spark, path: str
+) -> tuple[DataFrame, list[list[float]], "np.ndarray"]:
+    """Read back an :func:`ivf_pq_persist` artifact: the postings stay
+    a DataFrame (data-scale, never collected); centroids and codebooks
+    are bounded quantizer metadata (n_cells × dim and m × ksub × dsub
+    doubles) reconstructed onto the driver — the same control-plane
+    class the trainer held them in."""
+    import os as _os
+
+    postings = spark.read.parquet(
+        _os.path.join(path, "postings")
+    ).withColumn(
+        # partition-column type inference already yields int for the
+        # cell ids; the cast pins the contract against inference-config
+        # drift so serve-from-disk stays byte-identical to in-memory
+        "__cell",
+        F.col("__cell").cast("int"),
+    )
+    centroids, books = _load_quantizers(spark, path)
     return postings, centroids, books
 
 
@@ -2008,6 +2020,7 @@ def ivf_pq_append(
     spill: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizers: tuple[list[list[float]], "np.ndarray"] | None = None,
 ) -> None:
     """Incrementally add ``new_vectors`` to a persisted IVF-PQ index
     WITHOUT retraining — the FAISS ``IndexIVFPQ.add()`` contract
@@ -2029,10 +2042,23 @@ def ivf_pq_append(
     the training sample, recall decays — the driver-stamped
     ``ann_ivf_pq_append_recall_audit`` re-stamps the same 0.9 recall
     floor ON the appended index, so drift past the floor is a red
-    stamp, not a silent decay."""
+    stamp, not a silent decay.
+
+    ``quantizers`` (r16, guide §1.2 — don't recompute what you hold):
+    a caller that has JUST persisted the index can pass the
+    ``(centroids, books)`` it persisted and skip this append's two
+    quantizer reload collects. This does not weaken the frozen-stored-
+    quantizers contract: parquet DOUBLE is IEEE binary64 stored
+    verbatim, so the reload is bit-identical to what was written —
+    pytest pins the passed-path postings byte-equal to the load-path
+    postings. Callers that did not write the artifact themselves must
+    omit it (the load path stays the default and the tests' shape)."""
     import os as _os
 
-    _postings, centroids, books = ivf_pq_load(spark, path)
+    if quantizers is not None:
+        centroids, books = quantizers
+    else:
+        centroids, books = _load_quantizers(spark, path)
     unit = _unit_vectors(new_vectors, id_col, vec_col)
     delta = _pq_encode_postings(unit, centroids, books, spill)
     delta.write.mode("append").partitionBy("__cell").parquet(

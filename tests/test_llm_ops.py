@@ -2646,6 +2646,58 @@ def test_ivf_pq_persist_deferred_cellsizes_restored_by_append(
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_ivf_pq_append_passed_quantizers_byte_equal_load_path(
+    spark, sf_dir
+):
+    """``ivf_pq_append(quantizers=...)`` (r16): a caller that just
+    persisted the index may pass the in-memory quantizers and skip the
+    reload collects. Parquet DOUBLE is IEEE binary64 stored verbatim,
+    so the passed path must land the EXACT posting set (ids, cells and
+    code bytes) and cellsizes the load path lands."""
+    import os
+    import shutil
+
+    from adb_south_caucasus_etl_spark.operators.similarity import (
+        ivf_pq_append,
+        ivf_pq_cell_sizes,
+        ivf_pq_index,
+        ivf_pq_persist,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    index, cents, books = ivf_pq_index(
+        even, n_cells=16, spill=2, m_subvectors=16, ksub=64
+    )
+
+    def postings_set(base):
+        return {
+            (r["neighbor_id"], r["__cell"], tuple(r["codes"]))
+            for r in spark.read.parquet(
+                os.path.join(base, "postings")
+            ).collect()
+        }
+
+    def sizes_set(base):
+        return {
+            (r["__cell"], r["n_postings"])
+            for r in ivf_pq_cell_sizes(spark, base).collect()
+        }
+
+    base_load = "/tmp/adb_sc_test_pq_append_loadq"
+    base_pass = "/tmp/adb_sc_test_pq_append_passq"
+    for b in (base_load, base_pass):
+        shutil.rmtree(b, ignore_errors=True)
+        ivf_pq_persist(b, index, cents, books, write_cellsizes=False)
+    ivf_pq_append(spark, base_load, odd)  # reload path (default)
+    ivf_pq_append(spark, base_pass, odd, quantizers=(cents, books))
+    assert postings_set(base_pass) == postings_set(base_load)
+    assert sizes_set(base_pass) == sizes_set(base_load)
+    for b in (base_load, base_pass):
+        shutil.rmtree(b, ignore_errors=True)
+
+
 def test_streaming_ingest_postings_equal_batch_append(spark, sf_dir):
     """Micro-batch invariance of the streaming index ingest, pinned at
     the POSTING grain: after the streamed drain
